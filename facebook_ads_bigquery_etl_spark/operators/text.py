@@ -1,0 +1,75 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension; no reference artifact — BASELINE.json mandates these as
+first-class). All hot paths are built-in JVM expressions (split /
+filter / transform / regexp) — no Python UDF per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the heuristic language ID.
+# Real pipelines plug in fastText/CLD3 via a pandas UDF; the Spark-side
+# shape (argmax over per-language evidence scores) is identical.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "los", "se"],
+    "fr": ["le", "la", "de", "et", "que", "en", "les", "un"],
+    "de": ["der", "die", "das", "und", "zu", "in", "den", "ist"],
+    "zh": ["的", "了", "是", "我", "不", "在", "人", "有"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (BPE-ish regex split for punctuated
+    corpora: split on non-word boundaries, drop empties)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens / n_chars / n_alpha / avg_token_len /
+    stopword_ratio — quality-scoring features, all codegen'd."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    n_alpha = F.length(F.regexp_replace(text_col, r"\s+", "")).cast("long")
+    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))).cast("long")
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars", n_chars)
+        .withColumn("n_alpha", n_alpha)
+        .withColumn("avg_token_len", F.round(n_alpha * F.lit(1.0) / n_tokens, 6))
+        .withColumn("stopword_ratio", F.round(stop * F.lit(1.0) / n_tokens, 6))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: per-language stopword-hit counts, argmax
+    (ties broken by language code order). One pass, no shuffle."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    # NB: a 2-parameter lambda would receive (element, index) from
+    # F.filter — bind the stopword list via a closure factory instead.
+    def _hit(sw: list[str]):
+        return lambda t: t.isin(*sw)
+
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, _hit(sw))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scores)  # struct compare: score first, then lang
+    return df.withColumn(out_col, best["lang"])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """64-bit document fingerprint: xxhash64 over the
+    whitespace-normalized, lowercased text. Used as the join/dedup key
+    at scale — group on the 8-byte fingerprint, never the document body."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn(out_col, F.xxhash64(normalized))

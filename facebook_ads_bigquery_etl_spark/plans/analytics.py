@@ -1,0 +1,727 @@
+"""Relational analytics query library (SURVEY §2.3-2.6 obligations).
+
+The reference engine runs exactly one (API-delegated) aggregation
+(reference main.py:176-181) and zero joins/windows/sorts in code — but
+its data model exists to *enable* this analytics layer downstream
+(day-partitioned spend ⋈ fx-by-date, campaign rollups: reference
+main.py:16-42, README.md:18-20). These queries are the capability
+surface, expressed Spark-first over the driver's TPC-H-ish warehouse.
+
+Scale notes are per-query docstrings; the common pattern: aggregations
+are hash-aggregates with map-side partials; dimension joins broadcast;
+fact-fact joins shuffle on the join key with AQE handling skew; window
+queries over *aggregated* (bounded) inputs may use a global window —
+the input is already reduced to ~thousands of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators.asof import asof_join
+from ..operators.topk import top_k_per_group
+from .registry import load_tables, register
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1/A2-style: groupBy + multi-agg)
+# --------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + 2-key hash aggregate, 8 measures.
+
+    Scale: filter and the 7-column projection push into the parquet
+    scan; partial aggregation runs map-side, so the shuffle carries
+    only (#groups × #partitions) rows. Output is 6 rows at any SF.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name AS nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join, mixed fact-fact + dimension joins.
+
+    Scale: nation/region/supplier are broadcast (dims); customer ⋈
+    orders ⋈ lineitem shuffle on their keys. Catalyst reorders; AQE
+    converts to broadcast at runtime if a side turns out small.
+    """
+    t = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "brand_revenue",
+    oracle="""
+    SELECT p_brand,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)          AS n_parts
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dim: explicitly broadcast `part` — the build side
+    ships to every executor, no shuffle of the 100-TB fact side."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+@register(
+    "rollup_returns",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty,
+           CAST(COUNT(*) AS BIGINT)      AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (A2 capability: campaign→adset-style rollups
+    on the reference's clustered columns, reference main.py:42)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "cube_events",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL')                        AS event_type,
+           COALESCE(CAST(date_part('day', ts) AS INTEGER), -1) AS day_of_month,
+           CAST(COUNT(*) AS BIGINT)                            AS n_events,
+           ROUND(SUM(value), 2)                                AS total_value
+    FROM events
+    GROUP BY CUBE(event_type, CAST(date_part('day', ts) AS INTEGER))
+    """,
+)
+def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-month): all grouping-set rollups
+    in one pass (Spark expands to a union of grouping sets internally,
+    still map-side partial aggregated)."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.withColumn("dom", F.dayofmonth("ts"))
+        .cube("event_type", "dom")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dom", F.lit(-1)).alias("day_of_month"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)  AS n_nations,
+           CAST(COUNT(*) AS BIGINT)                     AS n_customers
+    FROM customer
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase hash agg)."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    return c.agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register("approx_distinct_orders")  # engine-specific sketch: rows-only check
+def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — THE 100-TB idiom for cardinality (one
+    pass, bounded sketch memory, no expand). Not oracle-comparable
+    (sketch estimates are engine-specific); accuracy vs exact distinct
+    is asserted in tests/test_operators.py (rsd 5%)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@register(
+    "conditional_margins",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_discount > 0.06 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS hi_disc_revenue,
+           CAST(COUNT(CASE WHEN l_discount > 0.06 THEN 1 END) AS BIGINT)                                   AS hi_disc_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                                               AS total_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def conditional_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE WHEN inside SUM/COUNT)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    hi = F.col("l_discount") > 0.06
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(hi, rev).otherwise(0.0)), 2).alias("hi_disc_revenue"),
+        F.count(F.when(hi, 1)).alias("hi_disc_lines"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (equi / broadcast / semi / anti) — SURVEY §2.3
+# --------------------------------------------------------------------------
+
+@register(
+    "order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (TPC-H Q4 shape). Semi join ships only
+    the join key; no payload duplication, no row multiplication."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o, li = t["orders"], t["lineitem"]
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    )
+    return (
+        filtered.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate <  TIMESTAMP '1997-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    o96 = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        t["customer"]
+        .join(o96, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "top_customers",
+    oracle="""
+    SELECT c_custkey, c_name, revenue FROM (
+      SELECT c_custkey, c_name,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name
+    ) ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape + global top-k. ORDER BY ... LIMIT k compiles
+    to TakeOrderedAndProject — each partition keeps k rows, driver
+    merges k·p rows, never a full global sort. Ordered by the ROUNDED
+    measure + unique key so the selected set is engine-stable."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions — SURVEY §2.5
+# --------------------------------------------------------------------------
+
+@register(
+    "daily_revenue_dod",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date, SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev - COALESCE(LAG(rev) OVER (ORDER BY order_date), 0.0), 2) AS dod_delta
+    FROM daily
+    """,
+)
+def daily_revenue_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta via LAG — the canonical query on the
+    reference's day-partitioned spend table (SURVEY §2.5).
+
+    Scale: the window runs over the *aggregated* daily series (#days
+    rows — bounded regardless of fact size), so the single-partition
+    global window is safe; the heavy lifting is the distributed
+    pre-aggregation."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = W.orderBy("order_date")
+    return daily.select(
+        "order_date",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") - F.coalesce(F.lag("rev").over(w), F.lit(0.0)), 2).alias("dod_delta"),
+    )
+
+
+@register(
+    "rolling_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date, SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date,
+           ROUND(rev, 2) AS revenue,
+           ROUND(SUM(rev) OVER (
+             ORDER BY date_diff('day', DATE '1970-01-01', order_date)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_7d
+    FROM daily
+    """,
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue via RANGE frame keyed on day number —
+    calendar-correct across gaps (a ROWS frame would be wrong)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    day_no = F.datediff(F.col("order_date"), F.lit("1970-01-01").cast("date"))
+    w = W.orderBy(day_no).rangeBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("revenue_7d"),
+    )
+
+
+@register(
+    "top3_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, revenue, rank FROM (
+      SELECT p_brand, p_partkey, revenue,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INTEGER) AS rank
+      FROM (
+        SELECT p_brand, p_partkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+      )
+    ) WHERE rank <= 3
+    """,
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: rank-filter windows get a WindowGroupLimit
+    pushdown in Spark (per-partition top-k below the shuffle), so the
+    full per-group sort never materializes."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return top_k_per_group(
+        per_part, ["p_brand"], [F.desc("revenue"), F.asc("p_partkey")], 3
+    ).select("p_brand", "p_partkey", "revenue", "rank")
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                       > CAST(6 AS BIGINT) * 3600 * 1000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT)                   AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: LAG gap-detect + running SUM session ids —
+    one shuffle on user_id, then two within-partition window passes."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 6 * 3600 * 1_000_000), 1).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (custom operator — Spark lacks a native one)
+# --------------------------------------------------------------------------
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id AS purchase_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id                           AS click_id,
+           c.user_id,
+           COALESCE(p.purchase_id, -1)          AS purchase_id,
+           ROUND(COALESCE(p.value, 0.0), 2)     AS purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for every click, the same user's most
+    recent purchase at-or-before it. Uses the union+window as-of
+    operator (operators/asof.py) — one shuffle on user_id, same cost
+    class as an equi-join; DuckDB's native ASOF JOIN is the oracle."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["purchase_id", "value"], how="left",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.round(F.coalesce("value", F.lit(0.0)), 2).alias("purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations — SURVEY §2.5
+# --------------------------------------------------------------------------
+
+_Y96 = "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"
+_Y98 = "o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'"
+
+
+def _year_custkeys(spark: SparkSession, sf_dir: str, lo: str, hi: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+
+
+@register(
+    "repeat_customers",
+    oracle=f"""
+    SELECT o_custkey AS custkey FROM orders WHERE {_Y96}
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE {_Y98}
+    """,
+)
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers active in both 1996 and 1998."""
+    a = _year_custkeys(spark, sf_dir, "1996-01-01", "1997-01-01")
+    b = _year_custkeys(spark, sf_dir, "1998-01-01", "1999-01-01")
+    return a.intersect(b)
+
+
+@register(
+    "churned_customers",
+    oracle=f"""
+    SELECT o_custkey AS custkey FROM orders WHERE {_Y96}
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE {_Y98}
+    """,
+)
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): active in 1996, gone by 1998."""
+    a = _year_custkeys(spark, sf_dir, "1996-01-01", "1997-01-01")
+    b = _year_custkeys(spark, sf_dir, "1998-01-01", "1999-01-01")
+    return a.subtract(b)
+
+
+@register(
+    "order_size_tiers",
+    oracle="""
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM (
+      SELECT 'large' AS tier, o_totalprice FROM orders WHERE o_totalprice >= 300000
+      UNION ALL
+      SELECT 'small' AS tier, o_totalprice FROM orders WHERE o_totalprice < 300000
+    ) GROUP BY tier
+    """,
+)
+def order_size_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of tagged branches + re-aggregate (unionByName)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    large = o.filter(F.col("o_totalprice") >= 300000).select(
+        F.lit("large").alias("tier"), "o_totalprice"
+    )
+    small = o.filter(F.col("o_totalprice") < 300000).select(
+        F.lit("small").alias("tier"), "o_totalprice"
+    )
+    return (
+        large.unionByName(small)
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar-function surface: dates, strings, JSON, pivot — SURVEY §2.6
+# --------------------------------------------------------------------------
+
+@register(
+    "events_by_day",
+    oracle="""
+    SELECT CAST(ts AS DATE)                       AS event_date,
+           CAST(COUNT(*) AS BIGINT)               AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 2)                   AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily grain — the reference's `time_increment=1` semantics
+    (reference main.py:180) as a date_trunc group-by."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(COUNT(*) AS BIGINT)                        AS n_orders,
+           ROUND(SUM(o_totalprice), 2)                     AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month truncation (F.trunc) — date-function surface (F1/F2,
+    reference main.py:100-102,136)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("order_month")).agg(
+        F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+@register(
+    "part_type_tokens",
+    oracle="""
+    SELECT UPPER(string_split(p_type, ' ')[1]) AS type_head,
+           CAST(COUNT(*) AS BIGINT)            AS n_parts,
+           ROUND(AVG(p_retailprice), 6)        AS avg_price,
+           ROUND(AVG(p_size), 6)               AS avg_size
+    FROM part GROUP BY 1
+    """,
+)
+def part_type_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (split/upper — F3/F4 surface)."""
+    p = load_tables(spark, sf_dir, "part")["part"]
+    return p.groupBy(
+        F.upper(F.split("p_type", " ").getItem(0)).alias("type_head")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        F.round(F.avg("p_size"), 6).alias("avg_size"),
+    )
+
+
+@register(
+    "events_json_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                                    AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (F6, reference main.py:132,138: nested JSON key
+    access) over the events.props JSON column."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "event_type_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit list ⇒ single pass,
+    no driver-side distinct-values pre-query — the scale-safe form)."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    piv = (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "event_date", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES]
+    )

@@ -1,0 +1,151 @@
+"""Reference-ETL parity queries, driver-checked against DuckDB.
+
+The driver's warehouse has no Facebook tables, so these queries run
+the real pipeline (etl/facebook.py) on the deterministic FB fixture
+and the oracle recomputes the same result in pure SQL over VALUES
+literals rendered from the SAME fixture constants — including the
+reference's implicit-coercion semantics (TRY_CAST + REQUIRED row
+rejection) and missing-key → empty-array normalization.
+
+This is the canonical query the reference exists to serve (SURVEY §7
+step 3): day-grain spend joined to the day's fx rate, rolled up by
+campaign.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..etl.facebook import raw_insights_df, transform_insights
+from ..fixtures import (
+    FB_FIXTURE,
+    FX_FIXTURE,
+    fb_actions_values_sql,
+    fb_scalar_values_sql,
+    fx_values_sql,
+)
+from ..operators.casting import split_required_violations
+from ..schemas import SCHEMA_EXCHANGE_RATE, SCHEMA_FACEBOOK_STAT
+from .registry import register
+
+_REQUIRED_OK = (
+    "TRY_CAST(clicks AS BIGINT) IS NOT NULL"
+    " AND TRY_CAST(impressions AS BIGINT) IS NOT NULL"
+    " AND TRY_CAST(spend AS DOUBLE) IS NOT NULL"
+    " AND TRY_CAST(date_start AS DATE) IS NOT NULL"
+)
+
+
+def _valid_fb(spark: SparkSession) -> DataFrame:
+    valid, _ = split_required_violations(
+        transform_insights(raw_insights_df(spark, FB_FIXTURE)), SCHEMA_FACEBOOK_STAT
+    )
+    return valid
+
+
+def _fx(spark: SparkSession) -> DataFrame:
+    raw = spark.createDataFrame(FX_FIXTURE, "date string, currencies string, rate double")
+    from ..operators.casting import apply_schema
+
+    return apply_schema(raw, SCHEMA_EXCHANGE_RATE)
+
+
+@register(
+    "fb_campaign_spend",
+    oracle=f"""
+    SELECT CAST(date_start AS DATE)                       AS date,
+           campaign_id, campaign_name,
+           CAST(SUM(CAST(clicks AS BIGINT)) AS BIGINT)       AS clicks,
+           CAST(SUM(CAST(impressions AS BIGINT)) AS BIGINT)  AS impressions,
+           ROUND(SUM(CAST(spend AS DOUBLE)), 2)              AS spend
+    FROM {fb_scalar_values_sql()}
+    WHERE {_REQUIRED_OK}
+    GROUP BY 1, 2, 3
+    """,
+)
+def fb_campaign_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 rollup on the reference's clustering columns
+    (campaign_id, campaign_name — reference main.py:42), after the
+    full cast/quarantine pipeline."""
+    return _valid_fb(spark).groupBy("date", "campaign_id", "campaign_name").agg(
+        F.sum("clicks").alias("clicks"),
+        F.sum("impressions").alias("impressions"),
+        F.round(F.sum("spend"), 2).alias("spend"),
+    )
+
+
+@register(
+    "fb_actions_rollup",
+    oracle=f"""
+    WITH raw AS (SELECT * FROM {fb_actions_values_sql()}),
+    valid AS (
+      SELECT CAST(date_start AS DATE) AS date, campaign_name,
+             COALESCE(actions, []) AS actions
+      FROM raw WHERE TRY_CAST(clicks AS BIGINT) IS NOT NULL
+    ),
+    flat AS (
+      SELECT date, campaign_name, unnest(actions) AS a FROM valid
+    )
+    SELECT date, campaign_name,
+           a.action_type                               AS action_type,
+           ROUND(SUM(CAST(a.value AS DOUBLE)), 2)      AS total_value,
+           CAST(COUNT(*) AS BIGINT)                    AS n_actions
+    FROM flat GROUP BY 1, 2, 3
+    """,
+)
+def fb_actions_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the nested actions array exploded and summed by action_type
+    — the query the repeated-record model exists for (reference
+    main.py:33-38). `value` arrives as STRING by design; the cast to
+    DOUBLE happens here, at analysis time."""
+    valid = _valid_fb(spark)
+    return (
+        valid.select("date", "campaign_name", F.explode("actions").alias("a"))
+        .groupBy("date", "campaign_name", F.col("a.action_type").alias("action_type"))
+        .agg(
+            F.round(F.sum(F.col("a.value").try_cast("double")), 2).alias("total_value"),
+            F.count("*").alias("n_actions"),
+        )
+    )
+
+
+@register(
+    "fb_spend_local",
+    oracle=f"""
+    WITH fb AS (
+      SELECT CAST(date_start AS DATE) AS date, campaign_name,
+             SUM(CAST(spend AS DOUBLE)) AS spend_usd
+      FROM {fb_scalar_values_sql()}
+      WHERE {_REQUIRED_OK}
+      GROUP BY 1, 2
+    ),
+    fx AS (SELECT CAST(date_str AS DATE) AS date, currencies,
+                  CAST(rate AS DOUBLE) AS rate FROM {fx_values_sql()})
+    SELECT fb.date, fb.campaign_name, fx.currencies,
+           ROUND(fb.spend_usd, 2)           AS spend_usd,
+           ROUND(fx.rate, 6)                AS rate,
+           ROUND(fb.spend_usd * fx.rate, 2) AS spend_local
+    FROM fb JOIN fx ON fb.date = fx.date
+    """,
+)
+def fb_spend_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical downstream query (README.md:18-20 intent): daily
+    spend ⋈ exchange rate on the shared date key, converted to local
+    currency. fx is a tiny dimension → broadcast join, no shuffle of
+    the spend side at any scale."""
+    spend = _valid_fb(spark).groupBy("date", "campaign_name").agg(
+        F.sum("spend").alias("spend_usd")
+    )
+    fx = _fx(spark)
+    return (
+        spend.join(F.broadcast(fx), "date")
+        .select(
+            "date",
+            "campaign_name",
+            "currencies",
+            F.round("spend_usd", 2).alias("spend_usd"),
+            F.round("rate", 6).alias("rate"),
+            F.round(F.col("spend_usd") * F.col("rate"), 2).alias("spend_local"),
+        )
+    )

@@ -1,0 +1,228 @@
+"""LLM training-data pipeline queries (north-star extensions):
+dedup family, similarity search, text analysis, multimodal — over the
+driver's `documents` / `embeddings` tables.
+
+Oracle policy: exact/algebraic ops get a DuckDB oracle; sketch-based
+ops (MinHash-LSH, SimHash, ANN-LSH, engine hash fingerprints) are
+registered rows-only and their quality (recall/precision vs the exact
+baseline) is asserted in tests/test_llm_ops.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from .registry import load_tables, register
+
+
+# -- exact dedup -------------------------------------------------------------
+
+@register(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT sha256(text)                    AS text_sha,
+           CAST(MIN(doc_id) AS BIGINT)     AS kept_doc_id,
+           CAST(COUNT(*) AS BIGINT)        AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the body digest, keep min id.
+    The shuffle key is the 32-byte digest, never the document."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.groupBy(F.sha2("text", 256).alias("text_sha")).agg(
+        F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "jaccard_dup_pairs",
+    oracle="""
+    WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    c AS (SELECT doc_id, COUNT(*) AS set_size FROM w GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT a_id, b_id,
+           ROUND(inter * 1.0 / (ca.set_size + cb.set_size - inter), 6) AS jaccard
+    FROM i
+    JOIN c ca ON ca.doc_id = i.a_id
+    JOIN c cb ON cb.doc_id = i.b_id
+    WHERE inter * 1.0 / (ca.set_size + cb.set_size - inter) >= 0.95
+    """,
+)
+def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-set Jaccard ≥ 0.95 pairs — the posting-list
+    baseline near-dup (operators/dedup.py discusses why MinHash-LSH is
+    the 100-TB path; this is its ground truth)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.jaccard_pairs(docs, threshold=0.95, ngram=1)
+
+
+@register("minhash_dup_pairs")  # sketch-based: verified vs exact in tests
+def minhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(16 bands) candidates, exact-verified at
+    trigram-shingle Jaccard ≥ 0.7 — the scale path for near-dup."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.minhash_dup_pairs(docs, threshold=0.7, num_perm=64, bands=16, ngram=3)
+
+
+@register("simhash_near_dups")  # sketch-based: verified in tests
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 candidate pairs at hamming ≤ 8 via the 4×16-bit
+    pigeonhole bucketing."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dd.simhash_candidates(docs).filter(F.col("hamming") <= 8)
+
+
+# -- text analysis -----------------------------------------------------------
+
+@register(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT)                          AS n_chars,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_alpha,
+           ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                 / len(string_split_regex(text, '\\s+')), 6)     AS avg_token_len,
+           ROUND(len(list_filter(string_split_regex(text, '\\s+'),
+                                 w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                 / len(string_split_regex(text, '\\s+')), 6)     AS stopword_ratio
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, char counts,
+    average token length, stopword ratio — all JVM expressions."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return tx.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars", "n_alpha", "avg_token_len", "stopword_ratio"
+    )
+
+
+@register(
+    "lang_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                              AS n_docs,
+           ROUND(AVG(n_chars), 6)                                AS avg_chars,
+           ROUND(AVG(len(string_split_regex(text, '\\s+'))), 6)  AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by language label."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(tx.tokens("text"))), 6).alias("avg_tokens"),
+    )
+
+
+@register("lang_id_heuristic")  # heuristic classifier: rows-only check
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic vs the labeled lang
+    column (accuracy asserted in tests on the 'en' subset)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        tx.with_lang_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register("doc_fingerprints")  # engine-specific 64-bit hash: rows-only
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 rolling fingerprint per document (dedup/join key at
+    scale). Hash values are engine-specific → rows-only check; the
+    collision-free property is asserted in tests."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return tx.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# -- similarity search -------------------------------------------------------
+
+_COS_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(q.qe)),
+                        i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cosine
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM s)
+    WHERE rnk <= 10
+"""
+
+
+@register("cosine_topk", oracle=_COS_ORACLE)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5 —
+    broadcast queries, JVM zip_with dot product, rank-filter window."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("ann_lsh_topk")  # approximate: recall asserted in tests
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (random-hyperplane signs) —
+    the scale path; recall vs cosine_topk asserted in tests."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column algebra without UDFs: per-label mean L2 norm."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"), F.round(F.avg(norm), 6).alias("avg_norm")
+    )
+
+
+# -- multimodal --------------------------------------------------------------
+
+@register("multimodal_features")  # binary plumbing; digests engine-side
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → Arrow-batched mapInPandas feature
+    extraction (decode stubbed — see operators/multimodal.py).
+    Aggregated per modality so the output is scale-stable."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    feats = mm.extract_features(mm.synth_media_from_documents(docs))
+    return feats.groupBy("modality").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("digest").alias("n_distinct_payloads"),
+        F.round(F.avg("fake_width"), 6).alias("avg_width"),
+    )
