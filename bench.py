@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: one query per cost family — scan-agg, multi-join,
+join+topk, broadcast join, global window, partitioned window, as-of,
+JSON functions, exact dedup, MinHash-LSH near-dup (the scale path;
+the exact-Jaccard baseline is correctness-only — its posting-list
+self-join is the quadratic thing LSH exists to avoid), cosine top-k,
+and the mapInPandas multimodal path.
+
+Timing: per-query wall time around full materialization
+(collect), after a small warmup action so JVM/session startup is not
+attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from facebook_ads_bigquery_etl_spark.plans import QUERIES  # noqa: E402
+from facebook_ads_bigquery_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "brand_revenue",
+    "rolling_7d_revenue",
+    "user_sessions",
+    "asof_last_purchase",
+    "events_json_stats",
+    "exact_dedup_docs",
+    "minhash_dup_pairs",
+    "cosine_topk",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # warmup: JVM + parquet reader + the Arrow/Python-worker pool
+    # (one-time session costs, not per-query costs — at production
+    # scale they amortize over hours, so attribute them to none)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):  # best-of-2: steady-state, not cache-luck
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline query wall-clock (12 queries: agg/join/window/asof/json/dedup/lsh/ann/multimodal)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,25 @@ from pyspark.sql import functions as F
 from .text import tokens, with_fingerprint
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ahead of CPU-heavy per-row expansion (shingling,
+    multi-hash aggs). A small/compact parquet input arrives as one
+    partition, which would serialize the expensive stage on one core;
+    at 100 TB inputs are already wide (this no-ops) and the cost
+    vanishes relative to the stage it parallelizes.
+
+    The persist() is load-bearing: Catalyst pushes deterministic
+    projections THROUGH a bare repartition (to shrink the shuffle),
+    which lands the expensive expressions back on the single input
+    partition — observed 6× slowdown. An InMemoryRelation is a barrier
+    the optimizer does not cross, so downstream compute genuinely runs
+    on `target` partitions. Only narrow inputs pay the (tiny) cache."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target).persist()
+    return df
+
+
 # -- exact -----------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -67,7 +86,9 @@ def jaccard_pairs(
     sizes. This is the correctness baseline the LSH path is verified
     against; at 100 TB use :func:`minhash_dup_pairs` instead.
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, ngram)).alias("shingle"))
+    sh = _spread(df).select(
+        F.col(id_col), F.explode(word_shingles(text_col, ngram)).alias("shingle")
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     inter = (
         sh.alias("a")
@@ -88,6 +109,17 @@ def jaccard_pairs(
 
 # -- MinHash + LSH -----------------------------------------------------------
 
+
+def _shingle_hashes(text_col: str, ngram: int) -> Column:
+    """Distinct shingles pre-hashed to 64-bit longs. Each shingle
+    string is hashed ONCE; the P permutation hashes then re-hash the
+    8-byte long instead of the ~50-byte string — P× less string
+    hashing in the signature/banding hot path. Downstream Jaccard on
+    hash sets equals string-set Jaccard up to 2^-64 collisions."""
+    return F.array_distinct(
+        F.transform(word_shingles(text_col, ngram), lambda s: F.xxhash64(s))
+    )
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -97,13 +129,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<bigint>[num_perm]). Permutation i is
     min(xxhash64(shingle, i)) over the doc's shingle set — a seeded
-    hash family, fully deterministic. One explode + one hash-agg;
-    signature size is constant per doc regardless of doc length."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, ngram)).alias("shingle"))
-    mins = sh.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    hash family, fully deterministic.
+
+    Shuffle-free: the per-permutation minimum is computed directly on
+    the shingle ARRAY with array_min∘transform — a single narrow map
+    stage (the explode+groupBy formulation costs a full shuffle of
+    n·|shingles| rows for the same result). The permutation loop is a
+    SINGLE nested higher-order expression over sequence(0, P-1), not P
+    separate expressions — P-fold smaller plan, so driver-side
+    analysis stays O(1) in P. Docs with an empty shingle set (shorter
+    than the shingle width) are dropped — they have no content to
+    near-dup on and their all-NULL signatures would otherwise collide
+    into one giant LSH bucket."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(F.col("shh"), lambda h: F.xxhash64(h, i))),
     )
-    return mins.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
+    sh = _spread(df).select(F.col(id_col), _shingle_hashes(text_col, ngram).alias("shh"))
+    return sh.filter(F.size("shh") > 0).select(id_col, sig.alias("signature"))
 
 
 def minhash_dup_pairs(
@@ -125,18 +168,32 @@ def minhash_dup_pairs(
     surface, handled by AQE skew-join + the exact-verify filter.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, ngram)
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(",", *[F.col("signature")[b * rows_per_band + r].cast("string")
-                                   for r in range(rows_per_band)]),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
+    # Band hashes are computed directly from the shingle array in ONE
+    # nested expression where each permutation-min appears exactly
+    # once. (Slicing a separate `signature` column here would let
+    # CollapseProject inline the whole 64-perm expression into every
+    # band — a 16× recompute, observed as a 4× wall-clock hit.)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
+                    lambda r: F.array_min(
+                        F.transform(
+                            F.col("shh"), lambda h: F.xxhash64(h, b * rows_per_band + r)
+                        )
+                    ).cast("string"),
+                ),
+            ),
+            b,
+        ),
     )
-    banded = sig.select(id_col, F.posexplode(band_arr).alias("band_idx", "band_hash"))
+    sh_df = _spread(df).select(
+        F.col(id_col), _shingle_hashes(text_col, ngram).alias("shh")
+    ).filter(F.size("shh") > 0)
+    banded = sh_df.select(id_col, F.posexplode(band_arr).alias("band_idx", "band_hash"))
     cand = (
         banded.alias("a")
         .join(
@@ -150,8 +207,8 @@ def minhash_dup_pairs(
     )
     if not verify:
         return cand
-    # exact-verify candidates only: join shingle sets back on the pair
-    sh = df.select(F.col(id_col), word_shingles(text_col, ngram).alias("sh"))
+    # exact-verify candidates only: join shingle-hash sets on the pair
+    sh = sh_df.select(F.col(id_col), F.col("shh").alias("sh"))
     verified = (
         cand.join(sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
         .join(sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
@@ -170,27 +227,40 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     sign of Σ_tokens (±1 by bit j of xxhash64(token)). Emitted as 4
     16-bit chunks (array<int>) so hamming-distance bucketing can use
     the pigeonhole trick: hamming(a,b) ≤ 3 ⇒ some chunk equal."""
-    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-    h = tok.withColumn("h", F.xxhash64("tok"))
-    # mask via shiftleft (1<<63 overflows a Python-side long literal)
-    votes = h.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), j)) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(bits)
-        ]
+    # Shuffle-free AND plan-compact: the per-bit votes and the chunk
+    # assembly are single nested higher-order expressions. Bit masks
+    # come from one array literal (shiftleft needs a Python-int shift,
+    # and 1<<63 must be spelled as the signed-long sign bit).
+    masks = F.array(
+        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(bits)]
     )
-    chunks = []
-    for c in range(bits // 16):
-        expr = F.lit(0)
-        for r in range(16):
-            j = c * 16 + r
-            expr = expr + F.when(F.col(f"v{j}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
-        chunks.append(expr.cast("int").alias(f"chunk{c}"))
-    return votes.select(id_col, F.array(*chunks).alias("simhash_chunks"))
+    hashes = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                h.bitwiseAND(F.element_at(masks, (j + 1).cast("int"))) != 0, 1
+            ).otherwise(-1),
+        ),
+    )
+    with_votes = _spread(df).select(F.col(id_col), votes.alias("v"))
+    small_masks = F.array(*[F.lit(1 << r) for r in range(16)])
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(bits // 16 - 1)),
+        lambda c: F.aggregate(
+            F.sequence(F.lit(0), F.lit(15)),
+            F.lit(0),
+            lambda acc, r: acc
+            + F.when(
+                F.element_at(F.col("v"), (c * 16 + r + 1).cast("int")) > 0,
+                F.element_at(small_masks, (r + 1).cast("int")),
+            ).otherwise(F.lit(0)),
+        ).cast("int"),
+    )
+    return with_votes.select(id_col, chunks.alias("simhash_chunks"))
 
 
 def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -89,6 +89,12 @@ def extract_features(media: DataFrame) -> DataFrame:
     shape for any decode/resize/frame-sample stage. Real decoders slot
     into ``_fake_decode``'s place."""
 
+    # spread a compact single-file input across workers — the Python
+    # stage is the expensive part, keep every core busy
+    target = media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < target:
+        media = media.repartition(target)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = [_fake_decode(p) for p in pdf["payload"]]
