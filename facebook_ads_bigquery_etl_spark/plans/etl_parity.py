@@ -149,3 +149,99 @@ def fb_spend_local(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("spend_usd") * F.col("rate"), 2).alias("spend_local"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connector parity: the same results, but ingested through the Spark 4
+# Python DataSources (sources/) instead of createDataFrame — exercising
+# partition planning, predicate pushdown, and the executor-side read
+# path end-to-end. Deterministic transports make the oracle exact.
+# ---------------------------------------------------------------------------
+
+
+def _register_sources(spark: SparkSession) -> None:
+    from ..sources import register_all
+
+    register_all(spark)
+    try:  # lets pushFilters narrow the (account × day) grid
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static conf in this session → full range read; same rows
+
+
+@register(
+    "fb_connector_ingest",
+    oracle=f"""
+    SELECT CAST(date_start AS DATE) AS date, campaign_id,
+           CAST(SUM(CAST(clicks AS BIGINT)) AS BIGINT) AS clicks,
+           ROUND(SUM(CAST(spend AS DOUBLE)), 2)        AS spend
+    FROM {fb_scalar_values_sql()}
+    WHERE {_REQUIRED_OK} AND CAST(date_start AS DATE) = DATE '2025-01-02'
+    GROUP BY 1, 2
+    """,
+)
+def fb_connector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end: facebook_insights DataSource scan (fixture
+    transport, date-equality predicate pushed into the API time_range —
+    reference main.py:177-180) → cast/quarantine pipeline → rollup."""
+    _register_sources(spark)
+    raw = (
+        spark.read.format("facebook_insights")
+        .option("transport", "fixture")
+        .option("since", "2025-01-01")
+        .option("until", "2025-01-02")
+        .load()
+        .where(F.col("date_start") == "2025-01-02")
+        .drop("ad_account")
+    )
+    valid, _ = split_required_violations(transform_insights(raw), SCHEMA_FACEBOOK_STAT)
+    return valid.groupBy("date", "campaign_id").agg(
+        F.sum("clicks").alias("clicks"),
+        F.round(F.sum("spend"), 2).alias("spend"),
+    )
+
+
+def _expected_fx_values_sql(since: str, until: str, currencies: list[str]) -> str:
+    """The FixtureTransport rate function is pure → render its exact
+    output as a VALUES literal for the oracle."""
+    from ..sources.facebook_insights import _drange
+    from ..sources.transport import FixtureTransport
+
+    t = FixtureTransport()
+    rows = []
+    for d in _drange(since, until):
+        quotes = t.rates(d, "USD", currencies)["quotes"]
+        for cur in currencies:
+            rows.append(f"(DATE '{d}', 'USD{cur}', {quotes['USD' + cur]!r})")
+    return "(VALUES " + ", ".join(rows) + ") fx(date, currencies, rate)"
+
+
+@register(
+    "fx_connector_rates",
+    oracle=f"""
+    SELECT currencies,
+           CAST(COUNT(*) AS BIGINT)        AS n_days,
+           ROUND(AVG(CAST(rate AS DOUBLE)), 4) AS avg_rate,
+           ROUND(MIN(CAST(rate AS DOUBLE)), 4) AS min_rate,
+           ROUND(MAX(CAST(rate AS DOUBLE)), 4) AS max_rate
+    FROM {_expected_fx_values_sql("2025-01-01", "2025-01-07", ["UAH", "EUR"])}
+    GROUP BY 1
+    """,
+)
+def fx_connector_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end: currencylayer DataSource over a 7-day × 2-pair
+    grid (one input partition per day), aggregated per pair."""
+    _register_sources(spark)
+    fx = (
+        spark.read.format("currencylayer")
+        .option("since", "2025-01-01")
+        .option("until", "2025-01-07")
+        .option("currencies", "UAH,EUR")
+        .load()
+    )
+    return fx.groupBy("currencies").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("rate"), 4).alias("avg_rate"),
+        F.round(F.min("rate"), 4).alias("min_rate"),
+        F.round(F.max("rate"), 4).alias("max_rate"),
+    )

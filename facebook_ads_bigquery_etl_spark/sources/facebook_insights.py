@@ -1,0 +1,171 @@
+"""``facebook_insights`` — Spark 4 Python DataSource for Ads Insights.
+
+What the reference does once, single-threaded, on the driver-equivalent
+(one account × one day, reference main.py:161-190), this source plans
+as **one input partition per (account × day)** so a 1000-executor
+cluster pulls a year × thousands of accounts concurrently — ingest
+parallelism is the whole scale story for an API connector.
+
+Pushdown surface (reference parity, SURVEY §4):
+
+* **projection** — the scan's pruned column set becomes the API
+  ``fields`` param (reference main.py:162-174). Spark's Python DS API
+  fixes the reader schema before pruning, so projection reaches the
+  API via the ``fields`` option; unrequested columns are still emitted
+  as NULL to keep the schema stable.
+* **predicate** — ``pushFilters`` accepts EqualTo / GreaterThan(OrEqual)
+  / LessThan(OrEqual) / In on ``date_start`` and In/EqualTo on
+  ``account_id``, narrowing the planned (account × day) grid — the
+  ``time_range`` param of reference main.py:177-180. Everything else is
+  returned to Spark to evaluate post-scan. Requires
+  ``spark.sql.python.filterPushdown.enabled=true``.
+
+Usage::
+
+    spark.dataSource.register(FacebookInsightsDataSource)
+    df = (spark.read.format("facebook_insights")
+          .option("accounts", "act_1,act_2")
+          .option("since", "2025-01-01").option("until", "2025-01-31")
+          .option("transport", "synthetic:200").load()
+          .where("date_start = '2025-01-07'"))   # pruned to 1 day/account
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date as Date
+from datetime import timedelta
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from ..schemas import SCHEMA_FACEBOOK_RAW
+from .transport import make_transport, with_retries
+
+DEFAULT_FIELDS = (
+    "date_start,ad_id,ad_name,adset_id,adset_name,campaign_id,"
+    "campaign_name,clicks,impressions,spend,actions,conversions"
+)
+
+
+@dataclass
+class _Slice(InputPartition):
+    account: str
+    since: str  # inclusive ISO dates; one partition = one (account, day)
+    until: str
+
+
+def _drange(since: str, until: str) -> list[str]:
+    d0, d1 = Date.fromisoformat(since), Date.fromisoformat(until)
+    out = []
+    while d0 <= d1:
+        out.append(d0.isoformat())
+        d0 += timedelta(days=1)
+    return out
+
+
+class FacebookInsightsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.accounts = [a for a in options.get("accounts", "act_demo").split(",") if a]
+        self.since = options.get("since", "2025-01-01")
+        self.until = options.get("until", self.since)
+        self.fields = [f for f in options.get("fields", DEFAULT_FIELDS).split(",") if f]
+        self.transport_spec = options.get("transport", "fixture")
+        self.attempts = int(options.get("retries", "3"))
+
+    # -- predicate pushdown ------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:  # noqa: N802
+        """Narrow the (account × day) grid from scan predicates — the
+        API-side ``time_range`` of reference main.py:177-180. Returns
+        the filters Spark must still evaluate post-scan (eager, never
+        lazy: the grid mutation must happen before partitions())."""
+        unsupported: list[Filter] = []
+        for f in filters:
+            col = f.attribute[0]
+            if col == "date_start" and isinstance(f, EqualTo):
+                self.since = self.until = str(f.value)
+            elif col == "date_start" and isinstance(f, In):
+                vals = sorted(str(v) for v in f.value)
+                self.since = max(self.since, vals[0])
+                self.until = min(self.until, vals[-1])
+                unsupported.append(f)  # narrowed range may be non-contiguous
+            elif col == "date_start" and isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = str(f.value) if isinstance(f, GreaterThanOrEqual) else (
+                    (Date.fromisoformat(str(f.value)) + timedelta(days=1)).isoformat()
+                )
+                self.since = max(self.since, lo)
+            elif col == "date_start" and isinstance(f, (LessThan, LessThanOrEqual)):
+                hi = str(f.value) if isinstance(f, LessThanOrEqual) else (
+                    (Date.fromisoformat(str(f.value)) - timedelta(days=1)).isoformat()
+                )
+                self.until = min(self.until, hi)
+            elif col == "ad_account" and isinstance(f, EqualTo):
+                self.accounts = [a for a in self.accounts if a == f.value]
+            elif col == "ad_account" and isinstance(f, In):
+                keep = {str(v) for v in f.value}
+                self.accounts = [a for a in self.accounts if a in keep]
+            else:
+                unsupported.append(f)  # Spark evaluates it post-scan
+        return unsupported
+
+    # -- partition planning ------------------------------------------------
+    def partitions(self):
+        # (account × day) grid: the unit the API pre-aggregates
+        # (level='ad', time_increment=1 — reference main.py:176-180),
+        # and the natural parallel ingest unit at cluster scale.
+        return [
+            _Slice(acc, d, d) for acc in self.accounts for d in _drange(self.since, self.until)
+        ]
+
+    # -- per-partition read (runs on executors) -----------------------------
+    def read(self, part: _Slice):
+        transport = make_transport(self.transport_spec)
+        wanted = [f for f in self.fields if f != "ad_account"]
+        records = with_retries(
+            lambda: transport.insights(part.account, wanted, part.since, part.until),
+            attempts=self.attempts,
+        )
+        cols = [f.name for f in self.schema.fields]
+        for rec in records:
+            yield tuple(
+                part.account if c == "ad_account" else _cell(rec.get(c), c) for c in cols
+            )
+
+
+def _cell(v, col: str):
+    if v is None or col not in ("actions", "conversions"):
+        return v
+    # list[dict] → list[tuple] matching ArrayType(StructType): the
+    # Python DS row channel wants positional structs.
+    return [(a.get("action_type"), a.get("value")) for a in v]
+
+
+class FacebookInsightsDataSource(DataSource):
+    """Register with ``spark.dataSource.register(FacebookInsightsDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "facebook_insights"
+
+    def schema(self) -> StructType:
+        # Raw API shape + ad_account lineage column (which account a
+        # row was pulled from — the reference has exactly one account,
+        # main.py:160; a fleet of accounts needs the provenance).
+        return StructType(
+            [*SCHEMA_FACEBOOK_RAW.fields[:]]
+        ).add("ad_account", "string", True)
+
+    def reader(self, schema: StructType) -> FacebookInsightsReader:
+        return FacebookInsightsReader(schema, dict(self.options))

@@ -1,0 +1,160 @@
+"""Connector layer tests (SURVEY §5.3): canned-payload transports,
+partition planning, predicate/projection pushdown, retry/backoff, and
+the error envelope the reference crashes on (reference main.py:143).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, LessThan
+
+from facebook_ads_bigquery_etl_spark.sources import register_all
+from facebook_ads_bigquery_etl_spark.sources.currencylayer import CurrencyLayerReader
+from facebook_ads_bigquery_etl_spark.sources.facebook_insights import (
+    FacebookInsightsReader,
+)
+from facebook_ads_bigquery_etl_spark.sources.transport import (
+    FixtureTransport,
+    SyntheticTransport,
+    TransportError,
+    with_retries,
+)
+from facebook_ads_bigquery_etl_spark.schemas import SCHEMA_FACEBOOK_RAW
+
+
+def _reader(**options) -> FacebookInsightsReader:
+    return FacebookInsightsReader(SCHEMA_FACEBOOK_RAW, options)
+
+
+class TestPartitionPlanning:
+    def test_grid_is_accounts_times_days(self):
+        r = _reader(accounts="a,b,c", since="2025-03-01", until="2025-03-10")
+        assert len(r.partitions()) == 3 * 10
+
+    def test_one_partition_is_one_account_day(self):
+        parts = _reader(accounts="a", since="2025-01-05", until="2025-01-05").partitions()
+        assert len(parts) == 1
+        assert (parts[0].account, parts[0].since, parts[0].until) == (
+            "a", "2025-01-05", "2025-01-05",
+        )
+
+
+class TestPredicatePushdown:
+    def test_date_equality_collapses_range(self):
+        r = _reader(accounts="a,b", since="2025-01-01", until="2025-12-31")
+        rest = r.pushFilters([EqualTo(("date_start",), "2025-06-15")])
+        assert rest == []  # fully handled API-side
+        assert len(r.partitions()) == 2  # 2 accounts × 1 day
+
+    def test_range_bounds_narrow_grid(self):
+        r = _reader(accounts="a", since="2025-01-01", until="2025-12-31")
+        rest = r.pushFilters(
+            [GreaterThanOrEqual(("date_start",), "2025-02-01"),
+             LessThan(("date_start",), "2025-02-08")]
+        )
+        assert rest == []
+        assert len(r.partitions()) == 7  # [02-01, 02-07]
+
+    def test_in_narrows_but_is_rechecked(self):
+        r = _reader(accounts="a", since="2025-01-01", until="2025-12-31")
+        flt = In(("date_start",), ("2025-03-01", "2025-03-05"))
+        rest = r.pushFilters([flt])
+        assert rest == [flt]  # non-contiguous → Spark re-evaluates
+        assert len(r.partitions()) == 5  # bounding range [03-01, 03-05]
+
+    def test_account_in_prunes_accounts(self):
+        r = _reader(accounts="a,b,c", since="2025-01-01", until="2025-01-01")
+        r.pushFilters([In(("ad_account",), ("a", "c"))])
+        assert [p.account for p in r.partitions()] == ["a", "c"]
+
+    def test_unsupported_filter_returned_to_spark(self):
+        r = _reader(accounts="a", since="2025-01-01", until="2025-01-02")
+        flt = EqualTo(("campaign_name",), "Brand")
+        assert r.pushFilters([flt]) == [flt]
+        assert len(r.partitions()) == 2  # grid untouched
+
+
+class TestTransports:
+    def test_fixture_projection_pushdown(self):
+        recs = FixtureTransport().insights(
+            "act", ["date_start", "clicks"], "2025-01-01", "2025-01-01"
+        )
+        assert recs and all(set(r) <= {"date_start", "clicks"} for r in recs)
+
+    def test_fixture_date_filter(self):
+        recs = FixtureTransport().insights(
+            "act", ["date_start"], "2025-01-02", "2025-01-02"
+        )
+        assert {r["date_start"] for r in recs} == {"2025-01-02"}
+
+    def test_synthetic_is_deterministic_and_account_keyed(self):
+        t = SyntheticTransport(ads_per_day=5)
+        a1 = t.insights("act_1", ["ad_id", "clicks"], "2025-01-01", "2025-01-01")
+        a2 = t.insights("act_1", ["ad_id", "clicks"], "2025-01-01", "2025-01-01")
+        b = t.insights("act_2", ["ad_id", "clicks"], "2025-01-01", "2025-01-01")
+        assert a1 == a2  # idempotent re-read (retry-safe)
+        assert a1 != b  # keyed by account
+
+    def test_retry_recovers_then_gives_up(self):
+        flaky = FixtureTransport(fail_first_n=2)
+        out = with_retries(
+            lambda: flaky.insights("a", ["ad_id"], "2025-01-01", "2025-01-01"),
+            attempts=3, sleep=lambda s: None,
+        )
+        assert out  # 3rd attempt succeeded
+        dead = FixtureTransport(fail_first_n=99)
+        with pytest.raises(TransportError, match="gave up after 2"):
+            with_retries(
+                lambda: dead.insights("a", ["ad_id"], "2025-01-01", "2025-01-01"),
+                attempts=2, sleep=lambda s: None,
+            )
+
+
+class TestCurrencyLayerReader:
+    def test_error_envelope_raises_with_info(self):
+        class ErrTransport(FixtureTransport):
+            def rates(self, date, source, currencies):
+                return {"success": False, "error": {"info": "invalid access key"}}
+
+        import facebook_ads_bigquery_etl_spark.sources.currencylayer as cl
+
+        r = CurrencyLayerReader(
+            cl.SCHEMA_EXCHANGE_RATE, {"since": "2025-01-01", "retries": "1"}
+        )
+        r.transport_spec = "fixture"
+        orig = cl.make_transport
+        cl.make_transport = lambda spec: ErrTransport()
+        try:
+            with pytest.raises(TransportError, match="invalid access key"):
+                list(r.read(r.partitions()[0]))
+        finally:
+            cl.make_transport = orig
+
+
+class TestEndToEnd:
+    def test_null_vs_empty_actions_survive_the_connector(self, spark):
+        register_all(spark)
+        df = (
+            spark.read.format("facebook_insights")
+            .option("transport", "fixture")
+            .option("since", "2025-01-01").option("until", "2025-01-02")
+            .load()
+        )
+        rows = {(r["ad_id"], r["date_start"]): r for r in df.collect()}
+        assert rows[("1002", "2025-01-01")]["actions"] is None  # key absent at the API
+        assert rows[("1003", "2025-01-01")]["actions"] == []  # explicit empty list
+        assert rows[("1001", "2025-01-01")]["actions"][0].asDict() == {
+            "action_type": "link_click", "value": "30",
+        }
+
+    def test_scan_filter_prunes_to_one_day(self, spark):
+        register_all(spark)
+        df = (
+            spark.read.format("facebook_insights")
+            .option("transport", "synthetic:7")
+            .option("accounts", "x,y")
+            .option("since", "2025-01-01").option("until", "2025-01-30")
+            .load()
+            .where("date_start = '2025-01-09'")
+        )
+        assert df.count() == 2 * 7  # 2 accounts × 7 ads × 1 day
