@@ -10,3 +10,4 @@ from .registry import QUERIES, ORACLES, register, load_tables  # noqa: F401
 from . import analytics  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import etl_parity  # noqa: F401,E402
+from . import streaming_queries  # noqa: F401,E402

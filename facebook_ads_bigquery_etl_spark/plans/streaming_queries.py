@@ -1,0 +1,123 @@
+"""Driver-checked Structured Streaming queries.
+
+Each runs a real streaming job over the events parquet (file source,
+``trigger(availableNow=True)`` — the micro-batch analog of the
+reference's one-shot daily cron, reference README.md:57), drains into
+a memory sink, and returns the result table. On finite input the
+stream must equal the batch aggregation, so the DuckDB oracle is plain
+SQL over the same table — the strongest correctness statement a
+streaming operator can make.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import (
+    daily_rollup,
+    read_event_stream,
+    sessionize_stream,
+    user_running_totals,
+)
+from .registry import register
+
+
+def _drain(df: DataFrame, name: str, mode: str) -> DataFrame:
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _qname(base: str, sf_dir: str) -> str:
+    return base + "_" + re.sub(r"\W", "_", sf_dir).strip("_")
+
+
+@register(
+    "stream_daily_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE)          AS date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows with a 1-day watermark —
+    streaming twin of events_by_day; on finite input it must equal the
+    batch group-by (complete mode emits every finalized window)."""
+    stream = daily_rollup(read_event_stream(spark, f"{sf_dir}/events.parquet"))
+    return _drain(stream, _qname("s_rollup", sf_dir), "complete")
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, value, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                       > CAST(30 AS BIGINT) * 60 * 1000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n FROM s GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)   AS n_sessions,
+           CAST(SUM(n) AS BIGINT)     AS n_events,
+           CAST(MAX(n) AS BIGINT)     AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (built-in ``session_window``, 30-min
+    gap) — the oracle recomputes sessions as a gaps-and-islands SQL
+    (LAG + running SUM), proving the stateful operator's semantics."""
+    sess = sessionize_stream(
+        read_event_stream(spark, f"{sf_dir}/events.parquet"), gap="30 minutes"
+    )
+    tbl = _drain(sess, _qname("s_sess", sf_dir), "complete")
+    return tbl.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@register(
+    "stream_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)                    AS n_events,
+           ROUND(SUM(COALESCE(value, 0.0)), 2)         AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom arbitrary-state operator (``applyInPandasWithState``):
+    the LAST update emitted per user (max_by on the monotonically
+    growing event count) must equal the batch per-user totals."""
+    stream = user_running_totals(read_event_stream(spark, f"{sf_dir}/events.parquet"))
+    tbl = _drain(stream, _qname("s_run", sf_dir), "update")
+    return tbl.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )

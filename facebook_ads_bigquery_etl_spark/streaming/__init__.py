@@ -1,0 +1,33 @@
+"""Structured Streaming generalization of the reference's daily cron.
+
+The reference's "streaming" is a Cloud Scheduler cron re-running a
+batch ingest (reference README.md:57,64) with at-least-once appends
+(main.py:86-89 — no insertId, so redelivery duplicates). This package
+maps that model onto real Structured Streaming (SURVEY §2.7):
+
+* event-time watermarks    ≙ the 1-day late-data window of re-pulling
+                             "yesterday" each morning
+* tumbling 1-day windows   ≙ the API's ``time_increment=1`` day grain
+* dropDuplicatesWithinWatermark ≙ the exactly-once repair the
+                             reference lacks
+* foreachBatch → the same day-partitioned, dynamic-overwrite sink the
+                             batch path uses (idempotent re-runs)
+"""
+
+from .pipeline import (
+    daily_rollup,
+    dedup_events,
+    read_event_stream,
+    sessionize_stream,
+    user_running_totals,
+    write_stream_to_warehouse,
+)
+
+__all__ = [
+    "daily_rollup",
+    "dedup_events",
+    "read_event_stream",
+    "sessionize_stream",
+    "user_running_totals",
+    "write_stream_to_warehouse",
+]

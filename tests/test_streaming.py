@@ -1,0 +1,154 @@
+"""Streaming layer tests (SURVEY §2.7): stream-vs-batch equivalence on
+finite input, watermark dedup, custom stateful operator, and the
+exactly-once foreachBatch sink (idempotent across restarts).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from facebook_ads_bigquery_etl_spark.streaming import (
+    daily_rollup,
+    dedup_events,
+    read_event_stream,
+    sessionize_stream,
+    user_running_totals,
+    write_stream_to_warehouse,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, tmp_path_factory):
+    """Copy the smoke events parquet into a stream-source dir."""
+    src = tmp_path_factory.mktemp("stream_src")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-000.parquet")
+    return str(src)
+
+
+def _batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain_to_memory(df, name: str, mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+class TestDailyRollup:
+    def test_matches_batch_aggregation(self, spark, event_source):
+        stream = daily_rollup(read_event_stream(spark, event_source))
+        _drain_to_memory(stream, "rollup_t", "complete")
+        got = {
+            (r["date"].isoformat(), r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM rollup_t").collect()
+        }
+        want = {
+            (r["date"].isoformat(), r["event_type"]): (r["n_events"], r["total_value"])
+            for r in _batch_events(spark)
+            .groupBy(F.to_date("ts").alias("date"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+            .collect()
+        }
+        assert got == want
+
+
+class TestDedup:
+    def test_drops_redelivered_event_ids(self, spark, tmp_path):
+        src = tmp_path / "dup_src"
+        src.mkdir()
+        base = _batch_events(spark).limit(200)
+        # Redeliver the same 200 events twice (two source files), raw
+        # nanos-long ts as the file source expects.
+        raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(200)
+        raw.write.parquet(str(src / "a.parquet"))
+        raw.write.parquet(str(src / "b.parquet"))
+        stream = dedup_events(read_event_stream(spark, str(src) + "/*"))
+        _drain_to_memory(stream, "dedup_t", "append")
+        n = spark.sql("SELECT COUNT(DISTINCT event_id) c, COUNT(*) n FROM dedup_t").first()
+        assert n["n"] == n["c"] == base.count() == 200
+
+
+class TestSessionization:
+    def test_session_windows_respect_gap(self, spark, event_source):
+        stream = sessionize_stream(read_event_stream(spark, event_source), gap="30 minutes")
+        _drain_to_memory(stream, "sess_t", "complete")
+        sess = spark.sql("SELECT * FROM sess_t")
+        assert sess.count() > 0
+        # Sessions of one user never overlap: session_window's end is
+        # last-event + gap, so the next session must start at or after
+        # the previous end (else the gap would have merged them).
+        bad = spark.sql(
+            """
+            SELECT COUNT(*) AS n FROM (
+              SELECT session_start,
+                     LAG(session_end) OVER (
+                       PARTITION BY user_id ORDER BY session_start) AS prev_end
+              FROM sess_t)
+            WHERE prev_end IS NOT NULL AND session_start < prev_end
+            """
+        ).first()["n"]
+        assert bad == 0
+        # Conservation: every event lands in exactly one session.
+        total = sess.agg(F.sum("n_events")).first()[0]
+        assert total == _batch_events(spark).count()
+
+
+class TestRunningTotals:
+    def test_state_accumulates_across_batches(self, spark, tmp_path):
+        src = tmp_path / "state_src"
+        src.mkdir()
+        raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        raw.limit(300).write.parquet(str(src / "a.parquet"))
+        stream = user_running_totals(read_event_stream(spark, str(src) + "/*"))
+        _drain_to_memory(stream, "run_t", "update")
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(
+                "SELECT user_id, n_events, total_value FROM run_t"
+            ).collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in _batch_events(spark)
+            .limit(300)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("tv"),
+            )
+            .collect()
+        }
+        assert got == want
+
+
+class TestExactlyOnceSink:
+    def test_restart_does_not_duplicate(self, spark, event_source, tmp_path):
+        out, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt")
+        rollup = daily_rollup(read_event_stream(spark, event_source))
+
+        q = write_stream_to_warehouse(rollup, out, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+
+        # "Restart" with the same checkpoint and no new data → no-op,
+        # and a re-written batch would only overwrite its own day
+        # partitions (dynamic overwrite), never append duplicates.
+        q2 = write_stream_to_warehouse(rollup, out, ckpt)
+        q2.awaitTermination(120)
+        n2 = spark.read.parquet(out).count()
+        assert n1 == n2 > 0
+        assert any(d.startswith("date=") for d in os.listdir(out))
