@@ -190,9 +190,19 @@ def minhash_dup_pairs(
             b,
         ),
     )
-    sh_df = _spread(df).select(
-        F.col(id_col), _shingle_hashes(text_col, ngram).alias("shh")
-    ).filter(F.size("shh") > 0)
+    # persist() the hashed-shingle frame: BOTH downstream branches
+    # (banding, exact-verify) consume it, and without the materialization
+    # barrier each branch re-runs tokenize→shingle→hash AND compiles its
+    # own copy of the nested expression tree (measured 10× cold-path
+    # cost at sf0.1). Size is O(docs × distinct shingles × 8B) — the
+    # same order as the input text, safe to cache at any scale that
+    # fits the input.
+    sh_df = (
+        _spread(df)
+        .select(F.col(id_col), _shingle_hashes(text_col, ngram).alias("shh"))
+        .filter(F.size("shh") > 0)
+        .persist()
+    )
     banded = sh_df.select(id_col, F.posexplode(band_arr).alias("band_idx", "band_hash"))
     cand = (
         banded.alias("a")
