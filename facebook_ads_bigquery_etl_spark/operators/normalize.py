@@ -23,8 +23,13 @@ def coalesce_repeated(df: DataFrame, colname: str, element_type: T.StructType) -
     """
     arr_type = T.ArrayType(element_type, containsNull=False)
     fields = [f.name for f in element_type.fields]
+    # The empty-array fallback must be typed as the INPUT's element
+    # type (which may carry extra API fields) — coalesce requires both
+    # branches to agree; the transform then projects each element down
+    # to exactly ``element_type``'s fields.
+    in_type = df.schema[colname].dataType
     normalized = F.transform(
-        F.coalesce(F.col(colname), F.array().cast(arr_type)),
+        F.coalesce(F.col(colname), F.array().cast(in_type)),
         lambda e: F.struct(*[e[f].alias(f) for f in fields]),
     )
     return df.withColumn(colname, normalized.cast(arr_type))

@@ -1,0 +1,185 @@
+"""Per-operator unit tests (SURVEY §5.2): cast/REQUIRED layer edge
+cases, nested-array normalization, as-of join semantics, top-k ties,
+and text-operator determinism — the paths the oracle gate exercises
+only incidentally.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from facebook_ads_bigquery_etl_spark.operators.asof import asof_join
+from facebook_ads_bigquery_etl_spark.operators.casting import (
+    apply_schema,
+    enforce_required,
+    split_required_violations,
+)
+from facebook_ads_bigquery_etl_spark.operators.normalize import coalesce_repeated
+from facebook_ads_bigquery_etl_spark.operators.text import with_fingerprint, with_lang_id
+from facebook_ads_bigquery_etl_spark.operators.topk import top_k_per_group
+from facebook_ads_bigquery_etl_spark.schemas import ACTION_ENTRY
+
+TARGET = T.StructType(
+    [
+        T.StructField("d", T.DateType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("x", T.DoubleType(), True),
+    ]
+)
+
+
+class TestApplySchema:
+    def test_casts_and_renames(self, spark):
+        raw = spark.createDataFrame(
+            [("2025-01-02", "42", "3.14")], "src_d string, n string, x string"
+        )
+        out = apply_schema(raw, TARGET, rename={"src_d": "d"}).first()
+        assert out["d"] == dt.date(2025, 1, 2)
+        assert out["n"] == 42 and out["x"] == 3.14
+
+    def test_bad_value_becomes_null_not_error(self, spark):
+        # Spark 4 ANSI mode would abort on CAST('oops' AS BIGINT); the
+        # BigQuery-parity semantic is reject-the-ROW, so the layer uses
+        # try_cast and REQUIRED enforcement picks up the NULL.
+        raw = spark.createDataFrame([("2025-01-02", "oops", "1.0")], "d string, n string, x string")
+        assert apply_schema(raw, TARGET).first()["n"] is None
+
+    def test_missing_column_becomes_typed_null(self, spark):
+        raw = spark.createDataFrame([("2025-01-02",)], "d string")
+        out = apply_schema(raw, TARGET)
+        assert out.schema["n"].dataType == T.LongType()
+        assert out.first()["n"] is None
+
+    def test_column_order_follows_target(self, spark):
+        raw = spark.createDataFrame([("1.5", "7", "2025-01-01")], "x string, n string, d string")
+        assert apply_schema(raw, TARGET).columns == ["d", "n", "x"]
+
+
+class TestRequiredEnforcement:
+    def test_split_routes_violations(self, spark):
+        raw = spark.createDataFrame(
+            [("2025-01-01", "1", None), ("bad-date", "2", "0.5"), ("2025-01-03", None, "1.0")],
+            "d string, n string, x string",
+        )
+        valid, quarantined = split_required_violations(apply_schema(raw, TARGET), TARGET)
+        # x is nullable → row 1 is fine; rows 2 (bad date) and 3 (null n) quarantine
+        assert valid.count() == 1 and valid.first()["n"] == 1
+        assert quarantined.count() == 2
+
+    def test_enforce_required_fails_fast(self, spark):
+        raw = spark.createDataFrame([("2025-01-01", None, "1.0")], "d string, n string, x string")
+        df = enforce_required(apply_schema(raw, TARGET), TARGET)
+        with pytest.raises(Exception, match="REQUIRED|assert"):
+            df.collect()
+
+    def test_enforce_required_passes_clean_rows(self, spark):
+        raw = spark.createDataFrame([("2025-01-01", "5", None)], "d string, n string, x string")
+        assert enforce_required(apply_schema(raw, TARGET), TARGET).count() == 1
+
+
+class TestCoalesceRepeated:
+    def test_null_becomes_empty_array(self, spark):
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("a", T.ArrayType(ACTION_ENTRY), True)]
+        )
+        df = spark.createDataFrame(
+            [(1, None), (2, []), (3, [Row(action_type="x", value="1")])], schema
+        )
+        out = {r["id"]: r["a"] for r in coalesce_repeated(df, "a", ACTION_ENTRY).collect()}
+        assert out[1] == [] and out[2] == []
+        assert out[3][0].asDict() == {"action_type": "x", "value": "1"}
+
+    def test_extra_fields_dropped(self, spark):
+        wide = T.StructType(
+            [
+                T.StructField("action_type", T.StringType()),
+                T.StructField("value", T.StringType()),
+                T.StructField("extra", T.StringType()),
+            ]
+        )
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("a", T.ArrayType(wide), True)]
+        )
+        df = spark.createDataFrame([(1, [Row(action_type="x", value="1", extra="junk")])], schema)
+        out = coalesce_repeated(df, "a", ACTION_ENTRY).first()["a"][0]
+        assert out.asDict() == {"action_type": "x", "value": "1"}
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        trades = spark.createDataFrame(
+            [("A", 3, "t1"), ("A", 7, "t2"), ("B", 5, "t3"), ("C", 1, "t4")],
+            "sym string, ts long, trade string",
+        )
+        quotes = spark.createDataFrame(
+            [("A", 2, 10.0), ("A", 7, 11.0), ("A", 9, 12.0), ("B", 6, 20.0)],
+            "sym string, qts long, px double",
+        )
+        return trades, quotes
+
+    def test_backward_inclusive_semantics(self, spark):
+        trades, quotes = self._frames(spark)
+        out = {
+            r["trade"]: (r["px"], r["asof_qts"])
+            for r in asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="qts").collect()
+        }
+        assert out["t1"] == (10.0, 2)   # latest quote at ts<=3 is qts=2
+        assert out["t2"] == (11.0, 7)   # equal ts matches (inclusive)
+        assert out["t3"] == (None, None)  # B's only quote is later (6>5)
+        assert out["t4"] == (None, None)  # C has no quotes at all
+
+    def test_inner_drops_unmatched(self, spark):
+        trades, quotes = self._frames(spark)
+        out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="qts", how="inner")
+        assert {r["trade"] for r in out.collect()} == {"t1", "t2"}
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        trades, quotes = self._frames(spark)
+        out = {
+            r["trade"]: r["px"]
+            for r in asof_join(
+                trades, quotes, on="sym", left_ts="ts", right_ts="qts", tolerance_expr="0"
+            ).collect()
+        }
+        assert out["t1"] is None  # matched qts=2 is 1 tick stale > tolerance 0
+        assert out["t2"] == 11.0  # exact-ts match survives zero tolerance
+
+
+class TestTopK:
+    def test_ties_broken_deterministically(self, spark):
+        df = spark.createDataFrame(
+            [("g", 5, 1), ("g", 5, 2), ("g", 4, 3), ("h", 9, 4)],
+            "grp string, score long, id long",
+        )
+        out = top_k_per_group(
+            df, ["grp"], [F.desc("score"), F.asc("id")], k=2
+        )
+        got = {(r["grp"], r["id"], r["rank"]) for r in out.collect()}
+        assert got == {("g", 1, 1), ("g", 2, 2), ("h", 4, 1)}
+
+
+class TestTextOps:
+    def test_fingerprint_normalizes_whitespace_and_case(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+            "id long, text string",
+        )
+        fp = {r["id"]: r["fingerprint"] for r in with_fingerprint(df, "text").collect()}
+        assert fp[1] == fp[2] != fp[3]
+
+    def test_lang_id_picks_stopword_majority(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is in the house and it is warm"),
+                (2, "el perro y la casa de los amigos en que se ve"),
+                (3, "der Hund und die Katze ist in den Garten zu"),
+            ],
+            "id long, text string",
+        )
+        out = {r["id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+        assert out == {1: "en", 2: "es", 3: "de"}
