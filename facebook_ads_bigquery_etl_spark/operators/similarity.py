@@ -92,6 +92,33 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def _table_buckets(
+    vec_col: str, n_planes: int, dim: int, n_tables: int, multiprobe: bool
+) -> Column:
+    """array<struct<t,bucket>>: the (table, bucket) cells a vector
+    belongs to. Each table t uses an independent hyperplane set
+    (seed 42+t). With ``multiprobe`` the hamming-1 buckets of each
+    table are included too (query-side probing)."""
+    v = _as_double(vec_col)
+    cells = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + t)
+        bucket = F.lit(0).cast("long")
+        for j, p in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bucket = bucket + F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        cells.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
+        if multiprobe:
+            cells.extend(
+                F.struct(
+                    F.lit(t).alias("t"),
+                    bucket.bitwiseXOR(F.lit(1 << j)).cast("long").alias("bucket"),
+                )
+                for j in range(n_planes)
+            )
+    return F.array(*cells)
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -100,22 +127,39 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 8,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates restricted to the query's
-    LSH bucket, then exact-score + rank. Recall vs brute force is
-    asserted in tests (tunable via n_planes; 8 planes / 256 buckets on
-    a 64-dim corpus keeps ~1/256 of the corpus per probe)."""
-    eb = with_lsh_bucket(embeddings, vec_col, n_planes, dim)
-    qb = with_lsh_bucket(queries, vec_col, n_planes, dim)
+    """Approximate cosine top-k, standard E2LSH-style OR-amplification:
+    ``n_tables`` independent random-hyperplane tables of ``n_planes``
+    bits each; a corpus vector is a candidate if it shares ANY table's
+    bucket with the query (plus, with ``multiprobe``, buckets at
+    hamming distance 1 — vectors near a hyperplane land on either
+    side). Candidates are exact-scored and ranked; misses are only
+    pairs that collide in NO table: p_miss = (1-p^H)^L per probe set.
+
+    Scale: the corpus is indexed once into L×(t,bucket) cells — an
+    L-fold map-side expansion followed by ONE shuffle on the cell key;
+    each query touches L·(1+H) buckets of ~n/2^H vectors, so per-query
+    work stays sublinear in n. Tune (H up, L up) together to hold
+    recall while shrinking buckets at larger corpus sizes."""
+    eb = embeddings.withColumn(
+        "__cell", F.explode(_table_buckets(vec_col, n_planes, dim, n_tables, multiprobe=False))
+    )
+    qb = queries.withColumn(
+        "__cell", F.explode(_table_buckets(vec_col, n_planes, dim, n_tables, multiprobe))
+    )
     q = qb.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"), F.col("bucket")
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"), F.col("__cell")
     ).withColumn("qn", _norm(F.col("qv")))
     c = eb.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"), F.col("bucket")
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"), F.col("__cell")
     ).withColumn("cn", _norm(F.col("cv")))
     scored = (
-        c.join(F.broadcast(q), ["bucket"])
+        c.join(F.broadcast(q), ["__cell"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a candidate can surface from several tables/probes → one copy
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
     )
     return top_k_per_group(

@@ -45,8 +45,10 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Heuristic language ID: per-language stopword-hit counts, argmax
-    (ties broken by language code order). One pass, no shuffle."""
+    """Heuristic language ID: per-language stopword-hit counts, argmax.
+    A document with ZERO stopword evidence in every language gets
+    ``'und'`` (undetermined) — an all-zero tie would otherwise be
+    "won" by whichever code sorts last. One pass, no shuffle."""
     toks = tokens(F.lower(F.col(text_col)))
 
     # NB: a 2-parameter lambda would receive (element, index) from
@@ -64,7 +66,9 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pre
         ]
     )
     best = F.array_max(scores)  # struct compare: score first, then lang
-    return df.withColumn(out_col, best["lang"])
+    return df.withColumn(
+        out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:

@@ -725,3 +725,178 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "event_date", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES]
     )
+
+
+# --------------------------------------------------------------------------
+# §2.5 completions: set operations, ntile, percentiles, grouping sets,
+# and a bounded interval self-join — the window/set-op obligations the
+# reference's day-partitioned model implies but never runs itself.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nation_footprint_setops",
+    oracle="""
+    WITH c AS (SELECT DISTINCT n.n_name FROM customer
+               JOIN nation n ON c_nationkey = n_nationkey WHERE c_acctbal > 9000),
+         s AS (SELECT DISTINCT n.n_name FROM supplier
+               JOIN nation n ON s_nationkey = n_nationkey WHERE s_acctbal > 9000)
+    SELECT n_name, 'both' AS segment FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+    UNION ALL
+    SELECT n_name, 'customers_only' AS segment FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+    UNION ALL
+    SELECT n_name, 'suppliers_only' AS segment FROM (SELECT * FROM s EXCEPT SELECT * FROM c)
+    """,
+)
+def nation_footprint_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one query: nations with
+    high-balance customers vs high-balance suppliers. Set ops hash on
+    the (tiny) distinct nation names — shuffle is O(25) regardless of
+    fact size; the heavy side is the pushed-down balance filter scan."""
+    t = load_tables(spark, sf_dir, "customer", "supplier", "nation")
+    c = (
+        t["customer"].filter(F.col("c_acctbal") > 9000)
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name").distinct()
+    )
+    s = (
+        t["supplier"].filter(F.col("s_acctbal") > 9000)
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name").distinct()
+    )
+    return (
+        c.intersect(s).withColumn("segment", F.lit("both"))
+        .unionByName(c.exceptAll(s).withColumn("segment", F.lit("customers_only")))
+        .unionByName(s.exceptAll(c).withColumn("segment", F.lit("suppliers_only")))
+    )
+
+
+@register(
+    "order_value_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile,
+           CAST(COUNT(*) AS BIGINT)       AS n_orders,
+           ROUND(MIN(o_totalprice), 2)    AS min_price,
+           ROUND(MAX(o_totalprice), 2)    AS max_price,
+           ROUND(SUM(o_totalprice), 2)    AS total_price
+    FROM t GROUP BY quartile
+    """,
+)
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles over order value (orderkey tie-break ⇒ total
+    order ⇒ identical tiles across engines). Scale note: an un-keyed
+    NTILE is a single-partition window sort — fine for reporting
+    outputs, wrong inside a pipeline; keyed variants shard the sort."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    t = o.withColumn(
+        "quartile",
+        F.ntile(4).over(W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))),
+    )
+    return t.groupBy("quartile").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per priority class (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``: linear interpolation).
+    The exact form sorts each group's values; at 100 TB swap in
+    ``percentile_approx`` (t-digest sketch, mergeable map-side) —
+    registered separately as approx_distinct-style rows-only."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]))
+    return o.groupBy("o_orderpriority").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.round(pct[3], 4).alias("p90"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(r_name, '(all)')  AS region,
+           COALESCE(n_name, '(all)')  AS nation,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT)    AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (finer than rollup/cube: exactly the three listed
+    grains). Catalyst expands to a single Expand+hash-agg — one pass
+    over the joined input, no per-grain rescan."""
+    load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, '(all)')  AS region,
+               COALESCE(n_name, '(all)')  AS nation,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*)                    AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+@register(
+    "rapid_reorder_pairs",
+    oracle="""
+    SELECT a.o_custkey                    AS custkey,
+           CAST(COUNT(*) AS BIGINT)       AS n_rapid_pairs,
+           CAST(MIN(DATEDIFF('day', a.o_orderdate, b.o_orderdate)) AS BIGINT) AS min_gap_days
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND b.o_orderdate >= a.o_orderdate
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+)
+def rapid_reorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: pairs of orders by one customer ≤7 days
+    apart. The equi key (custkey) makes this a hash join with a range
+    RESIDUAL — per-customer groups are small, so the quadratic term is
+    bounded; never a broadcast-nested-loop over the whole fact."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("b.o_orderdate") >= F.col("a.o_orderdate"))
+        & (F.col("b.o_orderdate") <= F.date_add(F.col("a.o_orderdate"), 7)),
+    )
+    return pairs.groupBy(F.col("a.o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_rapid_pairs"),
+        F.min(
+            F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+        ).alias("min_gap_days"),
+    )

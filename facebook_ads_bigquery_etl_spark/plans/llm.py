@@ -180,10 +180,13 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh_topk")  # approximate: recall asserted in tests
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (random-hyperplane signs) —
-    the scale path; recall vs cosine_topk asserted in tests."""
+    """Approximate top-10 via multi-table random-hyperplane LSH
+    (H=4 bits × L=8 tables, multiprobe) — the scale path; recall@10
+    vs cosine_topk ≥0.9 asserted in tests/test_llm_ops.py."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return sim.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4)
+    return sim.lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, n_tables=8
+    )
 
 
 @register(

@@ -1,0 +1,139 @@
+"""Quality gates for the sketch-based LLM-pipeline operators — the
+exact-baseline assertions the rows-only driver check can't make
+(referenced from plans/llm.py's oracle policy).
+
+Every sketch operator is held to its exact counterpart on the smoke
+corpus: MinHash-LSH vs true shingle Jaccard, SimHash's pigeonhole
+guarantee vs exhaustive hamming, ANN-LSH recall vs brute-force cosine,
+fingerprints vs normalized-text identity, and the language-ID
+heuristic vs the labeled corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from facebook_ads_bigquery_etl_spark.operators import dedup as dd
+from facebook_ads_bigquery_etl_spark.operators import similarity as sim
+from facebook_ads_bigquery_etl_spark.operators.text import with_fingerprint, with_lang_id
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+class TestMinHashQuality:
+    def test_precision_is_exact_by_construction(self, spark, docs):
+        """verify=True re-checks candidates with true Jaccard, so every
+        emitted pair must genuinely clear the threshold."""
+        got = dd.minhash_dup_pairs(docs, threshold=0.7, ngram=3).collect()
+        exact = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in dd.jaccard_pairs(docs, threshold=0.7, ngram=3).collect()
+        }
+        assert got  # corpus contains planted near-dups
+        for r in got:
+            assert (r["a_id"], r["b_id"]) in exact
+            assert r["jaccard"] == exact[(r["a_id"], r["b_id"])]
+
+    def test_recall_vs_exact_baseline(self, spark, docs):
+        """64 perms / 16 bands ⇒ detection prob ≥ 0.98 at j=0.7
+        (1-(1-j^4)^16); assert ≥0.9 on the actual corpus."""
+        exact = {(r["a_id"], r["b_id"]) for r in dd.jaccard_pairs(docs, 0.7, ngram=3).collect()}
+        mh = {(r["a_id"], r["b_id"]) for r in dd.minhash_dup_pairs(docs, 0.7).collect()}
+        assert len(mh & exact) / len(exact) >= 0.9
+
+    def test_unverified_candidates_superset_of_verified(self, spark, docs):
+        cand = {(r["a_id"], r["b_id"]) for r in dd.minhash_dup_pairs(docs, 0.7, verify=False).collect()}
+        ver = {(r["a_id"], r["b_id"]) for r in dd.minhash_dup_pairs(docs, 0.7, verify=True).collect()}
+        assert ver <= cand
+
+
+class TestSimHashQuality:
+    def test_pigeonhole_captures_all_hamming3_pairs(self, spark, docs):
+        """4×16-bit chunks ⇒ any pair at hamming ≤3 shares an exact
+        chunk (pigeonhole), so candidates must include ALL such pairs —
+        verified against an exhaustive pairwise hamming computation."""
+        subset = docs.limit(150)
+        sk = dd.simhash(subset).select("doc_id", "simhash_chunks")
+        rows = {r["doc_id"]: r["simhash_chunks"] for r in sk.collect()}
+        all_close = set()
+        ids = sorted(rows)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                ham = sum(
+                    bin(x ^ y).count("1") for x, y in zip(rows[a], rows[b])
+                )
+                if ham <= 3:
+                    all_close.add((a, b))
+        cand = {
+            (r["a_id"], r["b_id"])
+            for r in dd.simhash_candidates(subset).filter(F.col("hamming") <= 3).collect()
+        }
+        assert cand == all_close
+
+    def test_reported_hamming_matches_exhaustive(self, spark, docs):
+        subset = docs.limit(80)
+        sk = {r["doc_id"]: r["simhash_chunks"] for r in dd.simhash(subset).collect()}
+        for r in dd.simhash_candidates(subset).collect():
+            want = sum(bin(x ^ y).count("1") for x, y in zip(sk[r["a_id"]], sk[r["b_id"]]))
+            assert r["hamming"] == want
+
+
+class TestAnnRecall:
+    def test_multitable_lsh_recall_at_10(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 5)
+        bf = {(r["query_id"], r["neighbor_id"]) for r in sim.cosine_topk(emb, q, k=10).collect()}
+        ann = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.lsh_cosine_topk(emb, q, k=10, n_planes=4, n_tables=8).collect()
+        }
+        assert len(ann & bf) / len(bf) >= 0.9  # measured 0.98 at H=4 L=8
+
+    def test_ann_scores_are_exact_for_returned_pairs(self, spark, emb):
+        """LSH approximates the CANDIDATE SET only — cosine values for
+        returned pairs are exact, so they must match brute force."""
+        q = emb.filter(F.col("vec_id") < 2)
+        bf = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in sim.cosine_topk(emb, q, k=50).collect()
+        }
+        for r in sim.lsh_cosine_topk(emb, q, k=10, n_planes=4, n_tables=8).collect():
+            key = (r["query_id"], r["neighbor_id"])
+            if key in bf:
+                assert r["cosine"] == bf[key]
+
+
+class TestFingerprints:
+    def test_collision_free_on_corpus(self, spark, docs):
+        """Distinct fingerprints == distinct normalized texts (64-bit
+        xxhash64 collisions at corpus scale would break dedup joins)."""
+        fp = with_fingerprint(docs, "text")
+        n_norm = (
+            docs.select(F.lower(F.regexp_replace("text", r"\s+", " ")).alias("t"))
+            .distinct()
+            .count()
+        )
+        assert fp.select("fingerprint").distinct().count() == n_norm
+
+
+class TestLangIdBehavior:
+    def test_english_ish_corpus_never_misfires_to_other_langs(self, spark, docs):
+        """The synthetic corpus text is English-ish tech vocabulary
+        regardless of its (random) lang label — the heuristic must
+        say 'en' where there is stopword evidence and 'und' where
+        there is none, never a phantom third language."""
+        preds = {r["lang_pred"] for r in with_lang_id(docs).select("lang_pred").distinct().collect()}
+        assert preds <= {"en", "und"}
+
+    def test_zero_evidence_is_und_not_last_code(self, spark):
+        df = spark.createDataFrame([(1, "xyzzy plugh 42")], "id long, text string")
+        assert with_lang_id(df).first()["lang_pred"] == "und"
