@@ -112,10 +112,151 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize stage (image preprocessing for vision-model training).
+
+    Decode→resample→re-encode is stubbed (no PIL here): the fake
+    produces a deterministic payload of exactly ``width*height*3``
+    bytes tiled from the source digest — size-correct, so downstream
+    batch-shape/memory behavior is realistic. The Spark plumbing is the
+    real pattern: filter to images FIRST (metadata-only predicate, no
+    Python), then Arrow-batched mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height * 3
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                if HAS_PIL:  # pragma: no cover — real path, absent here
+                    raise NotImplementedError("wire PIL resize here")
+                seed = hashlib.sha256(p).digest()
+                out_payloads.append((seed * (n // len(seed) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payloads,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": n,
+                }
+            )
+
+    imgs = media.filter(F.col("modality") == "image")
+    target = imgs.sparkSession.sparkContext.defaultParallelism
+    if imgs.rdd.getNumPartitions() < target:
+        imgs = imgs.repartition(target)
+    return imgs.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+        T.StructField("ts_offset_s", T.DoubleType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 16) -> DataFrame:
+    """Frame-sampling stage (video → training frames): ONE input row
+    fans out to N frame rows — the row-expanding mapInPandas shape
+    (output batches need not align 1:1 with input batches).
+
+    The decoder is stubbed: fake duration = n_bytes/1000 seconds, fake
+    frame payload = digest-seeded slice per index; a real build slots
+    ffmpeg/pyav into the same generator without touching the plan."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads, offs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                duration_s = max(1.0, len(p) / 1000.0)
+                n = min(max_frames, max(1, int(duration_s * fps)))
+                seed = hashlib.sha256(p).digest()
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(hashlib.sha256(seed + bytes([i])).digest())
+                    offs.append(round(i / fps, 3))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_payload": payloads,
+                    "ts_offset_s": offs,
+                }
+            )
+
+    vids = media.filter(F.col("modality") == "video")
+    target = vids.sparkSession.sparkContext.defaultParallelism
+    if vids.rdd.getNumPartitions() < target:
+        vids = vids.repartition(target)
+    return vids.mapInPandas(gen, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("mean_level", T.DoubleType(), False),
+        T.StructField("rms_level", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Audio-analysis stage: byte-level signal statistics computed for
+    real with numpy over the Arrow batch (mean/RMS of the raw payload —
+    no codec needed); duration is the stubbed part (fake: bytes/8000,
+    i.e. 8 kHz mono PCM assumption)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, rmss, durs = [], [], []
+            for p in pdf["payload"]:
+                x = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                means.append(round(float(x.mean()), 6) if len(x) else 0.0)
+                rmss.append(round(float(np.sqrt((x**2).mean())), 6) if len(x) else 0.0)
+                durs.append(round(len(p) / 8000.0, 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_s": durs,
+                    "mean_level": means,
+                    "rms_level": rmss,
+                }
+            )
+
+    auds = media.filter(F.col("modality") == "audio")
+    target = auds.sparkSession.sparkContext.defaultParallelism
+    if auds.rdd.getNumPartitions() < target:
+        auds = auds.repartition(target)
+    return auds.mapInPandas(gen, AUDIO_SCHEMA)
+
+
 __all__ = [
     "SCHEMA_MEDIA",
     "synth_media_from_documents",
     "extract_features",
+    "resize_images",
+    "sample_frames",
+    "audio_stats",
     "decode_image",
     "FEATURE_SCHEMA",
+    "RESIZED_SCHEMA",
+    "FRAME_SCHEMA",
+    "AUDIO_SCHEMA",
 ]

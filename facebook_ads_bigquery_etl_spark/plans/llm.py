@@ -229,3 +229,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("digest").alias("n_distinct_payloads"),
         F.round(F.avg("fake_width"), 6).alias("avg_width"),
     )
+
+
+@register("video_frame_sample")  # row-expanding mapInPandas; stub decoder
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video → sampled frames (1 fps, ≤16/video): the fan-out
+    mapInPandas shape. Aggregated per video for a scale-stable check;
+    frame-count conservation is asserted in tests/test_multimodal.py."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    frames = mm.sample_frames(mm.synth_media_from_documents(docs), fps=1.0, max_frames=16)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_idx").alias("last_idx"),
+        F.round(F.max("ts_offset_s"), 3).alias("span_s"),
+    )
+
+
+@register(
+    "audio_level_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)      AS n_audio,
+           ROUND(AVG(octet_length(encode(text)) / 8000.0), 4) AS avg_duration_s
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def audio_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio byte-level stats via numpy-over-Arrow batches. The
+    duration model (n_bytes/8000) IS oracle-expressible — DuckDB
+    recomputes it from the same synthetic payloads; the numpy
+    mean/RMS values are asserted in tests instead."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    stats = mm.audio_stats(mm.synth_media_from_documents(docs))
+    return stats.agg(
+        F.count("*").alias("n_audio"),
+        F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+    )
