@@ -37,10 +37,14 @@ HEADLINE = [
     "user_sessions",
     "asof_last_purchase",
     "events_json_stats",
+    "grouping_sets_revenue",
     "exact_dedup_docs",
     "minhash_dup_pairs",
     "cosine_topk",
+    "ann_lsh_topk",
     "multimodal_features",
+    "video_frame_sample",
+    "stream_daily_rollup",
 ]
 
 
@@ -70,7 +74,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (12 queries: agg/join/window/asof/json/dedup/lsh/ann/multimodal)",
+        "metric": "headline query wall-clock (16 queries: agg/join/window/asof/json/grouping-sets/dedup/lsh/ann/multimodal/frames/streaming)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

