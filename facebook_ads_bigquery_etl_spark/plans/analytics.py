@@ -866,6 +866,23 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("price_percentiles_approx")  # t-digest sketch: rows-only check
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest): the 100-TB percentile path — the
+    sketch is mergeable map-side, so no per-group value sort. Accuracy
+    vs the exact percentiles is asserted in tests/test_operators.py."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    pct = F.percentile_approx(
+        "o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]), 10000
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.round(pct[3], 4).alias("p90"),
+    )
+
+
 @register(
     "rapid_reorder_pairs",
     oracle="""

@@ -123,3 +123,32 @@ class TestCatalogDDL:
         ) == "ok"
         assert table_exists(spark, "t_db", "fb_stat")
         assert not table_exists(spark, "t_db", "nope")
+
+
+class TestEndToEndRunner:
+    def test_facebook_event_through_connector_to_warehouse(self, spark, tmp_path):
+        from facebook_ads_bigquery_etl_spark.etl.runner import handle_event
+
+        event = {
+            "data": "Z2V0X2ZhY2Vib29r",  # base64('get_facebook')
+            "attributes": {"date": "2025-01-02"},
+        }
+        res = handle_event(spark, event, str(tmp_path), transport="fixture")
+        assert res.job == "get_facebook" and res.run_date == "2025-01-02"
+        assert res.rows_written == 3  # day-2 fixture minus the 'oops' row
+        assert res.rows_quarantined == 1
+        back = spark.read.parquet(res.warehouse_path)
+        assert back.count() == 3
+        assert {str(r["date"]) for r in back.select("date").collect()} == {"2025-01-02"}
+        # re-delivery of the same event: idempotent
+        res2 = handle_event(spark, event, str(tmp_path), transport="fixture")
+        assert spark.read.parquet(res2.warehouse_path).count() == 3
+
+    def test_currency_event_backfill_date(self, spark, tmp_path):
+        from facebook_ads_bigquery_etl_spark.etl.runner import handle_event
+        from facebook_ads_bigquery_etl_spark.fixtures import PUBSUB_CURRENCY_BACKFILL_EVENT
+
+        res = handle_event(spark, PUBSUB_CURRENCY_BACKFILL_EVENT, str(tmp_path))
+        assert res.job == "get_currency" and res.run_date == "2025-01-01"
+        row = spark.read.parquet(res.warehouse_path).first()
+        assert row["currencies"] == "USDUAH" and row["rate"] > 0

@@ -183,3 +183,19 @@ class TestTextOps:
         )
         out = {r["id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
         assert out == {1: "en", 2: "es", 3: "de"}
+
+
+class TestApproxPercentiles:
+    def test_tdigest_tracks_exact_percentiles(self, spark):
+        """percentile_approx at accuracy 10k must sit within 1% of the
+        exact continuous percentile on the orders distribution."""
+        from facebook_ads_bigquery_etl_spark.plans import QUERIES
+        from tests.conftest import SF_ORACLE
+
+        exact = {r["o_orderpriority"]: r for r in QUERIES["price_percentiles"](spark, SF_ORACLE).collect()}
+        approx = {r["o_orderpriority"]: r for r in QUERIES["price_percentiles_approx"](spark, SF_ORACLE).collect()}
+        assert set(exact) == set(approx)
+        for prio in exact:
+            for c in ("p25", "p50", "p75", "p90"):
+                rel = abs(approx[prio][c] - exact[prio][c]) / exact[prio][c]
+                assert rel < 0.01, f"{prio}.{c}: rel err {rel:.4f}"
