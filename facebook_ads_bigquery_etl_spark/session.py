@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Spill-aware scan splits: 128 MiB input slices keep a task's
+        # working set within a few hundred MiB of executor memory at
+        # any SF; AQE then coalesces small post-shuffle partitions, so
+        # the only knob to revisit at 100 TB is shuffle_partitions'
+        # INITIAL value (set high; AQE shrinks, never grows).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

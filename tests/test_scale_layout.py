@@ -1,0 +1,124 @@
+"""Scale-layout proofs: bucketed co-located joins plan shuffle-free,
+salted joins match plain joins, two-phase aggregation matches direct
+aggregation — the 100-TB mechanics verified on small data via the
+physical plan, not timings.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from facebook_ads_bigquery_etl_spark.catalog import write_bucketed_table
+from facebook_ads_bigquery_etl_spark.operators.skew import (
+    explain_has_exchange,
+    salted_join,
+    two_phase_agg,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def clean_bucket_db(spark):
+    """Managed-table location hygiene: a previous session's
+    spark-warehouse/bdb.db directory orphans the (in-memory) catalog —
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop both the
+    catalog entries and the directory before and after."""
+    import shutil
+
+    def scrub():
+        spark.sql("DROP TABLE IF EXISTS bdb.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bdb.lineitem_b")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/bdb.db", ignore_errors=True)
+
+    scrub()
+    yield
+    scrub()
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_no_shuffle(self, spark, clean_bucket_db):
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        write_bucketed_table(orders, "bdb", "orders_b", "o_orderkey", 8)
+        write_bucketed_table(
+            lineitem, "bdb", "lineitem_b", "l_orderkey", 8, sort_cols=["l_orderkey"]
+        )
+        o, l = spark.table("bdb.orders_b"), spark.table("bdb.lineitem_b")
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = o.join(l, o.o_orderkey == l.l_orderkey).select(
+                "o_orderkey", "l_extendedprice"
+            )
+            # co-located: bucket i joins bucket i — no Exchange anywhere
+            assert not explain_has_exchange(joined)
+            # and the result is still correct
+            plain = orders.join(
+                lineitem, orders.o_orderkey == lineitem.l_orderkey
+            ).count()
+            assert joined.count() == plain
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    def test_unbucketed_same_join_does_shuffle(self, spark):
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            assert explain_has_exchange(joined)  # the baseline cost bucketing removes
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+            "c_custkey", "c_name"
+        ).withColumnRenamed("c_custkey", "o_custkey")
+        plain = orders.join(cust, "o_custkey").count()
+        salted = salted_join(orders, cust, on="o_custkey", salt=8).count()
+        assert salted == plain
+
+
+class TestTwoPhaseAgg:
+    def test_matches_direct_aggregation(self, spark):
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        direct = {
+            r["l_returnflag"]: (r["s"], r["n"], r["mx"])
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.round(F.sum("l_quantity"), 4).alias("s"),
+                F.count("l_quantity").alias("n"),
+                F.max("l_quantity").alias("mx"),
+            )
+            .collect()
+        }
+        salted = {
+            r["l_returnflag"]: (
+                round(r["sum_l_quantity"], 4),
+                r["count_l_quantity"],
+                r["max_l_quantity"],
+            )
+            for r in two_phase_agg(li, ["l_returnflag"], {"l_quantity": "sum"}, salt=16)
+            .join(
+                two_phase_agg(li, ["l_returnflag"], {"l_quantity": "count"}, salt=16),
+                "l_returnflag",
+            )
+            .join(
+                two_phase_agg(li, ["l_returnflag"], {"l_quantity": "max"}, salt=16),
+                "l_returnflag",
+            )
+            .collect()
+        }
+        assert salted == direct
+
+    def test_rejects_non_algebraic(self, spark):
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        with pytest.raises(ValueError, match="non-algebraic"):
+            two_phase_agg(li, ["l_returnflag"], {"l_quantity": "median"})
