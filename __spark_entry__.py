@@ -7,7 +7,8 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual query library lives in
 ``facebook_ads_bigquery_etl_spark/plans/`` (analytics, llm,
-etl_parity); this module only adapts it to the driver's interface.
+etl_parity, streaming_queries); this module only adapts it to the
+driver's interface.
 """
 
 from __future__ import annotations
@@ -37,7 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query. Sketch-based/approximate
-    operators (MinHash-LSH, SimHash, ANN-LSH, HLL distinct, engine
-    fingerprints) are intentionally absent → rows-only check; their
-    quality is asserted against exact baselines in tests/."""
+    operators (MinHash-LSH, SimHash, ANN-LSH, HLL distinct, t-digest
+    percentiles, engine hash fingerprints, frame sampling) are
+    intentionally absent → rows-only check; their quality is asserted
+    against exact baselines in tests/test_llm_ops.py and
+    tests/test_operators.py."""
     return dict(ORACLES)

@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -152,8 +153,73 @@ def _cell(v, col: str):
     return [(a.get("action_type"), a.get("value")) for a in v]
 
 
+class FacebookInsightsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: one micro-batch per DAY — the reference's
+    daily-cron cadence (reference README.md:57) as a real Structured
+    Streaming source with replayable offsets.
+
+    Offsets are ``{"date": "<next unread ISO day>"}``; a restart from
+    checkpoint re-reads from the committed offset, and because the
+    transports are deterministic per (account, day), replay is
+    idempotent — exactly-once end-to-end with the dynamic-overwrite
+    sink. The stream advances ONE day per micro-batch: a continuous
+    trigger catches up day by day; a ``trigger(availableNow=True)``
+    run ingests exactly the next unread day and stops — i.e. each
+    scheduled invocation IS the reference's daily cron run
+    (README.md:57), with the checkpoint as the cursor."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.accounts = [a for a in options.get("accounts", "act_demo").split(",") if a]
+        self.since = options.get("since", "2025-01-01")
+        self.until = options.get("until")  # None → unbounded (live)
+        self.fields = [f for f in options.get("fields", DEFAULT_FIELDS).split(",") if f]
+        self.transport_spec = options.get("transport", "fixture")
+        self.attempts = int(options.get("retries", "3"))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"date": self.since}
+
+    def _next_day(self, d: str) -> str:
+        return (Date.fromisoformat(d) + timedelta(days=1)).isoformat()
+
+    def read(self, start: dict):
+        d = start["date"]
+        if self.until is not None and d > self.until:
+            return iter([]), start  # caught up: empty batch, same offset
+        return self._pull(d), {"date": self._next_day(d)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        d, out = start["date"], []
+        while d < end["date"]:
+            out.extend(self._pull(d))
+            d = self._next_day(d)
+        return iter(out)
+
+    def _pull(self, day: str):
+        transport = make_transport(self.transport_spec)
+        cols = [f.name for f in self.schema.fields]
+        wanted = [f for f in self.fields if f != "ad_account"]
+        rows = []
+        for acc in self.accounts:
+            records = with_retries(
+                lambda: transport.insights(acc, wanted, day, day),
+                attempts=self.attempts,
+            )
+            rows.extend(
+                tuple(acc if c == "ad_account" else _cell(rec.get(c), c) for c in cols)
+                for rec in records
+            )
+        return rows
+
+
 class FacebookInsightsDataSource(DataSource):
-    """Register with ``spark.dataSource.register(FacebookInsightsDataSource)``."""
+    """Register with ``spark.dataSource.register(FacebookInsightsDataSource)``.
+
+    Batch: ``spark.read.format("facebook_insights")`` → account×day
+    partitioned parallel scan. Streaming:
+    ``spark.readStream.format("facebook_insights")`` → one micro-batch
+    per day with replayable date offsets."""
 
     @classmethod
     def name(cls) -> str:
@@ -169,3 +235,6 @@ class FacebookInsightsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> FacebookInsightsReader:
         return FacebookInsightsReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> FacebookInsightsStreamReader:  # noqa: N802
+        return FacebookInsightsStreamReader(schema, dict(self.options))

@@ -158,3 +158,80 @@ class TestEndToEnd:
             .where("date_start = '2025-01-09'")
         )
         assert df.count() == 2 * 7  # 2 accounts × 7 ads × 1 day
+
+
+class TestStreamingInsights:
+    def test_continuous_trigger_catches_up_day_by_day(self, spark, tmp_path):
+        import time
+
+        register_all(spark)
+        stream = (
+            spark.readStream.format("facebook_insights")
+            .option("transport", "synthetic:5")
+            .option("accounts", "a1,a2")
+            .option("since", "2025-02-01").option("until", "2025-02-04")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory").queryName("fb_cont")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                n = spark.sql("SELECT COUNT(DISTINCT date_start) n FROM fb_cont").first()["n"]
+                if n >= 4:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        per_day = {
+            r["date_start"]: r["n"]
+            for r in spark.sql(
+                "SELECT date_start, COUNT(*) n FROM fb_cont GROUP BY 1"
+            ).collect()
+        }
+        # 4 days × 2 accounts × 5 ads, no day ingested twice
+        assert per_day == {f"2025-02-0{d}": 10 for d in (1, 2, 3, 4)}
+
+    def test_available_now_is_the_daily_cron_run(self, spark, tmp_path):
+        """Each availableNow run ingests exactly the next unread day
+        (checkpoint = cursor) — the reference's scheduled daily pull
+        with restart/replay safety."""
+        register_all(spark)
+        out, ck = str(tmp_path / "wh"), str(tmp_path / "ck")
+
+        def run_once():
+            stream = (
+                spark.readStream.format("facebook_insights")
+                .option("transport", "synthetic:3")
+                .option("accounts", "a1")
+                .option("since", "2025-03-01").option("until", "2025-03-03")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        days1 = sorted(
+            r["date_start"]
+            for r in spark.read.parquet(out).select("date_start").distinct().collect()
+        )
+        assert days1 == ["2025-03-01"]
+        run_once()  # next scheduled run → next day, no re-ingest of day 1
+        days2 = sorted(
+            r["date_start"]
+            for r in spark.read.parquet(out).select("date_start").distinct().collect()
+        )
+        assert days2 == ["2025-03-01", "2025-03-02"]
+        assert spark.read.parquet(out).count() == 6  # 2 days × 3 ads, no dups
