@@ -64,6 +64,63 @@ def cosine_topk(
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a_id < b_id, cosine ≥ threshold)
+    — the vector-space tier of the dedup family (dedup.py holds the
+    lexical tiers).
+
+    ``exact=True``: normalized brute-force self-join — O(n²) pair
+    space, the correctness baseline/oracle. ``exact=False`` (the scale
+    path): candidates only from pairs sharing a multi-table LSH cell —
+    pair space shrinks to Σ bucket², then candidates are exact-scored,
+    so precision is exact and only recall is approximate (asserted vs
+    the exact baseline in tests)."""
+    base = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "n", _norm(F.col("v"))
+    )
+    if exact:
+        a = base.select(
+            F.col(id_col).alias("a_id"), F.col("v").alias("va"), F.col("n").alias("na")
+        )
+        b = base.select(
+            F.col(id_col).alias("b_id"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
+        pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    else:
+        cells = base.withColumn(
+            "__cell", F.explode(_table_buckets("v", n_planes, dim, n_tables, multiprobe=False))
+        )
+        a = cells.select(
+            F.col(id_col).alias("a_id"), F.col("v").alias("va"),
+            F.col("n").alias("na"), "__cell",
+        )
+        b = cells.select(
+            F.col(id_col).alias("b_id"), F.col("v").alias("vb"),
+            F.col("n").alias("nb"), "__cell",
+        )
+        pairs = (
+            a.join(b, ["__cell"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+    return (
+        pairs.withColumn(
+            "cosine", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (fixed seed → stable
     bucketing across runs/engines)."""

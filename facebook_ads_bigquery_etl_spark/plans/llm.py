@@ -189,6 +189,41 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DUP_ORACLE = """
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_sum(list_transform(generate_series(1, len(a.v)),
+                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+@register("embedding_dup_pairs", oracle=_EMB_DUP_ORACLE)
+def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (exact baseline): all pairs with
+    cosine ≥ 0.4, brute-force — the oracle for the LSH-bucketed scale
+    path below."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.embedding_dup_pairs(emb, threshold=0.4, exact=True)
+
+
+@register("embedding_dup_pairs_lsh")  # approximate candidates: recall in tests
+def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-bucketed: the pair space shrinks
+    from n² to Σ bucket²; candidates are exact-scored (precision
+    exact, recall vs the exact baseline asserted in tests)."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.embedding_dup_pairs(emb, threshold=0.4, exact=False)
+
+
 @register(
     "embedding_norms",
     oracle="""

@@ -137,3 +137,21 @@ class TestLangIdBehavior:
     def test_zero_evidence_is_und_not_last_code(self, spark):
         df = spark.createDataFrame([(1, "xyzzy plugh 42")], "id long, text string")
         assert with_lang_id(df).first()["lang_pred"] == "und"
+
+
+class TestEmbeddingDedup:
+    def test_lsh_path_recall_and_exact_precision(self, spark, emb):
+        exact = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in sim.embedding_dup_pairs(emb, 0.4, exact=True).collect()
+        }
+        lsh = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in sim.embedding_dup_pairs(emb, 0.4, exact=False).collect()
+        }
+        assert exact  # corpus has pairs at this threshold
+        # precision exact: every LSH pair is a true pair with the true score
+        for k, v in lsh.items():
+            assert k in exact and v == exact[k]
+        # recall: OR-amplified tables must recover most true pairs
+        assert len(lsh) / len(exact) >= 0.6
