@@ -917,3 +917,65 @@ def rapid_reorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
         ).alias("min_gap_days"),
     )
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 1.5× above the customer's own
+    average). Catalyst DECORRELATES this into one aggregate + one join
+    — a single pass over orders, not a subquery per row; the plan is
+    the same shape a hand-written window formulation produces."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "sliding_2d_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS d, SUM(value) AS v, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    starts AS (  -- each day contributes to the window starting that day
+                 -- and the one starting the day before (2-day windows,
+                 -- 1-day hop == Spark's window(ts, '2 days', '1 day'))
+      SELECT unnest([d, d - INTERVAL 1 DAY]) AS w_start, v, n FROM days
+    )
+    SELECT CAST(w_start AS DATE)      AS window_start,
+           ROUND(SUM(v), 2)           AS total_value,
+           CAST(SUM(n) AS BIGINT)     AS n_events
+    FROM starts GROUP BY 1
+    """,
+)
+def sliding_2d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 2-day span, 1-day hop —
+    each event lands in exactly two windows. Spark's window() expands
+    rows window-count times BEFORE the aggregate (same Expand-then-agg
+    shape as grouping sets); the oracle replays that expansion with
+    unnest."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.to_date("w.start").alias("window_start"), "total_value", "n_events")
+    )

@@ -199,3 +199,17 @@ class TestApproxPercentiles:
             for c in ("p25", "p50", "p75", "p90"):
                 rel = abs(approx[prio][c] - exact[prio][c]) / exact[prio][c]
                 assert rel < 0.01, f"{prio}.{c}: rel err {rel:.4f}"
+
+
+class TestApproxDistinct:
+    def test_hll_within_3_sigma_of_exact(self, spark):
+        """rsd is a relative STANDARD DEVIATION, not a bound — hold the
+        sketch to 3σ at two precision settings (deterministic given the
+        data, so this never flakes; it catches gross estimator breaks)."""
+        from tests.conftest import SF_ORACLE
+
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        exact = o.select("o_custkey").distinct().count()
+        for rsd in (0.05, 0.01):
+            approx = o.agg(F.approx_count_distinct("o_custkey", rsd).alias("a")).first()["a"]
+            assert abs(approx - exact) / exact < 3 * rsd, f"rsd={rsd}: {approx} vs {exact}"
