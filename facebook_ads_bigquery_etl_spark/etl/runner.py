@@ -40,15 +40,22 @@ class JobResult:
 
 
 def run_facebook_job(
-    spark: SparkSession, req: JobRequest, warehouse_root: str, transport: str
+    spark: SparkSession,
+    req: JobRequest,
+    warehouse_root: str,
+    transport: str,
+    until: str | None = None,
 ) -> JobResult:
+    """One day by default; pass ``until`` for a backfill range — the
+    connector plans one partition per (account × day), so an N-day
+    backfill is N× the parallelism, not N sequential runs."""
     d = req.run_date.isoformat()
     raw = (
         spark.read.format("facebook_insights")
         .option("accounts", req.attributes.get("accounts", "act_demo"))
         .option("transport", transport)
         .option("since", d)
-        .option("until", d)
+        .option("until", until or d)
         .load()
         .drop("ad_account")
     )
@@ -62,7 +69,15 @@ def run_facebook_job(
         partition_field=FACEBOOK_PARTITION_FIELD,
         clustering_fields=FACEBOOK_CLUSTERING_FIELDS,
     )
-    return JobResult("get_facebook", d, valid.count(), quarantined.count(), path)
+    n_quarantined = quarantined.count()
+    if n_quarantined:
+        # Rejected rows land in a side table with the raw (pre-cast)
+        # values intact — the reference loses these to opaque BigQuery
+        # insert errors (main.py:86-89); here they stay queryable.
+        quarantined.withColumn("_quarantined_on", F.lit(d)).write.mode("append").parquet(
+            f"{warehouse_root}/quarantine/facebook_stat"
+        )
+    return JobResult("get_facebook", d, valid.count(), n_quarantined, path)
 
 
 def run_currency_job(

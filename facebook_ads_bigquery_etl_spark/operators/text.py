@@ -22,9 +22,25 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization (BPE-ish regex split for punctuated
-    corpora: split on non-word boundaries, drop empties)."""
+    """Whitespace tokenization — the cheap default for shingling and
+    stopword matching."""
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+# GPT-2-style pre-tokenizer, simplified to syntax both Spark (Java
+# regex) and DuckDB (RE2) accept identically: contraction suffixes,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs. This is the unit real BPE vocabularies split on —
+# its count tracks LLM token counts far better than whitespace words.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-style pre-tokens (array<string>) via regexp_extract_all —
+    JVM-side, codegen'd, no Python."""
+    return F.regexp_extract_all(
+        F.col(col) if isinstance(col, str) else col, F.lit(BPE_ISH_PATTERN), 0
+    )
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

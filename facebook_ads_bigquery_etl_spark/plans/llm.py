@@ -147,6 +147,36 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+_BPE_SQL = tx.BPE_ISH_PATTERN.replace("'", "''")  # SQL-literal escaping
+
+
+@register(
+    "bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+           ROUND(len(regexp_extract_all(text, '{_BPE_SQL}')) * 1.0
+                 / len(string_split_regex(text, '\\s+')), 6)     AS bpe_per_word
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token budgeting: BPE-ish pre-token counts vs whitespace
+    words, per document — the SAME regex runs in both engines, so the
+    oracle is exact."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    n_bpe = F.size(tx.bpe_ish_tokens("text")).cast("long")
+    n_ws = F.size(tx.tokens("text")).cast("long")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe * F.lit(1.0) / n_ws, 6).alias("bpe_per_word"),
+    )
+
+
 # -- similarity search -------------------------------------------------------
 
 _COS_ORACLE = """

@@ -152,3 +152,20 @@ class TestEndToEndRunner:
         assert res.job == "get_currency" and res.run_date == "2025-01-01"
         row = spark.read.parquet(res.warehouse_path).first()
         assert row["currencies"] == "USDUAH" and row["rate"] > 0
+
+    def test_backfill_range_and_quarantine_table(self, spark, tmp_path):
+        from facebook_ads_bigquery_etl_spark.etl.dispatch import dispatch_event
+        from facebook_ads_bigquery_etl_spark.etl.runner import run_facebook_job
+        from facebook_ads_bigquery_etl_spark.sources import register_all
+
+        register_all(spark)
+        event = {"data": "Z2V0X2ZhY2Vib29r", "attributes": {"date": "2025-01-01"}}
+        req = dispatch_event(event)
+        res = run_facebook_job(
+            spark, req, str(tmp_path), transport="fixture", until="2025-01-02"
+        )
+        assert res.rows_written == 7  # both fixture days, minus 'oops'
+        assert res.rows_quarantined == 1
+        q = spark.read.parquet(str(tmp_path / "quarantine" / "facebook_stat"))
+        assert q.count() == 1
+        assert q.first()["ad_id"] == "9999"  # raw values preserved
