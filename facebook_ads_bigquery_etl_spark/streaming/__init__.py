@@ -17,6 +17,7 @@ maps that model onto real Structured Streaming (SURVEY §2.7):
 from .pipeline import (
     daily_rollup,
     dedup_events,
+    enrich_with_rates,
     read_event_stream,
     sessionize_stream,
     user_running_totals,
@@ -26,6 +27,7 @@ from .pipeline import (
 __all__ = [
     "daily_rollup",
     "dedup_events",
+    "enrich_with_rates",
     "read_event_stream",
     "sessionize_stream",
     "user_running_totals",

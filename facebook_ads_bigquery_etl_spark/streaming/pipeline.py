@@ -148,6 +148,18 @@ def user_running_totals(events: DataFrame, watermark: str = "1 day") -> DataFram
     )
 
 
+def enrich_with_rates(events: DataFrame, fx: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins the (static, small)
+    exchange-rate table on the event's date — the reference's
+    spend ⋈ fx-by-date semantic (README.md:18-20) applied to a live
+    stream. The static side is broadcast per micro-batch; no state."""
+    return (
+        events.withColumn("date", F.to_date("ts"))
+        .join(F.broadcast(fx), "date", "left")
+        .withColumn("value_local", F.round(F.col("value") * F.col("rate"), 2))
+    )
+
+
 def write_stream_to_warehouse(
     stream_df: DataFrame,
     path: str,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from facebook_ads_bigquery_etl_spark.streaming import (
     daily_rollup,
     dedup_events,
+    enrich_with_rates,
     read_event_stream,
     sessionize_stream,
     user_running_totals,
@@ -133,6 +134,33 @@ class TestRunningTotals:
             .collect()
         }
         assert got == want
+
+
+class TestStreamStaticJoin:
+    def test_enriches_each_event_with_its_days_rate(self, spark, event_source):
+        batch = _batch_events(spark)
+        # fx covers every event date except the max one → that day's
+        # events must survive the left join with NULL rate.
+        dates = sorted(r[0] for r in batch.select(F.to_date("ts")).distinct().collect())
+        covered = dates[:-1]
+        fx = spark.createDataFrame(
+            [(d, 41.10 + i) for i, d in enumerate(covered)], "date date, rate double"
+        )
+        stream = enrich_with_rates(read_event_stream(spark, event_source), fx)
+        _drain_to_memory(stream, "fx_t", "append")
+        out = spark.sql("SELECT * FROM fx_t")
+        assert out.count() == batch.count()
+        # Spot-check the arithmetic and the uncovered-day NULLs.
+        bad = out.where(
+            (F.col("rate").isNotNull())
+            & (F.abs(F.col("value_local") - F.round(F.col("value") * F.col("rate"), 2)) > 1e-9)
+        ).count()
+        assert bad == 0
+        assert out.where(F.col("date") == dates[-1]).count() > 0
+        assert out.where((F.col("date") == dates[-1]) & F.col("rate").isNotNull()).count() == 0
+        assert (
+            out.where((F.col("date").isin(covered)) & F.col("rate").isNull()).count() == 0
+        )
 
 
 class TestExactlyOnceSink:
