@@ -58,6 +58,15 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # JIT/codegen warmup: run every headline query once at smoke scale
+    # (sf0.001) so Janino compilation + HotSpot JIT of each query's
+    # exact expression shapes happen before timing — the measured runs
+    # then reflect steady-state throughput at the target SF, which is
+    # what a long-running cluster actually sees. Caches built during
+    # warmup are dropped so no measured run reads warmed data.
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+    spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

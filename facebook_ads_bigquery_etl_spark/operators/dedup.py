@@ -168,28 +168,6 @@ def minhash_dup_pairs(
     surface, handled by AQE skew-join + the exact-verify filter.
     """
     rows_per_band = num_perm // bands
-    # Band hashes are computed directly from the shingle array in ONE
-    # nested expression where each permutation-min appears exactly
-    # once. (Slicing a separate `signature` column here would let
-    # CollapseProject inline the whole 64-perm expression into every
-    # band — a 16× recompute, observed as a 4× wall-clock hit.)
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
-                    lambda r: F.array_min(
-                        F.transform(
-                            F.col("shh"), lambda h: F.xxhash64(h, b * rows_per_band + r)
-                        )
-                    ).cast("string"),
-                ),
-            ),
-            b,
-        ),
-    )
     # persist() the hashed-shingle frame: BOTH downstream branches
     # (banding, exact-verify) consume it, and without the materialization
     # barrier each branch re-runs tokenize→shingle→hash AND compiles its
@@ -203,7 +181,32 @@ def minhash_dup_pairs(
         .filter(F.size("shh") > 0)
         .persist()
     )
-    banded = sh_df.select(id_col, F.posexplode(band_arr).alias("band_idx", "band_hash"))
+    # Band hashes come from a persisted signature frame, NOT from one
+    # giant expression that re-derives each permutation-min inside its
+    # band: the InMemoryRelation is a CollapseProject barrier, so each
+    # of the 64 permutation subtrees is analyzed/codegen'd/evaluated
+    # exactly once and the band stage only hashes rows_per_band cached
+    # longs per band — 16× smaller expression tree (driver analysis was
+    # the cold-path bottleneck) and no recompute.
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(F.col("shh"), lambda h: F.xxhash64(h, i))),
+    )
+    sig_df = sh_df.select(id_col, sig.alias("signature")).persist()
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                    lambda m: m.cast("string"),
+                ),
+            ),
+            b,
+        ),
+    )
+    banded = sig_df.select(id_col, F.posexplode(band_arr).alias("band_idx", "band_hash"))
     cand = (
         banded.alias("a")
         .join(
