@@ -219,6 +219,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_topk")  # approximate: recall asserted in tests
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF index (16-list spherical k-means
+    quantizer, soft assign=2, nprobe=6 → ~¾ of the corpus pruned per
+    query); recall@10 vs cosine_topk asserted in tests/test_llm_ops.py."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_lists=16, nprobe=6, assign=2
+    )
+
+
 _EMB_DUP_ORACLE = """
     WITH n AS (
       SELECT vec_id,

@@ -98,6 +98,26 @@ class TestAnnRecall:
         }
         assert len(ann & bf) / len(bf) >= 0.9  # measured 0.98 at H=4 L=8
 
+    def test_ivf_recall_at_10(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 5)
+        bf = {(r["query_id"], r["neighbor_id"]) for r in sim.cosine_topk(emb, q, k=10).collect()}
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ivf_cosine_topk(emb, q, k=10, n_lists=16, nprobe=6, assign=2).collect()
+        }
+        assert len(ivf & bf) / len(bf) >= 0.85  # measured 0.94
+
+    def test_ivf_corpus_assignment_is_bounded(self, spark, emb):
+        """IVF posting lists: every corpus vector lands in exactly
+        ``assign`` lists (bounded storage amplification, unlike
+        multi-table LSH's L-fold expansion), and the quantizer actually
+        spreads the corpus across lists."""
+        cents = sim.train_ivf_centroids(emb, n_lists=8)
+        cells = emb.withColumn("c", sim._ivf_cells("embedding", cents, 1))
+        assert cells.filter(F.size("c") != 1).count() == 0
+        n_lists_used = cells.selectExpr("c[0] AS c").distinct().count()
+        assert n_lists_used > 1
+
     def test_ann_scores_are_exact_for_returned_pairs(self, spark, emb):
         """LSH approximates the CANDIDATE SET only — cosine values for
         returned pairs are exact, so they must match brute force."""
