@@ -126,7 +126,45 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lang_id_heuristic")  # heuristic classifier: rows-only check
+# Oracle generated from the SAME stopword table the Spark operator
+# uses, so the two can't drift. Tie-break mirrors array_max over
+# struct(score, lang): highest score, then lexicographically-last lang
+# → a reverse-sorted CASE chain; zero evidence everywhere → 'und'.
+_LANGS = sorted(tx.LANG_STOPWORDS)
+_LANG_SCORES = ",\n           ".join(
+    "len(list_filter(tk, t -> list_contains(["
+    + ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS[lang])
+    + f"], t))) AS s_{lang}"
+    for lang in _LANGS
+)
+_LANG_CASE = (
+    "CASE WHEN best = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in reversed(_LANGS[1:]))
+    + f" ELSE '{_LANGS[0]}' END"
+)
+_LANG_ID_ORACLE = f"""
+    WITH toks AS (
+      SELECT lang,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+           {_LANG_SCORES}
+      FROM toks
+    ), best AS (
+      SELECT lang, {", ".join(f"s_{lang}" for lang in _LANGS)},
+             greatest({", ".join(f"s_{lang}" for lang in _LANGS)}) AS best
+      FROM scored
+    )
+    SELECT lang, {_LANG_CASE} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best
+    GROUP BY lang, lang_pred
+"""
+
+
+@register("lang_id_heuristic", oracle=_LANG_ID_ORACLE)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language-ID heuristic vs the labeled lang
     column (accuracy asserted in tests on the 'en' subset)."""
