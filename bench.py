@@ -70,8 +70,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        # Collect garbage BEFORE timing, so a stop-the-world full GC of
+        # debris from earlier queries doesn't land mid-measurement (the
+        # observed failure mode: one random query per run paying a
+        # multi-second pause). Best-of-3 then dodges any residual pause.
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):  # best-of-2: steady-state, not cache-luck
+        for _ in range(3):  # best-of-N: steady-state, not pause-luck
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
