@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
+from ..operators import packing as pk
 from ..operators import similarity as sim
 from ..operators import text as tx
 from .registry import load_tables, register
@@ -173,6 +174,36 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.with_lang_id(docs)
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "doc_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), offs AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 256) AS BIGINT) AS pack_id
+    FROM offs
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: per-language token stream,
+    256-token packs, document → pack where its first token lands. One
+    partitioned window cumsum (no global sort, no Python)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return pk.pack_documents(docs, budget=256).select(
+        "doc_id", "lang", "n_tokens", "start_offset", "pack_id"
     )
 
 

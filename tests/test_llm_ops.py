@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from facebook_ads_bigquery_etl_spark.operators import dedup as dd
+from facebook_ads_bigquery_etl_spark.operators import packing as pk
 from facebook_ads_bigquery_etl_spark.operators import similarity as sim
 from facebook_ads_bigquery_etl_spark.operators.text import with_fingerprint, with_lang_id
 from tests.conftest import SF_SMOKE
@@ -130,6 +131,40 @@ class TestAnnRecall:
             key = (r["query_id"], r["neighbor_id"])
             if key in bf:
                 assert r["cosine"] == bf[key]
+
+
+class TestSequencePacking:
+    BUDGET = 128
+
+    def test_stream_layout_invariants(self, spark, docs):
+        """Concat-then-chunk semantics: within each language stratum,
+        offsets are the exact running concatenation (contiguous, no
+        gaps/overlaps), and pack_id is start_offset // budget."""
+        rows = pk.pack_documents(docs, budget=self.BUDGET).collect()
+        by_lang: dict[str, list] = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lang, rs in by_lang.items():
+            rs.sort(key=lambda r: r["doc_id"])
+            expect = 0
+            for r in rs:
+                assert r["start_offset"] == expect, lang
+                assert r["pack_id"] == r["start_offset"] // self.BUDGET
+                expect += r["n_tokens"]
+
+    def test_pack_stats_conserve_tokens(self, spark, docs):
+        packed = pk.pack_documents(docs, budget=self.BUDGET)
+        stats = pk.pack_stats(packed)
+        total_docs = docs.count()
+        agg = stats.agg(
+            F.sum("n_docs").alias("d"), F.sum("pack_tokens").alias("t")
+        ).first()
+        want_tokens = packed.agg(F.sum("n_tokens")).first()[0]
+        assert agg["d"] == total_docs and agg["t"] == want_tokens
+        # packs hold multiple docs (the operator actually packs) and
+        # no (lang, pack) key repeats in the rollup
+        assert stats.filter(F.col("n_docs") > 1).count() > 0
+        assert stats.count() == stats.select("lang", "pack_id").distinct().count()
 
 
 class TestFingerprints:
