@@ -60,6 +60,25 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality_score"
+) -> DataFrame:
+    """Composite document quality score in [0, 1] from the token-stats
+    features: length saturation (caps at 200 tokens), English stopword
+    density (caps at ratio 0.2), and a plausible-word-shape band on
+    average token length. Weighted 0.4/0.3/0.3 — the standard
+    pretraining-corpus gate shape (length + naturalness + shape), all
+    codegen'd expressions so the filter costs one scan."""
+    df = with_token_stats(df, text_col)
+    length_term = F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0))
+    shape_term = (
+        F.when(F.col("avg_token_len").between(3.0, 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    score = F.lit(0.4) * length_term + F.lit(0.3) * stop_term + F.lit(0.3) * shape_term
+    return df.withColumn(out_col, F.round(score, 7))
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Heuristic language ID: per-language stopword-hit counts, argmax.
     A document with ZERO stopword evidence in every language gets

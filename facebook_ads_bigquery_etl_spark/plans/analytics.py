@@ -979,3 +979,319 @@ def sliding_2d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.to_date("w.start").alias("window_start"), "total_value", "n_events")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H classic shapes (widening §2.3-2.5 coverage: top-k over join-agg,
+# conditional-ratio agg, multi-alias self-join dims, having + semi-join
+# back, OR-of-ANDs pushdown, share-of-total)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE)                         AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered 3-way join → per-order revenue
+    → global top-10.
+
+    Scale: both date filters and the segment filter push into the
+    scans; the top-10 is TakeOrderedAndProject (per-partition heaps,
+    driver merges 10×#partitions rows — no global sort). Tie-break on
+    l_orderkey makes the cutoff a total order, so results are stable
+    across engines."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "promo_revenue",
+    oracle="""
+    SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 2)                         AS promo_revenue,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                       / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-03-01'
+    """,
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-ratio aggregate over a fact⋈dim
+    join (share of promo revenue in a ship-date window).
+
+    Scale: part is broadcast (dim), lineitem's date filter pushes into
+    the scan; the single global aggregate is a map-side partial + one
+    1-row final — no keyed shuffle of fact rows."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 6).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+    SELECT n1.n_name                                  AS supp_nation,
+           n2.n_name                                  AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey  = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined twice under
+    different roles (supplier's vs customer's), with a symmetric
+    pair predicate, grouped by year.
+
+    Scale: both nation copies broadcast; the nation-pair filter can
+    only apply after those joins, but Catalyst pushes each n_name IN
+    ('NATION_1','NATION_2') residual down to its own broadcast hash
+    join, shrinking fact rows before the orders⋈customer shuffle."""
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "big_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE)    AS order_date,
+           ROUND(o_totalprice, 2)       AS total_price,
+           ROUND(SUM(l_quantity), 2)    AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate used as a semi-join
+    filter back onto the fact tables (large-volume orders).
+
+    Scale: the qualifying-keys aggregate reduces lineitem to order
+    grain first; the result (rare keys) joins back left_semi — at
+    scale AQE turns that semi join into a broadcast because the
+    HAVING filter is highly selective."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "special_brand_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT)                          AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#7'  AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def special_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates
+    mixing columns from both join sides.
+
+    Scale: Catalyst cannot push the whole OR below the join, but it
+    derives and pushes the per-side implied filters — part gets
+    `p_brand IN (...)` (dictionary-filtered at the parquet scan),
+    lineitem gets `l_quantity BETWEEN 1 AND 50` — so the broadcast
+    join sees pre-shrunk inputs and only the residual OR runs
+    post-join."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             n_name,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT order_year,
+           ROUND(SUM(CASE WHEN n_name = 'NATION_6' THEN volume ELSE 0 END), 2)
+             AS nation_revenue,
+           ROUND(SUM(CASE WHEN n_name = 'NATION_6' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM vol GROUP BY order_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of its region's revenue per
+    year — share-of-total via conditional aggregation, avoiding a
+    second pass or a window over the whole fact table.
+
+    Scale: supplier/nation/region broadcast; one shuffle keyed by
+    year (tiny cardinality) after map-side partials. The region
+    filter prunes at the broadcast build side."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier", "nation", "region")
+    vol = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("n_name"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    target = F.when(F.col("n_name") == "NATION_6", F.col("volume")).otherwise(F.lit(0.0))
+    return vol.groupBy("order_year").agg(
+        F.round(F.sum(target), 2).alias("nation_revenue"),
+        F.round(F.sum(target) / F.sum("volume"), 6).alias("mkt_share"),
+    )

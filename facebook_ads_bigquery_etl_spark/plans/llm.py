@@ -178,6 +178,44 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_filter",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+             ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                   / len(string_split_regex(text, '\\s+')), 6)     AS avg_token_len,
+             ROUND(len(list_filter(string_split_regex(text, '\\s+'),
+                                   w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                   / len(string_split_regex(text, '\\s+')), 6)     AS stopword_ratio
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
+                 + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
+                 + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
+                              THEN 1.0 ELSE 0.0 END, 7) AS quality_score
+      FROM feat
+    )
+    SELECT doc_id, lang, quality_score
+    FROM scored WHERE quality_score >= 0.5
+    """,
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: composite score (length saturation + stopword
+    density + token-shape band) and keep docs scoring ≥ 0.5 — the
+    corpus-cleaning step before dedup/packing. One scan, all
+    codegen'd; at 100 TB this is a map-only stage with the filter
+    applied before any shuffle-bearing downstream op."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        tx.with_quality_score(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+@register(
     "doc_sequence_packing",
     oracle="""
     WITH toks AS (
