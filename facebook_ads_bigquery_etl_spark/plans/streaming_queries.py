@@ -18,11 +18,12 @@ from pyspark.sql import functions as F
 
 from ..streaming import (
     daily_rollup,
+    enrich_with_rates,
     read_event_stream,
     sessionize_stream,
     user_running_totals,
 )
-from .registry import register
+from .registry import load_tables, register
 
 
 def _drain(df: DataFrame, name: str, mode: str) -> DataFrame:
@@ -120,4 +121,50 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+@register(
+    "stream_fx_enrich",
+    oracle="""
+    WITH fx AS (
+      SELECT d AS date,
+             ROUND(1.0 + (dayofyear(d) % 50) / 100.0, 2) AS rate
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    ),
+    e AS (SELECT CAST(ts AS DATE) AS date, value FROM events)
+    SELECT e.date,
+           CAST(COUNT(*) AS BIGINT)                         AS n_events,
+           ROUND(SUM(e.value * fx.rate), 2)                 AS total_value_local
+    FROM e JOIN fx USING (date)
+    GROUP BY e.date
+    """,
+)
+def stream_fx_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the reference's spend ⋈ fx-by-date semantic,
+    reference README.md:18-20, applied to a live stream): each
+    micro-batch broadcast-joins a static per-day rate table, row-level
+    append output — no state, no watermark. The static side here is a
+    deterministic rate derived from the calendar so the oracle can
+    rebuild it in SQL; production swaps in the currencylayer table.
+
+    Scale: the static side is a bounded dimension (one row per day) —
+    broadcast per micro-batch; the stream side never shuffles before
+    the enrichment, so enrich-then-write is a map-only streaming
+    stage."""
+    ev = load_tables(spark, sf_dir, "events")["events"]  # static snapshot for fx calendar
+    fx = (
+        ev.select(F.to_date("ts").alias("date"))
+        .distinct()
+        .withColumn(
+            "rate", F.round(F.lit(1.0) + (F.dayofyear("date") % 50) / F.lit(100.0), 2)
+        )
+    )
+    stream = enrich_with_rates(
+        read_event_stream(spark, f"{sf_dir}/events.parquet"), fx
+    ).select("date", "value_local")
+    tbl = _drain(stream, _qname("s_fx", sf_dir), "append")
+    return tbl.groupBy("date").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value_local"), 2).alias("total_value_local"),
     )

@@ -152,11 +152,16 @@ def enrich_with_rates(events: DataFrame, fx: DataFrame) -> DataFrame:
     """Stream-static join: each micro-batch joins the (static, small)
     exchange-rate table on the event's date — the reference's
     spend ⋈ fx-by-date semantic (README.md:18-20) applied to a live
-    stream. The static side is broadcast per micro-batch; no state."""
+    stream. The static side is broadcast per micro-batch; no state.
+
+    ``value_local`` is left unrounded: per-row money rounding creates
+    exact decimal halfway cases (2dp x 2dp products end in ...50) whose
+    tie-break differs across engines - consumers round once at the
+    aggregation boundary instead."""
     return (
         events.withColumn("date", F.to_date("ts"))
         .join(F.broadcast(fx), "date", "left")
-        .withColumn("value_local", F.round(F.col("value") * F.col("rate"), 2))
+        .withColumn("value_local", F.col("value") * F.col("rate"))
     )
 
 

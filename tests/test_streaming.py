@@ -153,7 +153,7 @@ class TestStreamStaticJoin:
         # Spot-check the arithmetic and the uncovered-day NULLs.
         bad = out.where(
             (F.col("rate").isNotNull())
-            & (F.abs(F.col("value_local") - F.round(F.col("value") * F.col("rate"), 2)) > 1e-9)
+            & (F.abs(F.col("value_local") - F.col("value") * F.col("rate")) > 1e-9)
         ).count()
         assert bad == 0
         assert out.where(F.col("date") == dates[-1]).count() > 0
