@@ -306,3 +306,34 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
         lambda acc, x: acc + x,
     )
     return pairs.select("a_id", "b_id", ham.alias("hamming"))
+
+
+def contamination_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct word n-gram shingles it shares with the benchmark set
+    (eval/test corpora). Docs with any overlap are contamination
+    candidates; callers drop or review them (anti-join on the result).
+
+    Scale: the benchmark side is tiny relative to the corpus (eval
+    sets are MBs, corpora are TBs) — its distinct shingle set is
+    broadcast, so the corpus side is a map-only explode + broadcast
+    semi-probe + per-doc count: zero shuffles of corpus text. If the
+    benchmark outgrows the broadcast threshold, drop the broadcast()
+    hint and let AQE pick a shuffle join keyed on the shingle."""
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(text_col, ngram)).alias("shingle")
+    ).distinct()
+    doc_sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, ngram)).alias("shingle")
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )

@@ -447,3 +447,77 @@ def audio_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_audio"),
         F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
     )
+
+
+@register(
+    "top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters: top-50 tokens by corpus frequency —
+    the tokenizer-training / stopword-discovery primitive.
+
+    Scale: explode + two-phase hash aggregate (map-side partials carry
+    one row per distinct token per partition); the top-50 is
+    TakeOrderedAndProject over the aggregated (vocabulary-sized, not
+    corpus-sized) result. Token frequency is Zipfian — exactly the
+    skew AQE's skew-join/partial-agg handling exists for; the hot
+    tokens never concentrate on one reducer because partials collapse
+    them map-side first."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "decontaminate_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(tk) >= 5
+                    THEN list_transform(range(1, len(tk) - 3),
+                                        i -> array_to_string(tk[i:i+4], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+      FROM tok
+    ),
+    bench  AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20)
+    SELECT corpus.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM corpus JOIN bench USING (shingle)
+    GROUP BY corpus.doc_id
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 distinct
+    5-word shingle with the 'benchmark' set (doc_id < 20 stands in for
+    an eval corpus), with the shared-shingle count. The cleaning step
+    drops (anti-joins) these ids before training. Broadcast
+    semi-probe — corpus text never shuffles."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].withColumn(
+        "text_lc", F.lower(F.col("text"))
+    )
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return dd.contamination_overlap(corpus, bench, text_col="text_lc", ngram=5)

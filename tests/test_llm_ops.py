@@ -210,3 +210,35 @@ class TestEmbeddingDedup:
             assert k in exact and v == exact[k]
         # recall: OR-amplified tables must recover most true pairs
         assert len(lsh) / len(exact) >= 0.6
+
+
+class TestDecontamination:
+    def test_overlap_counts_distinct_shared_shingles(self, spark):
+        """A doc sharing a 5-gram run of length 6 with the benchmark
+        shares exactly 2 distinct 5-shingles; disjoint docs don't
+        appear at all."""
+        bench = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (10, "x a b c d e f y"),   # contains 'a b c d e' + 'b c d e f'
+                (11, "a b c d e"),          # one shared shingle
+                (12, "q r s t u v w"),      # disjoint
+                (13, "tiny"),               # < 5 tokens: no shingles
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n_shared_shingles"]
+            for r in dd.contamination_overlap(corpus, bench, ngram=5).collect()
+        }
+        assert got == {10: 2, 11: 1}
+
+    def test_repeated_shingles_count_once(self, spark):
+        bench = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(10, "a b c d e and a b c d e")], "doc_id long, text string"
+        )
+        got = dd.contamination_overlap(corpus, bench, ngram=5).collect()
+        assert len(got) == 1 and got[0]["n_shared_shingles"] == 1
