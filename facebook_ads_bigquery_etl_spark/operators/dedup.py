@@ -329,7 +329,7 @@ def contamination_overlap(
     bench_sh = benchmark.select(
         F.explode(word_shingles(text_col, ngram)).alias("shingle")
     ).distinct()
-    doc_sh = df.select(
+    doc_sh = _spread(df).select(
         F.col(id_col), F.explode(word_shingles(text_col, ngram)).alias("shingle")
     )
     return (
