@@ -521,3 +521,35 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") < 20)
     corpus = docs.filter(F.col("doc_id") >= 20)
     return dd.contamination_overlap(corpus, bench, text_col="text_lc", ngram=5)
+
+
+@register(
+    "pack_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), offs AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+      FROM toks
+    )
+    SELECT lang,
+           CAST(FLOOR(start_offset / 256) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT)                  AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)             AS pack_tokens
+    FROM offs GROUP BY lang, pack_id
+    """,
+)
+def pack_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack rollup of the sequence-packing layout: documents and
+    tokens per (lang, pack) — the dataloader-manifest view. One
+    partitioned window cumsum + one hash aggregate on the same
+    partition key, so the second stage reuses the first's shuffle
+    partitioning (no extra exchange)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return pk.pack_stats(pk.pack_documents(docs, budget=256))
