@@ -26,7 +26,7 @@ from ..fixtures import (
     fx_values_sql,
 )
 from ..operators.casting import split_required_violations
-from ..schemas import SCHEMA_EXCHANGE_RATE, SCHEMA_FACEBOOK_STAT
+from ..schemas import SCHEMA_EXCHANGE_RATE, SCHEMA_FACEBOOK_RAW, SCHEMA_FACEBOOK_STAT
 from .registry import register
 
 _REQUIRED_OK = (
@@ -244,4 +244,47 @@ def fx_connector_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rate"), 4).alias("avg_rate"),
         F.round(F.min("rate"), 4).alias("min_rate"),
         F.round(F.max("rate"), 4).alias("max_rate"),
+    )
+
+
+@register(
+    "fb_json_landing",
+    oracle=f"""
+    SELECT CAST(date_start AS DATE)                          AS date,
+           CAST(COUNT(*) AS BIGINT)                          AS n_ads,
+           CAST(SUM(CAST(clicks AS BIGINT)) AS BIGINT)       AS clicks,
+           ROUND(SUM(CAST(spend AS DOUBLE)), 2)              AS spend
+    FROM {fb_scalar_values_sql()}
+    WHERE {_REQUIRED_OK}
+    GROUP BY 1
+    """,
+)
+def fb_json_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines landing zone: the same raw Insights payloads arriving
+    as files (the common 'API poller dumps JSONL to object storage'
+    layout) instead of an in-process batch — schema-first
+    ``spark.read.schema(raw).json`` (never inference: at 100 TB schema
+    inference is a full extra pass), then the identical
+    cast/quarantine pipeline. Proves the transform layer is
+    source-agnostic: connector batch, stream, and file landing all
+    feed the same stages."""
+    import json as _json
+    import os as _os
+    import tempfile as _tmp
+
+    landing = _os.path.join(_tmp.gettempdir(), "fb_landing_v1")
+    _os.makedirs(landing, exist_ok=True)
+    part = _os.path.join(landing, "part-000.jsonl")
+    if not _os.path.exists(part):
+        with open(part, "w") as f:
+            for rec in FB_FIXTURE:
+                f.write(_json.dumps(rec) + "\n")
+    raw = spark.read.schema(SCHEMA_FACEBOOK_RAW).json(landing)
+    valid, _ = split_required_violations(
+        transform_insights(raw), SCHEMA_FACEBOOK_STAT
+    )
+    return valid.groupBy("date").agg(
+        F.count("*").alias("n_ads"),
+        F.sum("clicks").alias("clicks"),
+        F.round(F.sum("spend"), 2).alias("spend"),
     )

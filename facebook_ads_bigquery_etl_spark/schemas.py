@@ -31,7 +31,13 @@ ACTION_ENTRY = T.StructType(
         T.StructField("value", T.StringType(), True),
     ]
 )
-ACTION_ARRAY = T.ArrayType(ACTION_ENTRY, containsNull=False)
+# containsNull=True: Spark nullability is advisory (SURVEY §7 hard
+# part 1) and file sources (read.json/read.parquet) force-nullable
+# nested types regardless of the passed schema — declaring False here
+# would make the cast layer reject those sources on a flag that Spark
+# never enforces. REPEATED-ness (no NULL elements) is a runtime
+# guarantee of the normalize layer, like every other REQUIRED check.
+ACTION_ARRAY = T.ArrayType(ACTION_ENTRY, containsNull=True)
 
 # Target table: day-partitioned on `date`, clustered by
 # (campaign_id, campaign_name) (reference main.py:42, 67-73).
