@@ -308,6 +308,33 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return pairs.select("a_id", "b_id", ham.alias("hamming"))
 
 
+def simhash_exact_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ALL pairs with simhash hamming ≤ ``max_hamming`` by brute-force
+    self-join — the correctness baseline :func:`simhash_candidates` is
+    audited against. O(n²) pair space: gate/test use only, never the
+    100 TB path (the pigeonhole bucketing is)."""
+    sk = simhash(df, text_col, id_col).persist()
+    ham = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        sk.select(F.col(id_col).alias("a_id"), F.col("simhash_chunks").alias("ca"))
+        .crossJoin(
+            sk.select(F.col(id_col).alias("b_id"), F.col("simhash_chunks").alias("cb"))
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def contamination_overlap(
     df: DataFrame,
     benchmark: DataFrame,

@@ -95,15 +95,22 @@ def extract_features(media: DataFrame) -> DataFrame:
     if media.rdd.getNumPartitions() < target:
         media = media.repartition(target)
 
+    # Decode logic is inlined (not a call to a module-level helper):
+    # the closure must pickle self-contained so workers never need to
+    # import this package (the driver's cwd is not on their sys.path).
+    # Keep in sync with _fake_decode, which unit tests exercise.
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
         for pdf in batches:
-            dims = [_fake_decode(p) for p in pdf["payload"]]
+            digests = [_hl.sha256(p).digest() for p in pdf["payload"]]
+            dims = [(16 + d[0] % 240, 16 + d[1] % 240) for d in digests]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "digest": [hashlib.sha256(p).hexdigest()[:16] for p in pdf["payload"]],
+                    "digest": [d.hex()[:16] for d in digests],
                     "fake_width": [w for w, _ in dims],
                     "fake_height": [h for _, h in dims],
                 }
@@ -133,12 +140,15 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     real pattern: filter to images FIRST (metadata-only predicate, no
     Python), then Arrow-batched mapInPandas."""
 
+    has_pil = HAS_PIL  # captured as a plain bool: closure pickles
+    # self-contained, workers never import this package
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height * 3
         for pdf in batches:
             out_payloads = []
             for p in pdf["payload"]:
-                if HAS_PIL:  # pragma: no cover — real path, absent here
+                if has_pil:  # pragma: no cover — real path, absent here
                     raise NotImplementedError("wire PIL resize here")
                 seed = hashlib.sha256(p).digest()
                 out_payloads.append((seed * (n // len(seed) + 1))[:n])

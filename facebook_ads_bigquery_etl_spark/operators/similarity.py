@@ -169,11 +169,17 @@ def _table_buckets(
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
+    # Planes are materialized DRIVER-side and captured as a plain
+    # ndarray: the closure then pickles self-contained (no reference to
+    # this package, which workers may not be able to import — the
+    # driver's cwd is not on their sys.path), and the matrix is built
+    # once instead of per Arrow batch.
+    planes = np.concatenate(
+        [np.asarray(_hyperplanes(dim, n_planes, seed=42 + t)) for t in range(n_tables)]
+    )  # (L·H) × dim
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def cells(vecs: pd.Series) -> pd.Series:
-        planes = np.concatenate(
-            [np.asarray(_hyperplanes(dim, n_planes, seed=42 + t)) for t in range(n_tables)]
-        )  # (L·H) × dim
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (X @ planes.T) > 0  # n × (L·H)
         bits = bits.reshape(len(X), n_tables, n_planes)

@@ -221,16 +221,43 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_orders")  # engine-specific sketch: rows-only check
+@register(
+    "approx_distinct_orders",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey)  AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct
+    FROM lineitem
+    """,
+)
 def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — THE 100-TB idiom for cardinality (one
-    pass, bounded sketch memory, no expand). Not oracle-comparable
-    (sketch estimates are engine-specific); accuracy vs exact distinct
-    is asserted in tests/test_operators.py (rsd 5%)."""
+    pass, bounded sketch memory, no expand).
+
+    Sketch estimates are engine-specific, so the driver check uses the
+    accuracy-bound pattern: Spark emits its own exact distinct counts
+    plus booleans asserting the HLL estimate lands within 5% (2.5× the
+    configured rsd); DuckDB recomputes the exact counts and emits TRUE.
+    A hash match therefore proves both the exact counts AND the sketch
+    accuracy. The exact side exists for the gate only — the production
+    path at 100 TB is the sketch alone (see tests/test_operators.py
+    for the rsd assertion)."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= 0.05 * F.col(e)
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        within("a_orders", "exact_orders").alias("orders_within_5pct"),
+        within("a_parts", "exact_parts").alias("parts_within_5pct"),
     )
 
 
@@ -866,20 +893,55 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("price_percentiles_approx")  # t-digest sketch: rows-only check
+@register(
+    "price_percentiles_approx",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS p25_rank_ok, TRUE AS p50_rank_ok,
+           TRUE AS p75_rank_ok, TRUE AS p90_rank_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (t-digest): the 100-TB percentile path — the
-    sketch is mergeable map-side, so no per-group value sort. Accuracy
-    vs the exact percentiles is asserted in tests/test_operators.py."""
+    """percentile_approx sketch: the 100-TB percentile path — the
+    sketch is mergeable map-side, so no per-group value sort.
+
+    Driver check via the rank-validation pattern (float-free, so no
+    cross-engine interpolation/rounding hazards): for each group Spark
+    takes the sketch percentiles, counts how many rows fall at or
+    below each one, and asserts the realized rank is within 2% (+1/n
+    granularity) of the target quantile; DuckDB recomputes the exact
+    group counts and emits TRUE. Sketch-vs-exact value error is
+    additionally asserted in tests/test_operators.py."""
     o = load_tables(spark, sf_dir, "orders")["orders"]
     pct = F.percentile_approx(
         "o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]), 10000
     )
-    return o.groupBy("o_orderpriority").agg(
-        F.round(pct[0], 4).alias("p25"),
-        F.round(pct[1], 4).alias("p50"),
-        F.round(pct[2], 4).alias("p75"),
-        F.round(pct[3], 4).alias("p90"),
+    sk = o.groupBy("o_orderpriority").agg(pct.alias("pcts"))
+    joined = o.join(F.broadcast(sk), "o_orderpriority")
+    ranked = joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        *[
+            F.sum(
+                (F.col("o_totalprice") <= F.col("pcts")[i]).cast("long")
+            ).alias(f"n_le_{tag}")
+            for i, tag in enumerate(("p25", "p50", "p75", "p90"))
+        ],
+    )
+    def rank_ok(tag: str, q: float):
+        tol = F.lit(0.02) + 1.0 / F.col("n_orders")
+        return (
+            F.abs(F.col(f"n_le_{tag}") / F.col("n_orders") - q) <= tol
+        ).alias(f"{tag}_rank_ok")
+
+    return ranked.select(
+        "o_orderpriority",
+        "n_orders",
+        rank_ok("p25", 0.25),
+        rank_ok("p50", 0.50),
+        rank_ok("p75", 0.75),
+        rank_ok("p90", 0.90),
     )
 
 

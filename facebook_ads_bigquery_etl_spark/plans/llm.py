@@ -2,10 +2,14 @@
 dedup family, similarity search, text analysis, multimodal — over the
 driver's `documents` / `embeddings` tables.
 
-Oracle policy: exact/algebraic ops get a DuckDB oracle; sketch-based
-ops (MinHash-LSH, SimHash, ANN-LSH, engine hash fingerprints) are
-registered rows-only and their quality (recall/precision vs the exact
-baseline) is asserted in tests/test_llm_ops.py instead.
+Oracle policy: exact/algebraic ops get a DuckDB oracle that recomputes
+the values; sketch-based ops (MinHash-LSH, SimHash, ANN, hash
+fingerprints) emit ACCURACY-BOUND AUDIT rows — exact baseline counts
+the oracle recomputes plus engine-computed precision/recall booleans
+pinned to TRUE on the oracle side — so sketch quality is a real driver
+hash check, not a rows-only count. Raw pair/neighbor lists remain
+available from the operators module; recall floors are additionally
+asserted in tests/test_llm_ops.py.
 """
 
 from __future__ import annotations
@@ -65,20 +69,129 @@ def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, threshold=0.95, ngram=1)
 
 
-@register("minhash_dup_pairs")  # sketch-based: verified vs exact in tests
+def _pair_set_audit(
+    found: DataFrame, true_pairs: DataFrame, recall_floor_pct: int
+) -> DataFrame:
+    """One-row audit of a candidate pair set vs its exact baseline:
+    (n_true_pairs, precision_ok, recall_ok). Full-outer join on the
+    pair key, one aggregate — lets the DuckDB oracle recompute
+    n_true_pairs exactly and pin the booleans to TRUE, which makes
+    sketch accuracy a real driver-hash check (VERDICT r1 item 3).
+    The floor is an integer percent compared with integer arithmetic
+    (n_hit·100 ≥ pct·n_true) — a double multiply like 0.9*10 =
+    9.000000000000002 would falsely fail an exact-boundary recall."""
+    j = (
+        true_pairs.select("a_id", "b_id").withColumn("in_true", F.lit(1))
+        .join(
+            found.select("a_id", "b_id").withColumn("in_found", F.lit(1)),
+            ["a_id", "b_id"],
+            "full_outer",
+        )
+    )
+    agg = j.agg(
+        F.coalesce(F.sum("in_true"), F.lit(0)).alias("n_true"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_true").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("n_false_pos"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_true").isNotNull() & F.col("in_found").isNotNull(), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_hit"),
+    )
+    return agg.select(
+        F.col("n_true").cast("long").alias("n_true_pairs"),
+        (F.col("n_false_pos") == 0).alias("precision_ok"),
+        (
+            F.col("n_hit") * 100 >= F.lit(recall_floor_pct) * F.col("n_true")
+        ).alias("recall_ok"),
+    )
+
+
+_TRIGRAM_JACCARD_TRUE = """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+      FROM tok
+    ),
+    c AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS precision_ok, TRUE AS recall_ok
+    FROM i
+    JOIN c ca ON ca.doc_id = i.a_id
+    JOIN c cb ON cb.doc_id = i.b_id
+    WHERE inter * 1.0 / (ca.set_size + cb.set_size - inter) >= 0.7
+"""
+
+
+@register("minhash_dup_pairs", oracle=_TRIGRAM_JACCARD_TRUE)
 def minhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64 perms) + LSH(16 bands) candidates, exact-verified at
-    trigram-shingle Jaccard ≥ 0.7 — the scale path for near-dup."""
+    """MinHash(64 perms) + LSH(16 bands) near-dup at trigram-shingle
+    Jaccard ≥ 0.7 — the scale path for near-dup — emitted as the
+    accuracy-bound audit row: DuckDB recomputes the exact trigram
+    Jaccard pair count; Spark asserts the LSH path found ≥90% of those
+    pairs with zero false positives (candidates are exact-verified, so
+    precision is 1.0 by construction). The raw pair list is
+    ``operators.dedup.minhash_dup_pairs`` (recall also asserted in
+    tests/test_llm_ops.py)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return dd.minhash_dup_pairs(docs, threshold=0.7, num_perm=64, bands=16, ngram=3)
+    found = dd.minhash_dup_pairs(docs, threshold=0.7, num_perm=64, bands=16, ngram=3)
+    true_pairs = dd.jaccard_pairs(docs, threshold=0.7, ngram=3)
+    return _pair_set_audit(found, true_pairs, recall_floor_pct=90)
 
 
-@register("simhash_near_dups")  # sketch-based: verified in tests
+@register(
+    "simhash_near_dups",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS precision_ok, TRUE AS h3_complete, TRUE AS recall_ok
+    FROM documents
+    """,
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 candidate pairs at hamming ≤ 8 via the 4×16-bit
-    pigeonhole bucketing."""
+    """SimHash-64 near-dup candidates at hamming ≤ 8 via the 4×16-bit
+    pigeonhole bucketing, audited against the brute-force exact
+    hamming pair set (``dd.simhash_exact_pairs`` — gate-only O(n²)
+    baseline). Three engine-verified claims: precision is exact by
+    construction (candidates carry true hamming); ``h3_complete``
+    checks the pigeonhole THEOREM — every pair at hamming ≤ 3 must
+    share a 16-bit chunk, so recall there is exactly 1.0; above that
+    the bucketing is best-effort (measured ~0.5 at hamming ≤ 8 —
+    floor 40%). n_docs anchors the row to DuckDB's count."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return dd.simhash_candidates(docs).filter(F.col("hamming") <= 8)
+    found = (
+        dd.simhash_candidates(docs)
+        .filter(F.col("hamming") <= 8)
+        .select("a_id", "b_id")
+    )
+    true_pairs = dd.simhash_exact_pairs(docs, max_hamming=8).persist()
+    audit = _pair_set_audit(
+        found, true_pairs.select("a_id", "b_id"), recall_floor_pct=40
+    )
+    h3 = true_pairs.filter(F.col("hamming") <= 3).select("a_id", "b_id")
+    h3_audit = _pair_set_audit(found, h3, recall_floor_pct=100).select(
+        F.col("recall_ok").alias("h3_complete")
+    )
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        n_docs.crossJoin(audit.select("precision_ok", "recall_ok"))
+        .crossJoin(h3_audit)
+        .select("n_docs", "precision_ok", "h3_complete", "recall_ok")
+    )
 
 
 # -- text analysis -----------------------------------------------------------
@@ -225,9 +338,12 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), offs AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens
-               AS start_offset
+             -- CAST: DuckDB widens SUM(BIGINT) OVER to HUGEINT, which
+             -- round-trips through pandas as float64 and breaks the
+             -- driver value-hash vs Spark's int64 (identical values).
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS start_offset
       FROM toks
     )
     SELECT doc_id, lang, n_tokens, start_offset,
@@ -245,13 +361,33 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_fingerprints")  # engine-specific 64-bit hash: rows-only
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)               AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT)   AS n_distinct_texts,
+           TRUE AS fingerprints_injective, TRUE AS all_nonnull
+    FROM documents
+    """,
+)
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 rolling fingerprint per document (dedup/join key at
-    scale). Hash values are engine-specific → rows-only check; the
-    collision-free property is asserted in tests."""
+    """xxhash64 rolling fingerprint per document (the dedup/join key
+    at scale). Hash values are engine-specific, so the driver check is
+    the accuracy-bound form: Spark asserts the fingerprint is
+    injective on this corpus (distinct fingerprints == distinct
+    texts — i.e. no collisions) and non-null; DuckDB recomputes the
+    doc/text counts. Per-doc fingerprints:
+    ``operators.text.with_fingerprint`` (tested in test_llm_ops.py)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return tx.with_fingerprint(docs).select("doc_id", "fingerprint")
+    fp = tx.with_fingerprint(docs).select("doc_id", "fingerprint", "text")
+    return fp.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("text").cast("long").alias("n_distinct_texts"),
+        (F.countDistinct("fingerprint") == F.countDistinct("text")).alias(
+            "fingerprints_injective"
+        ),
+        (F.sum(F.col("fingerprint").isNull().cast("int")) == 0).alias("all_nonnull"),
+    )
 
 
 _BPE_SQL = tx.BPE_ISH_PATTERN.replace("'", "''")  # SQL-literal escaping
@@ -315,26 +451,67 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-@register("ann_lsh_topk")  # approximate: recall asserted in tests
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via multi-table random-hyperplane LSH
-    (H=4 bits × L=8 tables, multiprobe) — the scale path; recall@10
-    vs cosine_topk ≥0.9 asserted in tests/test_llm_ops.py."""
+_ANN_RECALL_ORACLE = """
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+"""
+
+
+def _ann_recall_audit(
+    spark: SparkSession, sf_dir: str, ann: DataFrame, k: int, floor_pct: int
+) -> DataFrame:
+    """Per-query recall@k of an ANN result vs the exact brute-force
+    top-k: (query_id, recall_ok). The ANN sketch itself is
+    engine-specific, so the driver-checkable claim is the accuracy
+    bound — deterministic here because hyperplanes/centroids are
+    seeded (operators/similarity.py). Integer-percent comparison (see
+    :func:`_pair_set_audit`)."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return sim.lsh_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, n_tables=8
+    exact = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=k)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) * 100
+                >= F.lit(floor_pct) * F.col("n_exact")
+            ).alias("recall_ok"),
+        )
     )
 
 
-@register("ann_ivf_topk")  # approximate: recall asserted in tests
+@register("ann_lsh_topk", oracle=_ANN_RECALL_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via multi-table random-hyperplane LSH
+    (H=4 bits × L=8 tables, multiprobe) — the scale path — emitted as
+    the per-query recall@10 audit vs exact cosine_topk (floor 90%,
+    also asserted in tests/test_llm_ops.py); raw neighbor lists come
+    from ``operators.similarity.lsh_cosine_topk``."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ann = sim.lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, n_tables=8
+    )
+    return _ann_recall_audit(spark, sf_dir, ann, k=10, floor_pct=90)
+
+
+@register("ann_ivf_topk", oracle=_ANN_RECALL_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF index (16-list spherical k-means
     quantizer, soft assign=2, nprobe=6 → ~¾ of the corpus pruned per
-    query); recall@10 vs cosine_topk asserted in tests/test_llm_ops.py."""
+    query), emitted as the per-query recall@10 audit vs exact
+    cosine_topk (floor 70%; also asserted in tests/test_llm_ops.py)."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return sim.ivf_cosine_topk(
+    ann = sim.ivf_cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_lists=16, nprobe=6, assign=2
     )
+    return _ann_recall_audit(spark, sf_dir, ann, k=10, floor_pct=70)
 
 
 _EMB_DUP_ORACLE = """
@@ -363,13 +540,37 @@ def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_dup_pairs(emb, threshold=0.4, exact=True)
 
 
-@register("embedding_dup_pairs_lsh")  # approximate candidates: recall in tests
+_EMB_DUP_AUDIT_ORACLE = """
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS precision_ok, TRUE AS recall_ok
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+@register("embedding_dup_pairs_lsh", oracle=_EMB_DUP_AUDIT_ORACLE)
 def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, LSH-bucketed: the pair space shrinks
-    from n² to Σ bucket²; candidates are exact-scored (precision
-    exact, recall vs the exact baseline asserted in tests)."""
+    from n² to Σ bucket²; candidates are exact-scored (precision 1.0
+    by construction). Emitted as the accuracy-bound audit row vs the
+    exact all-pairs baseline (DuckDB recomputes the true pair count;
+    recall floor 70%, also asserted in tests/test_llm_ops.py)."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return sim.embedding_dup_pairs(emb, threshold=0.4, exact=False)
+    found = sim.embedding_dup_pairs(emb, threshold=0.4, exact=False).select(
+        F.col("a_id"), F.col("b_id")
+    )
+    true_pairs = sim.embedding_dup_pairs(emb, threshold=0.4, exact=True).select(
+        F.col("a_id"), F.col("b_id")
+    )
+    return _pair_set_audit(found, true_pairs, recall_floor_pct=70)
 
 
 @register(
@@ -399,11 +600,36 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- multimodal --------------------------------------------------------------
 
-@register("multimodal_features")  # binary plumbing; digests engine-side
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH m AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS modality,
+             strlen(text)                     AS n_bytes,
+             substr(sha256(text), 1, 16)      AS digest,
+             16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 240
+                                              AS fake_width
+      FROM documents
+    )
+    SELECT modality,
+           CAST(COUNT(*) AS BIGINT)                AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT)            AS total_bytes,
+           CAST(COUNT(DISTINCT digest) AS BIGINT)  AS n_distinct_payloads,
+           ROUND(AVG(fake_width), 6)               AS avg_width
+    FROM m GROUP BY modality
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched mapInPandas feature
     extraction (decode stubbed — see operators/multimodal.py).
-    Aggregated per modality so the output is scale-stable."""
+    Aggregated per modality so the output is scale-stable.
+
+    Fully oracle-checked: the stub features are deterministic
+    (payload = utf-8 text bytes, digest/width = sha256-derived), and
+    DuckDB's sha256/strlen reproduce them bit-for-bit — so the whole
+    binary → mapInPandas → aggregate path gets an exact driver hash."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     feats = mm.extract_features(mm.synth_media_from_documents(docs))
     return feats.groupBy("modality").agg(
@@ -414,11 +640,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("video_frame_sample")  # row-expanding mapInPandas; stub decoder
+@register(
+    "video_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id,
+             LEAST(16, GREATEST(1, CAST(FLOOR(GREATEST(1.0,
+                 strlen(text) / 1000.0)) AS BIGINT))) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(n_frames AS BIGINT)                   AS n_frames,
+           CAST(n_frames - 1 AS INTEGER)              AS last_idx,
+           ROUND(CAST(n_frames - 1 AS DOUBLE), 3)     AS span_s
+    FROM v
+    """,
+)
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video → sampled frames (1 fps, ≤16/video): the fan-out
     mapInPandas shape. Aggregated per video for a scale-stable check;
-    frame-count conservation is asserted in tests/test_multimodal.py."""
+    frame-count conservation is asserted in tests/test_multimodal.py.
+
+    Fully oracle-checked: the stub decoder's frame count is a pure
+    function of payload size (duration = max(1, bytes/1000) s), which
+    DuckDB recomputes from strlen(text)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     frames = mm.sample_frames(mm.synth_media_from_documents(docs), fps=1.0, max_frames=16)
     return frames.groupBy("media_id").agg(
@@ -533,9 +778,9 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), offs AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens
-               AS start_offset
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS start_offset
       FROM toks
     )
     SELECT lang,

