@@ -201,6 +201,47 @@ def fb_connector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fb_campaign_grain",
+    oracle=f"""
+    SELECT campaign_id, campaign_name,
+           CAST(SUM(TRY_CAST(clicks AS BIGINT)) AS BIGINT)      AS clicks,
+           CAST(SUM(TRY_CAST(impressions AS BIGINT)) AS BIGINT) AS impressions,
+           ROUND(SUM(TRY_CAST(spend AS DOUBLE)), 2)             AS spend
+    FROM {fb_scalar_values_sql()}
+    GROUP BY 1, 2
+    """,
+)
+def fb_campaign_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-grain pushdown end-to-end: the connector asks the
+    API for level='campaign' × time_increment='all_days' (the
+    server-side pre-aggregation the reference never varies —
+    main.py:176,180), so ONE record per campaign crosses the wire
+    instead of one per date × ad. The oracle recomputes the same
+    rollup from the ad-grain fixture; SUM(TRY_CAST(..)) mirrors the
+    API contract that metrics are numeric (unparseable fixture values
+    are skipped server-side, so no row-level quarantine fires at this
+    grain)."""
+    _register_sources(spark)
+    raw = (
+        spark.read.format("facebook_insights")
+        .option("transport", "fixture")
+        .option("since", "2025-01-01")
+        .option("until", "2025-01-03")
+        .option("level", "campaign")
+        .option("time_increment", "all_days")
+        .load()
+    )
+    return (
+        raw.groupBy("campaign_id", "campaign_name")
+        .agg(
+            F.sum(F.col("clicks").try_cast("long")).alias("clicks"),
+            F.sum(F.col("impressions").try_cast("long")).alias("impressions"),
+            F.round(F.sum(F.col("spend").try_cast("double")), 2).alias("spend"),
+        )
+    )
+
+
 def _expected_fx_values_sql(since: str, until: str, currencies: list[str]) -> str:
     """The FixtureTransport rate function is pure → render its exact
     output as a VALUES literal for the oracle."""

@@ -19,6 +19,12 @@ Pushdown surface (reference parity, SURVEY §4):
   ``time_range`` param of reference main.py:177-180. Everything else is
   returned to Spark to evaluate post-scan. Requires
   ``spark.sql.python.filterPushdown.enabled=true``.
+* **aggregation grain** — ``level`` ('ad'|'adset'|'campaign'|'account')
+  and ``time_increment`` (N days | 'all_days') scan options map to the
+  API's server-side pre-aggregation params (the reference hardcodes
+  level='ad', time_increment=1 — main.py:176,180). The planned
+  partition grid follows the grain: one partition per account × time
+  bucket, so a coarser grain reads fewer, bigger API responses.
 
 Usage::
 
@@ -85,6 +91,17 @@ class FacebookInsightsReader(DataSourceReader):
         self.fields = [f for f in options.get("fields", DEFAULT_FIELDS).split(",") if f]
         self.transport_spec = options.get("transport", "fixture")
         self.attempts = int(options.get("retries", "3"))
+        # Aggregation-grain pushdown (SURVEY §4): the API pre-aggregates
+        # server-side; the reference hardcodes level='ad',
+        # time_increment=1 (main.py:176,180) — here both are scan
+        # options, and the planned partition grid follows the grain
+        # (one partition per account × time bucket).
+        self.level = options.get("level", "ad")
+        if self.level not in ("ad", "adset", "campaign", "account"):
+            raise ValueError(f"unknown level: {self.level!r}")
+        self.time_increment: str = options.get("time_increment", "1")
+        if self.time_increment != "all_days" and int(self.time_increment) < 1:
+            raise ValueError(f"bad time_increment: {self.time_increment!r}")
 
     # -- predicate pushdown ------------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:  # noqa: N802
@@ -93,10 +110,16 @@ class FacebookInsightsReader(DataSourceReader):
         the filters Spark must still evaluate post-scan (eager, never
         lazy: the grid mutation must happen before partitions())."""
         unsupported: list[Filter] = []
+        # At coarse time grains a row's date_start is the BUCKET start,
+        # not the source day — still narrow the API time_range, but
+        # hand date filters back to Spark for post-scan re-check.
+        coarse_time = self.time_increment != "1"
         for f in filters:
             col = f.attribute[0]
             if col == "date_start" and isinstance(f, EqualTo):
                 self.since = self.until = str(f.value)
+                if coarse_time:
+                    unsupported.append(f)
             elif col == "date_start" and isinstance(f, In):
                 vals = sorted(str(v) for v in f.value)
                 self.since = max(self.since, vals[0])
@@ -123,11 +146,18 @@ class FacebookInsightsReader(DataSourceReader):
 
     # -- partition planning ------------------------------------------------
     def partitions(self):
-        # (account × day) grid: the unit the API pre-aggregates
-        # (level='ad', time_increment=1 — reference main.py:176-180),
-        # and the natural parallel ingest unit at cluster scale.
+        # (account × time-bucket) grid: the unit the API pre-aggregates
+        # (reference main.py:176-180 fixes it to level='ad' × day) and
+        # the natural parallel ingest unit at cluster scale. A coarser
+        # time_increment coarsens the grid — each partition is exactly
+        # one API bucket, so bucket anchoring is per-partition-safe.
+        if self.time_increment == "all_days":
+            return [_Slice(acc, self.since, self.until) for acc in self.accounts]
+        days = _drange(self.since, self.until)
+        n = int(self.time_increment)
+        buckets = [days[i : i + n] for i in range(0, len(days), n)]
         return [
-            _Slice(acc, d, d) for acc in self.accounts for d in _drange(self.since, self.until)
+            _Slice(acc, b[0], b[-1]) for acc in self.accounts for b in buckets
         ]
 
     # -- per-partition read (runs on executors) -----------------------------
@@ -135,7 +165,10 @@ class FacebookInsightsReader(DataSourceReader):
         transport = make_transport(self.transport_spec)
         wanted = [f for f in self.fields if f != "ad_account"]
         records = with_retries(
-            lambda: transport.insights(part.account, wanted, part.since, part.until),
+            lambda: transport.insights(
+                part.account, wanted, part.since, part.until,
+                level=self.level, time_increment=self.time_increment,
+            ),
             attempts=self.attempts,
         )
         cols = [f.name for f in self.schema.fields]

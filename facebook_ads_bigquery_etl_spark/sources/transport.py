@@ -58,17 +58,131 @@ class Transport:
     """Interface: what a connector partition needs from the outside world."""
 
     def insights(
-        self, account: str, fields: Sequence[str], since: str, until: str
+        self,
+        account: str,
+        fields: Sequence[str],
+        since: str,
+        until: str,
+        level: str = "ad",
+        time_increment: int | str = 1,
     ) -> list[dict]:
-        """Ad-level records for one account over [since, until], one row
-        per (date, ad) — the API's ``level='ad'``, ``time_increment=1``
-        pre-aggregation (reference main.py:176-181)."""
+        """Insights records for one account over [since, until] at the
+        requested grain — the API's server-side pre-aggregation params
+        ``level`` ('ad'|'adset'|'campaign'|'account', reference
+        main.py:176) and ``time_increment`` (N days or 'all_days',
+        reference main.py:180). Default = the reference's fixed
+        level='ad', time_increment=1 (one row per date × ad)."""
         raise NotImplementedError
 
     def rates(self, date: str, source: str, currencies: Sequence[str]) -> dict:
         """currencylayer 'historical' envelope for one date:
         ``{"success": bool, "quotes": {PAIR: rate}}`` (reference main.py:132-138)."""
         raise NotImplementedError
+
+
+_LEVEL_KEYS = {
+    "ad": ("ad_id", "ad_name", "adset_id", "adset_name", "campaign_id", "campaign_name"),
+    "adset": ("adset_id", "adset_name", "campaign_id", "campaign_name"),
+    "campaign": ("campaign_id", "campaign_name"),
+    "account": (),
+}
+
+
+def _bucket_start(ds: str, anchor: str, time_increment: int | str) -> str:
+    """Start date of the time_increment bucket containing ``ds``,
+    anchored at ``anchor`` (the request's since)."""
+    if time_increment == "all_days":
+        return anchor
+    n = int(time_increment)
+    if n <= 1:
+        return ds
+    d0, d = Date.fromisoformat(anchor), Date.fromisoformat(ds)
+    return (d0 + timedelta(days=((d - d0).days // n) * n)).isoformat()
+
+
+def _num(v):
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None  # the real API never emits non-numerics; skip
+
+
+def aggregate_insights(
+    records: list[dict],
+    level: str = "ad",
+    time_increment: int | str = 1,
+    anchor: str | None = None,
+) -> list[dict]:
+    """Emulate the Insights API's SERVER-side pre-aggregation: collapse
+    ad-grain records to the requested ``level`` × ``time_increment``
+    bucket (reference main.py:176,180 hardcodes level='ad',
+    time_increment=1; the API itself accepts coarser grains).
+
+    Semantics mirror the API: metric strings are summed numerically
+    (unparseable values are skipped — SUM(TRY_CAST(..)) in the oracle),
+    action lists merge per action_type, identity columns finer than
+    ``level`` disappear, ``date_start`` becomes the bucket start.
+    Deterministic: group order = first-appearance, actions sorted by
+    type."""
+    if level not in _LEVEL_KEYS:
+        raise ValueError(f"unknown level: {level!r}")
+    if level == "ad" and str(time_increment) == "1":
+        return records
+    keys = _LEVEL_KEYS[level]
+    groups: dict[tuple, dict] = {}
+    for rec in records:
+        b = _bucket_start(rec["date_start"], anchor or rec["date_start"], time_increment)
+        gk = (b, *(rec.get(f) for f in keys))
+        g = groups.setdefault(
+            gk,
+            {
+                "date_start": b,
+                **{f: rec.get(f) for f in keys},
+                # SUM semantics: a metric with NO parseable input stays
+                # NULL (not 0) — matches the oracle's SUM(TRY_CAST(..)).
+                "clicks": None,
+                "impressions": None,
+                "spend": None,
+                "_actions": {},
+                "_conversions": {},
+                "_has_actions": False,
+                "_has_conversions": False,
+            },
+        )
+        for m in ("clicks", "impressions"):
+            v = _num(rec.get(m))
+            if v is not None:
+                g[m] = (g[m] or 0) + int(v)
+        v = _num(rec.get("spend"))
+        if v is not None:
+            g["spend"] = (g["spend"] or 0.0) + float(v)
+        for list_col, flag in (("actions", "_actions"), ("conversions", "_conversions")):
+            if rec.get(list_col):
+                g["_has" + flag] = True
+                for a in rec[list_col]:
+                    v = _num(a.get("value"))
+                    if v is not None:
+                        g[flag][a["action_type"]] = g[flag].get(a["action_type"], 0) + v
+    out = []
+    for g in groups.values():
+        rec = {
+            "date_start": g["date_start"],
+            **{f: g[f] for f in keys},
+            "clicks": None if g["clicks"] is None else str(g["clicks"]),
+            "impressions": None if g["impressions"] is None else str(g["impressions"]),
+            "spend": None if g["spend"] is None else f"{g['spend']:.2f}",
+        }
+        for list_col, flag in (("actions", "_actions"), ("conversions", "_conversions")):
+            if g["_has" + flag]:
+                rec[list_col] = [
+                    {"action_type": t, "value": str(v)}
+                    for t, v in sorted(g[flag].items())
+                ]
+        out.append(rec)
+    return out
 
 
 @dataclass
@@ -81,19 +195,18 @@ class FixtureTransport(Transport):
     fail_first_n: int = 0  # simulate transient failures for retry tests
     _calls: list[tuple] = field(default_factory=list)
 
-    def insights(self, account, fields, since, until):
+    def insights(self, account, fields, since, until, level="ad", time_increment=1):
         self._calls.append(("insights", account, tuple(fields), since, until))
         if len(self._calls) <= self.fail_first_n:
             raise TransportError("simulated transient API failure")
-        # Predicate pushdown (date range) + projection pushdown (field
-        # list) both happen here, API-side — mirroring the time_range
-        # and fields= params of reference main.py:162-181.
+        # Predicate pushdown (date range), projection pushdown (field
+        # list) and grain pushdown (level/time_increment) all happen
+        # here, API-side — mirroring the time_range / fields / level
+        # params of reference main.py:162-181.
+        recs = [dict(rec) for rec in FB_FIXTURE if since <= rec["date_start"] <= until]
+        recs = aggregate_insights(recs, level, time_increment, anchor=since)
         wanted = set(fields)
-        return [
-            {k: v for k, v in rec.items() if k in wanted}
-            for rec in FB_FIXTURE
-            if since <= rec["date_start"] <= until
-        ]
+        return [{k: v for k, v in rec.items() if k in wanted} for rec in recs]
 
     def rates(self, date, source, currencies):
         quotes = {}
@@ -114,7 +227,7 @@ class SyntheticTransport(Transport):
 
     ads_per_day: int = 50
 
-    def insights(self, account, fields, since, until):
+    def insights(self, account, fields, since, until, level="ad", time_increment=1):
         d0 = Date.fromisoformat(since)
         d1 = Date.fromisoformat(until)
         out = []
@@ -147,9 +260,11 @@ class SyntheticTransport(Transport):
                     rec["conversions"] = [
                         {"action_type": "purchase", "value": str(h % 11)}
                     ]
-                out.append({k: v for k, v in rec.items() if k in set(fields)})
+                out.append(rec)
             d += timedelta(days=1)
-        return out
+        out = aggregate_insights(out, level, time_increment, anchor=since)
+        wanted = set(fields)
+        return [{k: v for k, v in rec.items() if k in wanted} for rec in out]
 
     def rates(self, date, source, currencies):
         return FixtureTransport().rates(date, source, currencies)

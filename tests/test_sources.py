@@ -38,6 +38,67 @@ class TestPartitionPlanning:
             "a", "2025-01-05", "2025-01-05",
         )
 
+    def test_coarser_time_increment_coarsens_the_grid(self):
+        """The planned partition grid follows the aggregation grain:
+        one partition per account × time bucket (SURVEY §4 grain
+        pushdown; the reference hardcodes day grain, main.py:180)."""
+        base = dict(accounts="a,b", since="2025-03-01", until="2025-03-10")
+        assert len(_reader(**base).partitions()) == 2 * 10
+        weekly = _reader(**base, time_increment="7").partitions()
+        assert len(weekly) == 2 * 2  # 10 days → buckets of 7 + 3
+        assert (weekly[0].since, weekly[0].until) == ("2025-03-01", "2025-03-07")
+        assert (weekly[1].since, weekly[1].until) == ("2025-03-08", "2025-03-10")
+        all_days = _reader(**base, time_increment="all_days").partitions()
+        assert len(all_days) == 2
+        assert (all_days[0].since, all_days[0].until) == ("2025-03-01", "2025-03-10")
+
+    def test_bad_grain_options_rejected(self):
+        with pytest.raises(ValueError, match="unknown level"):
+            _reader(level="keyword")
+        with pytest.raises(ValueError, match="bad time_increment"):
+            _reader(time_increment="0")
+
+
+class TestGrainAggregation:
+    def test_campaign_all_days_rolls_up_fixture(self):
+        """Server-side pre-aggregation emulation: level=campaign ×
+        all_days returns one record per campaign with summed metrics
+        and merged action lists."""
+        t = FixtureTransport()
+        fields = ["date_start", "campaign_id", "campaign_name", "clicks",
+                  "spend", "actions"]
+        ad = t.insights("act", fields, "2025-01-01", "2025-01-03")
+        camp = t.insights(
+            "act", fields, "2025-01-01", "2025-01-03",
+            level="campaign", time_increment="all_days",
+        )
+        assert len(camp) < len(ad)
+        assert all(r["date_start"] == "2025-01-01" for r in camp)
+        by_c = {r["campaign_id"]: r for r in camp}
+        for cid, rec in by_c.items():
+            exp = sum(
+                int(r["clicks"])
+                for r in ad
+                if r["campaign_id"] == cid and str(r["clicks"]).isdigit()
+            )
+            got = None if rec["clicks"] is None else int(rec["clicks"])
+            assert got == (exp if any(
+                r["campaign_id"] == cid and str(r["clicks"]).isdigit() for r in ad
+            ) else None)
+
+    def test_weekly_buckets_anchor_at_since(self):
+        t = SyntheticTransport(ads_per_day=3)
+        fields = ["date_start", "ad_id", "clicks"]
+        weekly = t.insights("act", fields, "2025-01-01", "2025-01-10",
+                            level="ad", time_increment="7")
+        starts = {r["date_start"] for r in weekly}
+        assert starts == {"2025-01-01", "2025-01-08"}
+        # conservation: bucketed clicks == daily clicks
+        daily = t.insights("act", fields, "2025-01-01", "2025-01-10")
+        assert sum(int(r["clicks"]) for r in weekly) == sum(
+            int(r["clicks"]) for r in daily
+        )
+
 
 class TestPredicatePushdown:
     def test_date_equality_collapses_range(self):
