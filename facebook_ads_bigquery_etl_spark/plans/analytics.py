@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..operators.asof import asof_join
+from ..operators.bloom import bloom_pruned_join, ensure_runtime_bloom
 from ..operators.topk import top_k_per_group
 from .registry import load_tables, register
 
@@ -1357,3 +1358,42 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(target), 2).alias("nation_revenue"),
         F.round(F.sum(target) / F.sum("volume"), 6).alias("mkt_share"),
     )
+
+
+@register(
+    "bloom_pruned_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)                          AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (operators/bloom.py): revenue
+    of lineitems belonging to URGENT orders. Catalyst injects a Bloom
+    filter built from the filtered orders' keys into the lineitem scan
+    (``might_contain(xxhash64(l_orderkey))``), so non-joining fact rows
+    die at the scan instead of crossing the shuffle — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    the ~20% that survives. Semantics-preserving (no false negatives),
+    hence a plain-join oracle; plan shape asserted in
+    tests/test_scale_layout.py."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    urgent = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    j = bloom_pruned_join(
+        t["lineitem"], urgent, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    agg = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+    return ensure_runtime_bloom(agg)

@@ -730,6 +730,34 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "countmin_top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+    FROM tok GROUP BY token
+    ORDER BY n_exact DESC, token
+    LIMIT 50
+    """,
+)
+def countmin_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches.py): the
+    approximate counterpart of ``top_tokens``. One fixed-size mergeable
+    sketch replaces the full vocabulary shuffle at 100 TB; the audit
+    row per top-50 token pins the CMS guarantee (estimate ≥ exact, and
+    ≤ exact + eps·N) against DuckDB's exact counts."""
+    from ..operators.sketches import count_min_topk_audit
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"))
+    return count_min_topk_audit(toks, col="token", k=50)
+
+
+@register(
     "decontaminate_docs",
     oracle="""
     WITH tok AS (

@@ -122,3 +122,80 @@ class TestTwoPhaseAgg:
         li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
         with pytest.raises(ValueError, match="non-algebraic"):
             two_phase_agg(li, ["l_returnflag"], {"l_quantity": "median"})
+
+
+class TestRuntimeBloomFilter:
+    def test_bloom_query_plan_has_might_contain(self, spark):
+        """The registered bloom_pruned_revenue query must carry the
+        Catalyst-injected runtime Bloom filter on the fact side — if a
+        regression drops it, this fails before the driver sees it."""
+        from facebook_ads_bigquery_etl_spark.operators.bloom import (
+            plan_has_bloom_filter,
+        )
+        from facebook_ads_bigquery_etl_spark.plans import QUERIES
+        from tests.conftest import SF_ORACLE
+
+        df = QUERIES["bloom_pruned_revenue"](spark, SF_ORACLE)
+        assert plan_has_bloom_filter(df)
+
+    def test_conf_scope_does_not_leak(self, spark):
+        from facebook_ads_bigquery_etl_spark.plans import QUERIES
+        from tests.conftest import SF_ORACLE
+
+        keys = (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+        before = {k: spark.conf.get(k) for k in keys}
+        QUERIES["bloom_pruned_revenue"](spark, SF_ORACLE).collect()
+        assert {k: spark.conf.get(k) for k in keys} == before
+
+    def test_pruning_preserves_semantics(self, spark):
+        """Bloom filters have no false negatives: pruned join ==
+        plain join, row for row."""
+        from facebook_ads_bigquery_etl_spark.plans import QUERIES
+        from tests.conftest import SF_ORACLE
+
+        got = {
+            (r["l_returnflag"], r["n_lines"], r["revenue"])
+            for r in QUERIES["bloom_pruned_revenue"](spark, SF_ORACLE).collect()
+        }
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        plain = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+        )
+        want = {(r["l_returnflag"], r["n_lines"], r["revenue"]) for r in plain.collect()}
+        assert got == want
+
+
+class TestCountMinSketch:
+    def test_estimates_obey_cms_guarantees_for_all_tokens(self, spark):
+        """estimate >= exact for EVERY token (not just top-k), and
+        <= exact + eps*N for the seeded hash family."""
+        import math
+
+        from facebook_ads_bigquery_etl_spark.operators import text as tx
+        from facebook_ads_bigquery_etl_spark.operators.sketches import (
+            count_min_sketch_of,
+        )
+        from tests.conftest import SF_ORACLE
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        toks = docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"))
+        eps = 1e-4
+        cms = count_min_sketch_of(toks, "token", eps, 0.999, 42)
+        bound = int(math.ceil(eps * cms.totalCount()))
+        exact = toks.groupBy("token").agg(F.count("*").alias("n")).collect()
+        assert cms.totalCount() == sum(r["n"] for r in exact)
+        for r in exact:
+            est = int(cms.estimateCount(r["token"]))
+            assert r["n"] <= est <= r["n"] + bound, (r["token"], r["n"], est)
