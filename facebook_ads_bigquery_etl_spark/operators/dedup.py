@@ -41,9 +41,19 @@ def _spread(df: DataFrame) -> DataFrame:
     which lands the expensive expressions back on the single input
     partition — observed 6× slowdown. An InMemoryRelation is a barrier
     the optimizer does not cross, so downstream compute genuinely runs
-    on `target` partitions. Only narrow inputs pay the (tiny) cache."""
+    on `target` partitions. Only narrow inputs pay the (tiny) cache.
+
+    Width probe: ``inputFiles()`` (a file-index lookup on the analyzed
+    plan), NOT ``df.rdd.getNumPartitions()`` — materializing the RDD
+    lineage costs an extra driver-side analysis pass per call. File
+    count under-approximates scan partitions (splittable parquet), so
+    this only errs toward spreading, never toward serializing."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0  # non-file source: assume narrow, spread
+    if width < target:
         return df.repartition(target).persist()
     return df
 

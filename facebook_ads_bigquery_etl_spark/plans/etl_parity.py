@@ -309,17 +309,25 @@ def fb_json_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast/quarantine pipeline. Proves the transform layer is
     source-agnostic: connector batch, stream, and file landing all
     feed the same stages."""
+    import hashlib as _hashlib
     import json as _json
     import os as _os
     import tempfile as _tmp
 
-    landing = _os.path.join(_tmp.gettempdir(), "fb_landing_v1")
+    # Landing dir keyed by fixture-content hash: a stale file from an
+    # older fixture can never be read (the key changes with the data),
+    # and the temp-file + os.replace write is atomic, so a concurrent
+    # session can't observe a partial file.
+    payload = "".join(_json.dumps(rec) + "\n" for rec in FB_FIXTURE)
+    key = _hashlib.sha256(payload.encode()).hexdigest()[:16]
+    landing = _os.path.join(_tmp.gettempdir(), f"fb_landing_{key}")
     _os.makedirs(landing, exist_ok=True)
     part = _os.path.join(landing, "part-000.jsonl")
     if not _os.path.exists(part):
-        with open(part, "w") as f:
-            for rec in FB_FIXTURE:
-                f.write(_json.dumps(rec) + "\n")
+        fd, tmp_name = _tmp.mkstemp(dir=landing, suffix=".tmp")
+        with _os.fdopen(fd, "w") as f:
+            f.write(payload)
+        _os.replace(tmp_name, part)
     raw = spark.read.schema(SCHEMA_FACEBOOK_RAW).json(landing)
     valid, _ = split_required_violations(
         transform_insights(raw), SCHEMA_FACEBOOK_STAT

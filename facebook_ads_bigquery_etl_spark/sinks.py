@@ -33,17 +33,24 @@ def write_day_partitioned(
 ) -> None:
     """Exactly-once write of the day partitions present in ``df``.
 
-    mode='overwrite' + partitionOverwriteMode=dynamic (set in
-    session.py) → only the partitions in this batch are replaced.
+    mode='overwrite' + the per-write partitionOverwriteMode=dynamic
+    option → only the partitions in this batch are replaced. The
+    option is passed on the DataFrameWriter (not set on the session):
+    mutating the shared session conf would silently give every later
+    plain overwrite in the same session dynamic semantics.
     mode='append' reproduces the reference's at-least-once behavior
     (kept for explicit opt-in / streaming foreachBatch).
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = df.repartition(partition_field)
     if clustering_fields:
         out = out.sortWithinPartitions(*clustering_fields)
-    out.write.mode(mode).format(fmt).partitionBy(partition_field).save(path)
+    (
+        out.write.mode(mode)
+        .format(fmt)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_field)
+        .save(path)
+    )
 
 
 def insert_rows(
@@ -62,8 +69,9 @@ def insert_rows(
     if clustering_fields:
         out = out.sortWithinPartitions(*clustering_fields)
     mode = "overwrite" if exactly_once else "append"
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    writer = out.write.mode(mode)
+    # per-write option, not a session-conf mutation (see
+    # write_day_partitioned)
+    writer = out.write.mode(mode).option("partitionOverwriteMode", "dynamic")
     if partition_field:
         writer = writer.partitionBy(partition_field)
     writer.saveAsTable(f"{db}.{table}")
