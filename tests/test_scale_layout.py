@@ -199,3 +199,36 @@ class TestCountMinSketch:
         for r in exact:
             est = int(cms.estimateCount(r["token"]))
             assert r["n"] <= est <= r["n"] + bound, (r["token"], r["n"], est)
+
+
+class TestPlanAudit:
+    """Executable version of PLANS.md: the same (query, must-contain,
+    must-not-contain) plan properties, asserted at the oracle SF so a
+    plan regression (lost broadcast, lost pushdown, a join degrading
+    to a nested loop) fails here before any driver run."""
+
+    def test_audited_plan_shapes_hold(self, spark):
+        import importlib.util as _ilu
+        import os as _os
+
+        spec = _ilu.spec_from_file_location(
+            "gen_plans",
+            _os.path.join(_os.path.dirname(__file__), "..", "scripts", "gen_plans.py"),
+        )
+        gp = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(gp)
+
+        from facebook_ads_bigquery_etl_spark.plans import QUERIES
+        from tests.conftest import SF_ORACLE
+
+        problems = []
+        for name, (_, must, must_not) in gp.AUDITS.items():
+            plan = gp.plan_of(QUERIES[name](spark, SF_ORACLE))
+            for frag in must:
+                # sf0.01 file sizes differ from sf0.1 but plan SHAPE must not
+                if frag not in plan:
+                    problems.append(f"{name}: missing {frag!r}")
+            for frag in must_not:
+                if frag in plan:
+                    problems.append(f"{name}: unexpected {frag!r}")
+        assert not problems, "\n".join(problems)
