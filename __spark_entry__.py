@@ -61,15 +61,17 @@ _PRIORITY = [
     "price_percentiles_approx", "minhash_dup_pairs", "simhash_near_dups",
     "doc_fingerprints",
     # -- new this round --
-    "bloom_pruned_revenue", "countmin_top_tokens",
-    # -- component representatives (round-1 green) --
+    "bloom_pruned_revenue", "countmin_top_tokens", "dup_clusters",
+    "train_val_test_split", "stratified_sample_mix",
+    "lineitem_metrics_unpivot",
+    # -- component representatives (round-1 green; variants that share
+    #    a component with an in-window query sit outside the window) --
     "pricing_summary", "revenue_by_nation", "brand_revenue",
     "customers_without_orders", "asof_last_purchase", "rapid_reorder_pairs",
-    "rollup_returns", "cube_events", "grouping_sets_revenue",
-    "part_type_tokens", "top3_parts_per_brand", "daily_revenue_dod",
-    "rolling_7d_revenue", "top_customers", "nation_footprint_setops",
-    "events_by_day", "orders_by_month", "events_json_stats",
-    "exact_dedup_docs", "jaccard_dup_pairs",
+    "rollup_returns", "part_type_tokens", "top3_parts_per_brand",
+    "daily_revenue_dod", "rolling_7d_revenue", "top_customers",
+    "nation_footprint_setops", "events_by_day", "events_json_stats",
+    "exact_dedup_docs",
 ]
 
 

@@ -1,0 +1,101 @@
+"""Connected components over duplicate-pair edges — the step that
+turns near-dup PAIRS into dedup GROUPS (pick one representative per
+cluster, drop the rest). The LLM-corpus pipeline is
+pairs (minhash/simhash/embedding) → components → keep min-id doc.
+
+Algorithm: iterative min-label propagation on DataFrames — each round
+every node adopts the minimum component label among itself and its
+neighbors; converges in O(graph diameter) rounds (duplicate clusters
+are near-cliques, so diameter is tiny — 2-3 rounds in practice).
+
+Scale notes:
+* State per round is (node, comp) — two longs — and edges shuffle by
+  node id; no adjacency materialization beyond the edge list.
+* Lineage is truncated with ``localCheckpoint`` each round: iterative
+  self-joins otherwise stack exponentially-growing plans (the classic
+  iterative-DataFrame failure mode; checkpointing keeps each round's
+  plan O(1)).
+* The convergence check is one tiny aggregate per round — an action,
+  but over a frame already computed for the next round's input.
+* For graphs with whale components (adversarial chains), switch to
+  the large-star/small-star contraction (same join primitives, fewer
+  rounds); duplicate clusters don't need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(node, comp) for every node appearing in ``edges``; ``comp`` is
+    the minimum node id in the node's connected component."""
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # neighbor-min pass: comp[n] <- min(comp[n], min_{m~n} comp[m])
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("n_comp", "comp")).alias("comp"),
+                (F.coalesce("n_comp", "comp") < F.col("comp")).alias("changed"),
+            )
+            .localCheckpoint()  # truncate the iterative lineage
+        )
+        n_changed = updated.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per document: (id, cluster_rep, cluster_size, keep). Documents
+    not in any dup pair are their own singleton cluster. ``keep`` marks
+    the canonical (min-id) representative — the dedup'd corpus is
+    ``filter(keep)``."""
+    comp = connected_components(edges)
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("comp", F.col(id_col)).alias("cluster_rep")
+        )
+    )
+    sizes = labeled.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    return (
+        labeled.join(sizes, "cluster_rep")
+        .select(
+            id_col,
+            "cluster_rep",
+            "cluster_size",
+            (F.col(id_col) == F.col("cluster_rep")).alias("keep"),
+        )
+    )

@@ -1397,3 +1397,38 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ensure_runtime_bloom(agg)
+
+
+@register(
+    "lineitem_metrics_unpivot",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2)                         AS sum_qty,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(COUNT(*) AS DOUBLE)                          AS n_lines
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM m
+    UNION ALL
+    SELECT l_returnflag, 'revenue', revenue FROM m
+    UNION ALL
+    SELECT l_returnflag, 'n_lines', n_lines FROM m
+    """,
+)
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): per-flag metrics melted to (metric,
+    value) rows — the inverse of event_type_pivot, completing the
+    pivot/unpivot pair. Spark's native ``unpivot`` is a zero-shuffle
+    Expand over the already-aggregated (bounded) frame."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    m = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").cast("double").alias("n_lines"),
+    )
+    return m.unpivot(
+        ["l_returnflag"], ["sum_qty", "revenue", "n_lines"], "metric", "value"
+    )

@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import components as cc
 from ..operators import dedup as dd
+from ..operators import mixing as mx
 from ..operators import multimodal as mm
 from ..operators import packing as pk
 from ..operators import similarity as sim
@@ -730,6 +732,53 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+    c AS (SELECT doc_id, COUNT(*) AS set_size FROM w GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    e AS (SELECT a_id, b_id FROM i
+          JOIN c ca ON ca.doc_id = i.a_id
+          JOIN c cb ON cb.doc_id = i.b_id
+          WHERE inter * 1.0 / (ca.set_size + cb.set_size - inter) >= 0.95),
+    sym AS (SELECT a_id AS src, b_id AS dst FROM e
+            UNION SELECT b_id, a_id FROM e),
+    closure(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT cl.src, s.dst FROM closure cl JOIN sym s ON cl.dst = s.src
+    ),
+    reps AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(cl.dst), d.doc_id)) AS cluster_rep
+      FROM documents d LEFT JOIN closure cl ON cl.src = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    sizes AS (SELECT cluster_rep, COUNT(*) AS n FROM reps GROUP BY 1)
+    SELECT r.doc_id, r.cluster_rep,
+           CAST(s.n AS BIGINT)        AS cluster_size,
+           r.doc_id = r.cluster_rep   AS keep
+    FROM reps r JOIN sizes s USING (cluster_rep)
+    """,
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS via iterative min-label
+    connected components (operators/components.py): every document
+    gets its cluster representative (min doc_id in the component over
+    unigram-Jaccard ≥ 0.95 edges), the cluster size, and the keep flag
+    the dedup'd corpus filters on. The oracle recomputes components
+    with a recursive transitive-closure CTE — exact, so the whole
+    iterative operator is driver-hash-checked."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    edges = dd.jaccard_pairs(docs, threshold=0.95, ngram=1)
+    return cc.dedup_clusters(docs, edges)
+
+
+@register(
     "countmin_top_tokens",
     oracle="""
     WITH tok AS (
@@ -755,6 +804,66 @@ def countmin_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     toks = docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"))
     return count_min_topk_audit(toks, col="token", k=50)
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(sha256(doc_id::VARCHAR || 'split_v1'), 1, 4))
+                          AS INTEGER) < 58982 THEN 'train'
+                WHEN CAST(('0x' || substr(sha256(doc_id::VARCHAR || 'split_v1'), 1, 4))
+                          AS INTEGER) < 62259 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split by sha256 hash bucket
+    (operators/mixing.py): a pure function of (doc_id, salt), so
+    reruns/backfills/engines agree row-for-row with no stored
+    assignment table and no RNG — DuckDB recomputes the exact same
+    assignment, making this a per-row driver hash check."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return mx.with_split(docs, id_col="doc_id", salt="split_v1").select(
+        "doc_id", "split"
+    )
+
+
+@register(
+    "stratified_sample_mix",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(sha256(doc_id::VARCHAR || 'mix_v1'), 1, 4))
+                  AS INTEGER) AS bucket
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT)    AS min_kept_id,
+           CAST(MAX(doc_id) AS BIGINT)    AS max_kept_id
+    FROM b
+    WHERE bucket < (CASE lang WHEN 'en' THEN 19660
+                              WHEN 'de' THEN 45875 ELSE 65536 END)
+    GROUP BY lang
+    """,
+)
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling (operators/mixing.py): keep 30% of
+    'en', 70% of 'de', 100% of everything else — deterministically by
+    hash bucket, one map-only pass, rate table compiled into the plan.
+    Aggregated per language for a scale-stable output; the oracle
+    recomputes the identical kept-set."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    kept = mx.stratified_sample(
+        docs, rates={"en": 0.3, "de": 0.7}, strata_col="lang",
+        id_col="doc_id", salt="mix_v1",
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_kept_id"),
+        F.max("doc_id").alias("max_kept_id"),
+    )
 
 
 @register(

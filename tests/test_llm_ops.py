@@ -242,3 +242,89 @@ class TestDecontamination:
         )
         got = dd.contamination_overlap(corpus, bench, ngram=5).collect()
         assert len(got) == 1 and got[0]["n_shared_shingles"] == 1
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.components import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (8, 8)], "a_id long, b_id long"
+        )
+        got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8}
+
+    def test_chain_converges(self, spark):
+        """A 12-node path graph needs multiple propagation rounds —
+        exercises the iterative loop + early stop."""
+        from facebook_ads_bigquery_etl_spark.operators.components import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(100, 111)], "a_id long, b_id long"
+        )
+        got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+        assert set(got.values()) == {100} and len(got) == 12
+
+    def test_dedup_clusters_keep_exactly_one_per_cluster(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators import dedup as dd
+        from facebook_ads_bigquery_etl_spark.operators.components import (
+            dedup_clusters,
+        )
+        from tests.conftest import SF_ORACLE
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        edges = dd.jaccard_pairs(docs, threshold=0.95, ngram=1)
+        out = dedup_clusters(docs, edges).collect()
+        assert len(out) == docs.count()  # every doc labeled
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_rep"], []).append(r)
+        for rep, members in by_cluster.items():
+            keeps = [m for m in members if m["keep"]]
+            assert len(keeps) == 1 and keeps[0]["doc_id"] == rep
+            assert all(m["cluster_size"] == len(members) for m in members)
+            assert rep == min(m["doc_id"] for m in members)
+
+
+class TestDeterministicMixing:
+    def test_split_fractions_and_stability(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.mixing import with_split
+        from tests.conftest import SF_ORACLE
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        a = {r["doc_id"]: r["split"] for r in with_split(docs).select("doc_id", "split").collect()}
+        b = {r["doc_id"]: r["split"] for r in with_split(docs).select("doc_id", "split").collect()}
+        assert a == b  # deterministic, no RNG state
+        n = len(a)
+        frac_train = sum(1 for s in a.values() if s == "train") / n
+        assert 0.85 <= frac_train <= 0.95  # 500 docs: loose binomial band
+
+    def test_salt_redraws_assignment(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.mixing import with_split
+        from tests.conftest import SF_ORACLE
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        a = {r["doc_id"]: r["split"] for r in with_split(docs, salt="s1").collect()}
+        b = {r["doc_id"]: r["split"] for r in with_split(docs, salt="s2").collect()}
+        assert a != b
+
+    def test_stratified_rates_land_near_target(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.mixing import (
+            stratified_sample,
+        )
+        from tests.conftest import SF_ORACLE
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        kept = stratified_sample(docs, rates={"en": 0.3}, strata_col="lang")
+        base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        # non-en strata untouched; en thinned to ~30%
+        for lang, n in base.items():
+            if lang == "en":
+                assert 0.15 * n <= got.get(lang, 0) <= 0.45 * n
+            else:
+                assert got.get(lang, 0) == n
