@@ -50,7 +50,7 @@ _PRIORITY = [
     "fb_json_landing",
     # -- streaming --
     "stream_daily_rollup", "stream_sessionize", "stream_running_totals",
-    "stream_fx_enrich",
+    "stream_fx_enrich", "stream_view_purchase_funnel",
     # -- LLM ops with no prior driver row --
     "ann_lsh_topk", "ann_ivf_topk", "embedding_dup_pairs",
     "embedding_dup_pairs_lsh", "embedding_norms", "multimodal_features",
@@ -68,7 +68,7 @@ _PRIORITY = [
     #    a component with an in-window query sit outside the window) --
     "pricing_summary", "revenue_by_nation", "brand_revenue",
     "customers_without_orders", "asof_last_purchase", "rapid_reorder_pairs",
-    "rollup_returns", "part_type_tokens", "top3_parts_per_brand",
+    "rollup_returns", "top3_parts_per_brand",
     "daily_revenue_dod", "rolling_7d_revenue", "top_customers",
     "nation_footprint_setops", "events_by_day", "events_json_stats",
     "exact_dedup_docs",

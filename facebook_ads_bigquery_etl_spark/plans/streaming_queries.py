@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..streaming import (
     daily_rollup,
     enrich_with_rates,
+    join_event_streams,
     read_event_stream,
     sessionize_stream,
     user_running_totals,
@@ -168,3 +169,37 @@ def stream_fx_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value_local"), 2).alias("total_value_local"),
     )
+
+
+@register(
+    "stream_view_purchase_funnel",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def stream_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join (the funnel primitive): views joined
+    to same-user purchases within a 1-hour attribution window, both
+    sides live streams with watermarks bounding the join state. On
+    finite input the result must equal the batch interval self-join —
+    which is exactly what the oracle computes."""
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = join_event_streams(views, purchases, within="1 hour")
+    out = joined.select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("view_id"),
+        F.col("b.event_id").alias("purchase_id"),
+        ((F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts")))
+         / F.lit(1000000)).cast("long").alias("gap_s"),
+    )
+    return _drain(out, _qname("s_funnel", sf_dir), "append")

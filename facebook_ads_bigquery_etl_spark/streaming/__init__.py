@@ -18,6 +18,7 @@ from .pipeline import (
     daily_rollup,
     dedup_events,
     enrich_with_rates,
+    join_event_streams,
     read_event_stream,
     sessionize_stream,
     user_running_totals,
@@ -27,6 +28,7 @@ from .pipeline import (
 __all__ = [
     "daily_rollup",
     "dedup_events",
+    "join_event_streams",
     "enrich_with_rates",
     "read_event_stream",
     "sessionize_stream",

@@ -191,3 +191,29 @@ def write_stream_to_warehouse(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds — the funnel
+    primitive (view → purchase within the attribution window) as a
+    true two-stream join, not a batch afterthought.
+
+    Both sides carry a watermark and the join condition bounds
+    ``right.ts`` to [left.ts, left.ts + within]: Spark can then expire
+    buffered rows once the watermark passes their join window, so
+    state is O(arrival rate × (watermark + within)) per side —
+    independent of stream length. Without the time bound the state
+    store would have to keep EVERY row forever; the bound is what
+    makes the operator viable at 100 TB/day."""
+    a = left.alias("a").withWatermark("ts", watermark)
+    b = right.alias("b").withWatermark("ts", watermark)
+    cond = F.expr(
+        "a.user_id = b.user_id AND b.ts >= a.ts "
+        f"AND b.ts <= a.ts + interval {within}"
+    )
+    return a.join(b, cond)
