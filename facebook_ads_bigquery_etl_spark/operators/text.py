@@ -112,3 +112,62 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
     at scale — group on the 8-byte fingerprint, never the document body."""
     normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn(out_col, F.xxhash64(normalized))
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1) — the classic content-signature /
+    keyword-extraction primitive.
+
+    Scale: one explode → two hash aggregates (term-frequency per doc,
+    document-frequency per token — both map-side combinable), a
+    BROADCAST of the vocabulary-sized df table back onto the tf rows,
+    and a per-doc WindowGroupLimit for the top-k. The corpus total N is
+    a broadcast scalar (crossJoin of a 1-row frame), not a collected
+    literal, so the whole thing is one lazily-planned DataFrame.
+    Ranking uses the ROUNDED score (6dp) + token tie-break: a total
+    order that cross-engine double arithmetic reproduces exactly."""
+    from .topk import top_k_per_group
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+            ),
+        )
+    )
+    return top_k_per_group(
+        scored, [id_col], [F.desc("tfidf"), F.asc("token")], k
+    ).select(id_col, "token", "tfidf", "rank")
+
+
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data cleaning: count and strip email/phone PII with
+    anchored regexes (JVM codegen'd regexp_replace — a map-only stage;
+    at 100 TB this runs at scan speed and shuffles nothing). Adds
+    ``n_emails``, ``n_phones``, ``clean_text``."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)))
+        .withColumn("n_phones", F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), 0)))
+        .withColumn(
+            "clean_text",
+            F.regexp_replace(F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"),
+        )
+    )

@@ -732,6 +732,86 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS tfidf
+      FROM tf JOIN dfq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/text.py): explode → two mergeable aggregates →
+    broadcast of the vocabulary-sized df table → per-doc
+    WindowGroupLimit. Ranking is on the rounded score + token
+    tie-break, so both engines produce the identical total order."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return tx.tf_idf_top_terms(docs, k=3)
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +12-555-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t,
+                '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS INTEGER)          AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(t,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT)
+                                                                       AS clean_len
+    FROM seeded
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data cleaning: PII detection + redaction
+    (operators/text.py) over documents seeded with a deterministic
+    contact line (the synthetic corpus contains no real PII, so the
+    query injects one email + one phone per doc and must find and
+    strip EXACTLY those). Map-only regexp stage; both engines run the
+    same RE2/Java-compatible patterns, so counts and redacted lengths
+    hash-match."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +12-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    out = tx.redact_pii(seeded)
+    return out.select(
+        "doc_id", "n_emails", "n_phones",
+        F.length("clean_text").cast("long").alias("clean_len"),
+    )
+
+
+@register(
     "dup_clusters",
     oracle="""
     WITH RECURSIVE
