@@ -1,0 +1,80 @@
+"""Z-order (Morton-curve) clustering layout — multi-dimensional data
+skipping for 100 TB scans.
+
+A day-partitioned table clustered on ONE column (sinks.py's
+``sortWithinPartitions``) skips beautifully on that column and not at
+all on any other. Interleaving the bits of several columns into one
+sort key gives every participating column partial locality: each
+output file covers a small hyper-rectangle of the key space, so
+parquet min/max stats prune files/row-groups for predicates on ANY of
+the z-columns — the layout trick behind Delta/Iceberg OPTIMIZE ZORDER,
+built here from plain Spark expressions (shift/or — whole-stage
+codegen, no UDF).
+
+Scale: per z-column, one t-digest quantile sketch pass computes the
+equi-depth bin cut points (a driver-held array of 2^bits doubles —
+bounded, never data-sized; a global rank/ntile window would instead
+funnel every row through one partition). The rewrite itself is one
+range-repartition + within-partition sort — the same cost profile as
+the single-column clustered write; the benefit is at read time,
+forever after.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS = 8  # per-dimension resolution; 2 dims -> 16-bit z-value
+
+
+def _bin_expr(col: str, cuts: list[float]) -> Column:
+    """Equi-depth bin id = #cuts ≤ value — a codegen'd filter over the
+    literal cut array (2^bits comparisons/row, no UDF, no shuffle)."""
+    arr = F.array(*[F.lit(float(x)) for x in cuts])
+    v = F.col(col).cast("double")
+    return F.size(F.filter(arr, lambda x: x <= v)).cast("long")
+
+
+def z_value_binned(bins: list[Column], bits: int = BITS) -> Column:
+    """Morton interleave of per-column bin ids: bit j of column i lands
+    at position j·n_cols + i. Pure expression tree, codegen'd."""
+    n = len(bins)
+    terms = [
+        F.shiftleft(F.shiftright(b, j).bitwiseAND(F.lit(1)), j * n + i)
+        for i, b in enumerate(bins)
+        for j in range(bits)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    n_files: int = 16,
+    bits: int = BITS,
+    fmt: str = "parquet",
+) -> None:
+    """Rewrite ``df`` into ``n_files`` files ordered along the Morton
+    curve of ``zcols``: equi-depth bin each column (quantile-sketch cut
+    points — robust to skewed/non-integer distributions), interleave,
+    range-repartition on the z-value (contiguous, balanced curve
+    segments per file) + within-partition sort, so each file's parquet
+    min/max footer covers a tight hyper-rectangle of the key space."""
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    bins = [
+        _bin_expr(c, df.approxQuantile(c, probs, 0.001)) for c in zcols
+    ]
+    zv = z_value_binned(bins, bits)
+    (
+        df.withColumn("__z", zv)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
