@@ -64,14 +64,13 @@ _PRIORITY = [
     "bloom_pruned_revenue", "countmin_top_tokens", "dup_clusters",
     "train_val_test_split", "stratified_sample_mix",
     "lineitem_metrics_unpivot", "tfidf_top_terms", "pii_redaction",
+    "rolling_distinct_users", "cohort_retention", "price_histogram",
     # -- component representatives (round-1 green; variants that share
     #    a component with an in-window query sit outside the window) --
     "pricing_summary", "revenue_by_nation",
     "customers_without_orders", "asof_last_purchase", "rapid_reorder_pairs",
-    "top3_parts_per_brand",
-    "daily_revenue_dod", "rolling_7d_revenue", "top_customers",
-    "nation_footprint_setops", "events_by_day", "events_json_stats",
-    "exact_dedup_docs",
+    "top3_parts_per_brand", "rolling_7d_revenue", "top_customers",
+    "events_json_stats", "exact_dedup_docs",
 ]
 
 

@@ -1432,3 +1432,114 @@ def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.unpivot(
         ["l_returnflag"], ["sum_qty", "revenue", "n_lines"], "metric", "value"
     )
+
+
+@register(
+    "rolling_distinct_users",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d
+    FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the 'rolling DAU/WAU'
+    shape. Spark windows can't do COUNT(DISTINCT) over a frame, and a
+    per-day self-join re-scans the fact 7×; the scalable rewrite is
+    EXPLODE-TO-WINDOW: each (day, user) contributes itself to the ≤7
+    target days it falls in (a bounded sequence → explode), then ONE
+    hash countDistinct per target day. Shuffle is O(7 · |distinct
+    (day, user)|) — linear in data, no frame state, no re-scan."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    day_user = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = day_user.select("day").distinct()
+    contrib = day_user.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, "day")  # only emit days that exist in the data
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(FLOOR(DATEDIFF('day', DATE '2000-01-03', f.d0) / 7) AS BIGINT)
+               AS cohort_week,
+           CAST(FLOOR(DATEDIFF('day', f.d0, a.d) / 7) AS BIGINT)    AS week_k,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT)                AS n_users
+    FROM firsts f JOIN act a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week
+    (anchored to the 2000-01-03 Monday epoch), counted distinct in
+    each subsequent week offset. Two hash aggregates + one equi join
+    on user_id — first-seen frame is |users|-sized; at 100 TB the
+    firsts table is the thing you'd persist incrementally rather than
+    recompute (same query semantics either way)."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    j = act.join(firsts, "user_id")
+    return (
+        j.select(
+            F.floor(F.datediff("d0", F.lit("2000-01-03").cast("date")) / 7)
+            .cast("long").alias("cohort_week"),
+            F.floor(F.datediff("d", "d0") / 7).cast("long").alias("week_k"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_k")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "price_histogram",
+    oracle="""
+    WITH mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+                FROM orders)
+    SELECT CAST(LEAST(9, FLOOR((o_totalprice - lo) / (hi - lo) * 10))
+                AS BIGINT)                         AS bin,
+           CAST(COUNT(*) AS BIGINT)                AS n_orders,
+           ROUND(SUM(o_totalprice), 2)             AS total_value
+    FROM orders CROSS JOIN mm
+    GROUP BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 10-bin histogram of order value: global min/max via
+    one tiny aggregate BROADCAST back onto the scan (no collect, no
+    second pass with a literal), then a hash aggregate on the bin id.
+    The distribution profile every data-quality dashboard starts
+    with."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    mm = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(mm)).withColumn(
+        "bin",
+        F.least(
+            F.lit(9),
+            F.floor((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10),
+        ).cast("long"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
