@@ -86,6 +86,24 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["partial_"],
         ["CartesianProduct", "Exchange hashpartitioning(user"],
     ),
+    "tfidf_top_terms": (
+        "TF-IDF: vocabulary-sized df table broadcast onto tf rows; per-doc "
+        "top-k via WindowGroupLimit; no nested loop anywhere",
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        ["CartesianProduct"],
+    ),
+    "rolling_distinct_users": (
+        "explode-to-window rewrite: sequence+explode then ONE hash "
+        "countDistinct — no per-day fact re-scan, no frame-distinct state",
+        ["Generate", "partial_count(distinct"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "price_histogram": (
+        "global min/max broadcast back onto the scan (single-row build "
+        "side), then one hash aggregate on the bin id",
+        ["BroadcastNestedLoopJoin", "partial_"],
+        ["CartesianProduct"],
+    ),
     "cosine_topk": (
         "exact ANN baseline: broadcast nested loop IS the documented plan "
         "(tiny query side × corpus scan); the scale paths are "

@@ -120,3 +120,98 @@ def test_pipeline_rerun_idempotence_under_interleavings(spark, tmp_path_factory,
         day = [r for r in FB_FIXTURE if r["date_start"] == rec["date_start"]]
         run_facebook_pipeline(spark, day, wh)
     assert spark.read.parquet(wh).count() == baseline
+
+
+# -- connected components vs a pure-python union-find reference -------------
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@SPARK_SETTINGS
+@given(_edge_lists)
+def test_connected_components_match_union_find(spark, edges):
+    """Iterative min-label propagation must agree with a classic
+    union-find on arbitrary random graphs (self-loops, duplicate
+    edges, multi-component, chains)."""
+    from facebook_ads_bigquery_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == _union_find_components(edges)
+
+
+# -- connector grain aggregation conserves totals ---------------------------
+
+@given(
+    st.integers(1, 9),   # ads per day
+    st.integers(1, 10),  # days
+    st.sampled_from(["adset", "campaign", "account"]),
+    st.sampled_from(["1", "3", "all_days"]),
+)
+@settings(max_examples=25, deadline=None)
+def test_grain_aggregation_conserves_metrics(ads, days, level, inc):
+    """Server-side pre-aggregation at ANY grain must conserve summed
+    clicks/impressions and the number of underlying (account, day)
+    cells — pure-python over the synthetic transport."""
+    import datetime as _dt
+
+    from facebook_ads_bigquery_etl_spark.sources.transport import (
+        SyntheticTransport,
+    )
+
+    t = SyntheticTransport(ads_per_day=ads)
+    since = "2025-06-01"
+    until = (_dt.date(2025, 6, 1) + _dt.timedelta(days=days - 1)).isoformat()
+    fields = ["date_start", "adset_id", "campaign_id", "clicks", "impressions", "spend"]
+    fine = t.insights("acct", fields, since, until)
+    coarse = t.insights("acct", fields, since, until, level=level, time_increment=inc)
+    assert len(coarse) <= len(fine)
+    for metric in ("clicks", "impressions"):
+        assert sum(int(r[metric]) for r in coarse) == sum(int(r[metric]) for r in fine)
+    assert abs(
+        sum(float(r["spend"]) for r in coarse) - sum(float(r["spend"]) for r in fine)
+    ) < 1e-6 * max(1.0, sum(float(r["spend"]) for r in fine))
+
+
+# -- hash-bucket mixing: disjoint, exhaustive, deterministic ----------------
+
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=300, unique=True))
+@settings(max_examples=25, deadline=None)
+def test_hash_split_partitions_any_id_set(ids):
+    """Pure-python twin of operators/mixing.with_split: every id lands
+    in exactly one split, and the assignment is a pure function of the
+    id (order/set-membership independent)."""
+    import hashlib
+
+    def split_of(i, salt="split_v1"):
+        b = int(hashlib.sha256(f"{i}{salt}".encode()).hexdigest()[:4], 16)
+        return "train" if b < 58982 else ("val" if b < 62259 else "test")
+
+    whole = {i: split_of(i) for i in ids}
+    assert set(whole.values()) <= {"train", "val", "test"}
+    # subset invariance: membership of others never changes an id's fate
+    for i in ids[:10]:
+        assert split_of(i) == whole[i]
