@@ -50,7 +50,7 @@ _PRIORITY = [
     "fb_json_landing",
     # -- streaming --
     "stream_daily_rollup", "stream_sessionize", "stream_running_totals",
-    "stream_fx_enrich", "stream_view_purchase_funnel",
+    "stream_fx_enrich", "stream_view_purchase_funnel", "stream_dedup_ingest",
     # -- LLM ops with no prior driver row --
     "ann_lsh_topk", "ann_ivf_topk", "embedding_dup_pairs",
     "embedding_dup_pairs_lsh", "embedding_norms", "multimodal_features",
@@ -65,12 +65,12 @@ _PRIORITY = [
     "train_val_test_split", "stratified_sample_mix",
     "lineitem_metrics_unpivot", "tfidf_top_terms", "pii_redaction",
     "rolling_distinct_users", "cohort_retention", "price_histogram",
+    "image_resize_stats",
     # -- component representatives (round-1 green; variants that share
     #    a component with an in-window query sit outside the window) --
     "pricing_summary", "revenue_by_nation",
     "customers_without_orders", "asof_last_purchase", "rapid_reorder_pairs",
     "top3_parts_per_brand", "rolling_7d_revenue", "top_customers",
-    "events_json_stats", "exact_dedup_docs",
 ]
 
 

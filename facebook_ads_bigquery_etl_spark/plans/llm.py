@@ -1015,3 +1015,30 @@ def pack_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (no extra exchange)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return pk.pack_stats(pk.pack_documents(docs, budget=256))
+
+
+@register(
+    "image_resize_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_images,
+           CAST(12288 AS BIGINT)                          AS bytes_per_image,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT)   AS n_distinct_payloads
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage end-to-end (operators/multimodal.resize_images):
+    every image payload re-encoded to a 64×64×3 buffer by the
+    deterministic stub decoder (digest-seeded tile), via Arrow-batched
+    mapInPandas. The oracle pins the fan-in count, the exact output
+    buffer size, and payload distinctness (tiles are injective in the
+    source digest, which DuckDB recomputes with sha256)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    resized = mm.resize_images(
+        mm.synth_media_from_documents(docs), width=64, height=64
+    )
+    return resized.agg(
+        F.count("*").alias("n_images"),
+        F.max("n_bytes").alias("bytes_per_image"),
+        F.countDistinct("payload").alias("n_distinct_payloads"),
+    )

@@ -203,3 +203,31 @@ def stream_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1000000)).cast("long").alias("gap_s"),
     )
     return _drain(out, _qname("s_funnel", sf_dir), "append")
+
+
+@register(
+    "stream_dedup_ingest",
+    oracle="""
+    SELECT CAST(ts AS DATE)         AS date,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once repair under redelivery: the source is read TWICE
+    and unioned (every event delivered 2× — the reference's
+    at-least-once failure mode, main.py:86-89), then
+    ``dropDuplicatesWithinWatermark`` on event_id collapses the
+    duplicates with watermark-bounded state. The per-day counts must
+    equal the clean batch counts — exactly what the oracle computes."""
+    from ..streaming import dedup_events
+
+    src = f"{sf_dir}/events.parquet"
+    doubled = read_event_stream(spark, src).union(read_event_stream(spark, src))
+    clean = dedup_events(doubled)
+    tbl = _drain(
+        clean.select(F.to_date("ts").alias("date"), "event_id"),
+        _qname("s_dedup", sf_dir),
+        "append",
+    )
+    return tbl.groupBy("date").agg(F.count("*").alias("n_events"))
