@@ -65,7 +65,7 @@ _PRIORITY = [
     "train_val_test_split", "stratified_sample_mix",
     "lineitem_metrics_unpivot", "tfidf_top_terms", "pii_redaction",
     "rolling_distinct_users", "cohort_retention", "price_histogram",
-    "image_resize_stats",
+    "image_resize_stats", "props_map_stats",
     # -- component representatives (round-1 green; variants that share
     #    a component with an in-window query sit outside the window) --
     "pricing_summary", "revenue_by_nation",

@@ -1543,3 +1543,42 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
     )
+
+
+@register(
+    "props_map_stats",
+    oracle="""
+    WITH kv AS (
+      SELECT event_type,
+             unnest(json_keys(props)) AS k,
+             CAST(props ->> '$.k' AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_type, k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v) AS BIGINT)   AS min_v,
+           CAST(MAX(v) AS BIGINT)   AS max_v,
+           ROUND(AVG(v), 6)         AS avg_v
+    FROM kv GROUP BY 1, 2
+    """,
+)
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured MAP column path: the JSON props payload parsed
+    to ``map<string,string>`` (schema-on-read — no fixed struct
+    needed when keys vary by event), exploded to (key, value) rows,
+    aggregated per (event_type, key). Complements events_json_stats'
+    point-lookup (`get_json_object`) with the full map surface:
+    from_json(MapType) → explode(map) → agg, all codegen'd."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    kv = ev.select(
+        "event_type",
+        F.explode(
+            F.from_json("props", "map<string,string>")
+        ).alias("k", "v_str"),
+    ).withColumn("v", F.col("v_str").try_cast("long"))
+    return kv.groupBy("event_type", "k").agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.round(F.avg("v"), 6).alias("avg_v"),
+    )
