@@ -77,3 +77,38 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
+
+
+class TestDriverWindowCuration:
+    """The driver's CORRECTNESS run covers only the FIRST 50 entries of
+    queries(). These invariants keep the curation honest as queries
+    are added."""
+
+    def test_every_window_query_has_an_oracle(self):
+        names = list(QUERIES)[:50]
+        missing = [n for n in names if n not in ORACLES]
+        assert not missing, f"window slots wasted on rows-only checks: {missing}"
+
+    def test_unverified_queries_sit_inside_the_window(self):
+        """Any registered query with no CORRECTNESS row in ANY prior
+        round must be in the first 50, else it ships unverified."""
+        import glob
+        import json
+
+        prior_rows: set[str] = set()
+        for path in glob.glob("CORRECTNESS_r*.json"):
+            with open(path) as f:
+                prior_rows |= set(json.load(f))
+        window = set(list(QUERIES)[:50])
+        unverified_outside = [
+            n for n in QUERIES if n not in prior_rows and n not in window
+        ]
+        assert not unverified_outside, (
+            f"queries with no driver row ever, outside the window: "
+            f"{unverified_outside}"
+        )
+
+    def test_priority_list_is_exhaustive_and_unique(self):
+        names = list(QUERIES)
+        assert len(names) == len(set(names))
+        assert set(names) == set(entrymod.queries())
