@@ -51,6 +51,7 @@ _PRIORITY = [
     # -- streaming --
     "stream_daily_rollup", "stream_sessionize", "stream_running_totals",
     "stream_fx_enrich", "stream_view_purchase_funnel", "stream_dedup_ingest",
+    "stream_user_profile",
     # -- LLM ops with no prior driver row --
     "ann_lsh_topk", "ann_ivf_topk", "embedding_dup_pairs",
     "embedding_dup_pairs_lsh", "embedding_norms", "multimodal_features",
@@ -66,6 +67,8 @@ _PRIORITY = [
     "lineitem_metrics_unpivot", "tfidf_top_terms", "pii_redaction",
     "rolling_distinct_users", "cohort_retention", "price_histogram",
     "image_resize_stats", "props_map_stats",
+    "scd2_dimension", "customer_snapshot_cdc", "salted_segment_revenue",
+    "column_profile_lineitem",
     # -- component representatives (round-1 green; variants that share
     #    a component with an in-window query sit outside the window) --
     "pricing_summary", "revenue_by_nation",

@@ -11,3 +11,4 @@ from . import analytics  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import etl_parity  # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
+from . import warehouse  # noqa: F401,E402

@@ -245,12 +245,18 @@ def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     path at 100 TB is the sketch alone (see tests/test_operators.py
     for the rsd assertion)."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    agg = li.agg(
+    # sketches and exact distincts in SEPARATE aggregates: sharing one
+    # agg puts the HLL buffers inside every (gid, value) group of the
+    # multi-distinct Expand rewrite — per-group kilobytes across every
+    # distinct value (see operators/profile.py for the arithmetic)
+    sketch = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
+    )
+    agg = li.agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-    )
+    ).crossJoin(sketch)
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= 0.05 * F.col(e)
     )

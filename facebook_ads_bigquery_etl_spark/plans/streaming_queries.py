@@ -22,6 +22,8 @@ from ..streaming import (
     join_event_streams,
     read_event_stream,
     sessionize_stream,
+    transform_with_state_available,
+    user_profile_stateful,
     user_running_totals,
 )
 from .registry import load_tables, register
@@ -122,6 +124,58 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+@register(
+    "stream_user_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)                     AS n_events,
+           ROUND(SUM(COALESCE(value, 0.0)), 2)          AS total_value,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT)   AS n_types,
+           ROUND(MAX(COALESCE(value, 0.0)), 2)          AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-state stateful operator (transformWithState where its
+    protobuf dependency exists, applyInPandasWithState fallback here —
+    see streaming/pipeline.user_profile_stateful): running totals plus
+    a per-event-type count map, per user. The LAST emission per user
+    (max_by on the monotone event count) must equal the batch per-user
+    profile — the oracle recomputes it as plain SQL.
+
+    transformWithState requires the RocksDB state store; the conf is
+    set only for this query's start and restored afterwards (the
+    provider is captured when the stream starts)."""
+    rocks = transform_with_state_available()
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    if rocks:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    try:
+        stream = user_profile_stateful(
+            read_event_stream(spark, f"{sf_dir}/events.parquet")
+        )
+        tbl = _drain(stream, _qname("s_prof", sf_dir), "update")
+    finally:
+        if rocks:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+    return tbl.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
+        F.max("n_types").alias("n_types"),
+        F.round(F.max("max_value"), 2).alias("max_value"),
     )
 
 

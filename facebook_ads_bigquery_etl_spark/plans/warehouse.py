@@ -1,0 +1,258 @@
+"""Warehouse-maintenance queries: dimension history (SCD2), skew-safe
+joins, and table statistics.
+
+The reference's downstream warehouse (day-partitioned spend facts +
+denormalized campaign attributes, reference main.py:22-40) needs
+exactly these to operate at scale: change capture over dimension
+snapshots, joins that survive hot keys, and the column statistics
+that drive physical-layout and join-strategy decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.profile import column_profile
+from ..operators.scd import scd2_merge, snapshot_diff
+from ..operators.skew import salted_join
+from .registry import load_tables, register
+
+
+def _customer_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic dimension snapshots derived from ``customer``
+    (the testdata has no real history): the "old" snapshot is missing
+    every 7th key (those become inserts), the "new" snapshot drops
+    every 13th key (deletes) and bumps every 10th key's balance
+    (updates). Both engines derive the same snapshots from the same
+    base table, so the SCD2 output is fully oracle-checkable."""
+    cust = load_tables(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    old = cust.filter(F.col("c_custkey") % 7 != 0)
+    new = cust.filter(F.col("c_custkey") % 13 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    return old, new
+
+
+_SCD2_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal,
+         c_mktsegment
+  FROM customer
+),
+old AS (SELECT * FROM base WHERE c_custkey % 7 <> 0),
+new AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 10 = 0 THEN ROUND(c_acctbal + 100.0, 2)
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM base WHERE c_custkey % 13 <> 0
+),
+j AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         o.c_custkey IS NOT NULL AS in_old,
+         n.c_custkey IS NOT NULL AS in_new,
+         (o.c_name      IS NOT DISTINCT FROM n.c_name) AND
+         (o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey) AND
+         (o.c_acctbal   IS NOT DISTINCT FROM n.c_acctbal) AND
+         (o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment) AS same,
+         o.c_name AS o_name, o.c_nationkey AS o_nationkey,
+         o.c_acctbal AS o_acctbal, o.c_mktsegment AS o_mktsegment,
+         n.c_name AS n_name, n.c_nationkey AS n_nationkey,
+         n.c_acctbal AS n_acctbal, n.c_mktsegment AS n_mktsegment
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey, o_name AS c_name, o_nationkey AS c_nationkey,
+       o_acctbal AS c_acctbal, o_mktsegment AS c_mktsegment,
+       DATE '2024-01-01' AS valid_from,
+       CASE WHEN in_new AND same THEN DATE '9999-12-31'
+            ELSE DATE '2024-02-01' END AS valid_to,
+       (in_new AND same) AS is_current
+FROM j WHERE in_old
+UNION ALL
+SELECT c_custkey, n_name, n_nationkey, n_acctbal, n_mktsegment,
+       DATE '2024-02-01', DATE '9999-12-31', TRUE
+FROM j WHERE in_new AND (NOT in_old OR NOT same)
+"""
+
+
+@register("scd2_dimension", oracle=_SCD2_ORACLE)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge of two customer-dimension snapshots
+    (operators/scd.py): updates close the old version and open a new
+    one, deletes close with no successor, inserts open at the new
+    snapshot date. The oracle independently rebuilds the history with
+    a FULL OUTER JOIN + IS NOT DISTINCT FROM comparison, so every
+    validity range and current flag is value-checked.
+
+    Fixes the reference's silent-history-rewrite (denormalized
+    campaign names on fact rows, main.py:205-210): the history table
+    this produces is what those fact rows should join to."""
+    old, new = _customer_snapshots(spark, sf_dir)
+    return scd2_merge(
+        old,
+        new,
+        key="c_custkey",
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        old_date="2024-01-01",
+        new_date="2024-02-01",
+    )
+
+
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal,
+         c_mktsegment
+  FROM customer
+),
+old AS (SELECT * FROM base WHERE c_custkey % 7 <> 0),
+new AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 10 = 0 THEN ROUND(c_acctbal + 100.0, 2)
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM base WHERE c_custkey % 13 <> 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       n.c_name, n.c_nationkey, n.c_acctbal, n.c_mktsegment
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR NOT ((o.c_name      IS NOT DISTINCT FROM n.c_name) AND
+           (o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey) AND
+           (o.c_acctbal   IS NOT DISTINCT FROM n.c_acctbal) AND
+           (o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment))
+"""
+
+
+@register("customer_snapshot_cdc", oracle=_CDC_ORACLE)
+def customer_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff of two customer-dimension snapshots
+    (operators/scd.py:37): one row per changed key with change_type ∈
+    {insert, update, delete} and the new attribute values (NULL for
+    deletes). The change set is what feeds the SCD2 merge and what the
+    reference's append-only ETL (main.py:86-89) silently lacks — it
+    has no way to notice a renamed campaign.
+
+    Output is sized by churn, not dimension size: at 100 TB the
+    full-outer join shuffles only the dimension (small by hypothesis),
+    and unchanged keys are dropped before anything downstream."""
+    old, new = _customer_snapshots(spark, sf_dir)
+    return snapshot_diff(
+        old, new, key="c_custkey",
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+
+
+@register(
+    "salted_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)      AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment through the SALTED join
+    (operators/skew.py:19): the fact side's join key is salted over 8
+    buckets and the dimension replicated 8×, so a hot customer spreads
+    over 8 shuffle partitions instead of one. The oracle is the plain
+    join — salting must be invisible in the result, which is exactly
+    what this row checks.
+
+    At 100 TB this is the escape hatch when AQE's skew splitting can't
+    help (it splits *partitions*, not a single giant hash-table
+    entry); here it runs against the same 8-way salt the scale path
+    would use."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    cust = t["customer"].withColumnRenamed("c_custkey", "o_custkey")
+    joined = salted_join(t["orders"], cust, on="o_custkey", salt=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_PROFILE_ORACLE = """
+WITH n AS (
+  SELECT * FROM (VALUES
+    ('l_quantity'), ('l_extendedprice'), ('l_discount')
+  ) AS t(col_name)
+),
+s AS (
+  SELECT * FROM (VALUES ('l_returnflag'), ('l_linestatus')) AS t(col_name)
+),
+prof_num AS (
+  SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(l_quantity) AS n_nulls,
+         COUNT(DISTINCT l_quantity) AS n_distinct,
+         ROUND(MIN(l_quantity), 4) AS min_num, ROUND(MAX(l_quantity), 4) AS max_num
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+         COUNT(DISTINCT l_extendedprice),
+         ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+         COUNT(DISTINCT l_discount),
+         ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4)
+  FROM lineitem
+),
+prof_str AS (
+  SELECT 'l_returnflag' AS col_name, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(l_returnflag) AS n_nulls,
+         COUNT(DISTINCT l_returnflag) AS n_distinct,
+         MIN(l_returnflag) AS min_str, MAX(l_returnflag) AS max_str
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+         COUNT(DISTINCT l_linestatus),
+         MIN(l_linestatus), MAX(l_linestatus)
+  FROM lineitem
+)
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       TRUE AS ndv_within_tol,
+       min_num, max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM prof_num
+UNION ALL
+SELECT col_name, CAST(n_rows AS BIGINT), CAST(n_nulls AS BIGINT),
+       CAST(n_distinct AS BIGINT), TRUE,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_str, max_str
+FROM prof_str
+"""
+
+
+@register("column_profile_lineitem", oracle=_PROFILE_ORACLE)
+def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics over lineitem
+    (operators/profile.py): rows / nulls / exact NDV / min-max in one
+    aggregate pass, plus the HLL++ approx-NDV audited against the
+    exact count with an integer-arithmetic 2% bound the oracle pins
+    TRUE. These are the numbers the 100 TB planner runs on (broadcast
+    eligibility, shuffle width, z-order column choice)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return column_profile(
+        li,
+        numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        string_cols=["l_returnflag", "l_linestatus"],
+    )

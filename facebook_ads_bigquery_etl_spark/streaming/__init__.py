@@ -21,6 +21,8 @@ from .pipeline import (
     join_event_streams,
     read_event_stream,
     sessionize_stream,
+    transform_with_state_available,
+    user_profile_stateful,
     user_running_totals,
     write_stream_to_warehouse,
 )
@@ -32,6 +34,8 @@ __all__ = [
     "enrich_with_rates",
     "read_event_stream",
     "sessionize_stream",
+    "transform_with_state_available",
+    "user_profile_stateful",
     "user_running_totals",
     "write_stream_to_warehouse",
 ]

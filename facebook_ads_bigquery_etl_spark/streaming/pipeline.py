@@ -148,6 +148,164 @@ def user_running_totals(events: DataFrame, watermark: str = "1 day") -> DataFram
     )
 
 
+_PROFILE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+_PROFILE_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("maxv", T.DoubleType()),
+        T.StructField("type_names", T.ArrayType(T.StringType())),
+        T.StructField("type_counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def transform_with_state_available() -> bool:
+    """``transformWithStateInPandas`` speaks protobuf to the JVM state
+    server (pyspark/sql/streaming/proto/StateMessage_pb2); without
+    ``google.protobuf`` installed the pre-init driver worker crashes
+    before ``init`` even runs. Probe once so callers can pick the API."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_profile_stateful(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Per-user composite-state profile: running event count / value
+    total / max value plus a per-event-type count map, updated per
+    micro-batch, emitting the refreshed profile for every user seen in
+    the batch.
+
+    Two implementations of the same semantics, picked by
+    :func:`transform_with_state_available`:
+
+    - ``transformWithStateInPandas`` (Spark 4's arbitrary-state
+      successor): ValueState + a real MapState keyed by event_type.
+      Preferred at 100 TB — state lives in the RocksDB state store
+      (spillable, incrementally checkpointed; the caller must set the
+      provider conf), ValueState/MapState are point lookups rather
+      than the whole-row deserialize/reserialize of the old API, and
+      per-state TTL is available when profiles must age out. Needs
+      ``google.protobuf`` (its state-server wire protocol).
+    - ``applyInPandasWithState`` fallback (this container lacks
+      protobuf): the map lives as sorted parallel arrays inside the
+      single state struct. Same output, coarser state granularity —
+      each update rewrites the whole per-user row, fine while the
+      per-user type set stays small (bounded by the event-type
+      vocabulary, not the stream length).
+    """
+    if not transform_with_state_available():
+        return _user_profile_aipws(events, watermark)
+    return _user_profile_tws(events, watermark)
+
+
+def _user_profile_aipws(events: DataFrame, watermark: str) -> DataFrame:
+    def update(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            n, total, maxv, names, counts = state.get
+            by_type = dict(zip(list(names), (int(c) for c in counts)))
+        else:
+            n, total, maxv, by_type = 0, 0.0, 0.0, {}
+        for pdf in pdfs:
+            vals = pdf["value"].fillna(0.0)
+            n += len(pdf)
+            total += float(vals.sum())
+            if len(vals):
+                maxv = max(maxv, float(vals.max()))
+            for et, cnt in pdf.groupby("event_type").size().items():
+                by_type[et] = by_type.get(et, 0) + int(cnt)
+        names = sorted(by_type)
+        state.update((n, total, maxv, names, [by_type[t] for t in names]))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "n_types": [len(names)],
+                "max_value": [maxv],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_PROFILE_OUT,
+            stateStructType=_PROFILE_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def _user_profile_tws(events: DataFrame, watermark: str) -> DataFrame:
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _Profile(StatefulProcessor):
+        # local subclass: cloudpickle ships it by value; the base class
+        # resolves from pyspark itself, which workers always have
+        def init(self, handle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double, maxv double")
+            self._types = handle.getMapState("types", "event_type string", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total, maxv = (
+                self._agg.get() if self._agg.exists() else (0, 0.0, 0.0)
+            )
+            for pdf in rows:
+                vals = pdf["value"].fillna(0.0)
+                n += len(pdf)
+                total += float(vals.sum())
+                if len(vals):
+                    maxv = max(maxv, float(vals.max()))
+                for et, cnt in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._types.getValue((et,))[0]
+                        if self._types.containsKey((et,))
+                        else 0
+                    )
+                    self._types.updateValue((et,), (prev + int(cnt),))
+            self._agg.update((n, total, maxv))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "n_types": [n_types],
+                    "max_value": [maxv],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Profile(),
+            outputStructType=_PROFILE_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def enrich_with_rates(events: DataFrame, fx: DataFrame) -> DataFrame:
     """Stream-static join: each micro-batch joins the (static, small)
     exchange-rate table on the event's date — the reference's

@@ -238,3 +238,86 @@ class TestApproxDistinct:
         for rsd in (0.05, 0.01):
             approx = o.agg(F.approx_count_distinct("o_custkey", rsd).alias("a")).first()["a"]
             assert abs(approx - exact) / exact < 3 * rsd, f"rsd={rsd}: {approx} vs {exact}"
+
+
+class TestSnapshotDiff:
+    """CDC + SCD2 edge semantics (operators/scd.py) on hand-built
+    snapshots — the oracle query only exercises the modular-arithmetic
+    churn pattern; these pin the null-attribute and no-change paths."""
+
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+            "k int, name string, bal double",
+        )
+        new = spark.createDataFrame(
+            # 1 unchanged, 2 unchanged (NULL bal compares equal), 3
+            # updated, 4 deleted, 5 inserted
+            [(1, "a", 10.0), (2, "b", None), (3, "c2", 30.0), (5, "e", 50.0)],
+            "k int, name string, bal double",
+        )
+        return old, new
+
+    def test_change_classification(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.scd import snapshot_diff
+
+        old, new = self._frames(spark)
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(old, new, "k", ["name", "bal"]).collect()
+        }
+        assert got == {3: "update", 4: "delete", 5: "insert"}
+
+    def test_delete_rows_carry_null_attrs(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.scd import snapshot_diff
+
+        old, new = self._frames(spark)
+        row = snapshot_diff(old, new, "k", ["name", "bal"]).filter("k = 4").first()
+        assert row["name"] is None and row["bal"] is None
+
+    def test_scd2_versions_and_validity(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.scd import scd2_merge
+
+        old, new = self._frames(spark)
+        hist = scd2_merge(
+            old, new, "k", ["name", "bal"], old_date="2024-01-01", new_date="2024-02-01"
+        )
+        rows = {(r["k"], str(r["valid_from"])): r for r in hist.collect()}
+        # unchanged key: single open row
+        assert rows[(1, "2024-01-01")]["is_current"] is True
+        assert str(rows[(1, "2024-01-01")]["valid_to"]) == "9999-12-31"
+        # NULL-attribute key compares equal → unchanged, still open
+        assert rows[(2, "2024-01-01")]["is_current"] is True
+        # updated key: closed old version + open new version
+        assert str(rows[(3, "2024-01-01")]["valid_to"]) == "2024-02-01"
+        assert rows[(3, "2024-01-01")]["is_current"] is False
+        assert rows[(3, "2024-02-01")]["name"] == "c2"
+        assert rows[(3, "2024-02-01")]["is_current"] is True
+        # deleted key: closed, no successor
+        assert rows[(4, "2024-01-01")]["is_current"] is False
+        assert (4, "2024-02-01") not in rows
+        # inserted key: open at new date only
+        assert rows[(5, "2024-02-01")]["is_current"] is True
+        assert (5, "2024-01-01") not in rows
+        # version count: 4 old keys + update successor + insert
+        assert hist.count() == 6
+
+
+class TestColumnProfile:
+    def test_single_pass_and_values(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.profile import column_profile
+
+        df = spark.createDataFrame(
+            [(1.0, "x"), (2.0, "y"), (None, "x"), (4.0, None)],
+            "v double, s string",
+        )
+        out = {
+            r["col_name"]: r
+            for r in column_profile(df, numeric_cols=["v"], string_cols=["s"]).collect()
+        }
+        v, s = out["v"], out["s"]
+        assert v["n_rows"] == 4 and v["n_nulls"] == 1 and v["n_distinct"] == 3
+        assert v["min_num"] == 1.0 and v["max_num"] == 4.0 and v["min_str"] is None
+        assert s["n_nulls"] == 1 and s["n_distinct"] == 2
+        assert s["min_str"] == "x" and s["max_str"] == "y" and s["min_num"] is None
+        assert v["ndv_within_tol"] is True and s["ndv_within_tol"] is True

@@ -34,13 +34,19 @@ def _normalize(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm(v):
+        # Tag-tuples give a total sort order even when a column mixes
+        # NULL/NaN with real values (e.g. CDC delete rows): tags order
+        # value < NaN < NULL, and unequal tags never compare payloads,
+        # so None-vs-float comparisons can't happen.
+        if v is None:
+            return (2,)
         if isinstance(v, float):
             if math.isnan(v):
-                return "NaN"
-            return round(v, 9)
+                return (1,)
+            return (0, round(v, 9))
         if hasattr(v, "isoformat"):
-            return v.isoformat()
-        return v
+            return (0, v.isoformat())
+        return (0, v)
 
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
