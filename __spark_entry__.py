@@ -68,7 +68,7 @@ _PRIORITY = [
     "rolling_distinct_users", "cohort_retention", "price_histogram",
     "image_resize_stats", "props_map_stats",
     "scd2_dimension", "customer_snapshot_cdc", "salted_segment_revenue",
-    "column_profile_lineitem",
+    "column_profile_lineitem", "gap_filled_revenue",
     # -- component representatives (round-1 green; variants that share
     #    a component with an in-window query sit outside the window) --
     "pricing_summary", "revenue_by_nation",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.profile import column_profile
 from ..operators.scd import scd2_merge, snapshot_diff
 from ..operators.skew import salted_join
+from ..operators.timeseries import fill_date_gaps
 from .registry import load_tables, register
 
 
@@ -186,6 +187,64 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH rev AS (
+  SELECT c_nationkey, o_orderdate AS order_date,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT c_nationkey, MIN(order_date) AS d0, MAX(order_date) AS d1
+  FROM rev GROUP BY 1
+),
+cal AS (
+  SELECT c_nationkey,
+         CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS order_date
+  FROM span
+)
+SELECT cal.c_nationkey, cal.order_date,
+       rev.revenue IS NOT NULL AS was_observed,
+       LAST_VALUE(rev.revenue IGNORE NULLS) OVER (
+         PARTITION BY cal.c_nationkey ORDER BY cal.order_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue
+FROM cal LEFT JOIN rev
+  ON cal.c_nationkey = rev.c_nationkey AND cal.order_date = rev.order_date
+"""
+
+
+@register("gap_filled_revenue", oracle=_GAPFILL_ORACLE)
+def gap_filled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue per nation, densified to each nation's full 1995
+    calendar with gaps carried forward (operators/timeseries.py). At
+    sf0.01 a nation sees an order roughly every 4th day, so ~75% of
+    the output rows are LOCF fills — the oracle rebuilds the same
+    calendar with generate_series + LAST_VALUE IGNORE NULLS, so every
+    fill value and the was_observed flag are value-checked.
+
+    This is the densify step the reference's day-grain fact table
+    (main.py:22-40 — days without delivery have no row) needs before
+    any rolling-window math is trustworthy."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    rev = (
+        t["orders"]
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_nationkey", F.col("o_orderdate").cast("date").alias("order_date")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return fill_date_gaps(
+        rev, key_col="c_nationkey", date_col="order_date", value_col="revenue"
     )
 
 

@@ -111,6 +111,37 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
         ["CartesianProduct"],
     ),
+    "scd2_dimension": (
+        "SCD2 snapshot merge: one full-outer equi join on the business key "
+        "(broadcast full-outer at test SF because the dim is tiny; SMJ at "
+        "scale), attribute comparison as a codegen'd hash — never a "
+        "per-column nested loop",
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "salted_segment_revenue": (
+        "salted join demo: Generate = the explode that replicates the dim "
+        "per salt. At this SF AQE correctly broadcasts the replicated dim "
+        "(strictly better when it fits); at production scale — the only "
+        "time salting is needed — the same plan shuffles on (key, salt)",
+        ["Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "column_profile_lineitem": (
+        "two-pass stats: Expand carries ONLY the exact-distinct counts; "
+        "the HLL sketches live in a separate single-group aggregate "
+        "(sharing one agg OOMs — buffer per (gid,value) group), joined "
+        "back as a 1-row × 1-row nested loop (intended, constant cost)",
+        ["Expand", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
+    "gap_filled_revenue": (
+        "calendar densify: Generate = per-key sequence() explode (no "
+        "driver-side date loop), left join on (key, day), one Window for "
+        "the carry-forward",
+        ["Generate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 

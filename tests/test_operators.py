@@ -321,3 +321,31 @@ class TestColumnProfile:
         assert s["n_nulls"] == 1 and s["n_distinct"] == 2
         assert s["min_str"] == "x" and s["max_str"] == "y" and s["min_num"] is None
         assert v["ndv_within_tol"] is True and s["ndv_within_tol"] is True
+
+
+class TestFillDateGaps:
+    def test_locf_and_flags(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.timeseries import fill_date_gaps
+
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [
+                ("a", dt.date(2024, 1, 1), 1.0),
+                ("a", dt.date(2024, 1, 4), 4.0),
+                ("b", dt.date(2024, 1, 3), 9.0),
+            ],
+            "k string, d date, v double",
+        )
+        out = {
+            (r["k"], str(r["d"])): (r["v"], r["was_observed"])
+            for r in fill_date_gaps(df, "k", "d", "v").collect()
+        }
+        # key a: 4 calendar days, two fills carrying 1.0
+        assert out[("a", "2024-01-01")] == (1.0, True)
+        assert out[("a", "2024-01-02")] == (1.0, False)
+        assert out[("a", "2024-01-03")] == (1.0, False)
+        assert out[("a", "2024-01-04")] == (4.0, True)
+        # key b: single-day span, no fills, no bleed from key a
+        assert out[("b", "2024-01-03")] == (9.0, True)
+        assert len(out) == 5
