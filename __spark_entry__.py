@@ -69,11 +69,25 @@ _PRIORITY = [
     "image_resize_stats", "props_map_stats",
     "scd2_dimension", "customer_snapshot_cdc", "salted_segment_revenue",
     "column_profile_lineitem", "gap_filled_revenue",
+    # -- newest family representative (TPC-H hard shapes: EXISTS /
+    #    NOT EXISTS chain is the most plan-complex of the six) --
+    "late_shippers",
     # -- component representatives (round-1 green; variants that share
     #    a component with an in-window query sit outside the window) --
     "pricing_summary", "revenue_by_nation",
     "customers_without_orders", "asof_last_purchase", "rapid_reorder_pairs",
     "top3_parts_per_brand", "rolling_7d_revenue", "top_customers",
+]
+
+# Queries added after the 50-slot window filled, consciously deferred to
+# the NEXT round's window (every one still passes the full local DuckDB
+# oracle gate in tests/test_oracle.py each run — the deferral is only
+# about which round's driver CORRECTNESS artifact first records them).
+# Round-3 curation MUST promote these first: by then the 43 queries
+# first verified this round will have rows and vacate their slots.
+_DEFERRED_TO_NEXT_ROUND = [
+    "customer_order_distribution", "small_qty_revenue",
+    "idle_customer_balance", "top_revenue_supplier", "min_cost_supplier",
 ]
 
 

@@ -1588,3 +1588,216 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_v"),
         F.round(F.avg("v"), 6).alias("avg_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H "hard" shapes: correlated scalar subqueries, EXISTS / NOT EXISTS
+# chains, count distributions (round-2 additions; SURVEY §2.10).
+# Catalyst DECORRELATES every subquery below into joins + aggregates —
+# one bounded pass per input, never a subquery-per-row — which is the
+# property that makes these shapes survive a 100 TB fact table.
+# --------------------------------------------------------------------------
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over customers,
+    keeping zero-order customers via a LEFT join with the filter in
+    the join condition (a WHERE would silently turn it inner). Two
+    hash aggregates; the first shuffles on c_custkey (orders is
+    pre-filtered map-side), the second is over at most |customers|
+    distinct counts — tiny. COUNT(o_orderkey) (not COUNT(*)) is what
+    makes the unmatched-customer bucket read 0, matching SQL NULL
+    semantics on both engines."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            c["c_custkey"] == o["o_custkey"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "small_qty_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(i.l_quantity) FROM lineitem i
+        WHERE i.l_partkey = l.l_partkey
+      )
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of small-quantity lines vs the part's
+    own average. The correlated AVG is computed explicitly as one
+    grouped aggregate over the brand-pruned lineitems — pruning FIRST
+    via a broadcast semi-join on the ~1% of parts in the brand, so the
+    per-part threshold pass touches 1% of the fact instead of all of
+    it (the correlation key is l_partkey, so restricting to the
+    surviving parts cannot change any threshold). One shuffle on
+    l_partkey serves both the threshold agg and the final join.
+    Quantities are integer-valued doubles, so AVG is exact in both
+    engines and the strict `<` boundary cannot flip cross-engine."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"], t["part"]
+    pk = p.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    pruned = li.join(
+        F.broadcast(pk), li["l_partkey"] == pk["p_partkey"], "left_semi"
+    )
+    thresh = pruned.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        pruned.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders     ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s_name
+"""
+
+
+@register("late_shippers", oracle=_Q21_SQL)
+def late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the available columns: latest
+    l_shipdate stands in for receipt-after-commit): suppliers whose
+    line shipped strictly last on a multi-supplier finalized order.
+    The EXISTS / NOT EXISTS pair decorrelates into a left-semi and a
+    left-anti join on l_orderkey — three passes over lineitem that
+    all shuffle on the SAME key, so AQE plans them as one exchange
+    reused twice; no per-row subquery, no cartesian anywhere."""
+    load_tables(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT AVG(i.c_acctbal) FROM customer i WHERE i.c_acctbal > 0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+@register("idle_customer_balance", oracle=_Q22_SQL)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey stands in for the phone country
+    code): well-funded customers who never ordered. The uncorrelated
+    scalar AVG becomes a broadcast one-row subquery; the NOT EXISTS
+    becomes a left-anti join shuffling only o_custkey (8 bytes/row)
+    against customer — never the orders payload."""
+    load_tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22_SQL)
+
+
+@register(
+    "top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly
+    revenue. The revenue view is one shuffled hash agg bounded at
+    |suppliers| rows; the MAX and the equality filter are both
+    broadcast joins against that tiny frame, so the fact table is
+    scanned exactly once. Revenue is rounded to cents BEFORE the max
+    comparison on both engines — equality on the rounded value is
+    deterministic where raw-double equality would not be."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    li, s = t["lineitem"], t["supplier"]
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("total_rev"))
+    return (
+        rev.join(F.broadcast(mx), "total_rev")
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         ROUND(AVG(l_extendedprice), 4) AS avg_price
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p.p_partkey, s.s_name, ps.avg_price
+FROM part p
+JOIN ps ON ps.partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.suppkey
+WHERE p.p_size <= 5
+  AND ps.avg_price = (
+    SELECT MIN(i.avg_price) FROM ps i WHERE i.partkey = ps.partkey
+  )
+"""
+
+
+@register("min_cost_supplier", oracle=_Q2_SQL)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem's observed per-(part, supplier) average
+    price stands in for the absent partsupp table): the cheapest
+    supplier(s) per small part. The correlated MIN over the derived
+    ps frame decorrelates into a min-per-partkey aggregate joined
+    back on (partkey, avg_price) — ps is built once (one shuffle on
+    the compound key), and every subsequent join is against frames
+    bounded by |part|×|supplier|, not the fact. Prices are rounded
+    before the min/equality so the tie-set is engine-stable."""
+    load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_Q2_SQL)
