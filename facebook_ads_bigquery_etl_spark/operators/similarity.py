@@ -351,3 +351,40 @@ def lsh_cosine_topk(
     return top_k_per_group(
         scored, ["query_id"], [F.desc("cosine"), F.asc("neighbor_id")], k
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def quantize_audit(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector scale
+    (max|x| / 127) and the reconstruction error a round-trip through
+    int8 would incur. This is the storage-shrink step a 100 TB
+    embedding corpus applies before ANN indexing (4 bytes → 1 byte per
+    dimension); the audit quantifies what it costs.
+
+    Everything is a codegen'd array expression evaluated IN ARRAY
+    ORDER (``transform`` + ``aggregate``) — no shuffle, no UDF, and
+    bit-reproducible across engines because every float op sequence is
+    identical. Vectors with scale 0 (all-zero) are excluded: their
+    round-trip is exact by definition and their scale is meaningless."""
+    x = F.col(vec_col)
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v))) / F.lit(127.0)
+    d = df.select(
+        F.col(id_col),
+        x.alias("x"),
+        scale.alias("scale"),
+        F.size(x).alias("dim"),
+    ).filter(F.col("scale") > 0)
+    err = F.transform(
+        F.col("x"),
+        lambda v: F.abs(F.round(v / F.col("scale")) * F.col("scale") - v),
+    )
+    d = d.withColumn("err", err)
+    return d.select(
+        id_col,
+        F.round("scale", 9).alias("scale"),
+        F.round(F.array_max("err"), 9).alias("max_abs_err"),
+        F.round(
+            F.aggregate("err", F.lit(0.0), lambda acc, v: acc + v) / F.col("dim"), 9
+        ).alias("mean_abs_err"),
+    )

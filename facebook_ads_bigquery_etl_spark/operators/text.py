@@ -171,3 +171,94 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_replace(F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: how much
+    of the text is the same word / the same word pair repeated.
+
+    * ``top_word_frac`` — share of words taken by the single most
+      frequent word (high → boilerplate/keyword stuffing);
+    * ``dup_word_frac`` / ``dup_bigram_frac`` — share of word (pair)
+      occurrences beyond the first.
+
+    Bigram duplication is computed entirely MAP-SIDE from the word
+    array (``array_distinct`` vs ``size`` — no shuffle); only the
+    top-word count needs a (doc, word) hash aggregate, which
+    partial-aggregates map-side before one shuffle on the compound
+    key. At 100 TB this is a scan plus one combiner-friendly shuffle
+    of (id, word, count) triples — never the document bodies."""
+    words = df.select(id_col, F.split(F.col(text_col), " ").alias("w"))
+    per_word = (
+        words.select(id_col, F.explode("w").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("n"))
+    )
+    uni = per_word.groupBy(id_col).agg(
+        F.sum("n").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("n").alias("top_word_n"),
+    )
+    bi = words.select(
+        id_col,
+        F.size("w").alias("nw"),
+        F.expr(
+            "CASE WHEN size(w) > 1 THEN transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            " ELSE array() END"
+        ).alias("bg"),
+    ).select(
+        id_col,
+        F.size("bg").alias("n_bigrams"),
+        (F.size("bg") - F.size(F.array_distinct("bg"))).alias("dup_bigrams"),
+    )
+    return uni.join(bi, id_col).select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        F.round(F.col("top_word_n").cast("double") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(
+            (F.col("n_words") - F.col("n_distinct_words")).cast("double") / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.when(F.col("n_bigrams") > 0,
+               F.round(F.col("dup_bigrams").cast("double") / F.col("n_bigrams"), 6))
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+def duplicated_ngrams(
+    df: DataFrame, n: int = 8, min_docs: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact repeated-span detection: every word n-gram
+    that appears in at least ``min_docs`` distinct documents, with its
+    total occurrence count — the primitive behind exact-substring
+    dedup (the memorization-prone spans are exactly these).
+
+    The n-gram expansion is map-side (one ``transform`` over the word
+    array); the count is a combiner-friendly hash aggregate on the
+    gram. At 100 TB you would shuffle ``xxhash64(gram)`` (8 bytes)
+    instead of the gram text and re-join the surviving hashes back for
+    display — the plan shape is identical; the string form is kept
+    here so the result is directly comparable against the oracle."""
+    w = F.split(F.col(text_col), " ")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(w) >= n,
+                F.expr(
+                    f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

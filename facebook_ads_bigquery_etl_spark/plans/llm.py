@@ -1042,3 +1042,101 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_bytes").alias("bytes_per_image"),
         F.countDistinct("payload").alias("n_distinct_payloads"),
     )
+
+
+# -- round-2 additions: repetition signals, repeated spans, quantization ----
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (SELECT doc_id, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+    uni AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT)   AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+             CAST(MAX(n) AS BIGINT)   AS top_word_n
+      FROM wc GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id,
+             len(bg)                        AS n_bigrams,
+             len(bg) - len(list_distinct(bg)) AS dup_bigrams
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1]) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+    )
+    SELECT u.doc_id, u.n_words, u.n_distinct_words,
+           ROUND(CAST(top_word_n AS DOUBLE) / n_words, 6)                 AS top_word_frac,
+           ROUND(CAST(n_words - n_distinct_words AS DOUBLE) / n_words, 6) AS dup_word_frac,
+           CASE WHEN n_bigrams > 0
+                THEN ROUND(CAST(dup_bigrams AS DOUBLE) / n_bigrams, 6)
+                ELSE 0.0 END                                              AS dup_bigram_frac
+    FROM uni u JOIN bi USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.
+    repetition_stats): top-word share, duplicate-word share,
+    duplicate-bigram share per document — the filters a pretraining
+    corpus applies before anything model-based."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return tx.repetition_stats(docs)
+
+
+@register(
+    "dup_ngram_spans",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 7),
+                                   i -> array_to_string(w[i:i+7], ' '))) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT gram,
+           CAST(COUNT(*) AS BIGINT)                AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT)  AS n_docs
+    FROM g GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span detection (operators/text.duplicated_ngrams):
+    8-word grams shared by ≥2 documents — the memorization-prone spans
+    exact-substring dedup removes."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return tx.duplicated_ngrams(docs, n=8, min_docs=2)
+
+
+@register(
+    "embedding_quantize_error",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding AS x, len(embedding) AS dim,
+             list_max(list_transform(embedding, v -> abs(v))) / 127.0 AS scale
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, dim, scale,
+             list_transform(x, v -> abs(round(v / scale) * scale - v)) AS err
+      FROM q WHERE scale > 0
+    )
+    SELECT vec_id,
+           ROUND(scale, 9)              AS scale,
+           ROUND(list_max(err), 9)      AS max_abs_err,
+           ROUND(list_sum(err) / dim, 9) AS mean_abs_err
+    FROM e
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit (operators/similarity.quantize_audit):
+    per-vector scale and round-trip reconstruction error for the
+    4-bytes→1-byte storage shrink an embedding corpus takes before
+    ANN indexing."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.quantize_audit(emb)
