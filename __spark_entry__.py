@@ -57,10 +57,12 @@ _PRIORITY = [
     "embedding_dup_pairs_lsh", "embedding_norms", "multimodal_features",
     "video_frame_sample", "audio_level_stats", "top_tokens",
     "decontaminate_docs", "pack_stats",
-    # -- changed this round (oracle fixed / accuracy-audit output) --
-    "doc_sequence_packing", "approx_distinct_orders",
-    "price_percentiles_approx", "minhash_dup_pairs", "simhash_near_dups",
-    "doc_fingerprints",
+    # -- changed this round (oracle fixed / accuracy-audit output).
+    #    Only the round-1 RED row plus two audit-pattern representatives
+    #    fit the window; the other three sketch audits have r01
+    #    rows-only rows and verify locally, so they sit in the tail
+    #    until round 3 (see the tail section below).
+    "doc_sequence_packing", "approx_distinct_orders", "minhash_dup_pairs",
     # -- new this round --
     "bloom_pruned_revenue", "countmin_top_tokens", "dup_clusters",
     "train_val_test_split", "stratified_sample_mix",
@@ -69,9 +71,14 @@ _PRIORITY = [
     "image_resize_stats", "props_map_stats",
     "scd2_dimension", "customer_snapshot_cdc", "salted_segment_revenue",
     "column_profile_lineitem", "gap_filled_revenue",
+    "doc_repetition_stats", "dup_ngram_spans", "embedding_quantize_error",
     # -- newest family representative (TPC-H hard shapes: EXISTS /
     #    NOT EXISTS chain is the most plan-complex of the six) --
     "late_shippers",
+    # -- sketch audits displaced from the window this round (r01
+    #    rows-only rows exist; new accuracy-audit oracles verify in the
+    #    local gate; round-3 curation promotes these with the deferred) --
+    "price_percentiles_approx", "simhash_near_dups", "doc_fingerprints",
     # -- component representatives (round-1 green; variants that share
     #    a component with an in-window query sit outside the window) --
     "pricing_summary", "revenue_by_nation",

@@ -366,8 +366,13 @@ def quantize_audit(
     ORDER (``transform`` + ``aggregate``) — no shuffle, no UDF, and
     bit-reproducible across engines because every float op sequence is
     identical. Vectors with scale 0 (all-zero) are excluded: their
-    round-trip is exact by definition and their scale is meaningless."""
-    x = F.col(vec_col)
+    round-trip is exact by definition and their scale is meaningless.
+
+    Elements are widened float32→float64 BEFORE any arithmetic: the
+    widening is exact, and it pins every subsequent op to double
+    precision so the result is bit-identical to any other engine
+    doing the same (the oracle casts the same way)."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     scale = F.array_max(F.transform(x, lambda v: F.abs(v))) / F.lit(127.0)
     d = df.select(
         F.col(id_col),

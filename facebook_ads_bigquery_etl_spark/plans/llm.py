@@ -1116,10 +1116,15 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_quantize_error",
     oracle="""
-    WITH q AS (
-      SELECT vec_id, embedding AS x, len(embedding) AS dim,
-             list_max(list_transform(embedding, v -> abs(v))) / 127.0 AS scale
+    WITH w AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
       FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, xd AS x, len(xd) AS dim,
+             list_max(list_transform(xd, v -> abs(v))) / 127.0 AS scale
+      FROM w
     ),
     e AS (
       SELECT vec_id, dim, scale,

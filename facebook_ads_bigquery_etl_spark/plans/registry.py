@@ -66,8 +66,15 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     out = {}
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if n == "events" and ts_dtype == "bigint":
+            # TIMESTAMP(NANOS) parquet surfaced via nanosAsLong
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif n == "events" and ts_dtype == "timestamp_ntz":
+            # µs parquet without tz lands as TIMESTAMP_NTZ in Spark 4;
+            # under the UTC session zone the cast is value-identity, and
+            # it keeps epoch functions (unix_micros et al.) resolvable.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(n)
         out[n] = df
     return out

@@ -26,23 +26,51 @@ from pyspark.sql import types as T
 
 from ..sinks import write_day_partitioned
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _ts_is_parquet_nanos(source: str) -> bool:
+    """True iff the source's ``ts`` column is physical INT64 with a
+    nanosecond TIMESTAMP logical type (Spark can only surface that as a
+    long via ``nanosAsLong``). Streams need a declared schema up front,
+    so the unit is sniffed from one file's footer — the file source
+    requires every file in a directory to share a schema anyway."""
+    path = source[:-2] if source.endswith("/*") else source
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            hit = next((f for f in sorted(files) if f.endswith(".parquet")), None)
+            if hit:
+                path = os.path.join(root, hit)
+                break
+        else:
+            return False
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_metadata(path).schema
+        col = next(c for c in schema if c.name == "ts")
+        return col.physical_type == "INT64" and "nanos" in str(col.logical_type).lower()
+    except Exception:
+        return False
 
 
 def read_event_stream(spark: SparkSession, source: str) -> DataFrame:
     """File-source stream over events parquet (one file = one arriving
-    micro-batch). The testdata's TIMESTAMP(NANOS) is read as
-    nanos-since-epoch and converted with exact integer division — same
-    semantics as the batch reader (plans/registry.load_tables).
+    micro-batch). The timestamp unit is footer-sniffed: a
+    TIMESTAMP(NANOS) column (which Spark only reads via ``nanosAsLong``)
+    is taken as a long and converted with exact integer division; a
+    µs/ms/INT96 column is read natively — same semantics as the batch
+    reader (plans/registry.load_tables), which guards on dtype instead.
 
     ``source`` may be a directory (the normal streaming landing zone)
     or a single parquet file — Spark's file source requires a
@@ -59,8 +87,10 @@ def read_event_stream(spark: SparkSession, source: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(source, link)
         source = staged
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(source)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if _ts_is_parquet_nanos(source):
+        raw = spark.readStream.schema(_event_schema(T.LongType())).parquet(source)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(_event_schema(T.TimestampType())).parquet(source)
 
 
 def daily_rollup(events: DataFrame, watermark: str = "1 day") -> DataFrame:

@@ -34,7 +34,9 @@ def event_source(spark, tmp_path_factory):
 def _batch_events(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) parquet
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def _drain_to_memory(df, name: str, mode: str):
