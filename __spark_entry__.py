@@ -95,6 +95,8 @@ _PRIORITY = [
 _DEFERRED_TO_NEXT_ROUND = [
     "customer_order_distribution", "small_qty_revenue",
     "idle_customer_balance", "top_revenue_supplier", "min_cost_supplier",
+    "constraint_audit_orders", "incremental_monthly_revenue",
+    "funnel_conversion", "last_touch_attribution", "value_outliers",
 ]
 
 

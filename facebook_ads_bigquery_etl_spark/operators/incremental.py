@@ -1,0 +1,73 @@
+"""Incremental aggregate maintenance (merge a delta partition into a
+stored aggregate, never re-scan history).
+
+The reference recomputes its daily spend table by deleting and
+re-ingesting one day partition per run (reference main.py:94-130's
+WRITE_TRUNCATE day scope). The warehouse generalization at 100 TB:
+keep the rollup table as ALGEBRAIC PARTIAL STATES (sum, count, min,
+max, HLL — anything mergeable), aggregate only the newly-arrived
+partition, and merge states key-by-key. Nightly cost is O(delta),
+not O(history); the merge is exact, not approximate, because the
+states form a commutative monoid — which also makes the whole scheme
+oracle-checkable against a full recompute.
+
+Spark mapping: partial states are one hash aggregate over the delta
+(map-side combine), the merge is a union + second hash aggregate on
+the same keys — with the state table bucketed/pre-partitioned by key,
+the union-agg needs no wide shuffle of the state side. Derived
+metrics (avg) are computed only at ``finalize`` time, from the states.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Aggregate a slice into its mergeable per-key state:
+    ``(keys…, state_sum, state_n, state_min, state_max)``."""
+    return df.groupBy(*keys).agg(
+        F.sum(value_col).alias("state_sum"),
+        F.count(value_col).cast("long").alias("state_n"),
+        F.min(value_col).alias("state_min"),
+        F.max(value_col).alias("state_max"),
+    )
+
+
+def merge_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of state tables over the same keys. Each
+    state column merges with its own monoid op (sum+sum, n+n,
+    min(min), max(max))."""
+    keys = [
+        c
+        for c in states[0].columns
+        if c not in ("state_sum", "state_n", "state_min", "state_max")
+    ]
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*keys).agg(
+        F.sum("state_sum").alias("state_sum"),
+        F.sum("state_n").cast("long").alias("state_n"),
+        F.min("state_min").alias("state_min"),
+        F.max("state_max").alias("state_max"),
+    )
+
+
+def finalize(state: DataFrame, *, round_to: int = 2) -> DataFrame:
+    """Render the state table as the user-facing rollup: total, count,
+    avg (derived from the states — never stored), min, max."""
+    keys = [
+        c
+        for c in state.columns
+        if c not in ("state_sum", "state_n", "state_min", "state_max")
+    ]
+    return state.select(
+        *keys,
+        F.round("state_sum", round_to).alias("total"),
+        F.col("state_n").alias("n"),
+        F.round(F.col("state_sum") / F.col("state_n"), round_to).alias("avg"),
+        F.round("state_min", round_to).alias("min"),
+        F.round("state_max", round_to).alias("max"),
+    )

@@ -1801,3 +1801,191 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the min/equality so the tie-set is engine-stable."""
     load_tables(spark, sf_dir, "lineitem", "part", "supplier")
     return spark.sql(_Q2_SQL)
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over the event stream: users whose
+    first view precedes a click precedes a purchase, counted per
+    stage. The batch twin of stream_view_purchase_funnel, generalized
+    to three stages.
+
+    Plan shape: each stage is a filtered slice of the SAME events scan
+    aggregated per user, then an equi-join on user_id against the
+    previous stage's (user, first-ts) frame — all three shuffles hash
+    the same key, so AQE co-partitions them and each stage's join
+    input shrinks monotonically (stage N has ≤ stage N-1 users). No
+    window over the whole stream, no per-user event arrays: state per
+    user is ONE timestamp per stage, which is what lets the same plan
+    run at 100 TB where collect_list-per-user would not."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users")
+        ).select(F.lit(label).alias("stage"), "n_users")
+
+    return (
+        _stage(v, "1_view")
+        .unionByName(_stage(c, "2_click_after_view"))
+        .unionByName(_stage(p, "3_purchase_after_click"))
+    )
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, ts, MAX(event_type) AS event_type
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    att AS (
+      SELECT p.value,
+             CASE WHEN t.ts IS NOT NULL AND p.ts - t.ts <= INTERVAL 7 DAY
+                  THEN t.event_type END AS touch_type
+      FROM purchases p
+      ASOF LEFT JOIN touches t ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT COALESCE(touch_type, 'none')    AS touch_type,
+           CAST(COUNT(*) AS BIGINT)        AS n_purchases,
+           ROUND(SUM(value), 2)            AS attributed_value
+    FROM att GROUP BY 1
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent view/click at or before it, within a 7-day
+    lookback — the question the reference's spend warehouse exists to
+    answer (ad touch → conversion, reference main.py:22-40) but its
+    SQL layer never implements.
+
+    Runs on the as-of join operator (operators/asof.py): union +
+    carry-forward window, ONE shuffle on user_id, same cost profile as
+    an equi-join at 100 TB. The oracle uses DuckDB's NATIVE ASOF JOIN
+    — two independent as-of implementations must agree row-for-row.
+    Touches are pre-deduplicated per (user, ts) so equal-timestamp
+    ordering can't differ between engines."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("event_type"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    att = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["event_type"],
+        tolerance_expr="INTERVAL '7' DAY",
+    )
+    return att.groupBy(
+        F.coalesce("event_type", F.lit("none")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )
+
+
+@register(
+    "value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             ROUND(AVG(value), 6)         AS m,
+             ROUND(STDDEV_SAMP(value), 6) AS s
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ABS(e.value - st.m) > 3 * st.s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier audit per event type: two aggregates — one for
+    per-type mean/stddev, one counting values beyond 3σ after a
+    broadcast join of the tiny stats frame back onto the scan. The
+    data-quality sibling of constraint_audit_orders for *statistical*
+    expectations.
+
+    Mean and σ are rounded to 6dp on BOTH engines before the
+    comparison: parallel summation order differs between engines, and
+    an unrounded boundary would let a value sitting exactly at 3σ
+    classify differently."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.stddev_samp("value"), 6).alias("s"),
+    )
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("value") - F.col("m")) > 3 * F.col("s"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.expectations import constraint_audit
+from ..operators.incremental import finalize, merge_states, partial_state
 from ..operators.profile import column_profile
 from ..operators.scd import scd2_merge, snapshot_diff
 from ..operators.skew import salted_join
@@ -315,3 +317,100 @@ def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
         string_cols=["l_returnflag", "l_linestatus"],
     )
+
+
+_AUDIT_ORACLE = """
+SELECT 'not_null:o_custkey' AS constraint_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'range:o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL
+                       OR o_totalprice < 0 OR o_totalprice > 450000
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_totalprice IS NULL
+                  OR o_totalprice < 0 OR o_totalprice > 450000
+                THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'in_set:o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderstatus IS NULL
+                  OR o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey', CAST(SUM(cnt) AS BIGINT),
+       CAST(SUM(cnt - 1) AS BIGINT), SUM(cnt - 1) = 0
+FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'fk:o_custkey->c_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                THEN 1 ELSE 0 END) = 0
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("constraint_audit_orders", oracle=_AUDIT_ORACLE)
+def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over ``orders``
+    (operators/expectations.py): not-null, range, set-membership,
+    key-uniqueness and referential integrity into ``customer`` in one
+    report. The scan checks share a single aggregate pass; the FK
+    check broadcasts the distinct dimension keys — the fact table is
+    scanned once per constraint CLASS, not per constraint. The range
+    cap is deliberately tight (450 000) so the report proves it
+    counts real violations, not just zeros."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    return constraint_audit(
+        t["orders"],
+        not_null=["o_custkey"],
+        ranges={"o_totalprice": (0.0, 450000.0)},
+        in_set={"o_orderstatus": ["O", "F", "P"]},
+        unique=[["o_orderkey"]],
+        foreign_keys=[("o_custkey", t["customer"], "c_custkey")],
+    )
+
+
+_INCR_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m')          AS month,
+       ROUND(SUM(o_totalprice), 2)             AS total,
+       CAST(COUNT(o_totalprice) AS BIGINT)     AS n,
+       ROUND(SUM(o_totalprice) / COUNT(o_totalprice), 2) AS avg,
+       ROUND(MIN(o_totalprice), 2)             AS min,
+       ROUND(MAX(o_totalprice), 2)             AS max
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("incremental_monthly_revenue", oracle=_INCR_ORACLE)
+def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/incremental.py): the
+    monthly revenue table is kept as mergeable partial states; the
+    "history" slice (orders before 1999-01-01) and the "newly arrived"
+    slice are aggregated separately and MERGED, never re-scanned
+    together — nightly cost O(delta), not O(history), at 100 TB. The
+    oracle is a FULL recompute over all orders: a hash match proves
+    the algebraic merge is exact, including the avg derived from
+    states at finalize time."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"].withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    cut = F.to_date(F.lit("1999-01-01"))
+    history = orders.filter(F.col("o_orderdate") < cut)
+    delta = orders.filter(F.col("o_orderdate") >= cut)
+    merged = merge_states(
+        partial_state(history, ["month"], "o_totalprice"),
+        partial_state(delta, ["month"], "o_totalprice"),
+    )
+    return finalize(merged)

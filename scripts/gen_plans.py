@@ -142,6 +142,27 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["Generate", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "constraint_audit_orders": (
+        "data-quality audit: scan-class checks share ONE aggregate pass "
+        "over a column-pruned scan; referential integrity broadcasts the "
+        "distinct dimension keys (fact never shuffles for the FK check)",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    "incremental_monthly_revenue": (
+        "incremental rollup: history and delta slices carry pushed "
+        "date-range scan filters, partial states merge in a second hash "
+        "aggregate — no join, no re-scan of the union as raw rows",
+        ["PushedFilters: [IsNotNull(o_orderdate)"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    "funnel_conversion": (
+        "staged funnel: each stage equi-joins on user_id against the "
+        "previous stage's (user, first-ts) frame; event_type filters are "
+        "pushed to every scan, and no stage materializes per-user arrays",
+        ["PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 

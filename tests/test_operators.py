@@ -349,3 +349,107 @@ class TestFillDateGaps:
         # key b: single-day span, no fills, no bleed from key a
         assert out[("b", "2024-01-03")] == (9.0, True)
         assert len(out) == 5
+
+
+class TestConstraintAudit:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(k=1, v=10.0, s="A"),
+                Row(k=2, v=None, s="B"),   # null v
+                Row(k=2, v=99.0, s="A"),   # dup key
+                Row(k=3, v=-5.0, s="C"),   # below range, s outside set
+                Row(k=4, v=200.0, s="A"),  # above range
+            ]
+        )
+
+    def test_counts_every_violation_class(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.expectations import (
+            constraint_audit,
+        )
+
+        parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+        rep = {
+            r["constraint_name"]: (r["n_rows"], r["n_violations"], r["passed"])
+            for r in constraint_audit(
+                self._df(spark),
+                not_null=["v"],
+                ranges={"v": (0.0, 100.0)},
+                in_set={"s": ["A", "B"]},
+                unique=[["k"]],
+                foreign_keys=[("k", parent, "pk")],
+            ).collect()
+        }
+        assert rep["not_null:v"] == (5, 1, False)
+        # NULL and both out-of-range rows violate the range check
+        assert rep["range:v"] == (5, 3, False)
+        assert rep["in_set:s"] == (5, 1, False)
+        assert rep["unique:k"] == (5, 1, False)
+        # keys 3 and 4 have no parent
+        assert rep["fk:k->pk"] == (5, 2, False)
+
+    def test_clean_table_passes(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.expectations import (
+            constraint_audit,
+        )
+
+        df = spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)])
+        rep = constraint_audit(
+            df, not_null=["v"], ranges={"v": (0.0, 10.0)}, unique=[["k"]]
+        )
+        assert all(r["passed"] for r in rep.collect())
+
+    def test_empty_table_counts_zero(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.expectations import (
+            constraint_audit,
+        )
+
+        df = spark.createDataFrame([], "k long, v double")
+        rep = {
+            r["constraint_name"]: (r["n_rows"], r["n_violations"])
+            for r in constraint_audit(
+                df, not_null=["v"], unique=[["k"]]
+            ).collect()
+        }
+        assert rep == {"not_null:v": (0, 0), "unique:k": (0, 0)}
+
+
+class TestIncrementalAgg:
+    def test_merge_equals_full_recompute(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.incremental import (
+            finalize,
+            merge_states,
+            partial_state,
+        )
+
+        full = spark.range(0, 1000).select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") % 13).cast("double").alias("x"),
+        )
+        slices = [
+            full.filter(F.col("id") % 3 == i) for i in range(3)
+        ]
+        merged = finalize(
+            merge_states(*[partial_state(s, ["g"], "x") for s in slices])
+        )
+        direct = finalize(partial_state(full, ["g"], "x"))
+        got = {r["g"]: r.asDict() for r in merged.collect()}
+        want = {r["g"]: r.asDict() for r in direct.collect()}
+        assert got == want
+
+    def test_empty_delta_is_identity(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.incremental import (
+            finalize,
+            merge_states,
+            partial_state,
+        )
+
+        base = spark.range(0, 100).select(
+            (F.col("id") % 5).alias("g"), F.col("id").cast("double").alias("x")
+        )
+        empty = base.filter(F.lit(False))
+        merged = finalize(
+            merge_states(partial_state(base, ["g"], "x"), partial_state(empty, ["g"], "x"))
+        )
+        direct = finalize(partial_state(base, ["g"], "x"))
+        assert sorted(map(repr, merged.collect())) == sorted(map(repr, direct.collect()))
