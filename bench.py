@@ -81,6 +81,8 @@ HEADLINE = [
     "shipping_priority",
     "doc_sequence_packing",
     "decontaminate_docs",
+    "constraint_audit_orders",
+    "last_touch_attribution",
 ]
 
 
@@ -128,7 +130,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (23 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam)",
+        "metric": "headline query wall-clock (25 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

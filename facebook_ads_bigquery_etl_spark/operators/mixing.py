@@ -68,3 +68,47 @@ def stratified_sample(
             .otherwise(expr)
         )
     return df.filter(b < expr)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    *,
+    token_col: str,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "budget_v1",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Fill each stratum's TOKEN budget (not row budget) with a
+    deterministic pseudo-random document order: docs are ranked by
+    hash bucket within their stratum and taken while the running token
+    total of the docs BEFORE them is under the stratum's budget (so
+    the last doc may overshoot — standard take-while packing).
+
+    This is the corpus-mixing primitive a pretraining run needs:
+    "2e9 tokens of code, 1e9 of forums" is a token target per source,
+    and sampling *rows* under-fills strata with long documents. One
+    shuffle on the stratum key; the per-stratum running sum is a
+    window cumsum, and the budget table compiles into the plan as a
+    CASE expression. Rerun-stable and engine-reproducible: the order
+    is sha256(id, salt), not RNG state."""
+    from pyspark.sql.window import Window
+
+    b = hash_bucket(id_col, salt)
+    budget_expr: Column = F.lit(default_budget)
+    for stratum, budget in sorted(budgets.items()):
+        budget_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(budget)
+        ).otherwise(budget_expr)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("__bucket"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__bucket", b)
+        .withColumn("__cum", F.sum(token_col).over(w))
+        .filter(F.col("__cum") - F.col(token_col) < budget_expr)
+        .drop("__bucket", "__cum")
+    )

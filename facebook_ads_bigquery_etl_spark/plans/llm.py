@@ -1145,3 +1145,121 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN indexing."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return sim.quantize_audit(emb)
+
+
+@register(
+    "token_budget_mix",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(('0x' || substr(sha256(doc_id::VARCHAR || 'budget_v1'), 1, 4))
+                  AS INTEGER) AS bucket
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c
+    WHERE cum - n_tokens < CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END
+    """,
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/mixing.token_budget_mix):
+    fill a 6k-token English budget and 2k for every other language
+    (roughly half of each stratum at the oracle SF, so the budget
+    demonstrably truncates),
+    taking documents in sha256-hash order until each stratum's budget
+    is spent. Token targets, not row targets — the difference matters
+    whenever document lengths differ across sources. Deterministic
+    (no RNG state), so DuckDB recomputes the exact kept set."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    kept = mx.token_budget_mix(
+        docs,
+        {"en": 6000},
+        token_col="n_tokens",
+        strata_col="lang",
+        id_col="doc_id",
+        salt="budget_v1",
+        default_budget=2000,
+    )
+    return kept.select("doc_id", "lang", "n_tokens")
+
+
+@register(
+    "doc_difficulty_buckets",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+             ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                   / len(string_split_regex(text, '\\s+')), 6)     AS avg_token_len,
+             ROUND(len(list_filter(string_split_regex(text, '\\s+'),
+                                   w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                   / len(string_split_regex(text, '\\s+')), 6)     AS stopword_ratio
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_tokens,
+             ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
+                 + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
+                 + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
+                              THEN 1.0 ELSE 0.0 END, 7) AS quality_score
+      FROM feat
+    ), cuts AS (
+      SELECT ROUND(quantile_cont(quality_score, 0.25), 6) AS q1,
+             ROUND(quantile_cont(quality_score, 0.50), 6) AS q2,
+             ROUND(quantile_cont(quality_score, 0.75), 6) AS q3
+      FROM scored
+    )
+    SELECT 1 + CAST(quality_score > q1 AS INT) + CAST(quality_score > q2 AS INT)
+             + CAST(quality_score > q3 AS INT)  AS bucket,
+           CAST(COUNT(*) AS BIGINT)             AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)        AS total_tokens,
+           ROUND(MIN(quality_score), 7)         AS min_score,
+           ROUND(MAX(quality_score), 7)         AS max_score
+    FROM scored, cuts
+    GROUP BY 1
+    """,
+)
+def doc_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum difficulty quartiles over the quality score: exact
+    quartile cutpoints from ONE aggregate (no global sort, no ntile —
+    a global ntile window would drag every row through a single
+    partition at 100 TB), broadcast back as a 1-row frame, bucket
+    membership by comparison. Cutpoints are rounded to 6dp on both
+    engines so interpolation ulp differences can't move a boundary."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    scored = tx.with_quality_score(docs).select(
+        "doc_id",
+        F.size(F.split(F.regexp_replace("text", r"\s+$", ""), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+        "quality_score",
+    )
+    cuts = scored.agg(
+        F.round(F.percentile("quality_score", 0.25), 6).alias("q1"),
+        F.round(F.percentile("quality_score", 0.50), 6).alias("q2"),
+        F.round(F.percentile("quality_score", 0.75), 6).alias("q3"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("quality_score") > F.col("q1")).cast("int")
+        + (F.col("quality_score") > F.col("q2")).cast("int")
+        + (F.col("quality_score") > F.col("q3")).cast("int")
+    )
+    return (
+        scored.join(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.min("quality_score"), 7).alias("min_score"),
+            F.round(F.max("quality_score"), 7).alias("max_score"),
+        )
+    )

@@ -328,3 +328,68 @@ class TestDeterministicMixing:
                 assert 0.15 * n <= got.get(lang, 0) <= 0.45 * n
             else:
                 assert got.get(lang, 0) == n
+
+
+class TestTokenBudgetMix:
+    def _docs(self, spark):
+        from facebook_ads_bigquery_etl_spark.plans.registry import load_tables
+
+        return load_tables(spark, "/root/testdata/sf0.001", "documents")[
+            "documents"
+        ].withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+
+    def test_budget_overshoot_bounded_by_last_doc(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.mixing import token_budget_mix
+
+        docs = self._docs(spark)
+        kept = token_budget_mix(
+            docs, {}, token_col="n_tokens", default_budget=5000
+        )
+        per_lang = (
+            kept.groupBy("lang")
+            .agg(
+                F.sum("n_tokens").alias("total"),
+                F.max("n_tokens").alias("biggest"),
+            )
+            .collect()
+        )
+        assert per_lang, "nothing kept"
+        for r in per_lang:
+            # take-while semantics: total < budget + the overshooting doc
+            assert r["total"] < 5000 + r["biggest"]
+
+    def test_prefix_property_and_determinism(self, spark):
+        """A smaller budget's kept set is a strict prefix of a larger
+        budget's kept set (same hash order), and reruns are identical."""
+        from facebook_ads_bigquery_etl_spark.operators.mixing import token_budget_mix
+
+        docs = self._docs(spark)
+        small = {
+            r["doc_id"]
+            for r in token_budget_mix(
+                docs, {}, token_col="n_tokens", default_budget=2000
+            ).collect()
+        }
+        big = {
+            r["doc_id"]
+            for r in token_budget_mix(
+                docs, {}, token_col="n_tokens", default_budget=20000
+            ).collect()
+        }
+        again = {
+            r["doc_id"]
+            for r in token_budget_mix(
+                docs, {}, token_col="n_tokens", default_budget=2000
+            ).collect()
+        }
+        assert small <= big
+        assert small == again
+
+    def test_zero_budget_keeps_nothing(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.mixing import token_budget_mix
+
+        docs = self._docs(spark)
+        assert (
+            token_budget_mix(docs, {}, token_col="n_tokens", default_budget=0).count()
+            == 0
+        )
