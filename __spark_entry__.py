@@ -97,7 +97,7 @@ _DEFERRED_TO_NEXT_ROUND = [
     "idle_customer_balance", "top_revenue_supplier", "min_cost_supplier",
     "constraint_audit_orders", "incremental_monthly_revenue",
     "funnel_conversion", "last_touch_attribution", "value_outliers",
-    "token_budget_mix", "doc_difficulty_buckets",
+    "token_budget_mix", "doc_difficulty_buckets", "rolling_users_hll",
 ]
 
 

@@ -1989,3 +1989,72 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "rolling_users_hll",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users_7d,
+           TRUE                                      AS within_5pct
+    FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day unique users via MERGEABLE HLL sketches
+    (DataSketches ``hll_sketch_agg`` / ``hll_union_agg``): one sketch
+    per day (a single scan of events), then each day's 7-day estimate
+    merges ≤7 PRE-AGGREGATED sketches — the raw fact table is scanned
+    once, ever, no matter how many windows read the result. This is
+    the 100 TB replacement for rolling_distinct_users' exact
+    explode-to-window (which shuffles O(7·|day,user|)): sketch state
+    is O(days · sketch_size), and the same pre-aggregated sketch table
+    serves 7-day, 30-day, and all-time windows for free.
+
+    Driver-checkable accuracy-audit form: the engine recomputes the
+    EXACT count (via the explode rewrite) alongside the estimate and
+    emits the exact value plus a 5% relative-error boolean (HLL
+    lgK=12 has σ≈1.6%, so 5% ≈ 3σ); the oracle recomputes the exact
+    side and pins the boolean TRUE."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    day_user = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # one sketch per day — at scale this tiny table is what persists
+    daily = day_user.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    days = daily.select("day")
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "day"
+        ),
+        "sketch",
+    )
+    est = (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_7d")
+        )
+    )
+    exact = (
+        day_user.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
+            "user_id",
+        )
+        .join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_users_7d",
+        (
+            F.abs(F.col("est_7d") - F.col("exact_users_7d")) * 100
+            <= 5 * F.col("exact_users_7d")
+        ).alias("within_5pct"),
+    )
