@@ -414,3 +414,51 @@ def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial_state(delta, ["month"], "o_totalprice"),
     )
     return finalize(merged)
+
+
+_MANIFEST_ORACLE = """
+WITH h AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(('0x' || substr(sha256(concat_ws('|',
+             l_orderkey::VARCHAR, l_linenumber::VARCHAR,
+             l_partkey::VARCHAR, l_suppkey::VARCHAR,
+             CAST(ROUND(l_quantity) AS BIGINT)::VARCHAR,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)::VARCHAR,
+             CAST(ROUND(l_discount * 100) AS BIGINT)::VARCHAR,
+             l_returnflag, l_linestatus)), 1, 7)) AS BIGINT) AS rh
+  FROM lineitem
+)
+SELECT ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(rh) AS BIGINT)  AS checksum
+FROM h GROUP BY ship_month
+"""
+
+
+@register("lineitem_integrity_manifest", oracle=_MANIFEST_ORACLE)
+def lineitem_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ship-month integrity manifest (operators/integrity.py):
+    row count + order-insensitive 28-bit-hash-sum checksum over the
+    business key and exact-cents money columns. Two copies of the
+    table produce identical manifests iff they hold the same rows —
+    regardless of row order, file layout, or engine; the DuckDB hash
+    match here IS that cross-engine guarantee. One aggregate pass;
+    manifests re-aggregate to coarser grains because the checksum is
+    a sum."""
+    from ..operators.integrity import partition_manifest
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    hashed = [
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.round("l_quantity").cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    ]
+    return partition_manifest(li, ["ship_month"], hashed)

@@ -76,3 +76,35 @@ def insert_rows(
         writer = writer.partitionBy(partition_field)
     writer.saveAsTable(f"{db}.{table}")
     return "ok"
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_field: str = "date",
+    clustering_fields: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Small-file compaction for a day-partitioned table: rewrite each
+    partition's fragments into one clustered file via the same
+    exactly-once dynamic-overwrite path the daily load uses.
+
+    Streaming foreachBatch sinks and frequent backfills fragment
+    partitions into per-micro-batch files; at 100 TB the resulting
+    file-listing and per-file open costs dominate scan time long
+    before data volume does. Compaction here is a distributed
+    read → repartition(partition_field) → dynamic partition overwrite:
+    one task per partition value rewrites that directory atomically,
+    partitions absent from the read are untouched, and the
+    within-partition cluster sort is reapplied so row-group min/max
+    skipping survives compaction. No driver-side file listing, no
+    collect; re-running it is a no-op by construction."""
+    df = spark.read.format(fmt).load(path)
+    write_day_partitioned(
+        df,
+        path,
+        partition_field=partition_field,
+        clustering_fields=clustering_fields,
+        mode="overwrite",
+        fmt=fmt,
+    )

@@ -453,3 +453,39 @@ class TestIncrementalAgg:
         )
         direct = finalize(partial_state(base, ["g"], "x"))
         assert sorted(map(repr, merged.collect())) == sorted(map(repr, direct.collect()))
+
+
+class TestIntegrityManifest:
+    def test_diff_detects_dropped_and_modified_rows(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.integrity import (
+            manifest_diff,
+            partition_manifest,
+        )
+
+        base = spark.createDataFrame(
+            [Row(p="a", k=i, v=i * 10) for i in range(20)]
+            + [Row(p="b", k=i, v=i * 10) for i in range(20)]
+        )
+        hashed = [F.col("k"), F.col("v")]
+        expected = partition_manifest(base, ["p"], hashed)
+
+        # intact copy (different order) → empty diff
+        shuffled = base.orderBy(F.col("v").desc())
+        assert (
+            manifest_diff(expected, partition_manifest(shuffled, ["p"], hashed)).count()
+            == 0
+        )
+        # dropped row → partition 'a' flagged
+        dropped = base.filter(~((F.col("p") == "a") & (F.col("k") == 3)))
+        d = manifest_diff(expected, partition_manifest(dropped, ["p"], hashed)).collect()
+        assert [r["p"] for r in d] == ["a"]
+        # modified value, same count → checksum still catches it
+        modified = base.withColumn(
+            "v", F.when((F.col("p") == "b") & (F.col("k") == 5), 999).otherwise(F.col("v"))
+        )
+        d = manifest_diff(expected, partition_manifest(modified, ["p"], hashed)).collect()
+        assert [r["p"] for r in d] == ["b"]
+        # missing partition surfaces via full outer
+        half = base.filter(F.col("p") == "a")
+        d = manifest_diff(expected, partition_manifest(half, ["p"], hashed)).collect()
+        assert [r["p"] for r in d] == ["b"]

@@ -305,3 +305,60 @@ class TestZOrderLayout:
         got = spark.read.parquet(out)
         assert got.count() == li.count()
         assert sorted(got.columns) == sorted(li.columns)
+
+
+class TestCompaction:
+    def test_compacts_fragments_and_preserves_rows(self, spark, tmp_path):
+        from facebook_ads_bigquery_etl_spark.operators.integrity import (
+            partition_manifest,
+        )
+        from facebook_ads_bigquery_etl_spark.sinks import (
+            compact_partitions,
+            write_day_partitioned,
+        )
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ev = ev.withColumn("date", F.to_date("ts"))
+        out = str(tmp_path / "wh")
+        # fragment: 8 files per day partition
+        ev.repartition(8).write.partitionBy("date").parquet(out)
+
+        import glob
+        import os
+
+        def files_per_day():
+            return {
+                d: len(glob.glob(os.path.join(out, d, "*.parquet")))
+                for d in os.listdir(out)
+                if d.startswith("date=")
+            }
+
+        hashed = [F.col("event_id"), F.col("user_id"), F.col("event_type")]
+        before_files = files_per_day()
+        assert max(before_files.values()) > 1, "fixture not fragmented"
+        before = partition_manifest(
+            spark.read.parquet(out), ["date"], hashed
+        ).collect()
+
+        compact_partitions(spark, out, partition_field="date")
+
+        after_files = files_per_day()
+        assert set(after_files) == set(before_files)
+        assert max(after_files.values()) == 1, after_files
+        after = partition_manifest(
+            spark.read.parquet(out), ["date"], hashed
+        ).collect()
+        assert sorted(map(repr, before)) == sorted(map(repr, after))
+
+    def test_rerun_is_noop(self, spark, tmp_path):
+        from facebook_ads_bigquery_etl_spark.sinks import compact_partitions
+
+        df = spark.range(100).withColumn("date", F.lit("2024-01-01"))
+        out = str(tmp_path / "t")
+        df.repartition(4).write.partitionBy("date").parquet(out)
+        compact_partitions(spark, out, partition_field="date")
+        n1 = spark.read.parquet(out).count()
+        compact_partitions(spark, out, partition_field="date")
+        assert spark.read.parquet(out).count() == n1 == 100
