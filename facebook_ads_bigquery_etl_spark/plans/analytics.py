@@ -2058,3 +2058,105 @@ def rolling_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 5 * F.col("exact_users_7d")
         ).alias("within_5pct"),
     )
+
+
+@register(
+    "supplier_revenue_share",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT SUM(rev) AS total FROM s)
+    SELECT s.l_suppkey,
+           s.rev                                    AS revenue,
+           ROUND(s.rev / tot.total, 7)              AS share
+    FROM s, tot
+    WHERE s.rev > tot.total * 0.0015
+    """,
+)
+def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted to the testdata (no partsupp table):
+    suppliers whose revenue exceeds a fixed fraction of GLOBAL
+    revenue. The global total is a 1-row aggregate broadcast back
+    over the per-supplier frame — the scalar-subquery pattern that at
+    100 TB must stay a broadcast, never a re-scan or a cross join of
+    the fact. Per-supplier revenue is rounded BEFORE both the total
+    and the threshold compare, so the cut line is engine-stable."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "rev"
+        )
+    )
+    total = per_supp.agg(F.sum("rev").alias("total"))
+    return (
+        per_supp.join(F.broadcast(total))
+        .filter(F.col("rev") > F.col("total") * 0.0015)
+        .select(
+            "l_suppkey",
+            F.col("rev").alias("revenue"),
+            F.round(F.col("rev") / F.col("total"), 7).alias("share"),
+        )
+    )
+
+
+@register(
+    "orders_pareto",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER ()                          AS total,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rnk
+      FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                          AS n_top_customers,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT)          AS n_customers,
+           ROUND(MAX(cum) / MAX(total), 7)                   AS revenue_share
+    FROM r WHERE cum - rev < total * 0.8
+    """,
+)
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest prefix of customers (by
+    revenue, total-ordered with a key tie-break) covering 80% of
+    revenue. A take-while over a DESC running share — same cumsum
+    shape as token_budget_mix but over a GLOBAL order, which is the
+    one window this library allows a single-partition sort for: the
+    frame is per-CUSTOMER aggregates (|customers| ≪ |orders|), not
+    the fact table, and at 100 TB that aggregate is small enough to
+    window. Emits one summary row, fully hash-checkable."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(w).alias("cum"),
+        F.sum("rev").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    n_customers = per_cust.agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    top = ranked.filter(F.col("cum") - F.col("rev") < F.col("total") * 0.8)
+    return (
+        top.agg(
+            F.count(F.lit(1)).cast("long").alias("n_top_customers"),
+            F.round(F.max("cum") / F.max("total"), 7).alias("revenue_share"),
+        )
+        .join(F.broadcast(n_customers))
+        .select("n_top_customers", "n_customers", "revenue_share")
+    )

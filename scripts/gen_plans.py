@@ -163,6 +163,33 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "token_budget_mix": (
+        "token-budget mixing: ONE shuffle on the stratum key feeding the "
+        "cumsum window; the budget table is a compiled CASE, not a join",
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    "rolling_users_hll": (
+        "mergeable-sketch rollup: per-day HLL sketches explode to their "
+        "window days and union-merge; no window function over raw events, "
+        "no fact re-scan per window width",
+        ["ObjectHashAggregate", "Generate"],
+        ["CartesianProduct"],
+    ),
+    "lineitem_integrity_manifest": (
+        "integrity manifest: single hash-aggregate pass (map-side "
+        "partials) over a column-pruned scan; checksum is a plain SUM",
+        ["partial_"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Window"],
+    ),
+    "supplier_revenue_share": (
+        "global-share HAVING: the 1-row total is broadcast back over the "
+        "per-supplier frame — scalar subquery as broadcast, never a "
+        "re-scan or cross join of the fact",
+        ["BroadcastNestedLoopJoin"],  # 1-row × per-key frame: intended
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 

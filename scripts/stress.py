@@ -1,0 +1,123 @@
+"""Scale-headroom probe: run the scale-path operators at 10× bench
+volume (~sf1, synthesized deterministically from sf0.1) and compare
+throughput against the sf0.1 run on the same 32 cores.
+
+What it demonstrates (STRESS.md records the output): wall-clock grows
+sub-linearly in input size for every probed operator — i.e. the plans
+are shuffle- and partition-shaped such that 10× data does not cost
+10× time on fixed cores; cost growth is dominated by the scan, which
+is what a 1000-executor cluster parallelizes away. An operator whose
+time grew super-linearly here (pair blowup, driver bottleneck,
+single-partition window) would be a scale bug — the probe exists to
+catch exactly that.
+
+Synthesis (no RNG, no testdata mutation — output lands in /tmp):
+each table is unioned K times with key columns shifted by
+``copy · 10^9`` so every copy's keys are disjoint; document text is
+salted with the copy index so near-dup semantics are preserved
+(otherwise every doc would have K exact twins and LSH would degenerate
+to K-cliques); dimension tables (nation/region/part/supplier) are NOT
+replicated, matching the 100 TB reality that facts grow and dims
+don't.
+
+Run from the repo root:  python scripts/stress.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/spark_graft_stress_sf1"
+K = int(os.environ.get("STRESS_COPIES", "10"))
+SHIFT = 10**9
+
+# table → key columns shifted per copy (disjoint key spaces)
+SHIFTED = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPIED = ["nation", "region", "part", "supplier"]
+
+PROBES = [
+    "pricing_summary",        # full-scan agg
+    "revenue_by_nation",      # 5-way star join
+    "user_sessions",          # keyed window over events
+    "rolling_users_hll",      # mergeable-sketch rollup
+    "exact_dedup_docs",       # fingerprint group
+    "doc_sequence_packing",   # partitioned cumsum packing
+    "token_budget_mix",       # stratum cumsum take-while
+    "lineitem_integrity_manifest",  # single-pass checksum
+]
+
+
+def synthesize(spark) -> None:
+    if os.path.exists(os.path.join(OUT, "_DONE")):
+        return
+    os.makedirs(OUT, exist_ok=True)
+    for t, keys in SHIFTED.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        copies = []
+        for i in range(K):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if t == "documents":
+                # salt text so copies are not exact/near dups of each other
+                c = c.withColumn(
+                    "text", F.concat_ws(" ", F.col("text"), F.lit(f"copy{i}"))
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+    for t in COPIED:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+    open(os.path.join(OUT, "_DONE"), "w").close()
+
+
+def timed(fn, *args) -> float:
+    t0 = time.perf_counter()
+    fn(*args).collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from facebook_ads_bigquery_etl_spark.plans import QUERIES
+    from facebook_ads_bigquery_etl_spark.session import get_spark
+
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark)
+
+    results = {}
+    for name in PROBES:
+        q = QUERIES[name]
+        q(spark, "/root/testdata/sf0.001").collect()  # JIT/codegen warmup
+        base = min(timed(q, spark, SRC) for _ in range(2))
+        big = min(timed(q, spark, OUT) for _ in range(2))
+        results[name] = {
+            "sf0.1_sec": round(base, 3),
+            "sf1_sec": round(big, 3),
+            "time_ratio_at_10x_data": round(big / base, 2),
+        }
+        print(name, results[name], flush=True)
+    print(json.dumps({"copies": K, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
