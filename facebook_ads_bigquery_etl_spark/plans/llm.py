@@ -1263,3 +1263,30 @@ def doc_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("quality_score"), 7).alias("max_score"),
         )
     )
+
+
+@register(
+    "wav_header_stats",
+    oracle="""
+    SELECT doc_id                                   AS media_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT)  AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT)              AS channels,
+           CAST(16 AS INT)                          AS bits_per_sample,
+           CAST(1000 + doc_id % 500 AS BIGINT)      AS n_samples,
+           CAST((1000 + doc_id % 500) * 1000000
+                // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_us
+    FROM documents
+    """,
+)
+def wav_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media-container round-trip (operators/multimodal.py):
+    deterministic RIFF/WAVE files are synthesized per document
+    (genuine byte-level containers, not fake payloads) and then parsed
+    back by the pure-struct chunk walker — both stages Arrow-batched
+    mapInPandas. The oracle recomputes every header field from the
+    synthesis formula, so a hash match proves the PARSER extracted
+    exactly what the container encodes. Codec decode stays stubbed
+    (no media libs in the container); container parsing is real."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    wavs = mm.synth_wav_payloads(docs)
+    return mm.parse_wav_headers(wavs)

@@ -103,3 +103,46 @@ class TestAudioStats:
             assert got[mid]["mean_level"] == round(float(x.mean()), 6)
             assert got[mid]["rms_level"] == round(float(np.sqrt((x**2).mean())), 6)
             assert got[mid]["duration_s"] == round(len(p) / 8000.0, 6)
+
+
+class TestWavRoundTrip:
+    def test_parser_recovers_synthesis_parameters(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.multimodal import (
+            parse_wav_headers,
+            synth_wav_payloads,
+        )
+        from facebook_ads_bigquery_etl_spark.plans.registry import load_tables
+
+        docs = load_tables(spark, "/root/testdata/sf0.001", "documents")[
+            "documents"
+        ].limit(50)
+        got = {
+            r["media_id"]: r
+            for r in parse_wav_headers(synth_wav_payloads(docs)).collect()
+        }
+        for r in docs.select("doc_id").collect():
+            d = r["doc_id"]
+            row = got[d]
+            assert row["sample_rate"] == 8000 + (d % 3) * 4000
+            assert row["channels"] == 1 + d % 2
+            assert row["bits_per_sample"] == 16
+            assert row["n_samples"] == 1000 + d % 500
+            assert row["duration_us"] == row["n_samples"] * 1000000 // row["sample_rate"]
+
+    def test_malformed_payloads_yield_nulls_not_failures(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.multimodal import (
+            parse_wav_headers,
+        )
+
+        bad = spark.createDataFrame(
+            [
+                (1, b"not a riff at all"),
+                (2, b"RIFF\x04\x00\x00\x00WAVE"),  # no chunks
+                (3, b""),
+            ],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r for r in parse_wav_headers(bad).collect()}
+        assert len(rows) == 3
+        for r in rows.values():
+            assert r["sample_rate"] is None and r["n_samples"] is None

@@ -215,3 +215,76 @@ def test_hash_split_partitions_any_id_set(ids):
     # subset invariance: membership of others never changes an id's fate
     for i in ids[:10]:
         assert split_of(i) == whole[i]
+
+
+# --- integrity manifest: checksum is order/layout-invariant and
+# --- collision-sensitive to any single-row change -------------------
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_manifest_invariant_under_layout_and_sensitive_to_edits(spark, rows, nparts):
+    from pyspark.sql import functions as F
+
+    from facebook_ads_bigquery_etl_spark.operators.integrity import (
+        manifest_diff,
+        partition_manifest,
+    )
+
+    df = spark.createDataFrame(rows, "p string, k long")
+    hashed = [F.col("k")]
+    base = partition_manifest(df, ["p"], hashed)
+    # any repartitioning / ordering produces the identical manifest
+    reshuffled = df.repartition(nparts).sortWithinPartitions(F.col("k").desc())
+    assert (
+        manifest_diff(base, partition_manifest(reshuffled, ["p"], hashed)).count() == 0
+    )
+    # flipping one row's value flags exactly that partition
+    p0, k0 = rows[0]
+    edited = df.withColumn(
+        "k",
+        F.when((F.col("p") == p0) & (F.col("k") == k0), F.lit(k0 + 1)).otherwise(
+            F.col("k")
+        ),
+    )
+    flagged = manifest_diff(base, partition_manifest(edited, ["p"], hashed)).collect()
+    # the edit may collide with an existing (p, k+1) row only if that
+    # row exists — uniqueness of input rows doesn't forbid it, so allow
+    # either "flagged p0" or (collision) "checksum moved elsewhere too"
+    assert any(r["p"] == p0 for r in flagged) or (p0, k0 + 1) in rows
+
+
+# --- constraint audit: violation counts equal the injected counts ----
+@given(
+    st.integers(min_value=0, max_value=10),
+    st.integers(min_value=0, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_constraint_audit_counts_match_injection(spark, n_nulls, n_dups, n_clean):
+    from pyspark.sql import Row
+
+    from facebook_ads_bigquery_etl_spark.operators.expectations import (
+        constraint_audit,
+    )
+
+    rows = [Row(k=i, v=float(i)) for i in range(n_clean)]
+    rows += [Row(k=1000 + i, v=None) for i in range(n_nulls)]
+    rows += [Row(k=0, v=0.0) for _ in range(n_dups)]  # duplicate key 0
+    df = spark.createDataFrame(rows, "k long, v double")
+    rep = {
+        r["constraint_name"]: r["n_violations"]
+        for r in constraint_audit(df, not_null=["v"], unique=[["k"]]).collect()
+    }
+    assert rep["not_null:v"] == n_nulls
+    # every copy of key 0 beyond the first is a violation
+    assert rep["unique:k"] == n_dups if n_clean > 0 else max(n_dups - 1, 0)
