@@ -99,7 +99,7 @@ _DEFERRED_TO_NEXT_ROUND = [
     "funnel_conversion", "last_touch_attribution", "value_outliers",
     "token_budget_mix", "doc_difficulty_buckets", "rolling_users_hll",
     "lineitem_integrity_manifest", "supplier_revenue_share", "orders_pareto",
-    "wav_header_stats",
+    "wav_header_stats", "returned_revenue_topk", "shipmode_priority_counts",
 ]
 
 

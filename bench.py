@@ -83,6 +83,8 @@ HEADLINE = [
     "decontaminate_docs",
     "constraint_audit_orders",
     "last_touch_attribution",
+    "rolling_users_hll",
+    "incremental_monthly_revenue",
 ]
 
 
@@ -130,7 +132,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (25 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution)",
+        "metric": "headline query wall-clock (27 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

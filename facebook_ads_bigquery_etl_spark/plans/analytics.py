@@ -2160,3 +2160,77 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_customers))
         .select("n_top_customers", "n_customers", "revenue_share")
     )
+
+
+@register(
+    "returned_revenue_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue,
+           CAST(COUNT(*) AS BIGINT)                              AS n_return_items
+    FROM customer c
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN nation n    ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items. Plan: returnflag filter pushed to the lineitem scan,
+    customer/nation broadcast, ONE shuffle for the fact join + hash
+    agg, then TakeOrderedAndProject (top-k, never a global sort of
+    the aggregate). Revenue rounded before the ORDER BY with a key
+    tie-break so the top-20 cut is engine-stable."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("lost_revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_return_items"),
+    )
+    return agg.orderBy(F.col("lost_revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@register(
+    "shipmode_priority_counts",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)  AS high_priority,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)  AS low_priority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    """,
+)
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to this schema (no shipmode/commitdate
+    columns): among lineitems shipped more than 60 days after their
+    order date, count high- vs low-priority orders per linestatus —
+    conditional aggregation over a date-arithmetic join predicate.
+    The date bound is a post-join filter on the equi-join (never a
+    range-only join); priority classification is a codegen'd CASE."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    joined = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
+        F.coalesce(F.sum(F.when(hi, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("high_priority"),
+        F.coalesce(F.sum(F.when(~hi, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("low_priority"),
+    )

@@ -190,6 +190,32 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin"],  # 1-row × per-key frame: intended
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "last_touch_attribution": (
+        "as-of attribution: union + carry-forward window = ONE shuffle on "
+        "user_id, same cost profile as an equi-join; no pair blowup",
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    "value_outliers": (
+        "3-sigma audit: per-type stats frame broadcast back onto the "
+        "scan; two aggregate passes, zero wide shuffles of the fact",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    "returned_revenue_topk": (
+        "TPC-H Q10: returnflag filter pushed to the lineitem scan, dims "
+        "broadcast, top-20 via TakeOrderedAndProject (no global sort)",
+        ["PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)",
+         "BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "shipmode_priority_counts": (
+        "TPC-H Q12: equi join carries the date-arithmetic band as a "
+        "post-join filter; conditional counts are codegen'd CASE "
+        "partials, never a per-priority re-scan",
+        ["partial_"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
