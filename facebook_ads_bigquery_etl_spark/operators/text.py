@@ -262,3 +262,52 @@ def duplicated_ngrams(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream
+    into fixed-size windows with overlap (the standard prep for
+    embedding / pretraining pipelines). Chunk starts advance by
+    ``size - overlap``; the last chunk is short rather than padded.
+
+    Scale: one narrow projection per row — `sequence` + `explode`
+    fan-out stays inside whole-stage codegen, no shuffle at all, and
+    output partitioning inherits the input's. The chunk body is
+    emitted as a sha256 digest (join back on (doc_id, chunk_id) when
+    the text itself is needed) so the wide text column is never
+    duplicated ``n_chunks`` times across the shuffle that usually
+    follows."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    out = (
+        df.select(id_col, toks.alias("__toks"), n.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__toks",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))).alias(
+                "start_token"
+            ),
+        )
+    )
+    chunk_len = F.least(F.lit(size), F.col("__n") - F.col("start_token"))
+    body = F.concat_ws(
+        " ", F.slice(F.col("__toks"), F.col("start_token") + 1, chunk_len)
+    )
+    return out.select(
+        id_col,
+        (F.col("start_token") / step).cast("long").alias("chunk_id"),
+        F.col("start_token").cast("long"),
+        chunk_len.cast("long").alias("chunk_tokens"),
+        F.sha2(body, 256).alias("chunk_sha"),
+    )

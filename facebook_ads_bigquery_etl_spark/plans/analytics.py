@@ -2234,3 +2234,176 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("low_priority"),
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS potential_revenue,
+           CAST(COUNT(*) AS BIGINT)                    AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.06 AND l_quantity < 25
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would be gained by eliminating a
+    discount band — a single-table scan-aggregate whose entire
+    predicate (date range, discount band, quantity cap) must reach
+    the parquet scan as pushed filters; no join, no shuffle beyond
+    the 1-row final combine."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "potential_revenue"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "product_profit",
+    oracle="""
+    SELECT n.n_name                                 AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT)      AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * 0.1 * l.l_quantity), 2) AS profit,
+           CAST(COUNT(*) AS BIGINT)                 AS n_items
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+    """,
+)
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year),
+    adapted: no partsupp table in this schema, so supply cost is
+    proxied as 10% of p_retailprice per unit — the plan shape is the
+    point: the part filter prunes the fact FIRST via a broadcast
+    join, supplier/nation ride along broadcast, and only the pruned
+    ~26% of lineitem shuffles into the orders join."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    pr = t["part"].filter(F.col("p_name").like("%gear%"))
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(pr), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(
+        F.round(F.sum(profit), 2).alias("profit"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "supplier_part_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT)  AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-part relationship counts), adapted:
+    observed (l_partkey, l_suppkey) pairs stand in for partsupp, and
+    negative-balance suppliers stand in for the complaints NOT IN.
+    Plan: the distinct pair reduction happens BEFORE any join (tiny
+    shuffle of two int keys), the exclusion list broadcasts as an
+    anti join, the part dimension broadcasts with its filters."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pr = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(pr), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'small%'
+      WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey),
+    shares AS (
+      SELECT l_suppkey, qty,
+             SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+      FROM shipped)
+    SELECT s.s_name, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+    FROM shares sh
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE sh.qty > 0.5 * sh.part_total
+    GROUP BY s.s_name, n.n_name
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock suppliers), adapted: no partsupp
+    availqty, so 'dominant' = supplier shipped >50% of a part's 1996
+    volume. Plan: part filter broadcast-prunes the fact, the pair agg
+    reduces BEFORE the per-part window (window runs over the reduced
+    frame, reusing its partitioning — never over raw lineitem), and
+    the supplier/nation dims broadcast onto the survivors.
+    l_quantity is integer-valued so the 0.5-share comparison is
+    float-exact in both engines."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    pr = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(F.broadcast(pr), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_total = F.sum("qty").over(W.partitionBy("l_partkey"))
+    dominant = shipped.withColumn("part_total", part_total).filter(
+        F.col("qty") > 0.5 * F.col("part_total")
+    )
+    return (
+        dominant.join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dominant_parts"))
+    )

@@ -1290,3 +1290,38 @@ def wav_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     wavs = mm.synth_wav_payloads(docs)
     return mm.parse_wav_headers(wavs)
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents),
+    starts AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, len(toks) - 1, 24)) AS start_token
+      FROM toked WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(start_token / 24 AS BIGINT)        AS chunk_id,
+           CAST(start_token AS BIGINT)             AS start_token,
+           CAST(LEAST(32, n - start_token) AS BIGINT) AS chunk_tokens,
+           sha256(array_to_string(
+               list_slice(toks, start_token + 1,
+                          start_token + LEAST(32, n - start_token)),
+               ' '))                               AS chunk_sha
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking of the corpus: 32-token windows with
+    8-token overlap (step 24), the standard prep for embedding and
+    pretraining pipelines. Zero-shuffle sequence+explode fan-out;
+    chunk bodies travel as sha256 digests, never as duplicated text.
+    The oracle recomputes every chunk boundary AND every chunk body
+    digest, so both the windowing arithmetic and the token-slice
+    contents are value-checked."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return tx.chunk_documents(docs, size=32, overlap=8)

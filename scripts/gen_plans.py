@@ -216,6 +216,19 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["partial_"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "forecast_revenue_change": (
+        "TPC-H Q6: the ENTIRE predicate (date range, discount band, "
+        "quantity cap) reaches the parquet scan; no join, 1-row combine",
+        ["PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+         "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipdate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
+    "product_profit": (
+        "TPC-H Q9: part filter broadcast-prunes the fact before the "
+        "orders join; supplier/nation broadcast; exactly one wide join",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 

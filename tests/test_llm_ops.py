@@ -393,3 +393,47 @@ class TestTokenBudgetMix:
             token_budget_mix(docs, {}, token_col="n_tokens", default_budget=0).count()
             == 0
         )
+
+
+class TestDocChunking:
+    def test_chunk_invariants(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.text import chunk_documents
+
+        # 70 tokens, size 32, step 24 -> starts 0,24,48; last chunk 22 long
+        text = " ".join(f"w{i}" for i in range(70))
+        df = spark.createDataFrame(
+            [(1, text), (2, "one"), (3, "")], "doc_id long, text string"
+        )
+        rows = {
+            (r.doc_id, r.chunk_id): r
+            for r in chunk_documents(df, size=32, overlap=8).collect()
+        }
+        assert sorted(rows) == [(1, 0), (1, 1), (1, 2), (2, 0)]  # empty doc drops
+        assert [rows[(1, i)].start_token for i in range(3)] == [0, 24, 48]
+        assert [rows[(1, i)].chunk_tokens for i in range(3)] == [32, 32, 22]
+        assert rows[(2, 0)].chunk_tokens == 1
+        # consecutive chunks overlap by exactly `overlap` tokens and
+        # together cover every token index
+        covered = set()
+        for i in range(3):
+            r = rows[(1, i)]
+            covered |= set(range(r.start_token, r.start_token + r.chunk_tokens))
+        assert covered == set(range(70))
+
+    def test_chunk_bodies_hash_the_right_slice(self, spark):
+        import hashlib
+
+        from facebook_ads_bigquery_etl_spark.operators.text import chunk_documents
+
+        words = [f"w{i}" for i in range(40)]
+        df = spark.createDataFrame([(7, " ".join(words))], "doc_id long, text string")
+        out = {r.chunk_id: r.chunk_sha for r in chunk_documents(df, 32, 8).collect()}
+        assert out[0] == hashlib.sha256(" ".join(words[:32]).encode()).hexdigest()
+        assert out[1] == hashlib.sha256(" ".join(words[24:40]).encode()).hexdigest()
+
+    def test_overlap_must_be_smaller_than_size(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, size=8, overlap=8)
