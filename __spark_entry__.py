@@ -101,7 +101,7 @@ _DEFERRED_TO_NEXT_ROUND = [
     "lineitem_integrity_manifest", "supplier_revenue_share", "orders_pareto",
     "wav_header_stats", "returned_revenue_topk", "shipmode_priority_counts",
     "forecast_revenue_change", "product_profit", "supplier_part_counts",
-    "dominant_part_suppliers", "doc_chunks",
+    "dominant_part_suppliers", "doc_chunks", "dedup_keep_best",
 ]
 
 

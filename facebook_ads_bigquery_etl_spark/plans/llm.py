@@ -1325,3 +1325,97 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     contents are value-checked."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return tx.chunk_documents(docs, size=32, overlap=8)
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE
+    w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+    c AS (SELECT doc_id, COUNT(*) AS set_size FROM w GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    e AS (SELECT a_id, b_id FROM i
+          JOIN c ca ON ca.doc_id = i.a_id
+          JOIN c cb ON cb.doc_id = i.b_id
+          WHERE inter * 1.0 / (ca.set_size + cb.set_size - inter) >= 0.95),
+    sym AS (SELECT a_id AS src, b_id AS dst FROM e
+            UNION SELECT b_id, a_id FROM e),
+    closure(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT cl.src, s.dst FROM closure cl JOIN sym s ON cl.dst = s.src
+    ),
+    reps AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(cl.dst), d.doc_id)) AS cluster_rep
+      FROM documents d LEFT JOIN closure cl ON cl.src = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    sizes AS (SELECT cluster_rep, COUNT(*) AS n FROM reps GROUP BY 1),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+             ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                   / len(string_split_regex(text, '\\s+')), 6)     AS avg_token_len,
+             ROUND(len(list_filter(string_split_regex(text, '\\s+'),
+                                   w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                   / len(string_split_regex(text, '\\s+')), 6)     AS stopword_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
+                 + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
+                 + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
+                              THEN 1.0 ELSE 0.0 END, 7) AS quality_score
+      FROM feat
+    ),
+    ranked AS (
+      SELECT r.cluster_rep, r.doc_id, s.n AS cluster_size, q.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY r.cluster_rep
+                                ORDER BY q.quality_score DESC, r.doc_id) AS rn
+      FROM reps r JOIN sizes s USING (cluster_rep)
+      JOIN scored q ON q.doc_id = r.doc_id
+    )
+    SELECT CAST(cluster_rep AS BIGINT)  AS cluster_rep,
+           CAST(doc_id AS BIGINT)       AS kept_doc_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           quality_score
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step a real pipeline runs
+    AFTER near-dup clustering: within each dup cluster keep the
+    highest-quality document (composite quality score, doc_id
+    tie-break), not blindly the min-id one. Composition of the
+    connected-components operator with the quality scorer; the
+    per-cluster argmax is one row_number window over the already
+    cluster-partitioned frame, so it reuses the clustering shuffle.
+    The oracle recomputes clusters (recursive closure), scores, and
+    the argmax exactly."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    edges = dd.jaccard_pairs(docs, threshold=0.95, ngram=1)
+    clusters = cc.dedup_clusters(docs, edges).select(
+        "doc_id", "cluster_rep", "cluster_size"
+    )
+    scored = tx.with_quality_score(docs).select("doc_id", "quality_score")
+    w = W.partitionBy("cluster_rep").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cluster_rep").cast("long").alias("cluster_rep"),
+            F.col("doc_id").cast("long").alias("kept_doc_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "quality_score",
+        )
+    )
