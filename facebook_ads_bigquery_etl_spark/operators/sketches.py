@@ -53,18 +53,28 @@ def count_min_topk_audit(
     disappears. Booleans are the CMS guarantee itself, so the DuckDB
     oracle recomputes (col, n_exact) and pins the booleans TRUE."""
     spark = df.sparkSession
-    cms = count_min_sketch_of(df, col, eps, confidence, seed)
-    bound = int(math.ceil(eps * cms.totalCount()))
-    exact = (
-        df.groupBy(col)
-        .agg(F.count("*").alias("n_exact"))
-        .orderBy(F.desc("n_exact"), col)
-        .limit(k)
-    )
-    rows = []
-    for r in exact.collect():  # k rows: bounded sketch readout, not a corpus scan
-        est = int(cms.estimateCount(r[col]))
-        rows.append((r[col], r["n_exact"], est >= r["n_exact"], est <= r["n_exact"] + bound))
+    # Both the sketch pass and the exact-baseline pass scan the same
+    # narrow single-column frame — persist it once instead of running
+    # the upstream tokenize+explode twice (~30% on the audit; in
+    # production the exact branch disappears and with it this persist).
+    df = df.persist()
+    try:
+        cms = count_min_sketch_of(df, col, eps, confidence, seed)
+        bound = int(math.ceil(eps * cms.totalCount()))
+        exact = (
+            df.groupBy(col)
+            .agg(F.count("*").alias("n_exact"))
+            .orderBy(F.desc("n_exact"), col)
+            .limit(k)
+        )
+        rows = []
+        for r in exact.collect():  # k rows: bounded sketch readout, not a corpus scan
+            est = int(cms.estimateCount(r[col]))
+            rows.append(
+                (r[col], r["n_exact"], est >= r["n_exact"], est <= r["n_exact"] + bound)
+            )
+    finally:
+        df.unpersist()
     return spark.createDataFrame(
         rows, schema=f"{col} string, n_exact long, cms_lower_ok boolean, cms_upper_ok boolean"
     )
