@@ -59,6 +59,9 @@ PROBES = [
     "doc_sequence_packing",   # partitioned cumsum packing
     "token_budget_mix",       # stratum cumsum take-while
     "lineitem_integrity_manifest",  # single-pass checksum
+    "product_profit",         # part-pruned fact-fact join (Q9)
+    "doc_chunks",             # sequence+explode chunk fan-out
+    "countmin_top_tokens",    # fixed-size mergeable sketch pass
 ]
 
 
