@@ -85,6 +85,8 @@ HEADLINE = [
     "last_touch_attribution",
     "rolling_users_hll",
     "incremental_monthly_revenue",
+    "product_profit",
+    "doc_chunks",
 ]
 
 
@@ -132,7 +134,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (27 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge)",
+        "metric": "headline query wall-clock (29 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
