@@ -288,3 +288,50 @@ def test_constraint_audit_counts_match_injection(spark, n_nulls, n_dups, n_clean
     assert rep["not_null:v"] == n_nulls
     # every copy of key 0 beyond the first is a violation
     assert rep["unique:k"] == n_dups if n_clean > 0 else max(n_dups - 1, 0)
+
+
+# -- context-window chunking matches a pure-python reference ----------------
+
+def _py_chunks(words, size, overlap):
+    # sequence(0, n-1, step) semantics: starts strictly below n
+    step = size - overlap
+    return [(s, words[s : s + size]) for s in range(0, len(words), step)]
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                 min_size=0, max_size=90),
+        min_size=1, max_size=6,
+    ),
+    st.integers(2, 40),
+    st.integers(0, 30),
+)
+def test_chunking_matches_python_reference(spark, docs, size, overlap):
+    """Every (start, length, body-hash) the operator emits must equal
+    the obvious python slicing, for arbitrary token counts and any
+    valid (size, overlap) pair — including docs shorter than one
+    chunk and empty docs (which must vanish)."""
+    import hashlib
+
+    from hypothesis import assume
+
+    from facebook_ads_bigquery_etl_spark.operators.text import chunk_documents
+
+    assume(overlap < size)
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.start_token): (r.chunk_tokens, r.chunk_sha)
+        for r in chunk_documents(df, size=size, overlap=overlap).collect()
+    }
+    want = {}
+    for i, w in enumerate(docs):
+        for start, chunk in _py_chunks(w, size, overlap):
+            want[(i, start)] = (
+                len(chunk),
+                hashlib.sha256(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == want
