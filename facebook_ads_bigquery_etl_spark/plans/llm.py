@@ -1419,3 +1419,56 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score",
         )
     )
+
+
+@register(
+    "label_feature_corr",
+    oracle="""
+    WITH feat AS (
+      SELECT d.doc_id,
+             e.label,
+             CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT)                 AS n,
+           ROUND(CORR(n_tokens, norm), 6)           AS tokens_norm_corr,
+           ROUND(COVAR_SAMP(n_tokens, norm), 6)     AS tokens_norm_covar,
+           ROUND(STDDEV_SAMP(norm), 6)              AS norm_stddev
+    FROM feat GROUP BY label
+    """,
+)
+def label_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal feature audit: per-label Pearson correlation (and
+    sample covariance / stddev) between a document's token count and
+    its embedding's L2 norm — the drift check a curation pipeline
+    runs to catch embedding/text mismatches after re-embedding. All
+    statistical aggregates are Spark's native partial-mergeable
+    corr/covar/stddev — one narrow join (ids + one double per row,
+    embeddings reduced to their norm BEFORE the shuffle), one hash
+    agg; no vector ever crosses the exchange."""
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    emb = t["embeddings"].select("vec_id", "label", norm.alias("norm"))
+    docs = t["documents"].select(
+        "doc_id", F.size(tx.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr("n_tokens", "norm"), 6).alias("tokens_norm_corr"),
+            F.round(F.covar_samp("n_tokens", "norm"), 6).alias("tokens_norm_covar"),
+            F.round(F.stddev_samp("norm"), 6).alias("norm_stddev"),
+        )
+    )
