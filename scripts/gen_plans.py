@@ -229,6 +229,25 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "supplier_part_counts": (
+        "TPC-H Q16: distinct-pair reduction BEFORE any join; exclusion "
+        "list rides a broadcast anti join; part dim broadcast",
+        ["BroadcastHashJoin LeftAnti", "BroadcastHashJoin Inner"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    "dominant_part_suppliers": (
+        "TPC-H Q20: pair agg reduces the fact BEFORE the per-part share "
+        "window; window reuses the agg's hash partitioning; dims broadcast",
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    "label_feature_corr": (
+        "statistical aggregates: embeddings reduced to their scalar norm "
+        "before the join, corr/covar/stddev partial-merged; no vector "
+        "crosses an exchange",
+        ["partial_corr"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
