@@ -252,8 +252,14 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
 
 
 def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # same as .explain("formatted")
+    s = df._sc._jvm.PythonSQLUtils.explainString(  # same as .explain("formatted")
         df._jdf.queryExecution(), "formatted"
+    )
+    # Literal control characters (e.g. the CDC hash's \x1f separator /
+    # \x00 null sentinel) would make PLANS.md read as binary to
+    # grep/git — escape everything below 0x20 except \n\t.
+    return "".join(
+        c if c in "\n\t" or ord(c) >= 0x20 else f"\\x{ord(c):02x}" for c in s
     )
 
 
