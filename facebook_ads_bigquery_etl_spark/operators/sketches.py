@@ -78,3 +78,69 @@ def count_min_topk_audit(
     return spark.createDataFrame(
         rows, schema=f"{col} string, n_exact long, cms_lower_ok boolean, cms_upper_ok boolean"
     )
+
+
+def kmv_group_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 512,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group, plus a merged
+    all-groups row — a mergeable cardinality sketch built from
+    primitives (Spark ships HLL but no KMV; KMV composes into set
+    operations HLL can't express).
+
+    Scale shape (the point of the exercise): a naive
+    ``collect_set(hash)`` would shuffle every distinct hash — the same
+    cost as exact count-distinct. Instead the state is bounded at
+    every level, the canonical mergeable-sketch topology:
+
+    1. map side: ``mapInPandas`` keeps only the k smallest distinct
+       hashes per group PER ARROW BATCH — O(groups · k) rows leave
+       each task regardless of input size;
+    2. one tiny shuffle of those candidates, then per group
+       ``array_sort(array_distinct(collect_list))[:k]`` — the exact
+       k-min merge, input already bounded by stage 1;
+    3. the '__all__' row re-merges the per-group FINAL sketches
+       (union of k-min sets ⊇ global k-min set), demonstrating that
+       two KMVs merge without touching the data again.
+
+    Estimator: with u = k-th smallest of n distinct uniform hashes,
+    E[u] ≈ k/n, so ``est = (k-1)/u`` (the unbiased form); when fewer
+    than k distinct hashes exist the sketch IS the distinct set and
+    the estimate is exact. Deterministic: xxhash64 is seedless."""
+    u = F.greatest(
+        (F.xxhash64(F.col(key_col)).cast("double") / F.lit(float(2**64)))
+        + F.lit(0.5),
+        F.lit(1e-18),
+    )
+    pairs = df.select(F.col(group_col).alias("g"), u.alias("u"))
+
+    def _batch_kmin(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.drop_duplicates(["g", "u"])
+                .sort_values(["g", "u"])
+                .groupby("g", sort=False)
+                .head(k)[["g", "u"]]
+            )
+
+    candidates = pairs.mapInPandas(_batch_kmin, schema="g string, u double")
+    mins = F.slice(F.array_sort(F.array_distinct(F.collect_list("u"))), 1, k)
+    per_group = candidates.groupBy("g").agg(mins.alias("mins"))
+    merged_all = (
+        per_group.select(F.explode("mins").alias("u"))
+        .agg(mins.alias("mins"))
+        .select(F.lit("__all__").alias("g"), "mins")
+    )
+    n_mins = F.size("mins")
+    est = F.when(n_mins < k, n_mins.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at("mins", k)
+    )
+    return (
+        per_group.unionByName(merged_all)
+        .select(F.col("g").alias(group_col), est.alias("kmv_estimate"))
+    )

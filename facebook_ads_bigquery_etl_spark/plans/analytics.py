@@ -2407,3 +2407,45 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name", F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_dominant_parts"))
     )
+
+
+@register(
+    "kmv_distinct_users",
+    oracle="""
+    SELECT event_type AS segment,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS kmv_within_20pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+    FROM events
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-users sketch per event_type plus the merged
+    '__all__' sketch (operators/sketches.kmv_group_distinct) under the
+    accuracy-bound audit pattern: Spark emits its own exact counts and
+    a boolean pinning the KMV estimate within 20% (k=512 → σ≈4.4%,
+    ~4.5σ margin); DuckDB recomputes the exact counts and pins TRUE.
+    The exact branch exists for the gate only — the production path is
+    the bounded sketch (state ≤ groups·k at every stage, vs a full
+    distinct shuffle for the exact count)."""
+    from ..operators.sketches import kmv_group_distinct
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    sk = kmv_group_distinct(ev, "event_type", "user_id", k=512)
+    exact_g = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    exact_all = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    ).select(F.lit("__all__").alias("event_type"), "n_exact")
+    exact = exact_g.unionByName(exact_all)
+    return sk.join(exact, "event_type").select(
+        F.col("event_type").alias("segment"),
+        "n_exact",
+        (
+            F.abs(F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact")
+            <= 0.20
+        ).alias("kmv_within_20pct"),
+    )

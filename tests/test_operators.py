@@ -489,3 +489,54 @@ class TestIntegrityManifest:
         half = base.filter(F.col("p") == "a")
         d = manifest_diff(expected, partition_manifest(half, ["p"], hashed)).collect()
         assert [r["p"] for r in d] == ["b"]
+
+
+class TestKmvSketch:
+    def test_estimates_within_bound_where_estimation_engages(self, spark):
+        """At sf0.1 each event_type has 1500 distinct users > k=512, so
+        the estimator path (not the exact small-set path) is exercised;
+        every estimate must sit within the audit's 20% bound, and the
+        merged '__all__' sketch must too."""
+        from facebook_ads_bigquery_etl_spark.operators.sketches import (
+            kmv_group_distinct,
+        )
+        from facebook_ads_bigquery_etl_spark.plans.registry import load_tables
+
+        ev = load_tables(spark, "/root/testdata/sf0.1", "events")["events"]
+        est = {
+            r["event_type"]: r["kmv_estimate"]
+            for r in kmv_group_distinct(ev, "event_type", "user_id", k=512).collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        exact["__all__"] = ev.select("user_id").distinct().count()
+        assert set(est) == set(exact)
+        for g, n in exact.items():
+            assert n > 512 or g == "__all__"
+            assert abs(est[g] - n) / n <= 0.20, (g, est[g], n)
+
+    def test_merged_sketch_equals_direct_global_sketch(self, spark):
+        """Union of per-group k-min sets sliced to k IS the global
+        k-min set, so the merged '__all__' estimate must equal the
+        estimate from sketching the ungrouped data directly."""
+        from facebook_ads_bigquery_etl_spark.operators.sketches import (
+            kmv_group_distinct,
+        )
+        from facebook_ads_bigquery_etl_spark.plans.registry import load_tables
+
+        ev = load_tables(spark, "/root/testdata/sf0.1", "events")["events"]
+        merged = {
+            r["event_type"]: r["kmv_estimate"]
+            for r in kmv_group_distinct(ev, "event_type", "user_id", k=512).collect()
+        }["__all__"]
+        direct = {
+            r["g"]: r["kmv_estimate"]
+            for r in kmv_group_distinct(
+                ev.withColumn("g", F.lit("one")), "g", "user_id", k=512
+            ).collect()
+        }["one"]
+        assert merged == direct
