@@ -110,6 +110,31 @@ def kmv_group_distinct(
     E[u] ≈ k/n, so ``est = (k-1)/u`` (the unbiased form); when fewer
     than k distinct hashes exist the sketch IS the distinct set and
     the estimate is exact. Deterministic: xxhash64 is seedless."""
+    per_group = kmv_sketch_frame(df, group_col, key_col, k)
+    merged_mins = F.slice(
+        F.array_sort(F.array_distinct(F.collect_list("u"))), 1, k
+    )
+    merged_all = (
+        per_group.select(F.explode("mins").alias("u"))
+        .agg(merged_mins.alias("mins"))
+        .select(F.lit("__all__").alias("g"), "mins")
+    )
+    return (
+        per_group.unionByName(merged_all)
+        .select(
+            F.col("g").alias(group_col),
+            _kmv_estimate(F.col("mins"), k).alias("kmv_estimate"),
+        )
+    )
+
+
+def kmv_sketch_frame(
+    df: DataFrame, group_col: str, key_col: str, k: int = 512
+) -> DataFrame:
+    """The raw per-group KMV sketches: one row (g, mins) per group,
+    ``mins`` = the k smallest distinct uniform hashes. Stage 1 bounds
+    state map-side (k per group per Arrow batch), stage 2 is the exact
+    k-min merge over those candidates."""
     u = F.greatest(
         (F.xxhash64(F.col(key_col)).cast("double") / F.lit(float(2**64)))
         + F.lit(0.5),
@@ -130,17 +155,42 @@ def kmv_group_distinct(
 
     candidates = pairs.mapInPandas(_batch_kmin, schema="g string, u double")
     mins = F.slice(F.array_sort(F.array_distinct(F.collect_list("u"))), 1, k)
-    per_group = candidates.groupBy("g").agg(mins.alias("mins"))
-    merged_all = (
-        per_group.select(F.explode("mins").alias("u"))
-        .agg(mins.alias("mins"))
-        .select(F.lit("__all__").alias("g"), "mins")
+    return candidates.groupBy("g").agg(mins.alias("mins"))
+
+
+def _kmv_estimate(mins, k: int):
+    """(k-1)/u_(k) when the sketch is full; exact set size otherwise."""
+    n = F.size(mins)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at(mins, k)
     )
-    n_mins = F.size("mins")
-    est = F.when(n_mins < k, n_mins.cast("double")).otherwise(
-        F.lit(float(k - 1)) / F.element_at("mins", k)
+
+
+def kmv_pair_stats(
+    sketches: DataFrame, group_a: str, group_b: str, k: int = 512
+) -> DataFrame:
+    """Set-operation estimates from TWO KMV sketches — the composition
+    HLL cannot express (HLL unions but never intersects). Classic KMV
+    algebra: merge the two k-min sets into M (the union's sketch);
+    the fraction ρ of M's members that appear in BOTH input sketches
+    estimates the Jaccard similarity, and ``ρ · |A∪B|-estimate``
+    estimates the intersection size. Everything runs on two 1-row
+    bounded-array frames — a deliberate driver-free crossJoin of one
+    row with one row, not a data-scale join."""
+    a = sketches.filter(F.col("g") == group_a).select(F.col("mins").alias("a"))
+    b = sketches.filter(F.col("g") == group_b).select(F.col("mins").alias("b"))
+    m = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("a"), F.col("b")))), 1, k
     )
-    return (
-        per_group.unionByName(merged_all)
-        .select(F.col("g").alias(group_col), est.alias("kmv_estimate"))
+    joined = a.crossJoin(b).withColumn("m", m)
+    rho = F.size(
+        F.array_intersect(F.col("m"), F.array_intersect(F.col("a"), F.col("b")))
+    ) / F.size("m")
+    union_est = _kmv_estimate(F.col("m"), k)
+    return joined.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        rho.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (rho * union_est).alias("intersection_est"),
     )

@@ -540,3 +540,27 @@ class TestKmvSketch:
             ).collect()
         }["one"]
         assert merged == direct
+
+    def test_pair_set_estimates_track_exact_overlap(self, spark):
+        """Jaccard/intersection/union estimates from two sketches must
+        track the exact values on real overlap structure (sf0.1 click
+        vs purchase users)."""
+        from facebook_ads_bigquery_etl_spark.operators.sketches import (
+            kmv_pair_stats,
+            kmv_sketch_frame,
+        )
+        from facebook_ads_bigquery_etl_spark.plans.registry import load_tables
+
+        ev = load_tables(spark, "/root/testdata/sf0.1", "events")["events"]
+        sk = kmv_sketch_frame(ev, "event_type", "user_id", k=512)
+        got = kmv_pair_stats(sk, "click", "purchase", k=512).collect()[0]
+        users = {
+            g: {r["user_id"] for r in ev.filter(F.col("event_type") == g)
+                .select("user_id").distinct().collect()}
+            for g in ("click", "purchase")
+        }
+        inter = len(users["click"] & users["purchase"])
+        union = len(users["click"] | users["purchase"])
+        assert abs(got["jaccard_est"] - inter / union) <= 0.05
+        assert abs(got["union_est"] - union) / union <= 0.20
+        assert abs(got["intersection_est"] - inter) / max(inter, 1) <= 0.25
