@@ -102,7 +102,7 @@ _DEFERRED_TO_NEXT_ROUND = [
     "wav_header_stats", "returned_revenue_topk", "shipmode_priority_counts",
     "forecast_revenue_change", "product_profit", "supplier_part_counts",
     "dominant_part_suppliers", "doc_chunks", "dedup_keep_best",
-    "label_feature_corr", "kmv_distinct_users",
+    "label_feature_corr", "kmv_distinct_users", "kmv_overlap_audit",
 ]
 
 

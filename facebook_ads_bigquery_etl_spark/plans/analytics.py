@@ -2449,3 +2449,57 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.20
         ).alias("kmv_within_20pct"),
     )
+
+
+@register(
+    "kmv_overlap_audit",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'click' AS group_a, 'purchase' AS group_b,
+           CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+               AS n_intersect,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                 WHERE event_type IN ('click', 'purchase')) AS BIGINT)
+               AS n_union,
+           TRUE AS jaccard_within_05,
+           TRUE AS intersection_within_25pct
+    """,
+)
+def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from two KMV sketches
+    (operators/sketches.kmv_pair_stats) under the accuracy-bound audit
+    pattern: Spark computes the exact intersection/union of click vs
+    purchase users plus booleans pinning the sketch's Jaccard within
+    0.05 absolute and intersection within 25% relative; DuckDB
+    recomputes the exact values and pins TRUE. At 100 TB the exact
+    branch disappears and the overlap of ANY two segments is answered
+    from two k-value arrays — no re-scan, no distinct shuffle."""
+    from ..operators.sketches import kmv_pair_stats, kmv_sketch_frame
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    sk = kmv_sketch_frame(ev, "event_type", "user_id", k=512)
+    est = kmv_pair_stats(sk, "click", "purchase", k=512)
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    n_intersect = a.join(b, "user_id").count()
+    n_union = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    return est.select(
+        "group_a",
+        "group_b",
+        F.lit(n_intersect).cast("long").alias("n_intersect"),
+        F.lit(n_union).cast("long").alias("n_union"),
+        (
+            F.abs(F.col("jaccard_est") - F.lit(n_intersect / max(n_union, 1)))
+            <= 0.05
+        ).alias("jaccard_within_05"),
+        (
+            F.abs(F.col("intersection_est") - n_intersect) / F.lit(max(n_intersect, 1))
+            <= 0.25
+        ).alias("intersection_within_25pct"),
+    )
