@@ -72,9 +72,13 @@ _PRIORITY = [
     "scd2_dimension", "customer_snapshot_cdc", "salted_segment_revenue",
     "column_profile_lineitem", "gap_filled_revenue",
     "doc_repetition_stats", "dup_ngram_spans", "embedding_quantize_error",
-    # -- newest family representative (TPC-H hard shapes: EXISTS /
-    #    NOT EXISTS chain is the most plan-complex of the six) --
-    "late_shippers",
+    # -- newest family representative: context-window chunking is a
+    #    first-class LLM-pipeline op with no driver-proven sibling,
+    #    whereas the TPC-H hard-shape family's components (equi /
+    #    semi / anti joins, correlated subqueries) are all already
+    #    driver-green via round-1 rows — so chunking takes the slot
+    #    and late_shippers waits with the other hard shapes --
+    "doc_chunks",
     # -- sketch audits displaced from the window this round (r01
     #    rows-only rows exist; new accuracy-audit oracles verify in the
     #    local gate; round-3 curation promotes these with the deferred) --
@@ -101,7 +105,7 @@ _DEFERRED_TO_NEXT_ROUND = [
     "lineitem_integrity_manifest", "supplier_revenue_share", "orders_pareto",
     "wav_header_stats", "returned_revenue_topk", "shipmode_priority_counts",
     "forecast_revenue_change", "product_profit", "supplier_part_counts",
-    "dominant_part_suppliers", "doc_chunks", "dedup_keep_best",
+    "dominant_part_suppliers", "late_shippers", "dedup_keep_best",
     "label_feature_corr", "kmv_distinct_users", "kmv_overlap_audit",
 ]
 
