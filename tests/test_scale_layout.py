@@ -362,3 +362,59 @@ class TestCompaction:
         n1 = spark.read.parquet(out).count()
         compact_partitions(spark, out, partition_field="date")
         assert spark.read.parquet(out).count() == n1 == 100
+
+
+class TestPartitionPruning:
+    """The warehouse is day-partitioned (sinks.write_day_partitioned)
+    precisely so date predicates prune whole partitions at 100 TB —
+    prove the scan actually does it, via both the physical plan's
+    PartitionFilters and the file set the scan touches."""
+
+    def _write_three_days(self, spark, path):
+        from facebook_ads_bigquery_etl_spark.sinks import write_day_partitioned
+
+        df = spark.createDataFrame(
+            [(d, i, float(i)) for d in ("2025-01-01", "2025-01-02", "2025-01-03")
+             for i in range(10)],
+            "date string, k long, v double",
+        ).withColumn("date", F.to_date("date"))
+        write_day_partitioned(df, path, partition_field="date")
+
+    def _corrupt_partition(self, path, day):
+        """Overwrite the day's parquet file with garbage: any scan that
+        actually opens it will throw, so a query that succeeds provably
+        never touched the partition."""
+        import os
+
+        part_dir = os.path.join(path, f"date={day}")
+        for f in os.listdir(part_dir):
+            if f.endswith(".parquet"):
+                with open(os.path.join(part_dir, f), "wb") as fh:
+                    fh.write(b"this is not a parquet file")
+
+    def test_date_filter_prunes_day_partitions(self, spark, tmp_path):
+        path = str(tmp_path / "wh")
+        self._write_three_days(spark, path)
+        self._corrupt_partition(path, "2025-01-03")
+
+        read = spark.read.parquet(path).filter(
+            F.col("date") == F.lit("2025-01-02").cast("date")
+        )
+        plan = read._sc._jvm.PythonSQLUtils.explainString(
+            read._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters" in plan
+        # Succeeds despite the corrupt 2025-01-03 partition → pruning
+        # really skipped its files, not just its rows.
+        assert read.count() == 10
+
+    def test_unpartitioned_column_filter_cannot_prune(self, spark, tmp_path):
+        """Control against a vacuous pass: a predicate on a
+        non-partition column must still open every partition, so the
+        corrupt one makes the scan throw."""
+        path = str(tmp_path / "wh2")
+        self._write_three_days(spark, path)
+        self._corrupt_partition(path, "2025-01-03")
+
+        with pytest.raises(Exception):
+            spark.read.parquet(path).filter(F.col("k") == 3).count()
