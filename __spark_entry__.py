@@ -44,59 +44,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining round-1-green variants (stable, re-verified on a
 #      rotating basis as window budget allows).
 _PRIORITY = [
-    # -- reference-parity core (ETL + connectors) --
-    "fb_campaign_spend", "fb_actions_rollup", "fb_spend_local",
-    "fb_connector_ingest", "fb_campaign_grain", "fx_connector_rates",
-    "fb_json_landing",
-    # -- streaming --
-    "stream_daily_rollup", "stream_sessionize", "stream_running_totals",
-    "stream_fx_enrich", "stream_view_purchase_funnel", "stream_dedup_ingest",
-    "stream_user_profile",
-    # -- LLM ops with no prior driver row --
-    "ann_lsh_topk", "ann_ivf_topk", "embedding_dup_pairs",
-    "embedding_dup_pairs_lsh", "embedding_norms", "multimodal_features",
-    "video_frame_sample", "audio_level_stats", "top_tokens",
-    "decontaminate_docs", "pack_stats",
-    # -- changed this round (oracle fixed / accuracy-audit output).
-    #    Only the round-1 RED row plus two audit-pattern representatives
-    #    fit the window; the other three sketch audits have r01
-    #    rows-only rows and verify locally, so they sit in the tail
-    #    until round 3 (see the tail section below).
-    "doc_sequence_packing", "approx_distinct_orders", "minhash_dup_pairs",
-    # -- new this round --
-    "bloom_pruned_revenue", "countmin_top_tokens", "dup_clusters",
-    "train_val_test_split", "stratified_sample_mix",
-    "lineitem_metrics_unpivot", "tfidf_top_terms", "pii_redaction",
-    "rolling_distinct_users", "cohort_retention", "price_histogram",
-    "image_resize_stats", "props_map_stats",
-    "scd2_dimension", "customer_snapshot_cdc", "salted_segment_revenue",
-    "column_profile_lineitem", "gap_filled_revenue",
-    "doc_repetition_stats", "dup_ngram_spans", "embedding_quantize_error",
-    # -- newest family representative: context-window chunking is a
-    #    first-class LLM-pipeline op with no driver-proven sibling,
-    #    whereas the TPC-H hard-shape family's components (equi /
-    #    semi / anti joins, correlated subqueries) are all already
-    #    driver-green via round-1 rows — so chunking takes the slot
-    #    and late_shippers waits with the other hard shapes --
-    "doc_chunks",
-    # -- sketch audits displaced from the window this round (r01
-    #    rows-only rows exist; new accuracy-audit oracles verify in the
-    #    local gate; round-3 curation promotes these with the deferred) --
+    # -- round-3 window. 94/125 queries already have green driver rows
+    #    (r1+r2); the 31 without one go FIRST, then changed-output and
+    #    new queries, then rotating green representatives fill to 50. --
+    # (1) the 3 sketch audits whose only driver record is an r1
+    #     `no_oracle` red — their accuracy-audit oracles shipped in r2
+    #     and verify locally; clearing the red record leads the window.
     "price_percentiles_approx", "simhash_near_dups", "doc_fingerprints",
-    # -- component representatives (round-1 green; variants that share
-    #    a component with an in-window query sit outside the window) --
-    "pricing_summary", "revenue_by_nation",
-    "customers_without_orders", "asof_last_purchase", "rapid_reorder_pairs",
-    "top3_parts_per_brand", "rolling_7d_revenue", "top_customers",
-]
-
-# Queries added after the 50-slot window filled, consciously deferred to
-# the NEXT round's window (every one still passes the full local DuckDB
-# oracle gate in tests/test_oracle.py each run — the deferral is only
-# about which round's driver CORRECTNESS artifact first records them).
-# Round-3 curation MUST promote these first: by then the 43 queries
-# first verified this round will have rows and vacate their slots.
-_DEFERRED_TO_NEXT_ROUND = [
+    # (2) the 28 queries deferred from the round-2 window (all green in
+    #     the local DuckDB oracle gate every run; no driver row yet).
     "customer_order_distribution", "small_qty_revenue",
     "idle_customer_balance", "top_revenue_supplier", "min_cost_supplier",
     "constraint_audit_orders", "incremental_monthly_revenue",
@@ -107,7 +63,32 @@ _DEFERRED_TO_NEXT_ROUND = [
     "forecast_revenue_change", "product_profit", "supplier_part_counts",
     "dominant_part_suppliers", "late_shippers", "dedup_keep_best",
     "label_feature_corr", "kmv_distinct_users", "kmv_overlap_audit",
+    # (3) output changed this round: real PNG decode replaces the fake
+    #     digest features inside the image path, so these two r2-green
+    #     queries need fresh rows.
+    "multimodal_features", "image_resize_stats",
+    # (4) new this round (real-decode pixel stats + layout proofs
+    #     promoted to oracle-checked query form) — slots are filled by
+    #     rotation greens until each query lands, then swapped in.
+    "part_type_tokens", "grouping_sets_revenue", "exact_dedup_docs",
+    # (5) rotating representatives from the r1/r2-green set — one per
+    #     broad component family, biased toward queries whose last row
+    #     is r1 (re-verified on the regenerated testdata; events_by_day
+    #     doubles as the timestamp-unit canary).
+    "events_by_day", "pricing_summary", "revenue_by_nation",
+    "brand_revenue", "customers_without_orders", "asof_last_purchase",
+    "rapid_reorder_pairs", "top3_parts_per_brand", "daily_revenue_dod",
+    "rolling_7d_revenue", "top_customers", "nation_footprint_setops",
+    "orders_by_month", "events_json_stats",
 ]
+
+# Queries added after the 50-slot window filled, consciously deferred to
+# the NEXT round's window (every one still passes the full local DuckDB
+# oracle gate in tests/test_oracle.py each run — the deferral is only
+# about which round's driver CORRECTNESS artifact first records them).
+# Round 3 promoted all 28 round-2 deferrals into the window; this list
+# is for any NEW query that misses the round-3 window.
+_DEFERRED_TO_NEXT_ROUND: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

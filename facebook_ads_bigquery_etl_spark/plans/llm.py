@@ -1435,9 +1435,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT)                 AS n,
-           ROUND(CORR(n_tokens, norm), 6)           AS tokens_norm_corr,
-           ROUND(COVAR_SAMP(n_tokens, norm), 6)     AS tokens_norm_covar,
-           ROUND(STDDEV_SAMP(norm), 6)              AS norm_stddev
+           ROUND(CORR(n_tokens, norm), 6) + 0.0     AS tokens_norm_corr,
+           ROUND(COVAR_SAMP(n_tokens, norm), 6) + 0.0 AS tokens_norm_covar,
+           ROUND(STDDEV_SAMP(norm), 6) + 0.0        AS norm_stddev
     FROM feat GROUP BY label
     """,
 )
@@ -1467,8 +1467,15 @@ def label_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.corr("n_tokens", "norm"), 6).alias("tokens_norm_corr"),
-            F.round(F.covar_samp("n_tokens", "norm"), 6).alias("tokens_norm_covar"),
-            F.round(F.stddev_samp("norm"), 6).alias("norm_stddev"),
+            # + 0.0 kills negative zero: a covar/corr of ~-1e-9 rounds
+            # to -0.0 in DuckDB but +0.0 here, and a value-hash over the
+            # formatted doubles would split on the sign bit.
+            (F.round(F.corr("n_tokens", "norm"), 6) + F.lit(0.0)).alias(
+                "tokens_norm_corr"
+            ),
+            (F.round(F.covar_samp("n_tokens", "norm"), 6) + F.lit(0.0)).alias(
+                "tokens_norm_covar"
+            ),
+            (F.round(F.stddev_samp("norm"), 6) + F.lit(0.0)).alias("norm_stddev"),
         )
     )
