@@ -29,6 +29,40 @@ from pyspark.sql import functions as F
 from .text import tokens, with_fingerprint
 
 
+# Tracked materialization barriers. persist() is the only barrier that
+# reliably frees from PySpark (localCheckpoint blocks are held by
+# JVM-side Dataset references the Python GC never releases — verified
+# empirically: a checkpointed, dereferenced frame survives 20 System.gc
+# passes). The cost of persist() is the CacheManager entry leaking for
+# the session's lifetime if nobody unpersists — so every barrier is
+# registered here, the registry is LRU-capped (a long-lived session
+# running thousands of dedup queries bleeds AT MOST _BARRIER_CAP small
+# frames, not one per query), and ``release_caches()`` drops everything
+# for session teardown / tests. Evicting a not-yet-consumed barrier is
+# safe: the query recomputes (slower, never wrong).
+_BARRIER_CAP = 8
+_BARRIERS: list[DataFrame] = []
+
+
+def _barrier(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _BARRIERS.append(out)
+    while len(_BARRIERS) > _BARRIER_CAP:
+        _BARRIERS.pop(0).unpersist(blocking=False)
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every live barrier this module has registered; returns
+    how many were released. Call after a query sweep (or rely on the
+    LRU cap for steady-state bounds)."""
+    n = 0
+    while _BARRIERS:
+        _BARRIERS.pop().unpersist(blocking=False)
+        n += 1
+    return n
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ahead of CPU-heavy per-row expansion (shingling,
     multi-hash aggs). A small/compact parquet input arrives as one
@@ -36,12 +70,14 @@ def _spread(df: DataFrame) -> DataFrame:
     at 100 TB inputs are already wide (this no-ops) and the cost
     vanishes relative to the stage it parallelizes.
 
-    The persist() is load-bearing: Catalyst pushes deterministic
-    projections THROUGH a bare repartition (to shrink the shuffle),
-    which lands the expensive expressions back on the single input
-    partition — observed 6× slowdown. An InMemoryRelation is a barrier
-    the optimizer does not cross, so downstream compute genuinely runs
-    on `target` partitions. Only narrow inputs pay the (tiny) cache.
+    The materialization barrier is load-bearing: Catalyst pushes
+    deterministic projections THROUGH a bare repartition (to shrink
+    the shuffle), which lands the expensive expressions back on the
+    single input partition — observed 6× slowdown. An InMemoryRelation
+    is a barrier the optimizer does not cross, so downstream compute
+    genuinely runs on `target` partitions. Only narrow inputs pay the
+    (tiny) cache, and the barrier registry (see ``_barrier``) bounds
+    its lifetime.
 
     Width probe: ``inputFiles()`` (a file-index lookup on the analyzed
     plan), NOT ``df.rdd.getNumPartitions()`` — materializing the RDD
@@ -54,7 +90,7 @@ def _spread(df: DataFrame) -> DataFrame:
     except Exception:
         width = 0  # non-file source: assume narrow, spread
     if width < target:
-        return df.repartition(target).persist()
+        return _barrier(df.repartition(target))
     return df
 
 
@@ -178,31 +214,32 @@ def minhash_dup_pairs(
     surface, handled by AQE skew-join + the exact-verify filter.
     """
     rows_per_band = num_perm // bands
-    # persist() the hashed-shingle frame: BOTH downstream branches
-    # (banding, exact-verify) consume it, and without the materialization
-    # barrier each branch re-runs tokenize→shingle→hash AND compiles its
-    # own copy of the nested expression tree (measured 10× cold-path
-    # cost at sf0.1). Size is O(docs × distinct shingles × 8B) — the
-    # same order as the input text, safe to cache at any scale that
+    # Materialize the hashed-shingle frame once (tracked _barrier —
+    # see its registry notes): BOTH downstream branches (banding,
+    # exact-verify) consume it, and without the materialization
+    # barrier each branch re-runs tokenize→shingle→hash AND compiles
+    # its own copy of the nested expression tree (measured 10×
+    # cold-path cost at sf0.1). Size is O(docs × distinct shingles ×
+    # 8B) — the same order as the input text, safe at any scale that
     # fits the input.
-    sh_df = (
+    sh_df = _barrier(
         _spread(df)
         .select(F.col(id_col), _shingle_hashes(text_col, ngram).alias("shh"))
         .filter(F.size("shh") > 0)
-        .persist()
     )
-    # Band hashes come from a persisted signature frame, NOT from one
-    # giant expression that re-derives each permutation-min inside its
-    # band: the InMemoryRelation is a CollapseProject barrier, so each
-    # of the 64 permutation subtrees is analyzed/codegen'd/evaluated
-    # exactly once and the band stage only hashes rows_per_band cached
-    # longs per band — 16× smaller expression tree (driver analysis was
-    # the cold-path bottleneck) and no recompute.
+    # Band hashes come from a materialized signature frame, NOT from
+    # one giant expression that re-derives each permutation-min inside
+    # its band: the InMemoryRelation is a CollapseProject barrier, so
+    # each of the 64 permutation subtrees is analyzed/codegen'd/
+    # evaluated exactly once and the band stage only hashes
+    # rows_per_band cached longs per band — 16× smaller expression
+    # tree (driver analysis was the cold-path bottleneck) and no
+    # recompute.
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.array_min(F.transform(F.col("shh"), lambda h: F.xxhash64(h, i))),
     )
-    sig_df = sh_df.select(id_col, sig.alias("signature")).persist()
+    sig_df = _barrier(sh_df.select(id_col, sig.alias("signature")))
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
@@ -328,7 +365,7 @@ def simhash_exact_pairs(
     self-join — the correctness baseline :func:`simhash_candidates` is
     audited against. O(n²) pair space: gate/test use only, never the
     100 TB path (the pigeonhole bucketing is)."""
-    sk = simhash(df, text_col, id_col).persist()
+    sk = _barrier(simhash(df, text_col, id_col))
     ham = F.aggregate(
         F.zip_with("ca", "cb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
         F.lit(0),

@@ -24,9 +24,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_STATE_COLS = ("state_sum", "state_n", "state_min", "state_max")
+
+
+def _infer_keys(df: DataFrame, keys: list[str] | None) -> list[str]:
+    """Explicit keys win; otherwise every non-state column is a key.
+    Inference excludes the reserved state names, so a USER key that
+    collides with one would silently be aggregated away — hence
+    ``partial_state`` rejects such keys up front and this helper only
+    runs on frames it produced."""
+    if keys is not None:
+        bad = [k for k in keys if k in _STATE_COLS]
+        if bad:
+            raise ValueError(f"grouping columns collide with reserved state names: {bad}")
+        return keys
+    return [c for c in df.columns if c not in _STATE_COLS]
+
+
 def partial_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """Aggregate a slice into its mergeable per-key state:
-    ``(keys…, state_sum, state_n, state_min, state_max)``."""
+    ``(keys…, state_sum, state_n, state_min, state_max)``.
+
+    Key names must not collide with the reserved state column names:
+    downstream ``merge_states``/``finalize`` infer keys by excluding
+    those names, so a colliding key would be treated as state."""
+    bad = [k for k in keys if k in _STATE_COLS]
+    if bad:
+        raise ValueError(f"grouping columns collide with reserved state names: {bad}")
     return df.groupBy(*keys).agg(
         F.sum(value_col).alias("state_sum"),
         F.count(value_col).cast("long").alias("state_n"),
@@ -35,15 +59,12 @@ def partial_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     )
 
 
-def merge_states(*states: DataFrame) -> DataFrame:
+def merge_states(*states: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Merge any number of state tables over the same keys. Each
     state column merges with its own monoid op (sum+sum, n+n,
-    min(min), max(max))."""
-    keys = [
-        c
-        for c in states[0].columns
-        if c not in ("state_sum", "state_n", "state_min", "state_max")
-    ]
+    min(min), max(max)). Pass ``keys`` explicitly when the frames
+    did not come from ``partial_state``."""
+    keys = _infer_keys(states[0], keys)
     unioned = states[0]
     for s in states[1:]:
         unioned = unioned.unionByName(s)
@@ -55,14 +76,14 @@ def merge_states(*states: DataFrame) -> DataFrame:
     )
 
 
-def finalize(state: DataFrame, *, round_to: int = 2) -> DataFrame:
+def finalize(
+    state: DataFrame, *, round_to: int = 2, keys: list[str] | None = None
+) -> DataFrame:
     """Render the state table as the user-facing rollup: total, count,
-    avg (derived from the states — never stored), min, max."""
-    keys = [
-        c
-        for c in state.columns
-        if c not in ("state_sum", "state_n", "state_min", "state_max")
-    ]
+    avg (derived from the states — never stored), min, max. Pass
+    ``keys`` explicitly when the frame did not come from
+    ``partial_state``."""
+    keys = _infer_keys(state, keys)
     return state.select(
         *keys,
         F.round("state_sum", round_to).alias("total"),

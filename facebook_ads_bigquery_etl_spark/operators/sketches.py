@@ -176,7 +176,22 @@ def kmv_pair_stats(
     estimates the Jaccard similarity, and ``ρ · |A∪B|-estimate``
     estimates the intersection size. Everything runs on two 1-row
     bounded-array frames — a deliberate driver-free crossJoin of one
-    row with one row, not a data-scale join."""
+    row with one row, not a data-scale join.
+
+    Raises ``ValueError`` when either group id is absent from the
+    sketch frame: a typo'd segment name must fail loudly, not produce
+    an empty audit (the presence probe is a 2-row bounded readout on
+    the per-group sketch table, not a data-scale action)."""
+    present = {
+        r["g"]
+        for r in sketches.filter(F.col("g").isin(group_a, group_b))
+        .select("g")
+        .distinct()
+        .collect()
+    }
+    missing = [g for g in (group_a, group_b) if g not in present]
+    if missing:
+        raise ValueError(f"groups absent from sketch frame: {missing}")
     a = sketches.filter(F.col("g") == group_a).select(F.col("mins").alias("a"))
     b = sketches.filter(F.col("g") == group_b).select(F.col("mins").alias("b"))
     m = F.slice(

@@ -2067,7 +2067,7 @@ def rolling_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
       FROM lineitem GROUP BY l_suppkey
     ),
-    tot AS (SELECT SUM(rev) AS total FROM s)
+    tot AS (SELECT ROUND(SUM(rev), 2) AS total FROM s)
     SELECT s.l_suppkey,
            s.rev                                    AS revenue,
            ROUND(s.rev / tot.total, 7)              AS share
@@ -2082,14 +2082,17 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the per-supplier frame — the scalar-subquery pattern that at
     100 TB must stay a broadcast, never a re-scan or a cross join of
     the fact. Per-supplier revenue is rounded BEFORE both the total
-    and the threshold compare, so the cut line is engine-stable."""
+    and the threshold compare, and the TOTAL itself is rounded too —
+    cross-engine summation order can differ in the last ulp, and an
+    unrounded total would let a supplier sitting exactly on the
+    0.0015 threshold flip sides between engines."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     per_supp = li.groupBy("l_suppkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "rev"
         )
     )
-    total = per_supp.agg(F.sum("rev").alias("total"))
+    total = per_supp.agg(F.round(F.sum("rev"), 2).alias("total"))
     return (
         per_supp.join(F.broadcast(total))
         .filter(F.col("rev") > F.col("total") * 0.0015)

@@ -180,7 +180,10 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 8)
         .select("a_id", "b_id")
     )
-    true_pairs = dd.simhash_exact_pairs(docs, max_hamming=8).persist()
+    # Tracked barrier, not a bare persist(): both audits consume the
+    # exact-pair frame, and the dedup barrier registry bounds the cache
+    # lifetime (a bare persist() here leaked an entry per run).
+    true_pairs = dd._barrier(dd.simhash_exact_pairs(docs, max_hamming=8))
     audit = _pair_set_audit(
         found, true_pairs.select("a_id", "b_id"), recall_floor_pct=40
     )

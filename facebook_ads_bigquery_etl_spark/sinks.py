@@ -94,11 +94,21 @@ def compact_partitions(
     file-listing and per-file open costs dominate scan time long
     before data volume does. Compaction here is a distributed
     read → repartition(partition_field) → dynamic partition overwrite:
-    one task per partition value rewrites that directory atomically,
-    partitions absent from the read are untouched, and the
-    within-partition cluster sort is reapplied so row-group min/max
-    skipping survives compaction. No driver-side file listing, no
-    collect; re-running it is a no-op by construction."""
+    one task per partition value rewrites that directory, partitions
+    absent from the read are untouched, and the within-partition
+    cluster sort is reapplied so row-group min/max skipping survives
+    compaction. No driver-side file listing, no collect; re-running a
+    COMPLETED compaction is a no-op by construction.
+
+    Atomicity caveat: this reads and dynamically overwrites the SAME
+    path in one job. Dynamic partition overwrite defers deletion to the
+    commit phase (so the read is never consumed mid-rewrite), but a
+    crash DURING commit can leave a partition half-replaced — the
+    window is the commit protocol's, not this function's. For anything
+    beyond bench/maintenance use, compact into a staging directory and
+    swap directories (or run under a table format with atomic commits);
+    the ``write_day_partitioned`` call below takes any target path, so
+    staging is a caller-side decision, not a different code path."""
     df = spark.read.format(fmt).load(path)
     write_day_partitioned(
         df,

@@ -54,14 +54,21 @@ def _ts_is_parquet_nanos(source: str) -> bool:
                 break
         else:
             return False
-    try:
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
+    try:
         schema = pq.read_metadata(path).schema
-        col = next(c for c in schema if c.name == "ts")
-        return col.physical_type == "INT64" and "nanos" in str(col.logical_type).lower()
-    except Exception:
-        return False
+    except Exception as exc:
+        # We KNOW `path` is a parquet file at this point — an unreadable
+        # footer must fail the sniff loudly, not silently declare µs and
+        # blow up later inside the stream with a schema error.
+        raise RuntimeError(
+            f"could not sniff parquet timestamp unit from {path}"
+        ) from exc
+    col = next((c for c in schema if c.name == "ts"), None)
+    if col is None:
+        return False  # no ts column → unit question is moot
+    return col.physical_type == "INT64" and "nanos" in str(col.logical_type).lower()
 
 
 def read_event_stream(spark: SparkSession, source: str) -> DataFrame:

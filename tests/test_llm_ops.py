@@ -437,3 +437,41 @@ class TestDocChunking:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError):
             chunk_documents(df, size=8, overlap=8)
+
+
+class TestBarrierCacheHygiene:
+    """The dedup family's materialization barriers used to be bare
+    ``persist()`` calls nobody ever unpersisted — every dedup/shingle
+    query leaked a CacheManager entry for the session's lifetime. They
+    now run through a tracked registry: LRU-capped (steady-state bleed
+    is bounded at _BARRIER_CAP small frames no matter how many queries
+    run) with ``release_caches()`` for full teardown."""
+
+    def test_spread_still_widens_to_default_parallelism(self, spark, docs):
+        spread = dd._spread(docs)
+        assert (
+            spread.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+
+    def test_registry_is_capped_and_release_empties_everything(self, spark, docs):
+        dd.release_caches()
+        sc = spark.sparkContext
+        baseline = sc._jsc.sc().getPersistentRDDs().size()
+        for _ in range(dd._BARRIER_CAP + 3):  # > cap ⇒ eviction engages
+            dd.minhash_dup_pairs(docs, threshold=0.7).count()
+        assert len(dd._BARRIERS) <= dd._BARRIER_CAP
+        released = dd.release_caches()
+        assert released > 0 and not dd._BARRIERS
+        # nothing this sweep persisted outlives the release
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        assert sc._jsc.sc().getPersistentRDDs().size() <= baseline
+
+    def test_evicted_barrier_still_computes_correctly(self, spark, docs):
+        """Evicting a barrier before its consumer runs must only cost
+        recompute, never correctness."""
+        mh = dd.minhash_dup_pairs(docs, threshold=0.7)
+        dd.release_caches()  # evict BEFORE the action
+        expect = {(r["a_id"], r["b_id"]) for r in dd.minhash_dup_pairs(docs, 0.7).collect()}
+        got = {(r["a_id"], r["b_id"]) for r in mh.collect()}
+        assert got == expect and got

@@ -454,6 +454,38 @@ class TestIncrementalAgg:
         direct = finalize(partial_state(base, ["g"], "x"))
         assert sorted(map(repr, merged.collect())) == sorted(map(repr, direct.collect()))
 
+    def test_reserved_key_name_raises(self, spark):
+        """A grouping column named like a state column would be
+        silently aggregated away by key inference — reject it."""
+        import pytest as _pytest
+
+        from facebook_ads_bigquery_etl_spark.operators.incremental import (
+            finalize,
+            merge_states,
+            partial_state,
+        )
+
+        df = spark.range(10).select(
+            F.col("id").alias("state_sum"), F.col("id").cast("double").alias("x")
+        )
+        with _pytest.raises(ValueError, match="state_sum"):
+            partial_state(df, ["state_sum"], "x")
+        good = partial_state(
+            spark.range(10).select(
+                (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("x")
+            ),
+            ["g"],
+            "x",
+        )
+        with _pytest.raises(ValueError, match="state_n"):
+            merge_states(good, good, keys=["g", "state_n"])
+        with _pytest.raises(ValueError, match="state_max"):
+            finalize(good, keys=["state_max"])
+        # explicit keys that are legal behave exactly like inference
+        assert sorted(map(repr, finalize(good, keys=["g"]).collect())) == sorted(
+            map(repr, finalize(good).collect())
+        )
+
 
 class TestIntegrityManifest:
     def test_diff_detects_dropped_and_modified_rows(self, spark):
@@ -564,3 +596,20 @@ class TestKmvSketch:
         assert abs(got["jaccard_est"] - inter / union) <= 0.05
         assert abs(got["union_est"] - union) / union <= 0.20
         assert abs(got["intersection_est"] - inter) / max(inter, 1) <= 0.25
+
+    def test_pair_stats_missing_group_raises(self, spark):
+        """A typo'd segment name must fail loudly, not yield an empty
+        audit (the filter would produce 0 rows and the crossJoin an
+        empty frame)."""
+        import pytest as _pytest
+
+        from facebook_ads_bigquery_etl_spark.operators.sketches import (
+            kmv_pair_stats,
+            kmv_sketch_frame,
+        )
+        from facebook_ads_bigquery_etl_spark.plans.registry import load_tables
+
+        ev = load_tables(spark, "/root/testdata/sf0.001", "events")["events"]
+        sk = kmv_sketch_frame(ev, "event_type", "user_id", k=64)
+        with _pytest.raises(ValueError, match="clikc"):
+            kmv_pair_stats(sk, "clikc", "purchase", k=64)

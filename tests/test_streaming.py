@@ -182,3 +182,39 @@ class TestExactlyOnceSink:
         n2 = spark.read.parquet(out).count()
         assert n1 == n2 > 0
         assert any(d.startswith("date=") for d in os.listdir(out))
+
+
+class TestTsSniff:
+    """The footer sniff must fail loudly on an unreadable parquet file
+    (it used to swallow every exception and silently declare µs, which
+    surfaced later as a confusing mid-stream schema error), but still
+    return False for genuinely ts-less or parquet-less sources."""
+
+    def test_unreadable_footer_raises(self, tmp_path):
+        from facebook_ads_bigquery_etl_spark.streaming.pipeline import (
+            _ts_is_parquet_nanos,
+        )
+
+        bad = tmp_path / "landing"
+        bad.mkdir()
+        (bad / "part-0000.parquet").write_bytes(b"not a parquet file")
+        with pytest.raises(RuntimeError, match="sniff"):
+            _ts_is_parquet_nanos(str(bad))
+
+    def test_no_parquet_files_is_false_not_an_error(self, tmp_path):
+        from facebook_ads_bigquery_etl_spark.streaming.pipeline import (
+            _ts_is_parquet_nanos,
+        )
+
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        assert _ts_is_parquet_nanos(str(empty)) is False
+
+    def test_ts_less_parquet_is_false(self, spark, tmp_path):
+        from facebook_ads_bigquery_etl_spark.streaming.pipeline import (
+            _ts_is_parquet_nanos,
+        )
+
+        p = str(tmp_path / "nots")
+        spark.range(3).write.parquet(p)
+        assert _ts_is_parquet_nanos(p) is False
