@@ -70,7 +70,7 @@ _PRIORITY = [
     # (4) new this round (real-decode pixel stats + layout proofs
     #     promoted to oracle-checked query form) — slots are filled by
     #     rotation greens until each query lands, then swapped in.
-    "part_type_tokens", "grouping_sets_revenue", "exact_dedup_docs",
+    "png_pixel_stats", "grouping_sets_revenue", "exact_dedup_docs",
     # (5) rotating representatives from the r1/r2-green set — one per
     #     broad component family, biased toward queries whose last row
     #     is r1 (re-verified on the regenerated testdata; events_by_day

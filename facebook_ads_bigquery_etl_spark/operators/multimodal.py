@@ -1,14 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (north-star extension).
 
-The container has no image/audio libraries, so the *decode* step is
-stubbed (deterministic fake features / NotImplementedError behind an
-import-try), but the Spark-side plumbing is real and tested: binary
-schema, Arrow-batched ``mapInPandas`` feature extraction, partitioning
-by modality. At 100 TB the pattern is: payloads stay columnar binary,
-per-batch Python touches only the batches it's given (no collect), and
-expensive decodes are gated behind a pushdown-surviving filter on the
-metadata struct.
+The image path is REAL end-to-end with zero external libraries: a
+pure-stdlib PNG codec (``zlib``/``struct``/CRC, all five scanline
+filters) encodes deterministic synthetic images and decodes genuine
+pixels inside Arrow-batched ``mapInPandas`` — same posture as the
+RIFF/WAVE walker below. Audio byte-stats run real numpy; only the
+audio *duration model* and the video frame decoder remain
+deterministic stand-ins (no PCM/codec containers for those
+modalities in the synthetic corpus). At 100 TB the pattern is:
+payloads stay columnar binary, per-batch Python touches only the
+batches it's given (no collect), and expensive decodes are gated
+behind a pushdown-surviving filter on the metadata struct.
 """
 
 from __future__ import annotations
@@ -23,31 +26,223 @@ from pyspark.sql import types as T
 
 from ..schemas import SCHEMA_MEDIA
 
-try:  # real decoders are not in this container — gate, don't fail import
-    from PIL import Image  # type: ignore  # noqa: F401
 
-    HAS_PIL = True
-except ImportError:
-    HAS_PIL = False
+def _png_codec():
+    """Pure-stdlib PNG encoder/decoder (8-bit RGB, non-interlaced),
+    built as NESTED functions so cloudpickle serializes them by value:
+    mapInPandas closures must ship self-contained to workers that
+    cannot import this package (the driver's cwd is not on their
+    sys.path). The encoder cycles through all five scanline filters
+    (None/Sub/Up/Average/Paeth) so the decoder's unfiltering is
+    genuinely exercised; the decoder validates magic, chunk CRCs and
+    layout and returns ``None`` for malformed payloads
+    (quarantine-friendly, same posture as the WAV parser)."""
+    import struct as _s
+    import zlib as _z
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(body))
+            + tag
+            + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def encode(width: int, height: int, rgb: bytes) -> bytes:
+        if len(rgb) != width * height * 3:
+            raise ValueError("rgb buffer does not match width*height*3")
+        bpp, stride = 3, width * 3
+        prev = bytes(stride)
+        out = bytearray()
+        for y in range(height):
+            row = rgb[y * stride : (y + 1) * stride]
+            ft = y % 5  # exercise every filter type
+            filt = bytearray(stride)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    v = row[i]
+                elif ft == 1:
+                    v = (row[i] - a) % 256
+                elif ft == 2:
+                    v = (row[i] - b) % 256
+                elif ft == 3:
+                    v = (row[i] - (a + b) // 2) % 256
+                else:
+                    v = (row[i] - _paeth(a, b, c)) % 256
+                filt[i] = v
+            out.append(ft)
+            out += filt
+            prev = row
+        ihdr = _s.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", _z.compress(bytes(out), 6))
+            + _chunk(b"IEND", b"")
+        )
+
+    def decode(data: bytes):
+        try:
+            if bytes(data[:8]) != b"\x89PNG\r\n\x1a\n":
+                return None
+            pos, w, h = 8, None, None
+            idat = bytearray()
+            while pos + 12 <= len(data):
+                (ln,) = _s.unpack(">I", data[pos : pos + 4])
+                tag = bytes(data[pos + 4 : pos + 8])
+                body = bytes(data[pos + 8 : pos + 8 + ln])
+                (crc,) = _s.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+                if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
+                    return None
+                if tag == b"IHDR":
+                    w, h, bit, ctype, _comp, _filt, ilace = _s.unpack(
+                        ">IIBBBBB", body
+                    )
+                    if bit != 8 or ctype != 2 or ilace != 0:
+                        return None  # only 8-bit RGB non-interlaced
+                elif tag == b"IDAT":
+                    idat += body
+                elif tag == b"IEND":
+                    break
+                pos += 12 + ln
+            if w is None or not idat:
+                return None
+            raw = _z.decompress(bytes(idat))
+            bpp, stride = 3, w * 3
+            if len(raw) != h * (stride + 1):
+                return None
+            rgb = bytearray(h * stride)
+            prev = bytes(stride)
+            for y in range(h):
+                ft = raw[y * (stride + 1)]
+                line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+                rec = bytearray(stride)
+                for i in range(stride):
+                    a = rec[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    x = line[i]
+                    if ft == 0:
+                        v = x
+                    elif ft == 1:
+                        v = (x + a) % 256
+                    elif ft == 2:
+                        v = (x + b) % 256
+                    elif ft == 3:
+                        v = (x + (a + b) // 2) % 256
+                    elif ft == 4:
+                        v = (x + _paeth(a, b, c)) % 256
+                    else:
+                        return None
+                    rec[i] = v
+                rgb[y * stride : (y + 1) * stride] = rec
+                prev = bytes(rec)
+            return w, h, bytes(rgb)
+        except Exception:
+            return None
+
+    return encode, decode
+
+
+png_encode, png_decode = _png_codec()
+
+
+def _synth_image_tools():
+    """Deterministic synthetic-image model, nested for by-value
+    pickling (see ``_png_codec``). Pixel (x, y, channel c) of the
+    image for document d is ``(d*(7+c) + 3x + 5y) mod 256`` on a
+    ``(8 + d%9) × (8 + d%7)`` canvas — simple enough that a SQL oracle
+    can recompute every pixel with generate_series, rich enough that a
+    mis-unfiltered decode changes the sums."""
+
+    def dims(d: int):
+        return 8 + d % 9, 8 + d % 7
+
+    def rgb(d: int, w: int, h: int) -> bytes:
+        buf = bytearray(w * h * 3)
+        i = 0
+        for y in range(h):
+            for x in range(w):
+                base = 3 * x + 5 * y
+                buf[i] = (d * 7 + base) % 256
+                buf[i + 1] = (d * 8 + base) % 256
+                buf[i + 2] = (d * 9 + base) % 256
+                i += 3
+        return bytes(buf)
+
+    return dims, rgb
+
+
+image_dims, image_rgb = _synth_image_tools()
 
 
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:
-    """Build a deterministic media table from the documents corpus:
-    payload = utf-8 bytes of the text (stands in for encoded media),
-    modality round-robins by doc_id. Exercises the binary column path
-    end-to-end without external data."""
+    """Build a deterministic media table from the documents corpus;
+    modality round-robins by doc_id. Image rows carry REAL PNG
+    payloads (stdlib encoder above, pixels a pure function of doc_id);
+    audio/video rows carry the utf-8 text bytes (stand-in for encoded
+    media — those codecs aren't modeled). Exercises the binary column
+    path end-to-end without external data."""
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
-    return docs.select(
+    av = docs.filter(F.col("doc_id") % 3 != 0).select(
         F.col("doc_id").alias("media_id"),
         modality.alias("modality"),
         F.encode("text", "utf-8").alias("payload"),
+    )
+
+    enc, dims, rgb = png_encode, image_dims, image_rgb
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = dims(d)
+                payloads.append(enc(w, h, rgb(d, w, h)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    img_src = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    target = img_src.sparkSession.sparkContext.defaultParallelism
+    try:
+        width = len(img_src.inputFiles())
+    except Exception:
+        width = 0
+    if width < target:
+        img_src = img_src.repartition(target)
+    imgs = img_src.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    ).select("media_id", F.lit("image").alias("modality"), "payload")
+
+    mime = F.when(F.col("modality") == "image", F.lit("image/png")).otherwise(
+        F.concat(F.lit("application/x-fake-"), F.col("modality"))
+    )
+    return av.unionByName(imgs).select(
+        "media_id",
+        "modality",
+        "payload",
         F.struct(
-            F.concat(F.lit("application/x-fake-"), modality).alias("mime"),
-            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
-            F.col("doc_id").alias("source_doc"),
+            mime.alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.col("media_id").alias("source_doc"),
         ).alias("meta"),
     )
 
@@ -58,27 +253,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("modality", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("digest", T.StringType(), True),
-        T.StructField("fake_width", T.IntegerType(), True),
-        T.StructField("fake_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
     ]
 )
-
-
-def decode_image(payload: bytes) -> object:
-    """Real image decode — STUB: requires PIL, absent in this
-    container. The mapInPandas plumbing around it is real."""
-    if not HAS_PIL:
-        raise NotImplementedError("image decode requires PIL (not in this container)")
-    import io
-
-    return Image.open(io.BytesIO(payload))  # pragma: no cover
-
-
-def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for decode: derive (width, height) from
-    the payload digest, so tests have stable expectations."""
-    d = hashlib.sha256(payload).digest()
-    return 16 + d[0] % 240, 16 + d[1] % 240
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -86,8 +264,12 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     mapInPandas: each Python worker receives column batches (payload as
     bytes), computes per-item features, yields batches — the 100-TB
-    shape for any decode/resize/frame-sample stage. Real decoders slot
-    into ``_fake_decode``'s place."""
+    shape for any decode/resize/frame-sample stage. Image payloads are
+    REALLY decoded (stdlib PNG codec): width/height come from the
+    decoded IHDR+pixel buffer and ``n_bytes`` is the decoded content
+    size (w·h·3). Non-image modalities report raw payload size and
+    NULL dimensions. A payload that fails to decode yields NULL
+    width/height (quarantine posture, not a batch failure)."""
 
     # spread a compact single-file input across workers — the Python
     # stage is the expensive part, keep every core busy
@@ -95,70 +277,163 @@ def extract_features(media: DataFrame) -> DataFrame:
     if media.rdd.getNumPartitions() < target:
         media = media.repartition(target)
 
-    # Decode logic is inlined (not a call to a module-level helper):
-    # the closure must pickle self-contained so workers never need to
-    # import this package (the driver's cwd is not on their sys.path).
-    # Keep in sync with _fake_decode, which unit tests exercise.
+    dec = png_decode  # nested fn: cloudpickle ships it by value
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
         for pdf in batches:
-            digests = [_hl.sha256(p).digest() for p in pdf["payload"]]
-            dims = [(16 + d[0] % 240, 16 + d[1] % 240) for d in digests]
+            n_bytes, widths, heights, digests = [], [], [], []
+            for modality, p in zip(pdf["modality"], pdf["payload"]):
+                digests.append(_hl.sha256(p).hexdigest()[:16])
+                if modality == "image":
+                    decoded = dec(p)
+                    if decoded is None:
+                        n_bytes.append(len(p))
+                        widths.append(None)
+                        heights.append(None)
+                    else:
+                        w, h, rgb = decoded
+                        n_bytes.append(len(rgb))
+                        widths.append(w)
+                        heights.append(h)
+                else:
+                    n_bytes.append(len(p))
+                    widths.append(None)
+                    heights.append(None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "digest": [d.hex()[:16] for d in digests],
-                    "fake_width": [w for w, _ in dims],
-                    "fake_height": [h for _, h in dims],
+                    "n_bytes": n_bytes,
+                    "digest": digests,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                 }
             )
 
     return media.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image channel statistics from REAL decoded pixels: the PNG
+    payload is inflated, unfiltered and summed per channel. Because the
+    synthetic pixels are a closed-form function of doc_id, a SQL oracle
+    can recompute every sum — making this the end-to-end proof that the
+    decoder (inflate + all five filters) reconstructs the exact pixels.
+    Malformed payloads yield NULL stats."""
+    imgs = media.filter(F.col("modality") == "image")
+    target = imgs.sparkSession.sparkContext.defaultParallelism
+    if imgs.rdd.getNumPartitions() < target:
+        imgs = imgs.repartition(target)
+
+    dec = png_decode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(int(mid))
+                decoded = dec(p)
+                if decoded is None:
+                    for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                        rows[k].append(None)
+                    continue
+                w, h, rgb = decoded
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sum(rgb[0::3]))
+                rows["sum_g"].append(sum(rgb[1::3]))
+                rows["sum_b"].append(sum(rgb[2::3]))
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "sum_r": pd.array(rows["sum_r"], dtype="Int64"),
+                    "sum_g": pd.array(rows["sum_g"], dtype="Int64"),
+                    "sum_b": pd.array(rows["sum_b"], dtype="Int64"),
+                }
+            )
+
+    return imgs.mapInPandas(gen, PIXEL_STATS_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("payload", T.BinaryType(), True),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
-        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
     ]
 )
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize stage (image preprocessing for vision-model training).
+    """Resize stage (image preprocessing for vision-model training) —
+    REAL decode→resample→re-encode with the stdlib PNG codec: inflate
+    + unfilter the source, nearest-neighbor sample to the target
+    dimensions (``src_x = out_x·src_w // out_w``, floor — the exact
+    rule a SQL oracle can mirror), re-encode as PNG. ``pixel_sum`` is
+    the sum of the resampled RGB bytes, a closed-form function of the
+    source pixels that pins the whole decode→resample path in the
+    driver's hash check. The Spark plumbing is the 100-TB pattern:
+    filter to images FIRST (metadata-only predicate, no Python), then
+    Arrow-batched mapInPandas; malformed payloads yield NULLs."""
 
-    Decode→resample→re-encode is stubbed (no PIL here): the fake
-    produces a deterministic payload of exactly ``width*height*3``
-    bytes tiled from the source digest — size-correct, so downstream
-    batch-shape/memory behavior is realistic. The Spark plumbing is the
-    real pattern: filter to images FIRST (metadata-only predicate, no
-    Python), then Arrow-batched mapInPandas."""
-
-    has_pil = HAS_PIL  # captured as a plain bool: closure pickles
-    # self-contained, workers never import this package
+    enc, dec = png_encode, png_decode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = width * height * 3
         for pdf in batches:
-            out_payloads = []
-            for p in pdf["payload"]:
-                if has_pil:  # pragma: no cover — real path, absent here
-                    raise NotImplementedError("wire PIL resize here")
-                seed = hashlib.sha256(p).digest()
-                out_payloads.append((seed * (n // len(seed) + 1))[:n])
+            out = {k: [] for k in ("media_id", "payload", "src_width",
+                                   "src_height", "pixel_sum")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(int(mid))
+                decoded = dec(p)
+                if decoded is None:
+                    out["payload"].append(None)
+                    out["src_width"].append(None)
+                    out["src_height"].append(None)
+                    out["pixel_sum"].append(None)
+                    continue
+                sw, sh, rgb = decoded
+                buf = bytearray(width * height * 3)
+                i = 0
+                for y in range(height):
+                    sy = y * sh // height
+                    row_off = sy * sw * 3
+                    for x in range(width):
+                        src = row_off + (x * sw // width) * 3
+                        buf[i : i + 3] = rgb[src : src + 3]
+                        i += 3
+                out["payload"].append(enc(width, height, bytes(buf)))
+                out["src_width"].append(sw)
+                out["src_height"].append(sh)
+                out["pixel_sum"].append(sum(buf))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "payload": out_payloads,
+                    "media_id": out["media_id"],
+                    "payload": out["payload"],
+                    "src_width": pd.array(out["src_width"], dtype="Int32"),
+                    "src_height": pd.array(out["src_height"], dtype="Int32"),
                     "width": width,
                     "height": height,
-                    "n_bytes": n,
+                    "pixel_sum": pd.array(out["pixel_sum"], dtype="Int64"),
                 }
             )
 
@@ -261,11 +536,16 @@ __all__ = [
     "SCHEMA_MEDIA",
     "synth_media_from_documents",
     "extract_features",
+    "image_pixel_stats",
     "resize_images",
     "sample_frames",
     "audio_stats",
-    "decode_image",
+    "png_encode",
+    "png_decode",
+    "image_dims",
+    "image_rgb",
     "FEATURE_SCHEMA",
+    "PIXEL_STATS_SCHEMA",
     "RESIZED_SCHEMA",
     "FRAME_SCHEMA",
     "AUDIO_SCHEMA",

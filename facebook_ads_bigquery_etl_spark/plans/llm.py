@@ -608,40 +608,54 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     oracle="""
-    WITH m AS (
-      SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
-                             WHEN 1 THEN 'audio'
-                             ELSE 'video' END AS modality,
-             strlen(text)                     AS n_bytes,
-             substr(sha256(text), 1, 16)      AS digest,
-             16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 240
-                                              AS fake_width
-      FROM documents
-    )
+    WITH av AS (
+      SELECT CASE doc_id % 3 WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             strlen(text)                        AS n_bytes,
+             substr(sha256(text), 1, 16)         AS payload_key,
+             CAST(NULL AS INTEGER)               AS width
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    img AS (
+      -- the PNG payload is a pure function of (doc_id%9, doc_id%7,
+      -- doc_id%256): dims from the first two, every pixel from the
+      -- third (channel multipliers 7/8/9 are odd → injective mod 256)
+      SELECT 'image'                                         AS modality,
+             (8 + doc_id % 9) * (8 + doc_id % 7) * 3         AS n_bytes,
+             CAST(doc_id % 9 AS VARCHAR) || ':' ||
+             CAST(doc_id % 7 AS VARCHAR) || ':' ||
+             CAST(doc_id % 256 AS VARCHAR)                   AS payload_key,
+             CAST(8 + doc_id % 9 AS INTEGER)                 AS width
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    m AS (SELECT * FROM av UNION ALL SELECT * FROM img)
     SELECT modality,
-           CAST(COUNT(*) AS BIGINT)                AS n_media,
-           CAST(SUM(n_bytes) AS BIGINT)            AS total_bytes,
-           CAST(COUNT(DISTINCT digest) AS BIGINT)  AS n_distinct_payloads,
-           ROUND(AVG(fake_width), 6)               AS avg_width
+           CAST(COUNT(*) AS BIGINT)                   AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT)               AS total_bytes,
+           CAST(COUNT(DISTINCT payload_key) AS BIGINT) AS n_distinct_payloads,
+           ROUND(COALESCE(AVG(width), -1), 6)         AS avg_width
     FROM m GROUP BY modality
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched mapInPandas feature
-    extraction (decode stubbed — see operators/multimodal.py).
-    Aggregated per modality so the output is scale-stable.
+    extraction with a REAL image decode (stdlib PNG codec — see
+    operators/multimodal.py). Aggregated per modality so the output is
+    scale-stable.
 
-    Fully oracle-checked: the stub features are deterministic
-    (payload = utf-8 text bytes, digest/width = sha256-derived), and
-    DuckDB's sha256/strlen reproduce them bit-for-bit — so the whole
-    binary → mapInPandas → aggregate path gets an exact driver hash."""
+    Fully oracle-checked: image width and decoded content size come
+    out of the actual inflate+unfilter path, and the oracle recomputes
+    them from the closed-form synthetic-image model — so a decoder bug
+    (wrong filter reconstruction, wrong dims) breaks the driver hash.
+    Payload distinctness maps to the injective (d%9, d%7, d%256) key;
+    audio/video rows have no dims → avg_width pinned to -1 on both
+    engines (NULL-determinism rule)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     feats = mm.extract_features(mm.synth_media_from_documents(docs))
     return feats.groupBy("modality").agg(
         F.count("*").alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
         F.countDistinct("digest").alias("n_distinct_payloads"),
-        F.round(F.avg("fake_width"), 6).alias("avg_width"),
+        F.round(F.coalesce(F.avg("width"), F.lit(-1.0)), 6).alias("avg_width"),
     )
 
 
@@ -1023,28 +1037,83 @@ def pack_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "image_resize_stats",
     oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_images,
-           CAST(12288 AS BIGINT)                          AS bytes_per_image,
-           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT)   AS n_distinct_payloads
-    FROM documents WHERE doc_id % 3 = 0
+    WITH img AS (
+      SELECT doc_id AS d, 8 + doc_id % 9 AS sw, 8 + doc_id % 7 AS sh
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      -- nearest-neighbor: out pixel (x,y) samples source
+      -- (x*sw//16, y*sh//16); sum the three channels in one term
+      SELECT i.d, i.sw,
+             (i.d * 7 + 3 * ((x.x * i.sw) // 16) + 5 * ((y.y * i.sh) // 16)) % 256
+           + (i.d * 8 + 3 * ((x.x * i.sw) // 16) + 5 * ((y.y * i.sh) // 16)) % 256
+           + (i.d * 9 + 3 * ((x.x * i.sw) // 16) + 5 * ((y.y * i.sh) // 16)) % 256
+             AS pix3
+      FROM img i,
+           generate_series(0, 15) AS x(x),
+           generate_series(0, 15) AS y(y)
+    ),
+    sums AS (
+      SELECT d, sw, CAST(SUM(pix3) AS BIGINT) AS pixel_sum
+      FROM px GROUP BY d, sw
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                    AS n_images,
+           CAST(SUM(pixel_sum) AS BIGINT)              AS total_pixel_sum,
+           CAST(COUNT(DISTINCT pixel_sum) AS BIGINT)   AS n_distinct_sums,
+           ROUND(AVG(sw), 6)                           AS avg_src_width
+    FROM sums
     """,
 )
 def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize stage end-to-end (operators/multimodal.resize_images):
-    every image payload re-encoded to a 64×64×3 buffer by the
-    deterministic stub decoder (digest-seeded tile), via Arrow-batched
-    mapInPandas. The oracle pins the fan-in count, the exact output
-    buffer size, and payload distinctness (tiles are injective in the
-    source digest, which DuckDB recomputes with sha256)."""
+    REAL PNG decode → nearest-neighbor resample to 16×16 → re-encode,
+    via Arrow-batched mapInPandas. The oracle recomputes every
+    resampled pixel from the closed-form image model and the exact
+    floor-division sampling rule, so the driver hash pins the whole
+    decode→resample path — a wrong filter reconstruction or an
+    off-by-one in the sampling grid shifts total_pixel_sum."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     resized = mm.resize_images(
-        mm.synth_media_from_documents(docs), width=64, height=64
+        mm.synth_media_from_documents(docs), width=16, height=16
     )
     return resized.agg(
         F.count("*").alias("n_images"),
-        F.max("n_bytes").alias("bytes_per_image"),
-        F.countDistinct("payload").alias("n_distinct_payloads"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+        F.countDistinct("pixel_sum").alias("n_distinct_sums"),
+        F.round(F.avg("src_width"), 6).alias("avg_src_width"),
     )
+
+
+@register(
+    "png_pixel_stats",
+    oracle="""
+    SELECT d.doc_id                                  AS media_id,
+           CAST(8 + d.doc_id % 9 AS INTEGER)         AS width,
+           CAST(8 + d.doc_id % 7 AS INTEGER)         AS height,
+           CAST(SUM((d.doc_id * 7 + 3 * x.x + 5 * y.y) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id * 8 + 3 * x.x + 5 * y.y) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 9 + 3 * x.x + 5 * y.y) % 256) AS BIGINT) AS sum_b
+    -- generate_series can't take correlated bounds in DuckDB, so walk
+    -- the maximal 16×14 grid and clip per-image (dims are 8..16 × 8..14)
+    FROM documents d,
+         generate_series(0, 15) AS x(x),
+         generate_series(0, 13) AS y(y)
+    WHERE d.doc_id % 3 = 0
+      AND x.x < 8 + d.doc_id % 9
+      AND y.y < 8 + d.doc_id % 7
+    GROUP BY d.doc_id
+    """,
+)
+def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image channel sums from REAL decoded pixels — the sharpest
+    decoder proof in the suite: Spark inflates + unfilters every PNG
+    (all five scanline filter types are present by construction) and
+    sums each channel; DuckDB regenerates the pixels analytically with
+    generate_series. Any divergence in any pixel of any image breaks
+    the per-row hash."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    stats = mm.image_pixel_stats(mm.synth_media_from_documents(docs))
+    return stats.select("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
 
 
 # -- round-2 additions: repetition signals, repeated spans, quantization ----

@@ -39,28 +39,95 @@ class TestMediaTable:
         assert sum(counts.values()) == media.count()
 
 
+class TestPngCodec:
+    """The stdlib PNG codec is the real decode path — prove it against
+    itself (round-trip through every scanline filter) and against
+    hostile input."""
+
+    def test_round_trip_identity_exercises_all_filters(self):
+        for d in (0, 3, 57, 123, 255, 256, 300, 999):
+            w, h = mm.image_dims(d)
+            rgb = mm.image_rgb(d, w, h)
+            assert h >= 5  # encoder cycles filters by y % 5 → all five hit
+            assert mm.png_decode(mm.png_encode(w, h, rgb)) == (w, h, rgb)
+
+    def test_single_filter_rows_each_reconstruct(self):
+        # 6-row image: filters None,Sub,Up,Average,Paeth,None by row
+        w, h = 7, 6
+        rgb = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+        out = mm.png_decode(mm.png_encode(w, h, rgb))
+        assert out == (w, h, rgb)
+
+    def test_malformed_payloads_return_none(self):
+        w, h = mm.image_dims(9)
+        good = mm.png_encode(w, h, mm.image_rgb(9, w, h))
+        corrupted = good[:30] + bytes([good[30] ^ 0xFF]) + good[31:]  # breaks a CRC
+        truncated_idat = good[:40]  # cuts the compressed stream short
+        for bad in (b"", b"junk", b"\x89PNG\r\n\x1a\nxxxx", truncated_idat, corrupted):
+            assert mm.png_decode(bad) is None
+        # a missing IEND alone is tolerated (lenient, like real decoders)
+        assert mm.png_decode(good[:-8]) is not None
+
+    def test_size_mismatch_raises_at_encode(self):
+        with pytest.raises(ValueError):
+            mm.png_encode(4, 4, b"\x00" * 5)
+
+
 class TestExtractFeatures:
     def test_digest_matches_python_sha(self, media):
-        payloads = {r["media_id"]: r["payload"] for r in media.limit(10).collect()}
+        payloads = {
+            (r["media_id"], r["modality"]): r["payload"] for r in media.limit(10).collect()
+        }
         feats = {
             r["media_id"]: r
             for r in mm.extract_features(media).filter(
-                F.col("media_id").isin(*payloads)).collect()
+                F.col("media_id").isin(*[m for m, _ in payloads])).collect()
         }
-        for mid, p in payloads.items():
+        for (mid, modality), p in payloads.items():
             assert feats[mid]["digest"] == hashlib.sha256(p).hexdigest()[:16]
-            assert feats[mid]["n_bytes"] == len(p)
+            if modality == "image":
+                w, h, rgb = mm.png_decode(bytes(p))
+                assert feats[mid]["n_bytes"] == len(rgb) == w * h * 3
+                assert (feats[mid]["width"], feats[mid]["height"]) == (w, h)
+            else:
+                assert feats[mid]["n_bytes"] == len(p)
+                assert feats[mid]["width"] is None and feats[mid]["height"] is None
+
+    def test_pixel_stats_match_local_decode(self, media):
+        stats = {r["media_id"]: r for r in mm.image_pixel_stats(media).collect()}
+        imgs = {r["media_id"]: bytes(r["payload"])
+                for r in media.filter("modality='image'").limit(5).collect()}
+        assert set(imgs) <= set(stats)
+        for mid, p in imgs.items():
+            w, h, rgb = mm.png_decode(p)
+            r = stats[mid]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sum_r"] == sum(rgb[0::3])
+            assert r["sum_g"] == sum(rgb[1::3])
+            assert r["sum_b"] == sum(rgb[2::3])
 
 
 class TestResize:
-    def test_only_images_and_exact_payload_size(self, media):
+    def test_only_images_and_real_nearest_neighbor(self, media):
         out = mm.resize_images(media, width=32, height=16)
         rows = out.collect()
-        n_images = media.filter("modality = 'image'").count()
-        assert len(rows) == n_images
+        srcs = {r["media_id"]: bytes(r["payload"])
+                for r in media.filter("modality = 'image'").collect()}
+        assert len(rows) == len(srcs)
         for r in rows:
-            assert len(r["payload"]) == 32 * 16 * 3
             assert (r["width"], r["height"]) == (32, 16)
+            w, h, resized = mm.png_decode(bytes(r["payload"]))
+            assert (w, h) == (32, 16)
+            sw, sh, src = mm.png_decode(srcs[r["media_id"]])
+            assert (sw, sh) == (r["src_width"], r["src_height"])
+            # spot-check the nearest-neighbor rule on a few pixels
+            for (x, y) in ((0, 0), (31, 15), (13, 7)):
+                sx, sy = x * sw // 32, y * sh // 16
+                assert (
+                    resized[(y * 32 + x) * 3 : (y * 32 + x) * 3 + 3]
+                    == src[(sy * sw + sx) * 3 : (sy * sw + sx) * 3 + 3]
+                )
+            assert r["pixel_sum"] == sum(resized)
 
     def test_resize_is_deterministic(self, media):
         a = {r["media_id"]: bytes(r["payload"]) for r in mm.resize_images(media, 8, 8).collect()}
