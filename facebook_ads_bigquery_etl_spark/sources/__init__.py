@@ -8,6 +8,7 @@ partition per (account × day) — and Catalyst's column pruning /
 filter pushdown reach the API parameters.
 """
 
+from .bigquery_local import BigQueryLocalDataSource
 from .currencylayer import CurrencyLayerDataSource
 from .facebook_insights import FacebookInsightsDataSource
 from .transport import (
@@ -40,9 +41,11 @@ def register_all(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FacebookInsightsDataSource)
     spark.dataSource.register(CurrencyLayerDataSource)
+    spark.dataSource.register(BigQueryLocalDataSource)
 
 
 __all__ = [
+    "BigQueryLocalDataSource",
     "CurrencyLayerDataSource",
     "FacebookInsightsDataSource",
     "FixtureTransport",

@@ -1,0 +1,117 @@
+"""Sink pluggability: the same pipeline writes must route through any
+registered format — file formats (parquet/orc) AND a connector-style
+Python DataSource writer (bigquery_local, the streaming-insert
+stand-in) — with identical row content and the documented semantics
+(exactly-once day overwrite for file sinks, at-least-once append for
+the streaming-insert path, matching reference main.py:81-91).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from facebook_ads_bigquery_etl_spark.sinks import (
+    insert_rows_via_format,
+    write_day_partitioned,
+)
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            Row(date="2025-01-01", campaign_id="c1", spend=1.5),
+            Row(date="2025-01-01", campaign_id="c2", spend=2.5),
+            Row(date="2025-01-02", campaign_id="c1", spend=3.0),
+        ]
+    )
+
+
+def _rows(df):
+    # partition-value inference reads the date partition back as DATE —
+    # normalize to the string form for comparison
+    return sorted((str(r["date"]), r["campaign_id"], r["spend"]) for r in df.collect())
+
+
+class TestFormatSwap:
+    @pytest.mark.parametrize("fmt", ["parquet", "orc"])
+    def test_day_partitioned_write_is_format_agnostic(self, spark, tmp_path, frame, fmt):
+        """Identical rows and identical dynamic-overwrite semantics
+        through both file formats — no parquet-only code path."""
+        path = str(tmp_path / fmt)
+        write_day_partitioned(frame, path, clustering_fields=["campaign_id"], fmt=fmt)
+        assert _rows(spark.read.format(fmt).load(path)) == _rows(frame)
+        assert sorted(
+            d for d in os.listdir(path) if d.startswith("date=")
+        ) == ["date=2025-01-01", "date=2025-01-02"]
+        # re-load ONE day with changed rows: only that partition moves
+        day1 = frame.filter(F.col("date") == "2025-01-01").withColumn(
+            "spend", F.col("spend") * 10
+        )
+        write_day_partitioned(day1, path, fmt=fmt)
+        got = _rows(spark.read.format(fmt).load(path))
+        assert got == sorted(
+            [("2025-01-01", "c1", 15.0), ("2025-01-01", "c2", 25.0),
+             ("2025-01-02", "c1", 3.0)]
+        )
+
+    def test_insert_seam_swaps_between_file_and_connector_formats(
+        self, spark, tmp_path, frame
+    ):
+        """The SAME call routes rows through a file format and through
+        the Python-DataSource connector writer; both read back with
+        the same content."""
+        from facebook_ads_bigquery_etl_spark.sources import register_all
+
+        register_all(spark)
+        pq, bq = str(tmp_path / "pq"), str(tmp_path / "bq")
+        assert insert_rows_via_format(frame, "parquet", pq) == "ok"
+        assert insert_rows_via_format(frame, "bigquery_local", bq) == "ok"
+        via_pq = _rows(spark.read.parquet(pq))
+        js = spark.read.json(os.path.join(bq, "*.jsonl"))
+        via_bq = sorted(
+            (r["date"], r["campaign_id"], float(r["spend"])) for r in js.collect()
+        )
+        assert via_pq == via_bq == _rows(frame)
+
+
+class TestBigQueryLocalSemantics:
+    def test_append_is_at_least_once_like_the_reference(self, spark, tmp_path, frame):
+        """Re-running an append job duplicates rows — BigQuery
+        streaming-insert-without-insertId parity (reference
+        main.py:86-89). The exactly-once repair lives in
+        write_day_partitioned, not here."""
+        from facebook_ads_bigquery_etl_spark.sources import register_all
+
+        register_all(spark)
+        bq = str(tmp_path / "bq")
+        insert_rows_via_format(frame, "bigquery_local", bq)
+        insert_rows_via_format(frame, "bigquery_local", bq)
+        n = spark.read.json(os.path.join(bq, "*.jsonl")).count()
+        assert n == 2 * frame.count()
+
+    def test_overwrite_truncates_previous_rows(self, spark, tmp_path, frame):
+        from facebook_ads_bigquery_etl_spark.sources import register_all
+
+        register_all(spark)
+        bq = str(tmp_path / "bq")
+        insert_rows_via_format(frame, "bigquery_local", bq)
+        one = frame.limit(1)
+        insert_rows_via_format(one, "bigquery_local", bq, mode="overwrite")
+        assert spark.read.json(os.path.join(bq, "*.jsonl")).count() == 1
+
+    def test_staging_leaves_no_visible_rows_behind(self, spark, tmp_path, frame):
+        """Published files live at the top level; the staging dir holds
+        nothing after a successful commit."""
+        from facebook_ads_bigquery_etl_spark.sources import register_all
+
+        register_all(spark)
+        bq = str(tmp_path / "bq")
+        insert_rows_via_format(frame, "bigquery_local", bq)
+        staged = os.listdir(os.path.join(bq, "_staging"))
+        assert staged == []
+        assert any(f.endswith(".jsonl") for f in os.listdir(bq))
