@@ -67,10 +67,11 @@ _PRIORITY = [
     #     digest features inside the image path, so these two r2-green
     #     queries need fresh rows.
     "multimodal_features", "image_resize_stats",
-    # (4) new this round (real-decode pixel stats + layout proofs
-    #     promoted to oracle-checked query form) — slots are filled by
-    #     rotation greens until each query lands, then swapped in.
-    "png_pixel_stats", "grouping_sets_revenue", "exact_dedup_docs",
+    # (4) new this round: real-decode pixel stats, plus the z-order
+    #     skipping and compaction layout proofs promoted from
+    #     test_scale_layout.py into oracle-checked query form.
+    "png_pixel_stats", "zorder_skip_audit", "compaction_file_audit",
+    "grouping_sets_revenue", "exact_dedup_docs",
     # (5) rotating representatives from the r1/r2-green set — one per
     #     broad component family, biased toward queries whose last row
     #     is r1 (re-verified on the regenerated testdata; events_by_day

@@ -87,6 +87,14 @@ HEADLINE = [
     "incremental_monthly_revenue",
     "product_profit",
     "doc_chunks",
+    # round-3 widening: the families deferred from the r2 bench window
+    # (VERDICT r2 item 6) so perf regressions there become visible
+    "wav_header_stats",
+    "kmv_overlap_audit",
+    "supplier_part_counts",
+    "dedup_keep_best",
+    "label_feature_corr",
+    "png_pixel_stats",
 ]
 
 
@@ -134,7 +142,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (29 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout)",
+        "metric": "headline query wall-clock (35 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

@@ -41,14 +41,31 @@ from .text import tokens, with_fingerprint
 # for session teardown / tests. Evicting a not-yet-consumed barrier is
 # safe: the query recomputes (slower, never wrong).
 _BARRIER_CAP = 8
-_BARRIERS: list[DataFrame] = []
+_BARRIERS: "OrderedDict[int, DataFrame]" = __import__(
+    "collections"
+).OrderedDict()
 
 
 def _barrier(df: DataFrame) -> DataFrame:
+    # Dedupe by the analyzed plan's semantic hash: persist() on a plan
+    # that is already in the CacheManager is a no-op (one shared cache
+    # entry), so registering it twice would let an LRU eviction of the
+    # OLD registration unpersist the NEW one's cache out from under it
+    # (observed as a vanished InMemoryTableScan in the plan audit when
+    # the same query ran twice in one session). Same plan → same
+    # registry slot, refreshed to most-recently-used.
+    try:
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        key = id(df)
+    if key in _BARRIERS:
+        _BARRIERS.move_to_end(key)
+        return _BARRIERS[key]
     out = df.persist()
-    _BARRIERS.append(out)
+    _BARRIERS[key] = out
     while len(_BARRIERS) > _BARRIER_CAP:
-        _BARRIERS.pop(0).unpersist(blocking=False)
+        _, old = _BARRIERS.popitem(last=False)
+        old.unpersist(blocking=False)
     return out
 
 
@@ -58,7 +75,8 @@ def release_caches() -> int:
     LRU cap for steady-state bounds)."""
     n = 0
     while _BARRIERS:
-        _BARRIERS.pop().unpersist(blocking=False)
+        _, df = _BARRIERS.popitem()
+        df.unpersist(blocking=False)
         n += 1
     return n
 

@@ -462,3 +462,173 @@ def lineitem_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus"),
     ]
     return partition_manifest(li, ["ship_month"], hashed)
+
+
+# --------------------------------------------------------------------------
+# Layout proofs promoted to oracle-checked query form (VERDICT r2 item 8):
+# the z-order skipping and small-file-compaction guarantees used to live
+# only in tests/test_scale_layout.py; these audit queries make them part
+# of the driver's CORRECTNESS gate. Pattern = sketch-audit oracles: the
+# exact quantities (band row counts, table counts) are recomputed by
+# DuckDB; the layout claims are engine-verified booleans pinned TRUE.
+# --------------------------------------------------------------------------
+
+_ZORDER_ORACLE = """
+    WITH b AS (
+      SELECT MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+             MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+      FROM lineitem
+    )
+    SELECT
+      CAST(SUM(CASE WHEN l_partkey >= pk_min + 0.45 * (pk_max - pk_min)
+                     AND l_partkey <= pk_min + 0.55 * (pk_max - pk_min)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_band_pk,
+      CAST(SUM(CASE WHEN l_suppkey >= sk_min + 0.45 * (sk_max - sk_min)
+                     AND l_suppkey <= sk_min + 0.55 * (sk_max - sk_min)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_band_sk,
+      TRUE AS linear_skips_own_dim,
+      TRUE AS linear_blind_other_dim,
+      TRUE AS zorder_skips_both_dims
+    FROM lineitem, b
+"""
+
+
+@register("zorder_skip_audit", oracle=_ZORDER_ORACLE)
+def zorder_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (operators/zorder.py) file-skipping proof as a driver row.
+
+    Rewrites lineitem's (l_partkey, l_suppkey, l_extendedprice) twice —
+    Morton-curve z-ordered vs linearly sorted on l_partkey alone, 16
+    files each — then measures, from the parquet footers, the fraction
+    of files a 10%-wide mid-range band predicate on EACH key column
+    must touch. Engine-verified claims (booleans): the linear layout
+    skips on its own column (≤25% touched) but is blind on the other
+    (>90%), while the z-order layout skips meaningfully on BOTH and its
+    worst dimension beats the linear layout's worst. DuckDB anchors the
+    row by recomputing the two band row counts exactly (band bounds are
+    min + {0.45,0.55}·range — identical IEEE arithmetic both engines).
+    The footer readout is 2×16 files — bounded, never data-sized."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..operators.zorder import write_zordered
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    mm = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    pk_lo, pk_hi = (mm[0] + f * (mm[1] - mm[0]) for f in (0.45, 0.55))
+    sk_lo, sk_hi = (mm[2] + f * (mm[3] - mm[2]) for f in (0.45, 0.55))
+
+    tmp = tempfile.mkdtemp(prefix="zorder_audit_")
+    zpath, spath = f"{tmp}/zord", f"{tmp}/linear"
+    try:
+        write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+        (
+            li.repartitionByRange(16, "l_partkey")
+            .sortWithinPartitions("l_partkey")
+            .write.mode("overwrite").parquet(spath)
+        )
+
+        def touch_fraction(path: str, col: str, lo: float, hi: float) -> float:
+            files = _glob.glob(f"{path}/part-*.parquet")
+            touched = 0
+            for f in files:
+                pf = pq.ParquetFile(f)
+                idx = pf.schema_arrow.names.index(col)
+                md = pf.metadata
+                fmin = min(md.row_group(i).column(idx).statistics.min
+                           for i in range(md.num_row_groups))
+                fmax = max(md.row_group(i).column(idx).statistics.max
+                           for i in range(md.num_row_groups))
+                touched += 1 if (fmax >= lo and fmin <= hi) else 0
+            return touched / len(files)
+
+        z_pk = touch_fraction(zpath, "l_partkey", pk_lo, pk_hi)
+        z_sk = touch_fraction(zpath, "l_suppkey", sk_lo, sk_hi)
+        s_pk = touch_fraction(spath, "l_partkey", pk_lo, pk_hi)
+        s_sk = touch_fraction(spath, "l_suppkey", sk_lo, sk_hi)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    z_worst = max(z_pk, z_sk)
+    return li.agg(
+        F.sum(F.col("l_partkey").between(pk_lo, pk_hi).cast("long"))
+        .alias("n_band_pk"),
+        F.sum(F.col("l_suppkey").between(sk_lo, sk_hi).cast("long"))
+        .alias("n_band_sk"),
+    ).select(
+        "n_band_pk",
+        "n_band_sk",
+        F.lit(bool(s_pk <= 0.25)).alias("linear_skips_own_dim"),
+        F.lit(bool(s_sk > 0.9)).alias("linear_blind_other_dim"),
+        F.lit(bool(z_worst < 0.8 and z_worst < s_sk))
+        .alias("zorder_skips_both_dims"),
+    )
+
+
+_COMPACTION_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_rows,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS fragmented_before,
+           TRUE AS one_file_per_day,
+           TRUE AS rows_preserved
+    FROM events
+"""
+
+
+@register("compaction_file_audit", oracle=_COMPACTION_ORACLE)
+def compaction_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sinks.compact_partitions) proof as a
+    driver row. Writes events day-partitioned with forced fragmentation
+    (16-way repartition → up to 16 files per day directory — the shape
+    a streaming foreachBatch sink leaves behind), compacts, and
+    verifies: the table WAS fragmented, compaction leaves exactly one
+    file per day partition, and no row was lost or duplicated (count
+    re-read from the compacted files). DuckDB recomputes the row and
+    day counts from the source; file counts are engine-verified
+    booleans (one glob over ~30 day dirs — bounded metadata, not
+    data)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from ..sinks import compact_partitions
+
+    ev = load_tables(spark, sf_dir, "events")["events"].withColumn(
+        "date", F.to_date("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="compact_audit_")
+    path = f"{tmp}/events_tbl"
+    try:
+        ev.repartition(16).write.partitionBy("date").parquet(path)
+        files_before = len(_glob.glob(f"{path}/date=*/part-*.parquet"))
+        n_dirs = len(_glob.glob(f"{path}/date=*"))
+        compact_partitions(
+            spark, path, partition_field="date", clustering_fields=["user_id"]
+        )
+        files_after = len(_glob.glob(f"{path}/date=*/part-*.parquet"))
+        # eager re-read: the temp table is gone after the finally, so
+        # the preservation check happens now, not at driver collect time
+        n_back = spark.read.parquet(path).count()
+        src_rows = ev.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # the returned plan aggregates the SOURCE table (persistent), with
+    # the layout claims as engine-verified literals
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("date").alias("n_days"),
+    ).select(
+        "n_rows",
+        "n_days",
+        F.lit(bool(files_before > n_dirs)).alias("fragmented_before"),
+        F.lit(bool(files_after == n_dirs)).alias("one_file_per_day"),
+        F.lit(bool(n_back == src_rows)).alias("rows_preserved"),
+    )

@@ -62,6 +62,10 @@ PROBES = [
     "product_profit",         # part-pruned fact-fact join (Q9)
     "doc_chunks",             # sequence+explode chunk fan-out
     "countmin_top_tokens",    # fixed-size mergeable sketch pass
+    # round-3 widening (VERDICT r2 item 7): the newest op families
+    "kmv_overlap_audit",      # two KMV sketch builds + driver-side merge
+    "dedup_keep_best",        # cluster + per-cluster quality argmax
+    "wav_header_stats",       # mapInPandas RIFF/WAVE chunk walk
 ]
 
 
