@@ -71,6 +71,8 @@ _PRIORITY = [
     #     skipping and compaction layout proofs promoted from
     #     test_scale_layout.py into oracle-checked query form.
     "png_pixel_stats", "zorder_skip_audit", "compaction_file_audit",
+    "bucketed_join_audit", "fuzzy_part_name_pairs",
+    "weighted_doc_sample", "dpp_audit", "manifest_repair_diff",
     "grouping_sets_revenue", "exact_dedup_docs",
     # (5) rotating representatives from the r1/r2-green set — one per
     #     broad component family, biased toward queries whose last row

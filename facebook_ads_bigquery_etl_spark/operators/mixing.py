@@ -112,3 +112,40 @@ def token_budget_mix(
         .filter(F.col("__cum") - F.col(token_col) < budget_expr)
         .drop("__bucket", "__cum")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+) -> DataFrame:
+    """Weighted sample without replacement via PRIORITY SAMPLING
+    (Duffield/Lund/Thorup): each row gets priority q = w/u for a
+    uniform u derived from its id, and the k highest-priority rows are
+    the sample — inclusion probability ≈ proportional to weight, no
+    RNG state, fully re-runnable.
+
+    u comes from an ARITHMETIC hash (Knuth multiplicative, reduced
+    mod 2^31 first so the int64 product cannot overflow under ANSI
+    mode): the same formula is expressible in any SQL engine, which is
+    what makes the sample oracle-checkable bit-for-bit. A production
+    run at trillions of ids would swap in ``xxhash64`` (same plan
+    shape, engine-local hash); the contract — deterministic,
+    weight-monotone inclusion — is unchanged.
+
+    Scale shape: map-only scoring + global top-k, which Spark executes
+    as TakeOrderedAndProject (per-partition heap of k, driver merges
+    k·P rows) — no global sort, no shuffle of the data itself."""
+    c = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    q = c.cast("double") * F.lit(4294967297.0) / (h + F.lit(1)).cast("double")
+    return (
+        df.select(F.col(id_col), c.cast("long").alias("weight"), q.alias("q"))
+        .orderBy(F.col("q").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "weight", F.round("q", 4).alias("priority"))
+    )

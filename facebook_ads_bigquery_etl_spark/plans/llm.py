@@ -1551,3 +1551,30 @@ def label_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.stddev_samp("norm"), 6) + F.lit(0.0)).alias("norm_stddev"),
         )
     )
+
+
+_PRIORITY_SAMPLE_ORACLE = """
+    WITH s AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+      FROM documents
+    )
+    SELECT doc_id, weight,
+           ROUND(weight * 4294967297.0 / (h + 1), 4) AS priority
+    FROM s
+    ORDER BY weight * 4294967297.0 / (h + 1) DESC, doc_id
+    LIMIT 100
+"""
+
+
+@register("weighted_doc_sample", oracle=_PRIORITY_SAMPLE_ORACLE)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample via priority sampling
+    (operators/mixing.priority_sample): top-100 priorities q = w/u
+    with u an arithmetic id-hash, so the sample is deterministic,
+    re-runnable, and bit-for-bit oracle-checkable — DuckDB recomputes
+    every priority and the exact top-k. The corpus-curation use: pick
+    a review sample biased toward long documents without any RNG
+    state to coordinate across a 1000-executor cluster."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return mx.priority_sample(docs, "doc_id", "n_chars", k=100)

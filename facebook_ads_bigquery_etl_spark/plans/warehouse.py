@@ -632,3 +632,261 @@ def compaction_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(files_after == n_dirs)).alias("one_file_per_day"),
         F.lit(bool(n_back == src_rows)).alias("rows_preserved"),
     )
+
+
+_BUCKETED_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)        AS n_items,
+           ROUND(SUM(l_extendedprice), 2)  AS revenue,
+           TRUE AS colocated_join_shuffle_free,
+           TRUE AS bucketed_matches_plain
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+"""
+
+
+@register("bucketed_join_audit", oracle=_BUCKETED_ORACLE)
+def bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (catalog.write_bucketed_table) proof as
+    a driver row — the layout that converts the recurring fact⋈fact
+    shuffle into a one-time ingest cost at 100 TB.
+
+    Writes orders and lineitem as managed tables bucketed 8 ways on the
+    order key, joins them with broadcast disabled, and engine-verifies
+    two claims: the bucketed join plans with NO Exchange on either side
+    (bucket i joins bucket i), and it returns exactly the plain join's
+    row count. DuckDB anchors the row by recomputing the join aggregate
+    (items + revenue per order priority) exactly. All bucketed-table
+    work happens eagerly so the returned plan depends only on the
+    persistent parquet source, never on the dropped managed tables."""
+    from ..catalog import write_bucketed_table
+    from ..operators.skew import explain_has_exchange
+
+    tabs = load_tables(spark, sf_dir, "orders", "lineitem")
+    orders, lineitem = tabs["orders"], tabs["lineitem"]
+    db = "bucket_audit_db"
+
+    def scrub():
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {db}.orders_b")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.lineitem_b")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)
+
+    scrub()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(
+            orders.select("o_orderkey", "o_orderpriority"),
+            db, "orders_b", "o_orderkey", 8,
+        )
+        write_bucketed_table(
+            lineitem.select("l_orderkey", "l_extendedprice"),
+            db, "lineitem_b", "l_orderkey", 8, sort_cols=["l_orderkey"],
+        )
+        o, li = spark.table(f"{db}.orders_b"), spark.table(f"{db}.lineitem_b")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey)
+        shuffle_free = not explain_has_exchange(joined)
+        n_bucketed = joined.count()
+        n_plain = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        scrub()
+
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            "revenue",
+            F.lit(bool(shuffle_free)).alias("colocated_join_shuffle_free"),
+            F.lit(bool(n_bucketed == n_plain)).alias("bucketed_matches_plain"),
+        )
+    )
+
+
+_FUZZY_ORACLE = """
+    WITH s AS (
+      SELECT p_partkey, p_name,
+             lower(string_split_regex(trim(p_name), '\\s+')[1]) AS blk
+      FROM part
+    )
+    SELECT CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM s a JOIN s b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    GROUP BY 1
+"""
+
+
+@register("fuzzy_part_name_pairs", oracle=_FUZZY_ORACLE)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (operators/fuzzy.py) over part names:
+    record-linkage pairs within first-token blocks at edit distance
+    ≤ 6, reported as a per-distance pair histogram (the pair list
+    itself repeats heavily — the histogram checks every comparison
+    while keeping the driver row bounded). DuckDB mirrors the blocking
+    scheme and Levenshtein exactly, so every candidate pair and
+    distance is value-checked. Scale shape: one equi-shuffle on the
+    block key, candidate space Σ block², no n² comparison anywhere."""
+    from ..operators.fuzzy import blocked_fuzzy_pairs
+
+    part = load_tables(spark, sf_dir, "part")["part"]
+    pairs = blocked_fuzzy_pairs(part, "p_partkey", "p_name", max_dist=6)
+    return (
+        pairs.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+_DPP_ORACLE = """
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),
+    r AS (SELECT date, row_number() OVER (ORDER BY date) AS rn FROM d)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2)   AS total_value,
+           TRUE AS dpp_in_plan,
+           TRUE AS dpp_result_matches
+    FROM events e JOIN r ON CAST(e.ts AS DATE) = r.date
+    WHERE r.rn % 7 = 1
+"""
+
+
+@register("dpp_audit", oracle=_DPP_ORACLE)
+def dpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning proof as a driver row: the fact table
+    is written day-partitioned, the date dimension is filtered on a
+    column NOT derivable from the join key (a row_number tag — an
+    expression of the date would be folded into a STATIC partition
+    filter by constraint propagation, which is exactly what this audit
+    must not measure), and the physical plan must carry a
+    dynamicpruning subquery on the fact scan: partitions are pruned at
+    RUNTIME from the broadcast dim values. At 100 TB this is the
+    difference between scanning every day of history and scanning the
+    handful of days the dim selects. DuckDB recomputes the surviving
+    aggregate exactly; the plan marker and the DPP-equals-plain result
+    equality are engine-verified booleans."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"].withColumn(
+        "date", F.to_date("ts")
+    )
+    dim = (
+        ev.select("date").distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("date")))
+    )
+    picked = dim.filter(F.col("rn") % 7 == 1)
+
+    tmp = tempfile.mkdtemp(prefix="dpp_audit_")
+    try:
+        ev.write.partitionBy("date").mode("overwrite").parquet(tmp)
+        fact = spark.read.parquet(tmp)
+        j = fact.join(F.broadcast(picked), "date").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        has_dpp = "dynamicpruning" in (
+            j._jdf.queryExecution().executedPlan().toString().lower()
+        )
+        dpp_row = j.first()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # the returned plan depends only on the persistent source; the
+    # partitioned-table run is compared against it eagerly above
+    plain = ev.join(picked, "date").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    plain_row = plain.first()
+    matches = (
+        dpp_row["n_events"] == plain_row["n_events"]
+        and dpp_row["total_value"] == plain_row["total_value"]
+    )
+    return plain.select(
+        "n_events",
+        "total_value",
+        F.lit(bool(has_dpp)).alias("dpp_in_plan"),
+        F.lit(bool(matches)).alias("dpp_result_matches"),
+    )
+
+
+_REPAIR_DIFF_ORACLE = """
+WITH h AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_orderkey,
+         CAST(('0x' || substr(sha256(concat_ws('|',
+             l_orderkey::VARCHAR, l_linenumber::VARCHAR,
+             l_partkey::VARCHAR, l_suppkey::VARCHAR,
+             CAST(ROUND(l_quantity) AS BIGINT)::VARCHAR,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)::VARCHAR,
+             CAST(ROUND(l_discount * 100) AS BIGINT)::VARCHAR,
+             l_returnflag, l_linestatus)), 1, 7)) AS BIGINT) AS rh
+  FROM lineitem
+),
+bounds AS (SELECT MIN(ship_month) AS lo, MAX(ship_month) AS hi FROM h),
+expected AS (
+  SELECT ship_month, CAST(COUNT(*) AS BIGINT) AS e_rows,
+         CAST(SUM(rh) AS BIGINT) AS e_sum
+  FROM h GROUP BY ship_month
+),
+actual AS (
+  SELECT ship_month, CAST(COUNT(*) AS BIGINT) AS a_rows,
+         CAST(SUM(rh) AS BIGINT) AS a_sum
+  FROM h, bounds
+  WHERE NOT (ship_month = hi AND l_orderkey % 10 = 0)
+  GROUP BY ship_month
+)
+SELECT e.ship_month, e_rows, a_rows, e_sum, a_sum
+FROM expected e JOIN actual a USING (ship_month)
+WHERE e_rows <> a_rows OR e_sum <> a_sum
+"""
+
+
+@register("manifest_repair_diff", oracle=_REPAIR_DIFF_ORACLE)
+def manifest_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-verification diff (operators/integrity.manifest_diff) as
+    a driver row: a deterministically corrupted replica of lineitem
+    (the latest ship month silently loses every 10th order's rows —
+    the classic partial-copy failure) is compared manifest-to-manifest
+    against the source. Exactly the damaged partitions surface, with
+    their expected/actual counts and checksums; DuckDB rebuilds both
+    manifests and the diff from scratch, so the cross-engine hash
+    match proves the checksum algebra, not just the row counts. At
+    100 TB: the comparison moves two manifest frames (one row per
+    partition), never the tables."""
+    from ..operators.integrity import manifest_diff, partition_manifest
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    hi = li.agg(F.max("ship_month")).first()[0]
+    replica = li.filter(
+        ~((F.col("ship_month") == hi) & (F.col("l_orderkey") % 10 == 0))
+    )
+    hashed = [
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.round("l_quantity").cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    ]
+    diff = manifest_diff(
+        partition_manifest(li, ["ship_month"], hashed),
+        partition_manifest(replica, ["ship_month"], hashed),
+    )
+    return diff.select("ship_month", "e_rows", "a_rows", "e_sum", "a_sum")

@@ -613,3 +613,54 @@ class TestKmvSketch:
         sk = kmv_sketch_frame(ev, "event_type", "user_id", k=64)
         with _pytest.raises(ValueError, match="clikc"):
             kmv_pair_stats(sk, "clikc", "purchase", k=64)
+
+
+class TestBlockedFuzzyJoin:
+    def test_pairs_distances_and_blocking_contract(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.fuzzy import (
+            blocked_fuzzy_pairs,
+        )
+
+        rows = [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamme"),   # dist 1 to id 1, same block
+            (3, "alpha delta"),        # same block, far from 1/2
+            (4, "aleph beta gamma"),   # dist 3 to id 1 BUT different block
+            (5, "zeta one"),
+            (6, "zeta one"),           # exact dup pair with 5
+        ]
+        df = spark.createDataFrame(rows, ["pid", "name"])
+        got = {
+            (r["a_id"], r["b_id"]): r["dist"]
+            for r in blocked_fuzzy_pairs(df, "pid", "name", max_dist=3).collect()
+        }
+        # within-block matches with exact distances
+        assert got[(1, 2)] == 1
+        assert got[(5, 6)] == 0
+        # blocking contract: id 4 is within max_dist of id 1 but in
+        # another block -> deliberately NOT a candidate
+        assert (1, 4) not in got and (4, 1) not in got
+        # threshold: (1,3)/(2,3) share the block but exceed max_dist
+        assert all(d <= 3 for d in got.values())
+        assert (1, 3) not in got
+        # ordered pairs only, no self-pairs
+        assert all(a < b for a, b in got)
+
+    def test_extra_block_cols_partition_candidates(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.fuzzy import (
+            blocked_fuzzy_pairs,
+        )
+
+        rows = [
+            (1, "acme corp", "US"),
+            (2, "acme corp", "EU"),  # identical name, different region
+            (3, "acme co", "US"),
+        ]
+        df = spark.createDataFrame(rows, ["pid", "name", "region"])
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in blocked_fuzzy_pairs(
+                df, "pid", "name", max_dist=3, extra_block_cols=["region"]
+            ).collect()
+        }
+        assert got == {(1, 3)}
