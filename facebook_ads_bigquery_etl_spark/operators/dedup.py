@@ -150,24 +150,128 @@ def jaccard_pairs(
     sizes. This is the correctness baseline the LSH path is verified
     against; at 100 TB use :func:`minhash_dup_pairs` instead.
     """
-    sh = _spread(df).select(
-        F.col(id_col), F.explode(word_shingles(text_col, ngram)).alias("shingle")
+    # Postings carry (id, set_size, 64-bit shingle hash): joining on
+    # 8-byte longs instead of ~50-byte shingle strings shrinks the
+    # shuffle and the per-row compare (hash-set Jaccard equals
+    # string-set Jaccard up to 2^-64 collisions — the same contract
+    # the MinHash path documents). The LENGTH FILTER inside the join
+    # condition is the SSJoin bound: J(A,B) ≥ t implies
+    # |B| ≥ t·|A| and |A| ≥ t·|B|, so a hot shingle shared by k docs
+    # emits only size-compatible pairs instead of all k²/2 — the
+    # stopword-posting blowup never reaches the aggregate.
+    t = float(threshold)
+    base = _spread(df).select(
+        F.col(id_col), _shingle_hashes(text_col, ngram).alias("hs")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    sh = base.select(
+        F.col(id_col), F.size("hs").alias("sz"), F.explode("hs").alias("h")
+    )
     inter = (
         sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .join(
+            sh.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.sz") >= t * F.col("a.sz"))
+            & (F.col("a.sz") >= t * F.col("b.sz")),
+        )
         .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.sz").alias("na"),
+            F.first("b.sz").alias("nb"),
+        )
     )
-    j = (
-        inter.join(sizes.select(F.col(id_col).alias("a_id"), F.col("set_size").alias("na")), "a_id")
-        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("set_size").alias("nb")), "b_id")
-        .withColumn("jaccard_raw", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    j = inter.withColumn(
+        "jaccard_raw", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     )
     return (
         j.filter(F.col("jaccard_raw") >= threshold)
         .select("a_id", "b_id", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard ≥ threshold via PREFIX FILTERING —
+    identical result set to :func:`jaccard_pairs` (recall exactly 1.0,
+    unlike MinHash-LSH), with a different cost profile.
+
+    The classic exact-similarity-join bound (Chaudhuri's SSJoin /
+    PPJoin family): order the shingle universe globally by document
+    frequency (rarest first); if J(A,B) ≥ t, the smallest common
+    shingle must fall within the first ⌊(1−t)·|d|⌋+1 shingles of BOTH
+    docs — everything before it is non-shared, and a doc with ≥ t
+    Jaccard shares ≥ t·|d| of its shingles. Candidates therefore come
+    ONLY from each doc's short rare-prefix (5% of shingles at t=0.95),
+    whose posting lists are by construction the table's smallest; each
+    candidate is then exact-verified with one array_intersect.
+
+    When to use which (measured on the bench corpus): this wins when
+    true matches are RARE — candidate generation collapses and the
+    per-pair verify runs a handful of times. On duplication-HEAVY data
+    (the sf0.1 documents table: ~191k true pairs over 5k docs) the
+    verify stage dominates and the length-filtered posting join in
+    :func:`jaccard_pairs` is several times faster — any exact
+    algorithm must touch every true pair, and counting intersections
+    in a codegen'd hash aggregate beats per-pair array intersection.
+    Both are exact; pick by expected match density."""
+    base = _barrier(
+        _spread(df)
+        .select(F.col(id_col), word_shingles(text_col, ngram).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sz", F.size("sh"))
+    )
+    sh = base.select(F.col(id_col), F.col("sz"), F.explode("sh").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("dfreq", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(
+            F.col("rk")
+            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+        .select(F.col(id_col), F.col("shingle"))
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+    av = base.select(
+        F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"), F.col("sz").alias("na")
+    )
+    bv = base.select(
+        F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"), F.col("sz").alias("nb")
+    )
+    verified = (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .withColumn("inter", F.size(F.array_intersect("a_sh", "b_sh")))
+        .withColumn(
+            "jaccard_raw",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+    )
+    return verified.select(
+        "a_id", "b_id", F.round("jaccard_raw", 6).alias("jaccard")
     )
 
 

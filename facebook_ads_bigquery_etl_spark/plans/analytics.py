@@ -2506,3 +2506,134 @@ def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.25
         ).alias("intersection_within_25pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 native-function widening: per-group linear regression, native
+# PIVOT, ordered event bigrams — all codegen'd built-ins, no UDF.
+# --------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+    WITH monthly AS (
+      SELECT n.n_name,
+             (EXTRACT(year FROM o.o_orderdate) - 1992) * 12
+               + EXTRACT(month FROM o.o_orderdate) - 1 AS month_idx,
+             ROUND(SUM(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT)                    AS n_months,
+           ROUND(regr_slope(rev, month_idx), 4) + 0.0  AS slope,
+           ROUND(regr_intercept(rev, month_idx), 4) + 0.0 AS intercept,
+           ROUND(regr_r2(rev, month_idx), 6) + 0.0     AS r2
+    FROM monthly GROUP BY n_name
+"""
+
+
+@register("revenue_trend_by_nation", oracle=_TREND_ORACLE)
+def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: ordinary-least-squares slope /
+    intercept / R² of monthly revenue against a month index, via
+    Spark's native partial-mergeable ``regr_*`` aggregates (no window,
+    no collect, no UDF — the regression state is a constant-size
+    monoid, so this is one hash agg over an already-reduced monthly
+    frame). Monthly revenues are rounded before the fit so both
+    engines regress identical inputs; fit outputs are rounded at the
+    precision the summation-order ulp noise sits far below."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    monthly = (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).alias("month_idx"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    return monthly.groupBy("n_name").agg(
+        F.count("*").alias("n_months"),
+        (F.round(F.regr_slope("rev", "month_idx"), 4) + F.lit(0.0)).alias("slope"),
+        (F.round(F.regr_intercept("rev", "month_idx"), 4) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+        (F.round(F.regr_r2("rev", "month_idx"), 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+_PIVOT_ORACLE = """
+    SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN ROUND(l_quantity) ELSE 0 END) AS BIGINT) AS qty_a,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN ROUND(l_quantity) ELSE 0 END) AS BIGINT) AS qty_n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN ROUND(l_quantity) ELSE 0 END) AS BIGINT) AS qty_r
+    FROM lineitem GROUP BY 1
+"""
+
+
+@register("returns_pivot_by_year", oracle=_PIVOT_ORACLE)
+def returns_pivot_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native PIVOT (wide-form rollup): shipped quantity per year ×
+    return flag, with the pivot value list given explicitly so the
+    plan is a single hash aggregate (no extra distinct-values job and
+    no second shuffle — exactly the two-pass trap `pivot` falls into
+    when the value list is omitted). The UNPIVOT inverse is
+    `lineitem_metrics_unpivot`."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    p = (
+        li.select(
+            F.year("l_shipdate").alias("ship_year"),
+            "l_returnflag",
+            F.round("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .sum("qty")
+    )
+    return p.select(
+        "ship_year",
+        F.coalesce(F.col("A"), F.lit(0)).alias("qty_a"),
+        F.coalesce(F.col("N"), F.lit(0)).alias("qty_n"),
+        F.coalesce(F.col("R"), F.lit(0)).alias("qty_r"),
+    )
+
+
+_BIGRAM_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+@register("user_event_bigrams", oracle=_BIGRAM_ORACLE)
+def user_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered behavior bigrams: for each user's event sequence (total
+    order ts, event_id — the tie-break makes the lag deterministic
+    cross-engine), count transitions prev_type → event_type. The
+    Markov-transition table behind funnel/next-action analyses: one
+    keyed window (shuffle on user_id) + one hash agg on a tiny
+    (type × type) key space."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )

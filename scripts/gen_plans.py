@@ -248,6 +248,20 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["partial_corr"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "fuzzy_part_name_pairs": (
+        "blocked fuzzy join: candidates ride an ordinary equi-join on the "
+        "block key (broadcast at this SF, sort-merge at scale), Levenshtein "
+        "verify runs codegen'd inside the joined stage — never an n2 loop",
+        ["levenshtein"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "weighted_doc_sample": (
+        "priority sampling: map-only scoring then global top-k as "
+        "TakeOrderedAndProject (per-partition heap, driver merges k rows "
+        "per partition) — no global sort, no shuffle of the data",
+        ["TakeOrderedAndProject"],
+        ["CartesianProduct", "Exchange hashpartitioning"],
+    ),
 }
 
 

@@ -475,3 +475,24 @@ class TestBarrierCacheHygiene:
         expect = {(r["a_id"], r["b_id"]) for r in dd.minhash_dup_pairs(docs, 0.7).collect()}
         got = {(r["a_id"], r["b_id"]) for r in mh.collect()}
         assert got == expect and got
+
+
+class TestPrefixFilterJoin:
+    def test_prefix_join_equals_posting_join(self, spark):
+        """jaccard_pairs_prefix must return EXACTLY jaccard_pairs'
+        result set (prefix filtering is lossless) at both of the
+        parameterizations the query layer uses."""
+        from facebook_ads_bigquery_etl_spark.operators import dedup as dd
+        from tests.conftest import SF_SMOKE
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        for t, n in [(0.95, 1), (0.7, 3)]:
+            naive = {
+                (r.a_id, r.b_id, r.jaccard)
+                for r in dd.jaccard_pairs(docs, t, ngram=n).collect()
+            }
+            prefix = {
+                (r.a_id, r.b_id, r.jaccard)
+                for r in dd.jaccard_pairs_prefix(docs, t, ngram=n).collect()
+            }
+            assert naive == prefix, (t, n)

@@ -664,3 +664,26 @@ class TestBlockedFuzzyJoin:
             ).collect()
         }
         assert got == {(1, 3)}
+
+
+class TestPrioritySample:
+    def test_deterministic_weighted_topk(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.mixing import (
+            priority_sample,
+        )
+
+        df = spark.range(1, 1001).select(
+            F.col("id").alias("rid"), (F.col("id") % 50 + 1).alias("w")
+        )
+        s1 = priority_sample(df, "rid", "w", k=20).collect()
+        s2 = priority_sample(df, "rid", "w", k=20).collect()
+        # deterministic: identical sample across runs, exactly k rows
+        assert [r["rid"] for r in s1] == [r["rid"] for r in s2]
+        assert len(s1) == 20
+        # priorities are the k largest and sorted descending
+        ps = [r["priority"] for r in s1]
+        assert ps == sorted(ps, reverse=True)
+        # weight-monotone inclusion: the sampled mean weight must sit
+        # well above the population mean (~25.5) for priority q = w/u
+        mean_w = sum(r["weight"] for r in s1) / len(s1)
+        assert mean_w > 30
