@@ -52,9 +52,21 @@ def _ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _keep_best_scale(spark, sf_dir):
+    from facebook_ads_bigquery_etl_spark.plans.llm import dedup_keep_best_scale
+
+    return dedup_keep_best_scale(spark, sf_dir)
+
+
 EXTRA = {
     "minhash_lsh_pairs": _minhash_lsh_pairs,
     "ann_lsh_topk_op": _ann_lsh_topk,
+    # keep-best over LSH edges: the registered dedup_keep_best uses the
+    # exact posting-join edges so DuckDB can recompute every cluster —
+    # quadratic in hot-shingle frequency by construction (oracle
+    # baseline); benching it would time the baseline the LSH path
+    # exists to avoid, same reasoning as the minhash/ann entries above.
+    "dedup_keep_best_op": _keep_best_scale,
 }
 
 HEADLINE = [
@@ -92,7 +104,7 @@ HEADLINE = [
     "wav_header_stats",
     "kmv_overlap_audit",
     "supplier_part_counts",
-    "dedup_keep_best",
+    "dedup_keep_best_op",
     "label_feature_corr",
     "png_pixel_stats",
 ]

@@ -1469,10 +1469,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-partitioned frame, so it reuses the clustering shuffle.
     The oracle recomputes clusters (recursive closure), scores, and
     the argmax exactly."""
-    from pyspark.sql.window import Window as W
-
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     edges = dd.jaccard_pairs(docs, threshold=0.95, ngram=1)
+    return _keep_best_over_edges(docs, edges)
+
+
+def _keep_best_over_edges(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Shared keep-best composition: cluster on the given edge set,
+    score, per-cluster argmax (row_number reusing the clustering
+    shuffle). The caller chooses the edge algebra — exact Jaccard for
+    the oracle-checked query, MinHash-LSH for the scale path."""
+    from pyspark.sql.window import Window as W
+
     clusters = cc.dedup_clusters(docs, edges).select(
         "doc_id", "cluster_rep", "cluster_size"
     )
@@ -1491,6 +1499,25 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score",
         )
     )
+
+
+def dedup_keep_best_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB form of keep-best dedup (NOT registered — no exact
+    oracle is possible for an LSH edge set): clusters come from
+    MinHash-LSH near-dup pairs (O(n·bands) shuffle, exact-verified
+    candidates) instead of the exact posting-list self-join, which is
+    quadratic in hot-shingle document frequency — the 10× stress probe
+    measured the exact path at 38× cost for 10× data, precisely the
+    blowup the LSH path avoids (1-2× there). Same clustering + argmax
+    downstream; recall follows the LSH audit bound (≥90%, see
+    ``minhash_dup_pairs``). bench.py and scripts/stress.py time THIS
+    form; the registered ``dedup_keep_best`` keeps the exact edges so
+    every cluster and argmax stays DuckDB-checkable."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    edges = dd.minhash_dup_pairs(
+        docs, threshold=0.7, num_perm=64, bands=16, ngram=3
+    ).select("a_id", "b_id")
+    return _keep_best_over_edges(docs, edges)
 
 
 @register(

@@ -496,3 +496,21 @@ class TestPrefixFilterJoin:
                 for r in dd.jaccard_pairs_prefix(docs, t, ngram=n).collect()
             }
             assert naive == prefix, (t, n)
+
+
+class TestKeepBestScalePath:
+    def test_lsh_edge_keep_best_covers_all_docs(self, spark):
+        """The deployable keep-best form (MinHash-LSH edges) must keep
+        exactly one doc per cluster and account for every document."""
+        from facebook_ads_bigquery_etl_spark.plans.llm import (
+            dedup_keep_best_scale,
+        )
+        from tests.conftest import SF_SMOKE
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        kept = dedup_keep_best_scale(spark, SF_SMOKE).collect()
+        n_docs = docs.count()
+        # every cluster keeps exactly one; sizes sum back to the corpus
+        assert len({r["cluster_rep"] for r in kept}) == len(kept)
+        assert sum(r["cluster_size"] for r in kept) == n_docs
+        assert all(r["quality_score"] is not None for r in kept)
