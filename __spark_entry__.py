@@ -74,6 +74,7 @@ _PRIORITY = [
     "bucketed_join_audit", "fuzzy_part_name_pairs",
     "weighted_doc_sample", "dpp_audit", "manifest_repair_diff",
     "revenue_trend_by_nation", "returns_pivot_by_year", "user_event_bigrams",
+    "observe_metrics_audit",
     "grouping_sets_revenue", "exact_dedup_docs",
     # (5) rotating representatives from the r1/r2-green set — one per
     #     broad component family, biased toward queries whose last row

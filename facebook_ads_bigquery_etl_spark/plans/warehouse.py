@@ -890,3 +890,55 @@ def manifest_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_manifest(replica, ["ship_month"], hashed),
     )
     return diff.select("ship_month", "e_rows", "a_rows", "e_sum", "a_sum")
+
+
+_OBSERVE_ORACLE = """
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS day_value,
+           TRUE AS observed_rows_match,
+           TRUE AS observed_sum_matches
+    FROM events GROUP BY 1
+"""
+
+
+@register("observe_metrics_audit", oracle=_OBSERVE_ORACLE)
+def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline metrics via ``Dataset.observe``: the daily
+    rollup runs ONCE, and named accumulator-style metrics (global row
+    count, value total) ride the same scan — the row-accounting a
+    100 TB nightly load needs WITHOUT a second pass over the fact.
+    The engine-verified booleans pin the observed metrics to an
+    independent aggregate; DuckDB recomputes the rollup itself. The
+    reference has no accounting at all (fire-and-forget streaming
+    inserts, main.py:86-91) — this is what 'did every row make it?'
+    looks like when it's free."""
+    from pyspark.sql import Observation
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    obs = Observation("load_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("value_total"),
+    )
+    rollup = observed.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    # one action drives BOTH the rollup and the metrics; the eager run
+    # here is what populates obs (metrics are an execution side
+    # channel, not a plan node)
+    rollup.collect()
+    got = obs.get
+    n_expected = ev.count()
+    v_expected = ev.agg(F.round(F.sum("value"), 2)).first()[0]
+    return rollup.select(
+        "event_date",
+        "n_events",
+        "day_value",
+        F.lit(bool(got["n_rows"] == n_expected)).alias("observed_rows_match"),
+        F.lit(bool(got["value_total"] == v_expected)).alias(
+            "observed_sum_matches"
+        ),
+    )
