@@ -93,7 +93,15 @@ _PRIORITY = [
 # about which round's driver CORRECTNESS artifact first records them).
 # Round 3 promoted all 28 round-2 deferrals into the window; this list
 # is for any NEW query that misses the round-3 window.
-_DEFERRED_TO_NEXT_ROUND: list[str] = []
+_DEFERRED_TO_NEXT_ROUND: list[str] = [
+    # late-round-3 additions (window already committed to the 31
+    # previously-unproven queries): LM-quality filter, BPE merge step,
+    # skyline frontier, fixed-iteration PageRank.
+    "doc_perplexity_filter",
+    "bpe_merge_step",
+    "quantity_price_skyline",
+    "nation_trade_pagerank",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

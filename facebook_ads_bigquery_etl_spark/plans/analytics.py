@@ -2637,3 +2637,178 @@ def user_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto-frontier operator and fixed-iteration graph ranking
+
+
+@register(
+    "quantity_price_skyline",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS quantity,
+             MIN(l_extendedprice)       AS min_price
+      FROM lineitem GROUP BY CAST(l_quantity AS BIGINT)
+    )
+    SELECT a.quantity, ROUND(a.min_price, 2) AS frontier_price
+    FROM g a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM g b
+      WHERE b.quantity > a.quantity AND b.min_price <= a.min_price
+    )
+    """,
+)
+def quantity_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): line items that maximize quantity
+    while minimizing price — a (quantity, price) point survives iff no
+    other point has strictly higher quantity at an equal-or-lower
+    price. The classic dominance query (Börzsönyi et al., ICDE 2001),
+    which the oracle states as NOT EXISTS; the engine computes it
+    without any self-join.
+
+    Scale shape: REDUCE FIRST — groupBy quantity → min(price)
+    collapses the fact table to one row per distinct quantity (~50)
+    in a single map-side-combining hash agg; the dominance test is
+    then a running-min window over that bounded frame. The only
+    single-partition step operates on the post-reduction rows, never
+    the fact table, so the plan is one fact shuffle at 100 TB."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("quantity")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    w = (
+        W.orderBy(F.col("quantity").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        g.withColumn("best_higher", F.min("min_price").over(w))
+        .where(
+            F.col("best_higher").isNull()
+            | (F.col("min_price") < F.col("best_higher"))
+        )
+        .select("quantity", F.round("min_price", 2).alias("frontier_price"))
+    )
+
+
+@register(
+    "nation_trade_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      GROUP BY sn.n_name, cn.n_name
+    ),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+    ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+    t AS (
+      SELECT e.src, e.dst, e.w * 1e0 / ow.ow AS p
+      FROM e JOIN ow ON e.src = ow.src
+    ),
+    r0 AS (SELECT n, 1e0 / nn.n_nodes AS pr FROM nodes, nn),
+    r1 AS (
+      SELECT nodes.n,
+             0.15e0 / nn.n_nodes
+             + 0.85e0 * COALESCE(SUM(r0.pr * t.p), 0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN t  ON t.dst = nodes.n
+      LEFT JOIN r0 ON r0.n = t.src
+      GROUP BY nodes.n, nn.n_nodes
+    ),
+    r2 AS (
+      SELECT nodes.n,
+             0.15e0 / nn.n_nodes
+             + 0.85e0 * COALESCE(SUM(r1.pr * t.p), 0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN t  ON t.dst = nodes.n
+      LEFT JOIN r1 ON r1.n = t.src
+      GROUP BY nodes.n, nn.n_nodes
+    ),
+    r3 AS (
+      SELECT nodes.n,
+             0.15e0 / nn.n_nodes
+             + 0.85e0 * COALESCE(SUM(r2.pr * t.p), 0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN t  ON t.dst = nodes.n
+      LEFT JOIN r2 ON r2.n = t.src
+      GROUP BY nodes.n, nn.n_nodes
+    )
+    SELECT n AS nation, ROUND(pr, 6) AS pagerank FROM r3
+    """,
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 synchronous iterations) over the
+    nation-level trade graph: a directed edge supplier-nation →
+    customer-nation weighted by shipped line items. The oracle unrolls
+    the same three iterations as SQL CTEs, so every rank is recomputed
+    exactly (rounded 6dp at the end only).
+
+    Scale shape: REDUCE THEN ITERATE — the expensive step (fact ⋈
+    orders ⋈ customer ⋈ supplier ⋈ nation×2) happens ONCE and
+    collapses 100 TB of line items into a ≤625-row weighted edge list;
+    the power iterations then run as broadcast joins over that tiny
+    frame (each iteration is dim-sized work, no fact re-scan). This
+    is the shape GraphFrames/Pregel would produce for a
+    small-vertex-set graph, without the framework. Dangling nodes
+    (no out-edges) follow the simplified no-redistribution model on
+    both engines."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+    )
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").alias("n_nodes"))  # 1-row scalar, broadcast
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    trans = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    )
+    ranks = nodes.join(F.broadcast(nn)).select(
+        "n", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            trans.join(
+                F.broadcast(ranks), trans.src == ranks.n
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(nn))
+            .join(F.broadcast(contrib), nodes.n == contrib.dst, "left")
+            .select(
+                "n",
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(
+        F.col("n").alias("nation"), F.round("pr", 6).alias("pagerank")
+    )

@@ -1605,3 +1605,114 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     state to coordinate across a 1000-executor cluster."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return mx.priority_sample(docs, "doc_id", "n_chars", k=100)
+
+
+# -- corpus-level language-model quality filtering ---------------------------
+
+@register(
+    "doc_perplexity_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc  AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM wc),
+    lp  AS (SELECT w, ln(c * 1e0 / t) AS logp FROM wc, tot),
+    pd  AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT)  AS n_tokens,
+             ROUND(-AVG(logp), 4)      AS cross_entropy
+      FROM tok JOIN lp USING (w) GROUP BY doc_id
+    ),
+    thr AS (SELECT ROUND(AVG(cross_entropy), 4) AS mean_ce FROM pd)
+    SELECT doc_id, n_tokens, cross_entropy,
+           cross_entropy <= mean_ce AS keep
+    FROM pd, thr
+    """,
+)
+def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality gate: fit a unigram
+    LM on the corpus itself (one token-count aggregation), score every
+    document by its per-token cross-entropy under that LM, and keep
+    the documents at or below the corpus-mean cross-entropy — the
+    classic "perplexity filter" used to drop boilerplate/gibberish
+    before LLM pretraining.
+
+    Scale shape: one explode + hash-agg builds the vocabulary
+    (vocab-sized, tiny relative to the corpus), which is broadcast
+    back onto the token stream — the corpus text itself is never
+    shuffled, only (doc_id, token) pairs reduced per doc. The global
+    mean threshold is a 1-row aggregate broadcast via crossJoin (same
+    pattern as operators/profile.py). Per-doc entropies are rounded
+    to 4dp on both engines before the threshold comparison so a
+    last-ulp summation-order difference cannot flip `keep`.
+
+    Reference has no text ops (main.py is connector-only); this is a
+    north-star LLM-pipeline operator per the build charter."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = wc.agg(F.sum("c").alias("t"))
+    lp = wc.join(F.broadcast(tot)).select(
+        "w", F.log(F.col("c") / F.col("t")).alias("logp")
+    )
+    per_doc = (
+        tok.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("cross_entropy"),
+        )
+    )
+    thr = per_doc.agg(F.round(F.avg("cross_entropy"), 4).alias("mean_ce"))
+    return per_doc.join(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tokens",
+        "cross_entropy",
+        (F.col("cross_entropy") <= F.col("mean_ce")).alias("keep"),
+    )
+
+
+@register(
+    "bpe_merge_step",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    n AS (SELECT ws, len(ws) AS m FROM w WHERE len(ws) >= 2),
+    p AS (SELECT unnest(ws[1:m-1]) AS a, unnest(ws[2:m]) AS b FROM n)
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY a, b
+    ORDER BY n_pairs DESC, a, b
+    LIMIT 20
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step at word granularity: count every
+    adjacent token pair across the corpus and emit the top-20 merge
+    candidates (count desc, then lexicographic — fully deterministic).
+    Iterating this query IS byte-pair-encoding vocabulary induction;
+    one step exercises the whole distributed shape.
+
+    Scale shape: the pair stream is generated map-side with
+    `transform(sequence(...))` over the pre-split token array (no
+    self-join, no shuffle of text — only (a, b) pair keys reduce), and
+    the final top-20 is TakeOrderedAndProject, not a global sort."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = (
+        docs.select(F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS a, ws[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "a", "b")
+        .limit(20)
+    )
