@@ -59,8 +59,19 @@ def _barrier(df: DataFrame) -> DataFrame:
     except Exception:
         key = id(df)
     if key in _BARRIERS:
+        cached = _BARRIERS[key]
+        # Re-arm if someone unpersisted it behind our back (e.g.
+        # spark.catalog.clearCache() between a warmup sweep and the
+        # measured runs): returning a stale entry without re-persisting
+        # silently drops the InMemoryRelation barrier, Catalyst pushes
+        # the expensive projections back through the bare repartition,
+        # and the stage re-serializes — observed as decontaminate_docs
+        # regressing 0.56→0.90 s in the round-3 bench.
+        lvl = cached.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            cached.persist()
         _BARRIERS.move_to_end(key)
-        return _BARRIERS[key]
+        return cached
     out = df.persist()
     _BARRIERS[key] = out
     while len(_BARRIERS) > _BARRIER_CAP:
