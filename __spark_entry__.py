@@ -105,6 +105,11 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # partials; PCA audit with Eckart–Young reconstruction check).
     "embedding_covariance_probe",
     "embedding_pca_audit",
+    # market-basket / graph / time-series / exact-percentile family.
+    "copurchase_association_rules",
+    "copurchase_triangle_stats",
+    "revenue_ewma_by_nation",
+    "brand_price_quartiles",
 ]
 
 

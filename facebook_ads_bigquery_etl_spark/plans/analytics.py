@@ -2812,3 +2812,272 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("n").alias("nation"), F.round("pr", 6).alias("pagerank")
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket analysis, graph statistics, EWMA, exact group percentiles
+
+
+@register(
+    "copurchase_association_rules",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_ord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+    item AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS p_a, c.l_partkey AS p_b, COUNT(*) AS c_ab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.p_a, p.p_b, CAST(p.c_ab AS BIGINT) AS n_both,
+           ROUND(p.c_ab * 1e0 / ia.c, 6)                        AS confidence,
+           ROUND(p.c_ab * 1e0 * n_ord.n / (ia.c * ib.c), 6)     AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.p_a
+    JOIN item ib ON ib.l_partkey = p.p_b
+    CROSS JOIN n_ord
+    """,
+)
+def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    part pair co-purchased in ≥2 orders, support count, confidence
+    P(b|a) and lift P(a,b)/(P(a)P(b)) — the Apriori candidate-pair
+    step with its rule metrics, all integer counts until two final
+    rounded divisions.
+
+    Scale shape: baskets reduce to DISTINCT (order, part) first; the
+    pair stream is an equi-self-join on l_orderkey, so work is
+    Σ basket_size² — bounded by real basket sizes (~O(10)), never n².
+    Item counts are a parts-sized frame joined back broadcast; the
+    total-order count is a 1-row broadcast scalar."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = b.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    left = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a"))
+    right = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b"))
+    pair = (
+        left.join(right, "ok")
+        .where(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("p_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("l_partkey").alias("p_b"), F.col("c").alias("c_b"))
+    return (
+        pair.join(F.broadcast(ia), "p_a")
+        .join(F.broadcast(ib), "p_b")
+        .join(F.broadcast(n_ord))
+        .select(
+            "p_a",
+            "p_b",
+            F.col("c_ab").alias("n_both"),
+            F.round(F.col("c_ab") / F.col("c_a"), 6).alias("confidence"),
+            F.round(
+                F.col("c_ab") * F.col("n") / (F.col("c_a") * F.col("c_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "copurchase_triangle_stats",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wedge AS (SELECT SUM(d * (d - 1) / 2) AS w FROM deg)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)  AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e)    AS n_edges,
+           (SELECT CAST(t AS BIGINT) FROM tri)         AS n_triangles,
+           ROUND((SELECT 3e0 * t FROM tri) / (SELECT w FROM wedge), 6)
+             AS global_clustering
+    """,
+)
+def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (edge = pair sharing ≥2 orders). The engine uses
+    the DEGREE-ORDERED orientation (Chiba–Nishizeki / Cohen's
+    MapReduce form): each undirected edge points from its
+    lower-(degree, id) endpoint to the higher, so wedge generation at
+    a vertex is bounded by its ORIENTED out-degree ≤ O(√m) on any
+    graph — the hot-vertex wedge explosion a raw two-path join
+    suffers cannot happen. Total triangle count is
+    orientation-invariant, so the oracle recounts with the simple
+    id-ordered orientation and the integers must agree exactly;
+    clustering = 3·T / Σ C(deg,2) rounded at the end."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    left = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    right = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        left.join(right, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # orient: lower (degree, id) -> higher (degree, id)
+    oriented = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+    )
+    rank = deg.select(
+        "node", (F.col("d") * F.lit(2**33) + F.col("node")).alias("rk")
+    )
+    w1 = oriented.join(
+        F.broadcast(rank.select(F.col("node").alias("t"), F.col("rk").alias("rk_t"))),
+        "t",
+    )
+    a = w1.select(F.col("s"), F.col("t").alias("b"), F.col("rk_t").alias("rk_b"))
+    c = w1.select(F.col("s"), F.col("t").alias("c"), F.col("rk_t").alias("rk_c"))
+    wedges = a.join(c, "s").where(F.col("rk_b") < F.col("rk_c"))
+    closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).agg(F.count("*").alias("t"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("wedges"),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.join(F.broadcast(n_edges))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.round(F.lit(3.0) * F.col("t") / F.col("wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+@register(
+    "revenue_ewma_by_nation",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+             ROUND(SUM(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(list_reduce(list(rev ORDER BY day),
+                             (acc, x) -> 0.8e0 * acc + 0.2e0 * x), 4)
+             AS ewma_revenue
+    FROM daily GROUP BY nation
+    """,
+)
+def revenue_ewma_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.2) of daily revenue
+    per nation — the final smoothed level after folding the full
+    history in day order. EWMA's recurrence y_t = (1−α)y_{t−1} + αx_t
+    is inherently sequential per key, which is exactly what
+    ``applyInPandas`` models: one vectorized Python worker per
+    nation-group, with the day-ordered fold inside. The oracle runs
+    the IDENTICAL fold via DuckDB's list_reduce, in the same order
+    over the same 2dp-rounded daily sums, so the doubles match
+    bit-for-bit before the final 4dp round.
+
+    Scale shape: the fact table reduces to (nation, day) grain FIRST
+    (one hash agg); the stateful fold then touches only
+    days-per-nation rows per group — thousands, not billions — and
+    groups parallelize across the cluster."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    daily = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        acc = None
+        for x in pdf["rev"].to_numpy():
+            acc = x if acc is None else 0.8 * acc + 0.2 * x
+        return pd.DataFrame(
+            {
+                "nation": [pdf["nation"].iloc[0]],
+                "n_days": [len(pdf)],
+                "ewma_revenue": [round(acc, 4)],
+            }
+        )
+
+    return daily.groupBy("nation").applyInPandas(
+        fold, "nation string, n_days long, ewma_revenue double"
+    )
+
+
+@register(
+    "brand_price_quartiles",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(quantile_cont(p_retailprice::DOUBLE, 0.25), 4) AS q1,
+           ROUND(quantile_cont(p_retailprice::DOUBLE, 0.50), 4) AS median,
+           ROUND(quantile_cont(p_retailprice::DOUBLE, 0.75), 4) AS q3
+    FROM part GROUP BY p_brand
+    """,
+)
+def brand_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-brand price quartiles (linear interpolation at
+    h=(n−1)p — the 'type 7' definition both Spark's `percentile` and
+    DuckDB's `quantile_cont` implement), complementing the t-digest
+    approximate path (`price_percentiles_approx`): exact where group
+    cardinalities allow it, sketch where they don't. Spark's exact
+    percentile is a proper aggregate with partial merge — no window,
+    no global sort; memory is per-(group ✕ distinct-value), which is
+    the documented reason the sketch variant exists for 100 TB."""
+    part = load_tables(spark, sf_dir, "part")["part"]
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.percentile("p_retailprice", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("p_retailprice", F.lit(0.50)), 4).alias("median"),
+        F.round(F.percentile("p_retailprice", F.lit(0.75)), 4).alias("q3"),
+    )
