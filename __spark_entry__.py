@@ -110,6 +110,10 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "copurchase_triangle_stats",
     "revenue_ewma_by_nation",
     "brand_price_quartiles",
+    # §2.8 UDAF/UDTF surface: vectorized grouped-agg pandas UDF and a
+    # Spark 4 Python UDTF in a SQL LATERAL join.
+    "lang_quality_geomean",
+    "doc_stride_spans",
 ]
 
 

@@ -107,6 +107,13 @@ HEADLINE = [
     "dedup_keep_best_op",
     "label_feature_corr",
     "png_pixel_stats",
+    # late-round-3 widening: LM-filter, graph ranking, Gram partials,
+    # basket self-join, sequential-fold EWMA
+    "doc_perplexity_filter",
+    "nation_trade_pagerank",
+    "embedding_covariance_probe",
+    "copurchase_association_rules",
+    "revenue_ewma_by_nation",
 ]
 
 
@@ -154,7 +161,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (35 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode)",
+        "metric": "headline query wall-clock (40 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

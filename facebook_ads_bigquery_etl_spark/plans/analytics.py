@@ -2846,20 +2846,32 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     step with its rule metrics, all integer counts until two final
     rounded divisions.
 
-    Scale shape: baskets reduce to DISTINCT (order, part) first; the
-    pair stream is an equi-self-join on l_orderkey, so work is
-    Σ basket_size² — bounded by real basket sizes (~O(10)), never n².
-    Item counts are a parts-sized frame joined back broadcast; the
-    total-order count is a 1-row broadcast scalar."""
+    Scale shape: baskets reduce to one sorted part-set array per order
+    (ONE shuffle of (order, part) pairs — the 10× stress probe showed
+    a self-join degrading to a sort-merge join at scale, so the pair
+    stream is generated MAP-SIDE instead: nested `transform` over the
+    basket array emits exactly the i<j combinations, Σ basket_size²
+    work bounded by real basket sizes ~O(10), never n², with no join
+    at all). Item counts are a parts-sized frame joined back
+    broadcast; the total-order count is a 1-row broadcast scalar."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     b = li.select("l_orderkey", "l_partkey").distinct()
     n_ord = b.agg(F.countDistinct("l_orderkey").alias("n"))
     item = b.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    left = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a"))
-    right = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b"))
+    baskets = b.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     pair = (
-        left.join(right, "ok")
-        .where(F.col("p_a") < F.col("p_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS p_a, y AS p_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p_a", "pr.p_b")
         .groupBy("p_a", "p_b")
         .agg(F.count("*").alias("c_ab"))
         .where(F.col("c_ab") >= 2)
@@ -2924,11 +2936,21 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering = 3·T / Σ C(deg,2) rounded at the end."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     b = li.select("l_orderkey", "l_partkey").distinct()
-    left = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    right = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # edge stream generated map-side from per-order basket arrays
+    # (same no-self-join shape as copurchase_association_rules)
     e = (
-        left.join(right, "ok")
-        .where(F.col("u") < F.col("v"))
+        b.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
         .groupBy("u", "v")
         .agg(F.count("*").alias("c"))
         .where(F.col("c") >= 2)

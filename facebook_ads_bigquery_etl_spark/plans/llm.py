@@ -1801,3 +1801,109 @@ def embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return la.pca_audit(emb, "embedding", dim=64, k=8)
+
+
+# -- UDAF / UDTF surface (SURVEY §2.8) ---------------------------------------
+
+@register(
+    "lang_quality_geomean",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(EXP(AVG(LN(n_chars))), 4) AS geomean_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_quality_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric-mean document length per language via a VECTORIZED
+    pandas UDAF (`pandas_udf` GROUPED_AGG) — the §2.8 aggregate-UDF
+    surface exercised for real: the log-mean-exp runs on Arrow
+    batches in numpy, and Spark partial-merges groups across
+    partitions exactly like a built-in aggregate. The oracle is the
+    algebraic identity exp(avg(ln(x))). Geometric means are the
+    standard way to summarize heavy-tailed length/quality
+    distributions (arithmetic means are outlier-dominated)."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses postponed
+    # annotation evaluation (``from __future__ import annotations``),
+    # which turns the (Series -> float) hints pandas_udf would infer
+    # GROUPED_AGG from into plain strings it refuses.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def log_mean(v):
+        return float(np.log(v.to_numpy(dtype=np.float64)).mean())
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # Spark disallows mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one Aggregate; the count rides a separate (tiny,
+    # lang-sized) agg joined back broadcast.
+    gm = docs.groupBy("lang").agg(
+        F.round(F.exp(log_mean(F.col("n_chars"))), 4).alias("geomean_chars")
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return gm.join(F.broadcast(counts), "lang").select(
+        "lang", "n_docs", "geomean_chars"
+    )
+
+
+@register(
+    "doc_stride_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(g AS BIGINT)                               AS span_idx,
+           CAST(g * 60 AS BIGINT)                          AS start_tok,
+           CAST(LEAST(g * 60 + 100, n_tokens) AS BIGINT)   AS end_tok
+    FROM toks, LATERAL (
+      SELECT unnest(range(0, CAST(CEIL(GREATEST(n_tokens - 100, 0) / 60e0)
+                                  AS BIGINT) + 1)) AS g
+    )
+    WHERE n_tokens > 0
+    """,
+)
+def doc_stride_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window span manifest (window=100 tokens, stride=60)
+    per document via a Spark 4 PYTHON UDTF in a SQL LATERAL join —
+    the §2.8 table-function surface exercised for real: one input row
+    fans out to a variable number of output rows computed in Python.
+    Spans are the retrieval-chunking layout (overlapping windows);
+    the last span is clipped to the token count. The UDTF path is
+    deliberately confined to this bounded fan-out (the bulk chunker
+    is the codegen'd `doc_chunks`); at 100 TB the same plan shape
+    holds because the UDTF is map-side — no shuffle crosses it."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="span_idx bigint, start_tok bigint, end_tok bigint")
+    class StrideSpans:
+        def eval(self, n_tokens: int):
+            if n_tokens is None or n_tokens <= 0:
+                return
+            start = 0
+            idx = 0
+            while True:
+                yield idx, start, min(start + 100, n_tokens)
+                if start + 100 >= n_tokens:
+                    break
+                start += 60
+                idx += 1
+
+    spark.udtf.register("stride_spans", StrideSpans)
+    load_tables(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 size(filter(split(text, '\\\\s+'), t -> t <> '')) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, s.span_idx, s.start_tok, s.end_tok
+        FROM toks, LATERAL stride_spans(n_tokens) s
+        WHERE n_tokens > 0
+        """
+    )

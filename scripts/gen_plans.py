@@ -262,6 +262,67 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["TakeOrderedAndProject"],
         ["CartesianProduct", "Exchange hashpartitioning"],
     ),
+    "doc_perplexity_filter": (
+        "unigram-LM quality gate: vocab and threshold join back broadcast "
+        "(corpus text never shuffles); no sort-merge anywhere",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "bpe_merge_step": (
+        "BPE pair step: map-side pair fan-out + hash agg; top-20 is "
+        "TakeOrderedAndProject, never a global sort",
+        ["TakeOrderedAndProject"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+    ),
+    "quantity_price_skyline": (
+        "skyline: dominance window runs over the post-reduction (~50-row) "
+        "frame — the fact table sees only one hash agg",
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "nation_trade_pagerank": (
+        "reduce-then-iterate: the fact joins collapse to the edge list "
+        "once (fact-fact legs legitimately sort-merge; dims broadcast); "
+        "every power iteration is a broadcast join over the tiny frame",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    "embedding_covariance_probe": (
+        "mergeable Gram partials: one MapInPandas pass over the vectors; "
+        "all moment joins broadcast (batch-count-sized frames)",
+        ["MapInPandas", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "copurchase_association_rules": (
+        "market basket: pair stream from an equi-join on the order key; "
+        "item supports and the order total join back broadcast",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    "copurchase_triangle_stats": (
+        "degree-oriented triangles: orientation + wedge joins are "
+        "broadcast at this SF; no cartesian anywhere",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    "revenue_ewma_by_nation": (
+        "sequential fold: grouped applyInPandas (FlatMapGroupsInPandas) "
+        "AFTER the fact reduces to (nation, day) grain",
+        ["FlatMapGroupsInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "brand_price_quartiles": (
+        "exact percentiles as a partial-merge aggregate — two-phase agg, "
+        "no window, no global sort",
+        ["partial_percentile"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+    ),
+    "lang_quality_geomean": (
+        "vectorized pandas UDAF: grouped aggregation runs as "
+        "ArrowAggregatePython over Arrow batches with partial merge",
+        ["ArrowAggregatePython"],
+        ["CartesianProduct"],
+    ),
 }
 
 

@@ -66,6 +66,12 @@ PROBES = [
     "kmv_overlap_audit",      # two KMV sketch builds + driver-side merge
     "dedup_keep_best_op",     # LSH-edge cluster + per-cluster argmax
     "wav_header_stats",       # mapInPandas RIFF/WAVE chunk walk
+    # late-round-3 families
+    "doc_perplexity_filter",  # vocab agg + broadcast LM rescoring
+    "nation_trade_pagerank",  # reduce-then-iterate graph ranking
+    "embedding_covariance_probe",   # mergeable Gram partials (O(d²) state)
+    "copurchase_association_rules", # basket self-join (Σ basket² pair stream)
+    "revenue_ewma_by_nation",       # applyInPandas sequential fold per key
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
