@@ -114,6 +114,11 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # Spark 4 Python UDTF in a SQL LATERAL join.
     "lang_quality_geomean",
     "doc_stride_spans",
+    # engine-ops tooling: skew diagnosis, optimizer-statistics join
+    # sizing, corpus distribution-drift monitoring.
+    "orders_key_skew_audit",
+    "events_selfjoin_cardinality",
+    "source_drift_audit",
 ]
 
 

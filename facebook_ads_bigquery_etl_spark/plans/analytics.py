@@ -3103,3 +3103,81 @@ def brand_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("p_retailprice", F.lit(0.50)), 4).alias("median"),
         F.round(F.percentile("p_retailprice", F.lit(0.75)), 4).alias("q3"),
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-ops tooling: skew diagnosis and join-size estimation
+
+
+@register(
+    "orders_key_skew_audit",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)           AS n_keys,
+           CAST(MAX(sz) AS BIGINT)            AS max_group,
+           ROUND(AVG(sz), 4)                  AS avg_group,
+           ROUND(quantile_cont(sz::DOUBLE, 0.99), 4) AS p99_group,
+           ROUND(MAX(sz) / AVG(sz), 4)        AS skew_ratio
+    FROM g
+    """,
+)
+def orders_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis — the measurement half of the salted
+    join (operators/skew.py): per-key group sizes for the would-be
+    shuffle key, reduced to the numbers that decide the strategy
+    (max / avg / p99 group size, skew ratio). Run this BEFORE picking
+    salting factors; a skew_ratio near 1 means plain hash join wins.
+
+    Scale shape: one map-side-combining count per key (the only fact
+    shuffle), then stats over the keys-sized frame — exact percentile
+    included, since the frame is keys-sized, not fact-sized."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    g = orders.groupBy("o_custkey").agg(F.count("*").alias("sz"))
+    return g.agg(
+        F.count("*").alias("n_keys"),
+        F.max("sz").alias("max_group"),
+        F.round(F.avg("sz"), 4).alias("avg_group"),
+        F.round(F.percentile(F.col("sz").cast("double"), F.lit(0.99)), 4).alias(
+            "p99_group"
+        ),
+        F.round(F.max("sz") / F.avg("sz"), 4).alias("skew_ratio"),
+    )
+
+
+@register(
+    "events_selfjoin_cardinality",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(c * c) AS BIGINT) AS predicted_rows,
+           TRUE AS estimate_matches_actual
+    FROM g
+    """,
+)
+def events_selfjoin_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from key statistics: |A ⋈_k A| =
+    Σ_k c_k² computed from per-key counts ALONE — the optimizer-
+    statistics primitive that prices a join without running it. The
+    audit executes the (test-scale) self-join for real and pins
+    `estimate_matches_actual`; the oracle recomputes Σc² exactly and
+    expects TRUE. At 100 TB only the estimator runs: one
+    map-side-combining count per key plus a keys-sized sum."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    g = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    predicted = g.agg(F.sum(F.col("c") * F.col("c")).alias("predicted_rows"))
+    a = ev.select(F.col("user_id").alias("k"))
+    actual = (
+        a.join(a.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2"))
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    return predicted.join(F.broadcast(actual)).select(
+        "predicted_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias(
+            "estimate_matches_actual"
+        ),
+    )

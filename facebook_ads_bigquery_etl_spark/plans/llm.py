@@ -1907,3 +1907,99 @@ def doc_stride_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_tokens > 0
         """
     )
+
+
+@register(
+    "source_drift_audit",
+    oracle="""
+    WITH lim AS (
+      SELECT MIN(n_chars)::DOUBLE AS lo, MAX(n_chars)::DOUBLE AS hi
+      FROM documents
+    ),
+    b AS (
+      SELECT source,
+             LEAST(CAST(FLOOR((n_chars - lo) / (hi - lo) * 10) AS BIGINT), 9)
+               AS bucket
+      FROM documents, lim
+    ),
+    per AS (
+      SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY source, bucket
+    ),
+    tot AS (SELECT source, SUM(c) AS t FROM per GROUP BY source),
+    p AS (
+      SELECT per.source, per.bucket, per.c * 1e0 / tot.t AS p
+      FROM per JOIN tot ON per.source = tot.source
+    ),
+    base AS (SELECT bucket, p AS p0 FROM p WHERE source = 'src0'),
+    grid AS (
+      SELECT s.source, g.bucket
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) g
+    )
+    SELECT grid.source,
+           ROUND(0.5e0 * SUM(ABS(COALESCE(p.p, 0) - COALESCE(base.p0, 0))), 6)
+             AS tv_distance
+    FROM grid
+    LEFT JOIN p    ON p.source = grid.source AND p.bucket = grid.bucket
+    LEFT JOIN base ON base.bucket = grid.bucket
+    WHERE grid.source <> 'src0'
+    GROUP BY grid.source
+    """,
+)
+def source_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between corpus slices: the total-
+    variation distance between each source's document-length histogram
+    and the reference source (`src0`) over a shared 10-bucket
+    equi-width grid — the monitoring primitive that catches a crawl
+    snapshot or pipeline change shifting the data before it poisons
+    training. TV = ½·Σ|p−q| over the SAME bucket grid on both sides;
+    the grid is densified (source × bucket cross of two tiny frames)
+    so missing buckets count their full mass.
+
+    Scale shape: global min/max is a 1-row broadcast; bucketing is
+    map-side arithmetic; everything after the per-(source, bucket)
+    count operates on a grid-sized (≤ sources×10) frame."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lim = docs.agg(
+        F.min("n_chars").cast("double").alias("lo"),
+        F.max("n_chars").cast("double").alias("hi"),
+    )
+    b = docs.join(F.broadcast(lim)).select(
+        "source",
+        F.least(
+            F.floor((F.col("n_chars") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10)
+            .cast("bigint"),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    per = b.groupBy("source", "bucket").agg(F.count("*").alias("c"))
+    tot = per.groupBy("source").agg(F.sum("c").alias("t"))
+    p = per.join(tot, "source").select(
+        "source", "bucket", (F.col("c") / F.col("t")).alias("p")
+    )
+    base = p.where(F.col("source") == "src0").select(
+        "bucket", F.col("p").alias("p0")
+    )
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("bucket")))
+    )
+    return (
+        grid.join(F.broadcast(p), ["source", "bucket"], "left")
+        .join(F.broadcast(base), "bucket", "left")
+        .where(F.col("source") != "src0")
+        .groupBy("source")
+        .agg(
+            F.round(
+                0.5
+                * F.sum(
+                    F.abs(
+                        F.coalesce(F.col("p"), F.lit(0.0))
+                        - F.coalesce(F.col("p0"), F.lit(0.0))
+                    )
+                ),
+                6,
+            ).alias("tv_distance")
+        )
+    )
