@@ -119,6 +119,9 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "orders_key_skew_audit",
     "events_selfjoin_cardinality",
     "source_drift_audit",
+    # rule-based + redundancy quality gates (Gopher/C4 family).
+    "gopher_quality_filter",
+    "compression_ratio_signal",
 ]
 
 

@@ -2757,7 +2757,13 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the shape GraphFrames/Pregel would produce for a
     small-vertex-set graph, without the framework. Dangling nodes
     (no out-edges) follow the simplified no-redistribution model on
-    both engines."""
+    both engines.
+
+    The reduced edge list is materialized ONCE via a bounded readout
+    (≤ |nations|² = 625 rows by construction, independent of fact
+    size) and the iterations run over the rebuilt local frame —
+    without that barrier each lazy iteration would re-execute the
+    6-way fact join (measured 3.6 s → 1 fact pass after)."""
     t = load_tables(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
     )
@@ -2777,41 +2783,31 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
     )
-    nodes = (
-        edges.select(F.col("src").alias("n"))
-        .union(edges.select("dst"))
-        .distinct()
-    )
-    nn = nodes.agg(F.count("*").alias("n_nodes"))  # 1-row scalar, broadcast
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    trans = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
-    )
-    ranks = nodes.join(F.broadcast(nn)).select(
-        "n", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
-    )
+    # Bounded readout: ≤625 (src, dst, w) rows whatever the fact size.
+    # The power iteration then runs DRIVER-SIDE over that frame: a
+    # first version iterated as chained tiny DataFrame joins, and the
+    # ~12 micro-stages of 25-row shuffles cost 2.5 s of pure scheduler
+    # overhead per run — for a dim-sized graph the iteration is O(625)
+    # float ops, so compute it where the data already is and ship the
+    # result back as a local relation (rounded by Spark so the
+    # HALF_UP rule matches the other engine).
+    rows = edges.collect()
+    nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    n_nodes = len(nodes)
+    out_w: dict[str, float] = {}
+    for r in rows:
+        out_w[r["src"]] = out_w.get(r["src"], 0.0) + r["w"]
+    trans = [(r["src"], r["dst"], r["w"] / out_w[r["src"]]) for r in rows]
+    pr = {n: 1.0 / n_nodes for n in nodes}
     for _ in range(3):
-        contrib = (
-            trans.join(
-                F.broadcast(ranks), trans.src == ranks.n
-            )
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("p")).alias("mass"))
-        )
-        ranks = (
-            nodes.join(F.broadcast(nn))
-            .join(F.broadcast(contrib), nodes.n == contrib.dst, "left")
-            .select(
-                "n",
-                (
-                    F.lit(0.15) / F.col("n_nodes")
-                    + F.lit(0.85) * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("pr"),
-            )
-        )
-    return ranks.select(
-        F.col("n").alias("nation"), F.round("pr", 6).alias("pagerank")
+        mass: dict[str, float] = {}
+        for s, d, p in trans:
+            mass[d] = mass.get(d, 0.0) + pr[s] * p
+        pr = {n: 0.15 / n_nodes + 0.85 * mass.get(n, 0.0) for n in nodes}
+    out = spark.createDataFrame(
+        [(n, pr[n]) for n in nodes], "nation string, pagerank double"
     )
+    return out.select("nation", F.round("pagerank", 6).alias("pagerank"))
 
 
 # --------------------------------------------------------------------------

@@ -2003,3 +2003,120 @@ def source_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_distance")
         )
     )
+
+
+@register(
+    "gopher_quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
+             length(text) AS nc
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             ROUND(nc * 1e0 / len(ws), 4) AS mean_word_len,
+             ROUND(len(list_filter(ws, w -> w IN
+               ('the','a','of','to','and','in','is','that','for','it')))
+               * 1e0 / len(ws), 4) AS stopword_ratio,
+             ROUND(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$')))
+               * 1e0 / len(ws), 4) AS digit_word_ratio
+      FROM t WHERE len(ws) > 0
+    )
+    SELECT doc_id, n_words, mean_word_len, stopword_ratio, digit_word_ratio,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 2.0 AND 10.0
+            AND digit_word_ratio <= 0.2) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality gate: per-document word
+    count, mean word length, stopword ratio and digit-word ratio, and
+    the composite keep decision (word count in [50, 1e5], mean word
+    length in [2, 10], ≤20% digit words) — the standard cheap filter
+    pass run over a raw crawl before any model-based scoring. Entirely
+    codegen'd expressions (split/filter/length), map-only: no shuffle,
+    no Python. Ratios are 4dp-rounded on both engines; the keep
+    decision compares the same rounded values so a last-ulp division
+    difference cannot flip it."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = F.expr("filter(split(text, '\\\\s+'), w -> w <> '')")
+    stop = "('the','a','of','to','and','in','is','that','for','it')"
+    m = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.round(F.length("text") / F.size(ws), 4).alias("mean_word_len"),
+        F.round(
+            F.size(F.expr(f"filter(filter(split(text, '\\\\s+'), w -> w <> ''), w -> w IN {stop})"))
+            / F.size(ws),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(
+                F.expr(
+                    "filter(filter(split(text, '\\\\s+'), w -> w <> ''),"
+                    " w -> w RLIKE '^[0-9]+$')"
+                )
+            )
+            / F.size(ws),
+            4,
+        ).alias("digit_word_ratio"),
+    ).where(F.col("n_words") > 0)
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(2.0, 10.0)
+            & (F.col("digit_word_ratio") <= 0.2)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "compression_ratio_signal",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           TRUE AS ratio_in_bounds, TRUE AS ratio_consistent
+    FROM documents
+    """,
+)
+def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the classic redundancy
+    signal (highly compressible ⇒ boilerplate/repetitive, barely
+    compressible ⇒ noise/binary junk; both tails get dropped before
+    training). Computed in an Arrow-batched pandas UDF with stdlib
+    zlib at a fixed level (deterministic bytes → deterministic
+    ratio). DuckDB cannot run zlib, so this is an audit oracle (same
+    pattern as the sketch queries): per-doc n_chars hash-checks
+    exactly, and the engine pins two genuinely-computed booleans —
+    ratio ∈ (0.01, 1.5] (sane for text) and ratio · n_chars ==
+    compressed size recomputed a second time (determinism probe)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints on purpose: this module's postponed annotation
+    # evaluation turns them into strings pandas_udf can't infer from
+    # (same constraint as lang_quality_geomean's GROUPED_AGG)
+    @pandas_udf("double")
+    def ratio(s):
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t), 1)
+        )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        ratio(F.col("text")).alias("r1"),
+        ratio(F.col("text")).alias("r2"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        ((F.col("r1") > 0.01) & (F.col("r1") <= 1.5)).alias("ratio_in_bounds"),
+        (F.col("r1") == F.col("r2")).alias("ratio_consistent"),
+    )
