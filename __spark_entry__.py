@@ -122,6 +122,9 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # rule-based + redundancy quality gates (Gopher/C4 family).
     "gopher_quality_filter",
     "compression_ratio_signal",
+    # native session_window batch rollup; PQ codes completing IVF-PQ.
+    "session_window_rollup",
+    "pq_quantization_audit",
 ]
 
 

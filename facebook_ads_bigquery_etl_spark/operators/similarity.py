@@ -393,3 +393,105 @@ def quantize_audit(
             F.aggregate("err", F.lit(0.0), lambda acc, v: acc + v) / F.col("dim"), 9
         ).alias("mean_abs_err"),
     )
+
+
+def pq_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    train_n: int = 256,
+) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI 2011) with an
+    engine-verified distortion audit: the 64-dim space splits into
+    ``m`` subspaces, each quantized by its own ``k``-centroid
+    codebook, compressing a vector to ``m`` byte codes (32× here).
+
+    Codebooks train DRIVER-SIDE on a BOUNDED DETERMINISTIC sample
+    (first ``train_n`` vectors by id — TakeOrdered, no global sort;
+    the standard practice: FAISS trains PQ on a fixed-size sample
+    regardless of corpus size, since codebook quality saturates).
+    Encoding and distortion run DISTRIBUTED over the full corpus in
+    one Arrow-batched mapInPandas pass with the m×k×(dim/m) codebook
+    matrix shipped in the closure — fixed-size partials, same merge
+    shape as the Gram partials in operators/linalg.py.
+
+    Output: one audit row — n_vectors and mean per-component energy
+    (both recomputed exactly by the DuckDB oracle) plus booleans the
+    oracle pins TRUE: distortion strictly positive, distortion below
+    the per-component energy (PQ must beat the zero-vector code), and
+    every code id within [0, k)."""
+    import numpy as np
+    import pandas as pd
+
+    sub = dim // m
+    sample = [
+        r[vec_col]
+        for r in df.select(vec_col, "vec_id").orderBy("vec_id").limit(train_n).collect()
+    ]
+    S = np.asarray(sample, dtype=np.float64)
+    books = []
+    for j in range(m):
+        Xj = S[:, j * sub : (j + 1) * sub]
+        cent = Xj[:k].copy()  # deterministic init: first k sample rows
+        for _ in range(10):  # Lloyd
+            d2 = ((Xj[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            idx = d2.argmin(1)
+            for c in range(k):
+                pts = Xj[idx == c]
+                if len(pts):
+                    cent[c] = pts.mean(0)
+        books.append(cent)
+    cb = np.stack(books)  # m × k × sub
+
+    def enc(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if vecs.empty:
+                continue
+            x = np.asarray(vecs.tolist(), dtype=np.float64)
+            sq = orig = 0.0
+            codes_ok = True
+            for j in range(m):
+                xj = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xj[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                idx = d2.argmin(1)
+                codes_ok = codes_ok and bool((idx >= 0).all() and (idx < k).all())
+                sq += float(((xj - cb[j][idx]) ** 2).sum())
+                orig += float((xj**2).sum())
+            yield pd.DataFrame(
+                {
+                    "n": [int(x.shape[0])],
+                    "sq": [sq],
+                    "orig": [orig],
+                    "ok": [codes_ok],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        enc, "n long, sq double, orig double, ok boolean"
+    )
+    tot = parts.agg(
+        F.sum("n").alias("n"),
+        F.sum("sq").alias("sq"),
+        F.sum("orig").alias("orig"),
+        F.min("ok").alias("ok"),
+    ).collect()[0]
+    n, d = int(tot["n"]), dim
+    mse = tot["sq"] / (n * d)
+    energy = tot["orig"] / (n * d)
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                n,
+                round(energy, 6),
+                bool(mse > 0.0),
+                bool(mse < energy),
+                bool(tot["ok"]),
+            )
+        ],
+        "n_vectors long, mean_component_energy double,"
+        " distortion_positive boolean, distortion_below_energy boolean,"
+        " codes_in_range boolean",
+    )

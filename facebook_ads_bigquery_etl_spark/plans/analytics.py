@@ -3177,3 +3177,58 @@ def events_selfjoin_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "estimate_matches_actual"
         ),
     )
+
+
+@register(
+    "session_window_rollup",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT)                        AS session_start_us,
+           CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT)   AS session_end_us,
+           CAST(COUNT(*) AS BIGINT)                                 AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE `session_window` aggregate
+    (30-minute inactivity gap) — the merging-interval operator the
+    lag-based `user_sessions` hand-builds, here exercised directly:
+    `groupBy(session_window(ts), user_id)` plans as a single
+    SessionWindow aggregation (one shuffle on user_id, sessions merge
+    inside the aggregate; the same operator backs the streaming
+    `stream_sessionize`). The oracle derives identical sessions with
+    the gaps-and-islands form: a new island when the gap is ≥ the
+    window (Spark merges strictly-inside events only), and the
+    session end is last-event + gap by `session_window` definition.
+    Bounds are emitted as epoch microseconds (exact integers) so the
+    cross-engine compare never depends on timestamp formatting."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(sw, "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )

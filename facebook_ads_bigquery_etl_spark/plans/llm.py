@@ -2120,3 +2120,29 @@ def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("r1") > 0.01) & (F.col("r1") <= 1.5)).alias("ratio_in_bounds"),
         (F.col("r1") == F.col("r2")).alias("ratio_consistent"),
     )
+
+
+@register(
+    "pq_quantization_audit",
+    oracle="""
+    WITH v AS (SELECT unnest(embedding)::DOUBLE AS x FROM embeddings)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           ROUND(AVG(x * x), 6) AS mean_component_energy,
+           TRUE AS distortion_positive,
+           TRUE AS distortion_below_energy,
+           TRUE AS codes_in_range
+    FROM v
+    """,
+)
+def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit (operators/similarity.pq_audit):
+    8 subspaces × 16 centroids → 32× compression with distortion
+    measured DISTRIBUTED over the full corpus; DuckDB recomputes the
+    exact per-component energy baseline and pins the
+    genuinely-engine-computed distortion/code-range booleans. The PQ
+    codes complete the ANN family: IVF prunes the probe set, PQ
+    shrinks the resident index (IVF-PQ is the standard pairing)."""
+    from ..operators import similarity as sim
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.pq_audit(emb, "embedding", dim=64, m=8, k=16)

@@ -514,3 +514,47 @@ class TestKeepBestScalePath:
         assert len({r["cluster_rep"] for r in kept}) == len(kept)
         assert sum(r["cluster_size"] for r in kept) == n_docs
         assert all(r["quality_score"] is not None for r in kept)
+
+
+class TestProductQuantization:
+    def test_audit_invariants_hold(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators import similarity as sim
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        row = sim.pq_audit(emb, "embedding", dim=64, m=8, k=16).collect()[0]
+        assert row["n_vectors"] == emb.count()
+        assert row["distortion_positive"]
+        assert row["distortion_below_energy"]
+        assert row["codes_in_range"]
+
+    def test_distortion_shrinks_with_codebook_size(self, spark):
+        # more centroids per subspace must quantize no worse; measure
+        # via the internal distortion (recompute with tiny k vs real k)
+        import numpy as np
+
+        from facebook_ads_bigquery_etl_spark.operators import similarity as sim
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        X = np.asarray(
+            [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+            dtype=np.float64,
+        )
+
+        def mse(k):
+            sub = 64 // 8
+            tot = 0.0
+            S = X[:256]
+            for j in range(8):
+                Xj, Sj = X[:, j * sub : (j + 1) * sub], S[:, j * sub : (j + 1) * sub]
+                cent = Sj[:k].copy()
+                for _ in range(10):
+                    idx = ((Sj[:, None] - cent[None]) ** 2).sum(-1).argmin(1)
+                    for c in range(k):
+                        pts = Sj[idx == c]
+                        if len(pts):
+                            cent[c] = pts.mean(0)
+                idx = ((Xj[:, None] - cent[None]) ** 2).sum(-1).argmin(1)
+                tot += ((Xj - cent[idx]) ** 2).sum()
+            return tot / X.size
+
+        assert mse(16) < mse(2)
