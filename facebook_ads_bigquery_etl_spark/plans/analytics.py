@@ -3215,7 +3215,12 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (Spark merges strictly-inside events only), and the
     session end is last-event + gap by `session_window` definition.
     Bounds are emitted as epoch microseconds (exact integers) so the
-    cross-engine compare never depends on timestamp formatting."""
+    cross-engine compare never depends on timestamp formatting.
+
+    Measured comparison (STRESS.md): at 10× data the merging
+    aggregate runs ~5× (session-buffer maintenance per group) vs the
+    lag rewrite's ~1.2×; both stay registered — session_window is the
+    streaming operator, the lag form is the batch scale path."""
     ev = load_tables(spark, sf_dir, "events")["events"]
     sw = F.session_window(F.col("ts"), "30 minutes")
     return (

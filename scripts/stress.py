@@ -70,8 +70,11 @@ PROBES = [
     "doc_perplexity_filter",  # vocab agg + broadcast LM rescoring
     "nation_trade_pagerank",  # reduce-then-iterate graph ranking
     "embedding_covariance_probe",   # mergeable Gram partials (O(d²) state)
-    "copurchase_association_rules", # basket self-join (Σ basket² pair stream)
+    "copurchase_association_rules", # map-side basket pair stream
     "revenue_ewma_by_nation",       # applyInPandas sequential fold per key
+    "session_window_rollup",        # native merging session aggregate
+    "pq_quantization_audit",        # PQ encode, codebook in closure
+    "gopher_quality_filter",        # codegen'd rule gate, map-only
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
