@@ -125,6 +125,10 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # native session_window batch rollup; PQ codes completing IVF-PQ.
     "session_window_rollup",
     "pq_quantization_audit",
+    # feature hashing, distribution-rank windows, ORC format roundtrip.
+    "feature_hash_audit",
+    "order_rank_in_customer_history",
+    "orc_roundtrip_audit",
 ]
 
 

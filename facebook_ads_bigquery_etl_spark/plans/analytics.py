@@ -3237,3 +3237,102 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "feature_hash_audit",
+    oracle="""
+    WITH f AS (
+      SELECT 'brand=' || p_brand AS feat FROM part
+      UNION ALL SELECT 'type=' || p_type FROM part
+      UNION ALL SELECT 'name=' || p_name FROM part
+    ),
+    h AS (
+      SELECT feat,
+             split_part(feat, '=', 1) AS kind,
+             list_reduce(
+               list_prepend(0, list_transform(range(1, len(feat) + 1),
+                                              i -> ascii(feat[i]))),
+               (acc, c) -> (acc * 31 + c) % 1021) AS bucket
+      FROM f
+    ),
+    d AS (SELECT DISTINCT kind, feat, bucket FROM h),
+    load AS (
+      SELECT kind, bucket, COUNT(*) AS n_feats
+      FROM d GROUP BY kind, bucket
+    )
+    SELECT kind,
+           CAST(SUM(n_feats) AS BIGINT)  AS n_distinct_features,
+           CAST(COUNT(*) AS BIGINT)      AS n_buckets_used,
+           CAST(MAX(n_feats) AS BIGINT)  AS max_bucket_load
+    FROM load GROUP BY kind
+    """,
+)
+def feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick') with a PORTABLE hash:
+    categorical part attributes map to 1021 buckets via a polynomial
+    rolling hash over code points — integer arithmetic both engines
+    evaluate identically (Spark `aggregate` HOF, DuckDB
+    `list_reduce`), so bucket ids, bucket occupancy and collision
+    loads all hash-check exactly. This is the audit you run before
+    fixing a hash dimension for a model: distinct features per kind,
+    buckets touched, worst collision load.
+
+    Scale shape: feature streams are map-side projections unioned
+    before ONE hash aggregate on (kind, bucket); nothing but bucket
+    ids shuffles. The rolling hash runs in codegen — no Python."""
+    part = load_tables(spark, sf_dir, "part")["part"]
+    feats = None
+    for kind, col in [("brand", "p_brand"), ("type", "p_type"),
+                      ("name", "p_name")]:
+        sl = part.select(
+            F.concat(F.lit(kind + "="), F.col(col)).alias("feat"),
+            F.lit(kind).alias("kind"),
+        )
+        feats = sl if feats is None else feats.unionByName(sl)
+    bucket = F.expr(
+        "aggregate(transform(sequence(1, length(feat)),"
+        " i -> ascii(substring(feat, i, 1))),"
+        " 0L, (acc, c) -> (acc * 31 + c) % 1021)"
+    )
+    d = feats.select("kind", "feat", bucket.alias("bucket")).distinct()
+    load = d.groupBy("kind", "bucket").agg(F.count("*").alias("n_feats"))
+    return load.groupBy("kind").agg(
+        F.sum("n_feats").alias("n_distinct_features"),
+        F.count("*").alias("n_buckets_used"),
+        F.max("n_feats").alias("max_bucket_load"),
+    )
+
+
+@register(
+    "order_rank_in_customer_history",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6)    AS cd,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_rank_in_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does each order sit in ITS CUSTOMER's history? —
+    percent_rank, cume_dist and ntile(4) over the per-customer value
+    order, completing the ranking-window surface (rank/dense_rank/
+    row_number are covered elsewhere). The window is keyed by
+    customer: many SMALL partitions, so the sort-based window
+    parallelizes and no partition outgrows an executor — the shape
+    that makes exact distribution ranks viable at 100 TB (a GLOBAL
+    percent_rank would be the single-partition anti-pattern; the
+    global analog here is the approx-percentile family). Ties broken
+    by (value, orderkey) so ntile assignment is deterministic on both
+    engines."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )

@@ -942,3 +942,55 @@ def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "observed_sum_matches"
         ),
     )
+
+
+@register(
+    "orc_roundtrip_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                              AS n_rows,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)     AS revenue,
+           TRUE AS count_roundtrips, TRUE AS sum_roundtrips
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-02-01'
+    """,
+)
+def orc_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format sink/source proof: a month slice of the fact table
+    round-trips through ORC (columnar, predicate-pushdown-capable,
+    zlib-compressed by default — the other first-class columnar
+    format a warehouse migration meets) and must preserve both the
+    row count and the 2dp-rounded revenue. DuckDB recomputes both
+    from the parquet source; the engine pins the
+    orc-read-equals-parquet-read booleans after genuinely reading the
+    ORC files back. Same pluggable-format seam as
+    sinks.insert_rows_via_format (reference main.py:86-89's writer
+    abstracted over format)."""
+    import shutil
+    import tempfile
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-02-01").cast("timestamp"))
+    )
+    rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    src_row = li.agg(F.count("*").alias("n"), rev.alias("r")).collect()[0]
+    tmp = tempfile.mkdtemp(prefix="orc_audit_")
+    try:
+        li.write.mode("overwrite").orc(f"{tmp}/li_orc")
+        back = spark.read.orc(f"{tmp}/li_orc")
+        back_row = back.agg(F.count("*").alias("n"), rev.alias("r")).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(back_row["n"]),
+                float(back_row["r"]),
+                bool(back_row["n"] == src_row["n"]),
+                bool(back_row["r"] == src_row["r"]),
+            )
+        ],
+        "n_rows long, revenue double,"
+        " count_roundtrips boolean, sum_roundtrips boolean",
+    )
