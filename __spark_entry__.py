@@ -129,6 +129,8 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "feature_hash_audit",
     "order_rank_in_customer_history",
     "orc_roundtrip_audit",
+    # incremental-ingest dedup against a persistent fingerprint store.
+    "incremental_dedup_new_docs",
 ]
 
 

@@ -2146,3 +2146,60 @@ def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return sim.pq_audit(emb, "embedding", dim=64, m=8, k=16)
+
+
+@register(
+    "incremental_dedup_new_docs",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT sha256(text) AS fp FROM documents WHERE doc_id < 400
+    ),
+    arriving AS (
+      SELECT doc_id, sha256(text) AS fp FROM documents WHERE doc_id >= 400
+    ),
+    in_batch AS (
+      SELECT doc_id, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM arriving
+    )
+    SELECT b.doc_id,
+           (h.fp IS NOT NULL)           AS dup_of_history,
+           (b.rn > 1)                   AS dup_within_batch,
+           (h.fp IS NULL AND b.rn = 1)  AS keep
+    FROM in_batch b LEFT JOIN hist h ON b.fp = h.fp
+    """,
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the daily-pipeline shape: an
+    arriving batch (doc_id ≥ 400 stands in for today's crawl) is
+    deduplicated BOTH against the historical fingerprint store
+    (doc_id < 400) and within itself (first-by-id wins), emitting the
+    keep/duplicate disposition per arriving document. This is how
+    exact dedup actually runs in production: the corpus is never
+    re-deduplicated from scratch; only fingerprints persist.
+
+    Scale shape: history contributes nothing but DISTINCT 32-byte
+    fingerprints (the store a 100 TB corpus maintains as a compact
+    table); the batch-vs-history check is an equi left join on the
+    digest, and within-batch dedup is one row_number window keyed by
+    the digest — document text never shuffles anywhere."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    hist = (
+        docs.where(F.col("doc_id") < 400)
+        .select(F.sha2("text", 256).alias("fp"))
+        .distinct()
+        .withColumn("in_hist", F.lit(True))
+    )
+    arriving = docs.where(F.col("doc_id") >= 400).select(
+        "doc_id", F.sha2("text", 256).alias("fp")
+    )
+    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    b = arriving.withColumn("rn", rn)
+    return b.join(hist, "fp", "left").select(
+        "doc_id",
+        F.coalesce(F.col("in_hist"), F.lit(False)).alias("dup_of_history"),
+        (F.col("rn") > 1).alias("dup_within_batch"),
+        (F.col("in_hist").isNull() & (F.col("rn") == 1)).alias("keep"),
+    )
