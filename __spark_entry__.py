@@ -131,6 +131,9 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "orc_roundtrip_audit",
     # incremental-ingest dedup against a persistent fingerprint store.
     "incremental_dedup_new_docs",
+    # tokenizer-vocabulary coverage; parquet schema evolution.
+    "vocab_coverage_stats",
+    "schema_evolution_audit",
 ]
 
 

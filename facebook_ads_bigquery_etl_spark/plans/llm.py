@@ -2203,3 +2203,61 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn") > 1).alias("dup_within_batch"),
         (F.col("in_hist").isNull() & (F.col("rn") == 1)).alias("keep"),
     )
+
+
+@register(
+    "vocab_coverage_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT 100
+      )
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT)                          AS n_tokens,
+           CAST(COUNT(v.w) AS BIGINT)                        AS in_vocab,
+           ROUND(COUNT(v.w) * 1e0 / COUNT(*), 4)             AS coverage,
+           ROUND(1e0 - COUNT(v.w) * 1e0 / COUNT(*), 4)       AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-application coverage — the audit run after freezing
+    a tokenizer vocabulary: induce the top-100 vocabulary from the
+    corpus (count desc, lexicographic tie-break — fully
+    deterministic), then score every document's in-vocab coverage and
+    OOV rate. High OOV flags documents the tokenizer will shred into
+    bytes (code, other languages, mojibake) — a routine pre-training
+    triage signal.
+
+    Scale shape: the vocabulary is one token hash-agg + top-k
+    (TakeOrderedAndProject) and is broadcast back onto the token
+    stream as a left join; per-doc stats reduce on doc_id. The corpus
+    text never shuffles — identical plan skeleton to the perplexity
+    filter, so the LM-scoring family shares its physical shape."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(100)
+        .select("w", F.lit(True).alias("in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("in_v").alias("in_vocab"),
+            F.round(F.count("in_v") / F.count("*"), 4).alias("coverage"),
+            F.round(F.lit(1.0) - F.count("in_v") / F.count("*"), 4).alias(
+                "oov_rate"
+            ),
+        )
+    )

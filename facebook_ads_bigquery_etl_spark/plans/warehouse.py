@@ -994,3 +994,63 @@ def orc_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, revenue double,"
         " count_roundtrips boolean, sum_roundtrips boolean",
     )
+
+
+@register(
+    "schema_evolution_audit",
+    oracle="""
+    WITH half1 AS (
+      SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    half2 AS (
+      SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM half1)            AS rows_v1,
+           (SELECT CAST(n AS BIGINT) FROM half2)            AS rows_v2,
+           (SELECT CAST(n AS BIGINT) FROM half1)            AS nulls_in_new_col,
+           TRUE AS merged_schema_has_new_col,
+           TRUE AS old_rows_null_in_new_col
+    """,
+)
+def schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet table: batch v1 lands without the
+    `o_priority_score` column, batch v2 (the evolved producer) adds
+    it; a `mergeSchema` read must surface the union schema with the
+    v1 rows NULL in the new column — the append-only evolution
+    contract every long-lived warehouse table relies on (the
+    reference's BigQuery tables evolve the same way: new nullable
+    columns, old rows null). Row counts per batch and the null count
+    in the evolved column are recomputed by DuckDB from the source;
+    the schema-shape booleans are engine-verified on the read-back."""
+    import shutil
+    import tempfile
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_priority_score", F.length("o_orderpriority").cast("double")
+    )
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    path = f"{tmp}/orders_tbl"
+    try:
+        v1.write.mode("overwrite").parquet(path)
+        v2.write.mode("append").parquet(path)
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        has_col = "o_priority_score" in back.columns
+        row = back.agg(
+            F.sum(F.when(F.col("o_priority_score").isNull(), 1).otherwise(0)).alias(
+                "nulls_new"
+            ),
+            F.sum(F.when(F.col("o_priority_score").isNotNull(), 1).otherwise(0)).alias(
+                "notnull_new"
+            ),
+        ).collect()[0]
+        n1, n2 = v1.count(), v2.count()
+        nulls_match = bool(row["nulls_new"] == n1 and row["notnull_new"] == n2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n1, n2, int(row["nulls_new"]), bool(has_col), nulls_match)],
+        "rows_v1 long, rows_v2 long, nulls_in_new_col long,"
+        " merged_schema_has_new_col boolean, old_rows_null_in_new_col boolean",
+    )
