@@ -134,6 +134,8 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # tokenizer-vocabulary coverage; parquet schema evolution.
     "vocab_coverage_stats",
     "schema_evolution_audit",
+    # bitemporal fact→dimension-version resolution over SCD2 history.
+    "scd2_pointintime_join",
 ]
 
 

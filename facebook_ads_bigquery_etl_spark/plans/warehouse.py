@@ -1054,3 +1054,95 @@ def schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_v1 long, rows_v2 long, nulls_in_new_col long,"
         " merged_schema_has_new_col boolean, old_rows_null_in_new_col boolean",
     )
+
+
+_PIT_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal FROM customer
+),
+old AS (SELECT * FROM base WHERE c_custkey % 7 <> 0),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN ROUND(c_acctbal + 100.0, 2)
+              ELSE c_acctbal END AS c_acctbal
+  FROM base WHERE c_custkey % 13 <> 0
+),
+j AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         o.c_custkey IS NOT NULL AS in_old,
+         n.c_custkey IS NOT NULL AS in_new,
+         (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal) AS same,
+         o.c_acctbal AS o_bal, n.c_acctbal AS n_bal
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+),
+hist AS (
+  SELECT c_custkey, o_bal AS c_acctbal,
+         DATE '2024-01-01' AS valid_from,
+         CASE WHEN in_new AND same THEN DATE '9999-12-31'
+              ELSE DATE '2024-02-01' END AS valid_to,
+         (in_new AND same) AS is_current
+  FROM j WHERE in_old
+  UNION ALL
+  SELECT c_custkey, n_bal, DATE '2024-02-01', DATE '9999-12-31', TRUE
+  FROM j WHERE in_new AND (NOT in_old OR NOT same)
+),
+probes AS (
+  SELECT o_orderkey, o_custkey,
+         DATE '2024-01-01' + CAST(o_orderkey % 60 AS INTEGER) AS as_of
+  FROM orders
+)
+SELECT p.o_orderkey, p.o_custkey, p.as_of,
+       h.c_acctbal AS version_acctbal, h.is_current
+FROM probes p
+JOIN hist h ON h.c_custkey = p.o_custkey
+           AND p.as_of >= h.valid_from AND p.as_of < h.valid_to
+"""
+
+
+@register("scd2_pointintime_join", oracle=_PIT_ORACLE)
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal) fact→dimension resolution: each
+    order probes the SCD2 customer history AT ITS OWN as-of date and
+    picks the exactly-one version whose validity range covers it —
+    the join every SCD2 table exists to serve (and what the
+    reference's denormalized campaign columns, main.py:205-210,
+    silently get wrong after an attribute change). Probe dates are a
+    deterministic spread over the version boundaries, so the result
+    exercises v1 hits, v2 hits, pre-insert misses and post-delete
+    misses.
+
+    Scale shape: the EQUI key (custkey) carries the join — versions
+    per key are few (here ≤2), so the validity-range predicate is a
+    cheap post-join filter, the same bounded-range-join shape as
+    rapid_reorder_pairs; never a date-interval nested loop."""
+    old, new = _customer_snapshots(spark, sf_dir)
+    hist = scd2_merge(
+        old.select("c_custkey", "c_acctbal"),
+        new.select("c_custkey", "c_acctbal"),
+        key="c_custkey",
+        compare_cols=["c_acctbal"],
+        old_date="2024-01-01",
+        new_date="2024-02-01",
+    )
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    probes = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("o_orderkey") % 60).cast("int")
+        ).alias("as_of"),
+    )
+    return (
+        probes.join(hist, probes.o_custkey == hist.c_custkey)
+        .where(
+            (F.col("as_of") >= F.col("valid_from"))
+            & (F.col("as_of") < F.col("valid_to"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "as_of",
+            F.col("c_acctbal").alias("version_acctbal"),
+            "is_current",
+        )
+    )
