@@ -333,6 +333,36 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["partial_"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "vocab_coverage_stats": (
+        "vocab induction + rescore: top-k via TakeOrderedAndProject, "
+        "vocabulary broadcast back — corpus text never shuffles",
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "incremental_dedup_new_docs": (
+        "incremental dedup: history collapses to DISTINCT digests joined "
+        "broadcast; within-batch dedup is one digest-keyed window",
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct"],
+    ),
+    "scd2_pointintime_join": (
+        "bitemporal resolution: equi join on the business key carries it; "
+        "the validity range is a post-join filter, never an interval loop",
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "order_rank_in_customer_history": (
+        "distribution ranks: one Window over customer-keyed partitions — "
+        "single exchange on the partition key, no global sort",
+        ["Window"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+    ),
+    "feature_hash_audit": (
+        "portable feature hash: rolling hash runs codegen'd (no Python "
+        "eval node), one (kind, bucket) aggregate",
+        ["partial_"],
+        ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    ),
     "lang_quality_geomean": (
         "vectorized pandas UDAF: grouped aggregation runs as "
         "ArrowAggregatePython over Arrow batches with partial merge",
