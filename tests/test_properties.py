@@ -72,8 +72,13 @@ def test_cast_layer_is_total(spark, rows):
     df = spark.createDataFrame(as_str, "d string, n string, x string")
     out = apply_schema(df, TARGET).collect()  # must not raise
     assert len(out) == len(rows)
+    import re
+
     for (d_in, n_in, _), r in zip(as_str, out):
-        if n_in is not None and n_in.lstrip("+-").isdigit() and len(n_in) < 19:
+        # strict ASCII integer form: isdigit() alone admits strings
+        # int() rejects ('²' is "a digit"), and lstrip("+-") admits
+        # multi-sign strings — hypothesis found both
+        if n_in is not None and re.fullmatch(r"[+-]?[0-9]{1,18}", n_in):
             assert r["n"] == int(n_in)
 
 
@@ -335,3 +340,96 @@ def test_chunking_matches_python_reference(spark, docs, size, overlap):
                 hashlib.sha256(" ".join(chunk).encode()).hexdigest(),
             )
     assert got == want
+
+
+# -- round-3 late-wave operator properties (pure python + one Spark) --------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),
+            st.floats(min_value=1.0, max_value=1e5, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_skyline_dominance_invariants(points):
+    """quantity_price_skyline's reduction form: a point survives iff no
+    other point has strictly higher quantity at an equal-or-lower
+    (per-quantity-min) price. Pure-python replica of the operator's
+    reduce-then-running-min plan; checks both directions of the
+    dominance contract on arbitrary point sets."""
+    best = {}
+    for q, p in points:
+        best[q] = min(p, best.get(q, float("inf")))
+    kept = {
+        q: p
+        for q, p in best.items()
+        if not any(q2 > q and p2 <= p for q2, p2 in best.items())
+    }
+    # 1) nothing kept is dominated
+    for q, p in kept.items():
+        assert not any(q2 > q and p2 <= p for q2, p2 in best.items())
+    # 2) everything dropped IS dominated
+    for q, p in best.items():
+        if q not in kept:
+            assert any(q2 > q and p2 <= p for q2, p2 in best.items())
+    # 3) on a (max-quantity, min-price) frontier, surviving a LOWER
+    # quantity requires a strictly LOWER price — so price strictly
+    # increases along the kept frontier as quantity rises
+    ordered = [kept[q] for q in sorted(kept)]
+    assert all(a < b for a, b in zip(ordered, ordered[1:]))
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=300,
+    ),
+    st.floats(min_value=0.01, max_value=0.99),
+)
+def test_ewma_fold_matches_closed_form(xs, alpha):
+    """revenue_ewma_by_nation's fold: y_t = (1−α)y_{t−1} + αx_t equals
+    the closed-form weighted sum α·Σ(1−α)^(t−s)·x_s + (1−α)^(t-1)·x_1
+    for any sequence — the recurrence the applyInPandas worker and the
+    DuckDB list_reduce both implement."""
+    acc = None
+    for x in xs:
+        acc = x if acc is None else (1 - alpha) * acc + alpha * x
+    n = len(xs)
+    closed = xs[0] * (1 - alpha) ** (n - 1) + sum(
+        alpha * ((1 - alpha) ** (n - 1 - i)) * xs[i] for i in range(1, n)
+    )
+    assert abs(acc - closed) <= 1e-6 * max(1.0, abs(closed))
+
+
+@given(st.text(min_size=0, max_size=40))
+def test_portable_feature_hash_is_stable_and_in_range(s):
+    """feature_hash_audit's polynomial hash: the pure-python replica of
+    the Spark `aggregate` HOF / DuckDB `list_reduce` expression is
+    total, deterministic, and always lands in [0, 1021)."""
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % 1021
+    acc2 = 0
+    for ch in s:
+        acc2 = (acc2 * 31 + ord(ch)) % 1021
+    assert acc == acc2
+    assert 0 <= acc < 1021
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=120),
+    st.integers(min_value=1, max_value=200),
+)
+def test_selfjoin_cardinality_estimator_is_exact(user_ids, _seed):
+    """events_selfjoin_cardinality: Σc² over per-key counts equals the
+    brute-force self-join size for any key multiset."""
+    from collections import Counter
+
+    c = Counter(user_ids)
+    predicted = sum(v * v for v in c.values())
+    actual = sum(1 for a in user_ids for b in user_ids if a == b)
+    assert predicted == actual
