@@ -136,6 +136,9 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "schema_evolution_audit",
     # bitemporal fact→dimension-version resolution over SCD2 history.
     "scd2_pointintime_join",
+    # bigram LM scoring; aggregate-based latest-row-per-key (max_by).
+    "doc_bigram_perplexity",
+    "latest_order_per_customer",
 ]
 
 

@@ -3336,3 +3336,41 @@ def order_rank_in_customer_history(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   (CAST(o_orderdate AS DATE) - DATE '1970-01-01') * 10000000000
+                   + o_orderkey)                       AS latest_orderkey,
+           ROUND(arg_max(o_totalprice,
+                   (CAST(o_orderdate AS DATE) - DATE '1970-01-01') * 10000000000
+                   + o_orderkey), 2)                   AS latest_totalprice,
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS latest_date,
+           CAST(COUNT(*) AS BIGINT)                   AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key WITHOUT a window: `max_by` (DuckDB
+    `arg_max`) rides the ordinary hash aggregate — one shuffle,
+    map-side partials, no sort, no row_number. This is the cheapest
+    plan for top-1-per-group and the API-surface row for Spark's
+    ordered-selection aggregates; the deterministic ordering key is a
+    single scalar (epoch-days ⊕ orderkey) so ties cannot exist and
+    both engines pick the identical row."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    key = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        * F.lit(10000000000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", key).alias("latest_orderkey"),
+        F.round(F.max_by("o_totalprice", key), 2).alias("latest_totalprice"),
+        F.max(F.col("o_orderdate").cast("date")).alias("latest_date"),
+        F.count("*").alias("n_orders"),
+    )

@@ -2261,3 +2261,72 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "doc_bigram_perplexity",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    n AS (SELECT doc_id, ws, len(ws) AS m FROM w WHERE len(ws) >= 2),
+    bg AS (
+      SELECT doc_id, unnest(ws[1:m-1]) AS a, unnest(ws[2:m]) AS b FROM n
+    ),
+    uni AS (
+      SELECT a, COUNT(*) AS c1 FROM bg GROUP BY a
+    ),
+    bi AS (
+      SELECT a, b, COUNT(*) AS c12 FROM bg GROUP BY a, b
+    ),
+    lp AS (
+      SELECT bi.a, bi.b, ln(bi.c12 * 1e0 / uni.c1) AS logp
+      FROM bi JOIN uni ON bi.a = uni.a
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(lp.logp), 4)  AS bigram_ce
+    FROM bg JOIN lp ON bg.a = lp.a AND bg.b = lp.b
+    GROUP BY bg.doc_id
+    """,
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model cross-entropy per document — the
+    second-order sibling of `doc_perplexity_filter`: p(w₂|w₁) =
+    c(w₁,w₂)/c(w₁) fitted on the corpus itself (MLE; every scored
+    bigram occurs, so probabilities are strictly positive), each
+    document scored by the mean −ln p over its bigrams. Bigram CE
+    separates real word ORDER from mere vocabulary overlap, which is
+    what catches shuffled/templated text the unigram filter passes.
+
+    Scale shape: the bigram stream is generated MAP-SIDE (the BPE
+    pair fan-out shape — no self-join); both model tables are
+    vocabulary-bounded (unigram ≤ V, bigram ≤ observed pairs) and
+    join back onto the pair stream broadcast; corpus text never
+    shuffles. CE rounded 4dp on both engines."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS a, ws[i + 1] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+    )
+    uni = bg.groupBy("a").agg(F.count("*").alias("c1"))
+    bi = bg.groupBy("a", "b").agg(F.count("*").alias("c12"))
+    lp = bi.join(uni, "a").select(
+        "a", "b", F.log(F.col("c12") / F.col("c1")).alias("logp")
+    )
+    return (
+        bg.join(F.broadcast(lp), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg("logp"), 4).alias("bigram_ce"),
+        )
+    )
