@@ -139,6 +139,9 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # bigram LM scoring; aggregate-based latest-row-per-key (max_by).
     "doc_bigram_perplexity",
     "latest_order_per_customer",
+    # exact-decimal money arithmetic; null-safe equality join.
+    "decimal_revenue_exact",
+    "nullsafe_segment_match",
 ]
 
 

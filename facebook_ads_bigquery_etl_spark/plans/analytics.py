@@ -3374,3 +3374,74 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("o_orderdate").cast("date")).alias("latest_date"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "decimal_revenue_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+             AS gross_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(l_discount AS DECIMAL(18, 4))) AS DOUBLE)
+             AS discount_amount,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic in EXACT decimals: revenue sums computed in
+    DECIMAL(18,2)/(18,4) — associative, order-independent, no float
+    ulp anywhere — then emitted as doubles only at the boundary. This
+    is the financial-reporting contract floating point cannot give
+    (a double sum's last bits depend on partition order; a decimal
+    sum is THE number): Spark's Decimal128 aggregation with overflow
+    checking vs DuckDB's DECIMAL, same scales both sides. No ROUND()
+    needed — exactness, not rounding, makes the hash match."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("double").alias("gross_revenue"),
+        F.sum(price * disc).cast("double").alias("discount_amount"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "nullsafe_segment_match",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    b AS (
+      SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT a.seg, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    GROUP BY a.seg
+    """,
+)
+def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): two
+    customer slices join on a DELIBERATELY NULLABLE key (one segment
+    nulled out), and the NULL group must match itself — the semantics
+    an ordinary equi join silently drops (NULL = NULL is NULL, so
+    null-keyed rows vanish). Spark plans eqNullSafe as a hash join on
+    the null-safe key, NOT a nested loop, so the null bucket shuffles
+    like any other key value — this query is the proof row for that
+    behavior, which warehouse dedup/merge logic (SCD attribute
+    compares, operators/scd.py) relies on."""
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    a = cust.where(F.col("c_custkey") % 2 == 0).select(seg)
+    b = cust.where(F.col("c_custkey") % 2 == 1).select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_b")
+    )
+    return (
+        a.join(b, F.col("seg").eqNullSafe(F.col("seg_b")))
+        .groupBy("seg")
+        .agg(F.count("*").alias("n_pairs"))
+    )
