@@ -142,6 +142,9 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # exact-decimal money arithmetic; null-safe equality join.
     "decimal_revenue_exact",
     "nullsafe_segment_match",
+    # robust CSV quarantine ingest; array-valued aggregation.
+    "csv_quarantine_audit",
+    "customer_order_years",
 ]
 
 

@@ -3445,3 +3445,33 @@ def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "customer_order_years",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(DISTINCT CAST(EXTRACT(year FROM o_orderdate)
+                                        AS BIGINT))) AS active_years,
+           CAST(COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) AS BIGINT)
+             AS n_active_years
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY-VALUED aggregation: each customer's sorted distinct
+    active years as a single array column — the nested-output shape
+    (BigQuery ARRAY_AGG(DISTINCT ... ORDER BY), reference
+    main.py:33-38's repeated columns on the WRITE side) produced by
+    the engine's own aggregate: collect_set → array_sort makes the
+    array content AND order deterministic, so the nested value
+    hash-checks cross-engine like any scalar. One hash aggregate;
+    arrays are bounded by the 7-year order calendar."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    yr = F.year("o_orderdate").cast("bigint")
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set(yr)).alias("active_years"),
+        F.size(F.array_sort(F.collect_set(yr))).cast("bigint").alias(
+            "n_active_years"
+        ),
+    )

@@ -1146,3 +1146,89 @@ def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current",
         )
     )
+
+
+@register(
+    "csv_quarantine_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 <> 0) AS BIGINT)
+             AS n_good,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                         THEN CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))
+                         ELSE 0 END) AS DOUBLE)              AS good_total,
+           TRUE AS corrupt_rows_quarantined,
+           TRUE AS good_rows_parse_exactly
+    FROM orders
+    """,
+)
+def csv_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust CSV ingestion with PERMISSIVE quarantine — the
+    connector-boundary behavior the reference's API ingest needs but
+    never implements (it trusts every record, main.py:188-216): every
+    97th order is serialized MALFORMED (a non-numeric totalprice), the
+    CSV is read back under an explicit schema with
+    `columnNameOfCorruptRecord`, and bad lines must land whole in the
+    quarantine column while good lines parse to exactly the source
+    values (decimal-exact total). DuckDB recomputes the expected
+    good/corrupt split and total from the source table; the
+    quarantine booleans are engine-verified on the actual read-back.
+    Scale: CSV serialize/parse is map-only in both directions; the
+    audit aggregate is one two-phase pass."""
+    import shutil
+    import tempfile
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("NOT_A_PRICE")).otherwise(
+            F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string")
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_quar_")
+    try:
+        orders.select(line.alias("value")).write.mode("overwrite").text(
+            f"{tmp}/orders_csv"
+        )
+        back = (
+            spark.read.schema("o_orderkey LONG, o_totalprice DECIMAL(18,2), _bad STRING")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .csv(f"{tmp}/orders_csv")
+        )
+        row = back.agg(
+            F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).alias("good"),
+            F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).alias("bad"),
+            F.sum(
+                F.when(F.col("_bad").isNull(), F.col("o_totalprice")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("total"),
+            F.min(
+                F.when(
+                    F.col("_bad").isNotNull(), F.col("_bad").contains("NOT_A_PRICE")
+                )
+            ).alias("quarantined_whole"),
+            F.min(F.when(F.col("_bad").isNull(), F.col("o_totalprice").isNotNull())).alias(
+                "good_parsed"
+            ),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(row["good"]),
+                int(row["bad"]),
+                float(row["total"]),
+                bool(row["quarantined_whole"]),
+                bool(row["good_parsed"]),
+            )
+        ],
+        "n_good long, n_corrupt long, good_total double,"
+        " corrupt_rows_quarantined boolean, good_rows_parse_exactly boolean",
+    )
