@@ -145,6 +145,8 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # robust CSV quarantine ingest; array-valued aggregation.
     "csv_quarantine_audit",
     "customer_order_years",
+    # governed extract: masking + banding + row-level policy.
+    "masked_customer_extract",
 ]
 
 

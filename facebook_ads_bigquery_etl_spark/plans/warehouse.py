@@ -1232,3 +1232,40 @@ def csv_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_good long, n_corrupt long, good_total double,"
         " corrupt_rows_quarantined boolean, good_rows_parse_exactly boolean",
     )
+
+
+@register(
+    "masked_customer_extract",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+             '[0-9]', 'n', 'g')                          AS name_masked,
+           CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+           c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def masked_customer_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed data extract: column masking + value banding + a
+    row-level policy in one pass — the shape a privacy-scoped share
+    of the reference's warehouse takes (its BigQuery tables carry
+    names/ids verbatim, main.py:24-29; a compliant extract cannot).
+    `F.mask` (codegen'd, upper→X / lower→x / digit→n) anonymizes the
+    name, the balance coarsens to a 1000-unit band (k-anonymity-style
+    generalization), and the RLS predicate restricts to the approved
+    segments — all map-only, pushed to the scan where possible. The
+    oracle replicates mask()'s character classes with regexp chains,
+    so the masked values themselves hash-check."""
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return cust.where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        "c_custkey",
+        F.mask("c_name").alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("bigint")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    )
