@@ -147,6 +147,9 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "customer_order_years",
     # governed extract: masking + banding + row-level policy.
     "masked_customer_extract",
+    # per-stratum priority sampling; RFM segmentation.
+    "stratified_doc_sample",
+    "customer_rfm_segments",
 ]
 
 

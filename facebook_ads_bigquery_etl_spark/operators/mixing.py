@@ -149,3 +149,52 @@ def priority_sample(
         .limit(k)
         .select(id_col, "weight", F.round("q", 4).alias("priority"))
     )
+
+
+def stratified_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    stratum_col: str,
+    k_per_stratum: int,
+) -> DataFrame:
+    """Per-stratum priority sampling: the same Duffield q = w/u
+    arithmetic-hash priorities as :func:`priority_sample`, but the
+    top-k is taken WITHIN each stratum via a keyed ranking window —
+    a weight-biased, RNG-free, re-runnable sample with guaranteed
+    per-group representation (the balanced-review-sample need a
+    global top-k can't serve: a dominant stratum would crowd the
+    others out entirely).
+
+    Scale shape: map-only scoring, then ONE shuffle on the stratum
+    key; WindowGroupLimit pushes the rank<=k filter below the
+    exchange so only ~k rows per stratum per map partition cross."""
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    q = (
+        F.col(weight_col).cast("double")
+        * F.lit(4294967297.0)
+        / (h + F.lit(1)).cast("double")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(stratum_col).orderBy(F.desc("q"), F.col(id_col))
+    return (
+        df.select(
+            F.col(stratum_col),
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            q.alias("q"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_per_stratum)
+        .select(
+            stratum_col,
+            id_col,
+            "weight",
+            F.round("q", 4).alias("priority"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

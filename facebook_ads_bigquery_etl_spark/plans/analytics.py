@@ -3475,3 +3475,64 @@ def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active_years"
         ),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(DATE '1998-12-31' - MAX(CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                AS BIGINT) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT)
+             AS m_score
+    FROM base
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM scoring: per customer,
+    Recency (days since last order vs the dataset horizon), Frequency
+    and Monetary total, each quintile-scored so 5 always means best
+    (most recent / most often / most spent). The three ntile windows
+    run over the CUSTOMER-GRAIN frame — the fact table reduces first
+    (one hash agg), so the global windows sort thousands of rows, not
+    billions; the (metric, custkey) tie-break makes every quintile
+    assignment deterministic cross-engine."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy("frequency", "o_custkey"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy("monetary", "o_custkey"))
+        .cast("bigint")
+        .alias("m_score"),
+    )

@@ -2330,3 +2330,37 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg("logp"), 4).alias("bigram_ce"),
         )
     )
+
+
+@register(
+    "stratified_doc_sample",
+    oracle="""
+    WITH s AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+             n_chars * 4294967297.0 /
+               ((((doc_id % 2147483648) * 2654435761) % 4294967296) + 1) AS q
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, doc_id, weight, q,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+               AS rk
+      FROM s
+    )
+    SELECT lang, doc_id, weight, ROUND(q, 4) AS priority,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 20
+    """,
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted review sample with guaranteed PER-LANGUAGE
+    representation: per-stratum priority sampling
+    (operators/mixing.stratified_priority_sample) — top-20 Duffield
+    priorities within each language, bit-for-bit recomputable by the
+    oracle. The balanced-curation use a global sample can't serve:
+    minority languages keep their quota no matter how large the
+    majority stratum grows."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return mx.stratified_priority_sample(
+        docs, "doc_id", "n_chars", "lang", k_per_stratum=20
+    )
