@@ -363,6 +363,31 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["partial_"],
         ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     ),
+    "stratified_doc_sample": (
+        "per-stratum top-k: WindowGroupLimit pushes the rank filter below "
+        "the stratum exchange — only ~k rows per stratum per map "
+        "partition cross the shuffle",
+        ["WindowGroupLimit"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+    ),
+    "masked_customer_extract": (
+        "governed extract: masking/banding/RLS are all map-only over one "
+        "scan — no exchange of any kind",
+        [],
+        ["Exchange", "CartesianProduct"],
+    ),
+    "decimal_revenue_exact": (
+        "exact decimal aggregation: two-phase with map-side decimal "
+        "partials — order-independent money sums",
+        ["partial_"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+    ),
+    "nullsafe_segment_match": (
+        "null-safe equality plans as a HASH join on the null-safe key — "
+        "the NULL bucket shuffles like any other value, no nested loop",
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "lang_quality_geomean": (
         "vectorized pandas UDAF: grouped aggregation runs as "
         "ArrowAggregatePython over Arrow batches with partial merge",
