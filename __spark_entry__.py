@@ -150,6 +150,9 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # per-stratum priority sampling; RFM segmentation.
     "stratified_doc_sample",
     "customer_rfm_segments",
+    # ISO-week calendar parity; chained stateful streaming operators.
+    "weekly_revenue_iso",
+    "stream_dedup_then_rollup",
 ]
 
 

@@ -3536,3 +3536,37 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_score"),
     )
+
+
+@register(
+    "weekly_revenue_iso",
+    oracle="""
+    SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+             AS week_start,
+           CAST(COUNT(*) AS BIGINT)        AS n_orders,
+           ROUND(SUM(o_totalprice), 2)     AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def weekly_revenue_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-week revenue rollup: both engines' `date_trunc('week')`
+    snap to MONDAY, and this query pins that calendar contract
+    cross-engine (week bucketing is where calendar semantics silently
+    diverge between systems — Sunday-start locales, ISO year
+    boundaries). One pushed date filter + one two-phase aggregate on
+    the truncated week."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(
+            F.date_trunc("week", F.col("o_orderdate"))
+            .cast("date")
+            .alias("week_start")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -285,3 +285,52 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return tbl.groupBy("date").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "stream_dedup_then_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE)          AS date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS total_value
+    FROM events
+    WHERE CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)
+          <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def stream_dedup_then_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS in one stream (Spark 4):
+    watermarked dropDuplicatesWithinWatermark feeding a windowed
+    aggregation downstream — the at-least-once-ingest repair and the
+    rollup fused into a single query instead of two jobs. The input
+    is the events stream UNIONED WITH ITSELF (every row a duplicate),
+    so the dedup state is load-bearing: the rollup must equal the
+    single-copy batch aggregate exactly.
+
+    Append mode emits only FINALIZED windows, and the oracle states
+    that semantics precisely: a day window [d, d+1) is emitted iff
+    d+1 ≤ final watermark (max event time − the 1-day delay) — so
+    the cross-engine check covers both the dedup exactness and the
+    watermark finalization contract. Both stateful stores are
+    watermark-bounded; state never grows past one day per key."""
+    s1 = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    s2 = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    st = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _drain(st, _qname("s_dedup_rollup", sf_dir), "append")
+    return out.select(
+        F.col("w.start").cast("date").alias("date"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
