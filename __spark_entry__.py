@@ -153,6 +153,8 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # ISO-week calendar parity; chained stateful streaming operators.
     "weekly_revenue_iso",
     "stream_dedup_then_rollup",
+    # temperature-scaled corpus mixing weights (mT5/XLM-R formula).
+    "temperature_mix_weights",
 ]
 
 

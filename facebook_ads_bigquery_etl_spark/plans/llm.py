@@ -2364,3 +2364,64 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mx.stratified_priority_sample(
         docs, "doc_id", "n_chars", "lang", k_per_stratum=20
     )
+
+
+@register(
+    "temperature_mix_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> ''))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM tok),
+    p AS (
+      SELECT source, n_tokens,
+             POW(n_tokens * 1e0 / tot.t, 0.7e0) AS p_alpha
+      FROM tok, tot
+    ),
+    z AS (SELECT SUM(p_alpha) AS z FROM p)
+    SELECT p.source,
+           CAST(p.n_tokens AS BIGINT)            AS n_tokens,
+           ROUND(p.p_alpha / z.z, 6)             AS sample_weight,
+           ROUND(p.p_alpha / z.z
+                 / (p.n_tokens * 1e0 / (SELECT t FROM tot)), 4)
+             AS upsampling_factor
+    FROM p, z
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (the mT5/XLM-R rebalancing
+    formula): per-source sampling weight ∝ p^α with α = 0.7, where p
+    is the source's token share — boosting low-resource slices
+    without flattening the mixture entirely. Emits the normalized
+    sampling weight and the upsampling factor vs natural proportions;
+    these weights are exactly what a weighted interleaving dataloader
+    (or operators/mixing.token_budget_mix) consumes.
+
+    Scale shape: one token-count aggregate (map-side combining over
+    the corpus), then pure arithmetic over the sources-sized frame
+    with two 1-row broadcast scalars."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.expr("filter(split(text, '\\\\s+'), t -> t <> '')"))
+        ).alias("n_tokens")
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("t"))
+    p = tok.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("t"), F.lit(0.7)).alias("p_alpha"),
+        (F.col("n_tokens") / F.col("t")).alias("p_nat"),
+    )
+    z = p.agg(F.sum("p_alpha").alias("z"))
+    return p.join(F.broadcast(z)).select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("p_alpha") / F.col("z"), 6).alias("sample_weight"),
+        F.round(F.col("p_alpha") / F.col("z") / F.col("p_nat"), 4).alias(
+            "upsampling_factor"
+        ),
+    )
