@@ -155,6 +155,8 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "stream_dedup_then_rollup",
     # temperature-scaled corpus mixing weights (mT5/XLM-R formula).
     "temperature_mix_weights",
+    # ratio-to-parent hierarchy proportions (window-over-aggregate).
+    "nation_revenue_share_of_parent",
 ]
 
 

@@ -3570,3 +3570,63 @@ def weekly_revenue_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "nation_revenue_share_of_parent",
+    oracle="""
+    WITH n AS (
+      SELECT r.r_name AS region, na.n_name AS nation,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation na  ON c.c_nationkey = na.n_nationkey
+      JOIN region r   ON na.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share_of_global
+    FROM n
+    """,
+)
+def nation_revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent OLAP report: every nation's revenue with its
+    share of the region subtotal AND of the global total, in one pass
+    — the hierarchy-proportion shape (MDX's ratio-to-parent, BI
+    'percent of total') that grouping sets alone don't give because
+    the child row needs its parents' totals ON the row. Window-over-
+    aggregate does it without re-scanning: the fact reduces to the
+    25-row nation grain first, then two window sums (region-keyed and
+    global) run over that reduced frame — the global window is
+    single-partition by definition but sees only dimension-sized
+    input, the same reduce-first discipline as the skyline."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    n = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return n.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(W.partitionBy("region")), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6
+        ).alias("share_of_global"),
+    )
