@@ -157,6 +157,8 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "temperature_mix_weights",
     # ratio-to-parent hierarchy proportions (window-over-aggregate).
     "nation_revenue_share_of_parent",
+    # IVF-PQ: coarse prune + compressed ADC scoring + exact re-rank.
+    "ann_ivfpq_topk",
 ]
 
 

@@ -495,3 +495,138 @@ def pq_audit(
         " distortion_positive boolean, distortion_below_energy boolean,"
         " codes_in_range boolean",
     )
+
+
+def _train_pq_codebooks(sample_matrix, m: int, k: int):
+    """Lloyd-trained per-subspace codebooks over a (numpy) training
+    sample — the shared trainer behind :func:`pq_audit` and
+    :func:`ivfpq_cosine_topk`. Deterministic: init = first k sample
+    rows per subspace, 10 fixed iterations."""
+    import numpy as np
+
+    d = sample_matrix.shape[1]
+    sub = d // m
+    books = []
+    for j in range(m):
+        xj = sample_matrix[:, j * sub : (j + 1) * sub]
+        cent = xj[:k].copy()
+        for _ in range(10):
+            idx = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(k):
+                pts = xj[idx == c]
+                if len(pts):
+                    cent[c] = pts.mean(0)
+        books.append(cent)
+    return np.stack(books)  # m × k × sub
+
+
+def ivfpq_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    nprobe: int = 6,
+    assign: int = 2,
+    m: int = 8,
+    pq_k: int = 16,
+    rerank: int = 40,
+    train_n: int = 256,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ — the FAISS serving pairing, end to end: the IVF coarse
+    quantizer prunes the probe set to ``nprobe`` posting lists, PQ
+    ASYMMETRIC DISTANCE (query subvectors against each candidate's
+    m byte codes) ranks the surviving candidates WITHOUT touching
+    their full vectors, and only the top ``rerank`` per query get
+    exact-rescored. Three cost tiers: partition pruning → 8-byte-code
+    arithmetic → exact math on a bounded set.
+
+    Scale: the corpus pays one map pass (cell assignment + PQ
+    encoding, Arrow-batched); the probe join shuffles on the int cell
+    key only; ADC ships the m×k×(d/m) codebook (KBs) in the closure;
+    the exact tier reads ``rerank`` full vectors per query. Codebooks
+    train on a bounded deterministic sample (same contract as
+    :func:`pq_audit`)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window as W
+
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, vec_col, n_lists=n_lists)
+    sample = [
+        r[vec_col]
+        for r in embeddings.select(vec_col, id_col)
+        .orderBy(id_col)
+        .limit(train_n)
+        .collect()
+    ]
+    S = np.asarray(sample, dtype=np.float64)
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    cb = _train_pq_codebooks(S, m, pq_k)
+    d = S.shape[1]
+    sub = d // m
+
+    @pandas_udf("array<int>")
+    def pq_encode(vecs):
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            x = x / max(np.linalg.norm(x), 1e-12)
+            codes = [
+                int(((x[j * sub : (j + 1) * sub] - cb[j]) ** 2).sum(-1).argmin())
+                for j in range(m)
+            ]
+            out.append(codes)
+        return pd.Series(out)
+
+    @pandas_udf("double")
+    def adc_score(qvecs, codes):
+        out = []
+        for qv, cs in zip(qvecs, codes):
+            q = np.asarray(qv, dtype=np.float64)
+            q = q / max(np.linalg.norm(q), 1e-12)
+            s = 0.0
+            for j, c in enumerate(cs):
+                s += float(q[j * sub : (j + 1) * sub] @ cb[j][c])
+            out.append(s)
+        return pd.Series(out)
+
+    eb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nvec"),
+        pq_encode(F.col(vec_col)).alias("__codes"),
+        F.explode(_ivf_cells(vec_col, centroids, assign)).alias("__cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(_ivf_cells(vec_col, centroids, nprobe)).alias("__cell"),
+    )
+    cand = (
+        qb.join(eb, "__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "__qvec", "neighbor_id", "__nvec", "__codes")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("__adc", adc_score(F.col("__qvec"), F.col("__codes")))
+    )
+    w_adc = W.partitionBy("query_id").orderBy(
+        F.desc("__adc"), F.col("neighbor_id")
+    )
+    pruned = cand.withColumn("__r", F.row_number().over(w_adc)).where(
+        F.col("__r") <= rerank
+    )
+    cos = _dot(F.col("__qvec"), F.col("__nvec")) / (
+        _norm(F.col("__qvec")) * _norm(F.col("__nvec"))
+    )
+    w_cos = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        pruned.withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -2425,3 +2425,25 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "upsampling_factor"
         ),
     )
+
+
+@register("ann_ivfpq_topk", oracle=_ANN_RECALL_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10 (operators/similarity.ivfpq_cosine_topk)
+    — the full FAISS serving shape: IVF posting-list pruning, PQ
+    asymmetric-distance candidate ranking over byte codes, exact
+    re-rank of the ADC top-100 — emitted as the per-query recall@10 audit
+    vs exact cosine (floor 90%), same contract as the LSH and plain
+    IVF audits. Completes the ANN family: LSH (hash pruning), IVF
+    (partition pruning), IVF-PQ (pruning + compressed scoring)."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ann = sim.ivfpq_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        nprobe=8,
+        assign=3,
+        m=16,
+        rerank=100,
+    )
+    return _ann_recall_audit(spark, sf_dir, ann, k=10, floor_pct=90)
