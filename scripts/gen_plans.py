@@ -388,6 +388,12 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         [],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "ann_ivfpq_topk": (
+        "IVF-PQ: encoding/ADC run as Arrow-batched pandas UDFs; the "
+        "probe join is keyed on the int cell id — no cartesian anywhere",
+        ["ArrowEvalPython"],
+        ["CartesianProduct"],
+    ),
     "lang_quality_geomean": (
         "vectorized pandas UDAF: grouped aggregation runs as "
         "ArrowAggregatePython over Arrow batches with partial merge",

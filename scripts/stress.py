@@ -75,6 +75,7 @@ PROBES = [
     "session_window_rollup",        # native merging session aggregate
     "pq_quantization_audit",        # PQ encode, codebook in closure
     "gopher_quality_filter",        # codegen'd rule gate, map-only
+    "ann_ivfpq_topk",               # IVF prune + PQ ADC + exact re-rank
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
