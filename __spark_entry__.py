@@ -93,6 +93,14 @@ _PRIORITY = [
 # about which round's driver CORRECTNESS artifact first records them).
 # Round 3 promoted all 28 round-2 deferrals into the window; this list
 # is for any NEW query that misses the round-3 window.
+#
+# ROUND-4 CURATION PLAN (first move next round, same as rounds 2→3):
+# rebuild _PRIORITY as [all 40 names below, in this order] + ~10
+# rotating r1/r2/r3-green representatives (keep events_by_day as the
+# timestamp-unit canary and one query per broad family). The 40
+# deferrals fit the 50-slot window with room to spare; cap further
+# additions next round at ~45 unproven so the window always covers
+# everything without a driver row.
 _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # late-round-3 additions (window already committed to the 31
     # previously-unproven queries): LM-quality filter, BPE merge step,
@@ -159,6 +167,8 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "nation_revenue_share_of_parent",
     # IVF-PQ: coarse prune + compressed ADC scoring + exact re-rank.
     "ann_ivfpq_topk",
+    # JL random projection with a distance-preservation audit.
+    "jl_projection_audit",
 ]
 
 

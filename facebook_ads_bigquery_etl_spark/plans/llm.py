@@ -2447,3 +2447,39 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=100,
     )
     return _ann_recall_audit(spark, sf_dir, ann, k=10, floor_pct=90)
+
+
+@register(
+    "jl_projection_audit",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id / 2 AS pair, embedding AS va FROM embeddings
+      WHERE vec_id % 2 = 0
+    ),
+    b AS (
+      SELECT (vec_id - 1) / 2 AS pair, embedding AS vb FROM embeddings
+      WHERE vec_id % 2 = 1
+    ),
+    p AS (
+      SELECT a.pair,
+             list_sum(list_transform(range(1, len(va) + 1),
+                      i -> (va[i]::DOUBLE - vb[i]::DOUBLE)
+                           * (va[i]::DOUBLE - vb[i]::DOUBLE))) AS d0
+      FROM a JOIN b ON a.pair = b.pair
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(d0), 6)        AS mean_orig_dist_sq,
+           TRUE                     AS distortion_ok
+    FROM p
+    """,
+)
+def jl_projection_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 with the distance-preservation
+    audit (operators/similarity.jl_projection_audit): DuckDB
+    recomputes the exact mean original squared distance over the
+    deterministic pair grid; the engine genuinely checks that ≥90% of
+    pairs keep their squared-distance ratio within [0.2, 2.2] after
+    projection — the dimensionality-reduction step that makes every
+    downstream ANN/near-dup pass 4× cheaper."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.jl_projection_audit(emb, "embedding", "vec_id", dim=64, target_dim=16)
