@@ -169,6 +169,8 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "ann_ivfpq_topk",
     # JL random projection with a distance-preservation audit.
     "jl_projection_audit",
+    # gap analytics: longest inactivity streak per customer.
+    "longest_order_gap",
 ]
 
 

@@ -3630,3 +3630,53 @@ def nation_revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6
         ).alias("share_of_global"),
     )
+
+
+@register(
+    "longest_order_gap",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(CAST(o_orderdate AS DATE)
+                  - LAG(CAST(o_orderdate AS DATE))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+               AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(MAX(gap_days) AS BIGINT)  AS max_gap_days,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps
+    FROM g
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def longest_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest inactivity streak per customer: max day-gap between
+    consecutive orders — the churn-risk signal behind win-back
+    campaigns, and the gap-analytics window shape (LAG diff over a
+    keyed order) at customer grain. One shuffle on the customer key;
+    the (date, orderkey) tie-break pins same-day order sequences so
+    both engines difference identical neighbors."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    g = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("bigint")
+        .alias("gap_days"),
+    )
+    return (
+        g.where(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.max("gap_days").alias("max_gap_days"),
+            F.count("gap_days").alias("n_gaps"),
+        )
+    )
