@@ -76,6 +76,9 @@ PROBES = [
     "pq_quantization_audit",        # PQ encode, codebook in closure
     "gopher_quality_filter",        # codegen'd rule gate, map-only
     "ann_ivfpq_topk",               # IVF prune + PQ ADC + exact re-rank
+    "lang_quality_geomean",         # pandas UDAF grouped agg
+    "doc_stride_spans",             # Python UDTF lateral fan-out
+    "compression_ratio_signal",     # zlib pandas UDF, map-only
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
