@@ -171,6 +171,9 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "jl_projection_audit",
     # gap analytics: longest inactivity streak per customer.
     "longest_order_gap",
+    # end-to-end curation funnel; quality gating inside the stream.
+    "curation_pipeline_report",
+    "stream_quality_gate",
 ]
 
 

@@ -2483,3 +2483,120 @@ def jl_projection_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream ANN/near-dup pass 4× cheaper."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return sim.jl_projection_audit(emb, "embedding", "vec_id", dim=64, target_dim=16)
+
+
+@register(
+    "curation_pipeline_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
+             length(text) AS nc
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source, text,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             ROUND(nc * 1e0 / len(ws), 4) AS mwl,
+             ROUND(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$')))
+                   * 1e0 / len(ws), 4) AS digit_ratio
+      FROM t WHERE len(ws) > 0
+    ),
+    q AS (
+      SELECT * FROM m
+      WHERE n_words BETWEEN 50 AND 100000
+        AND mwl BETWEEN 2.0 AND 10.0 AND digit_ratio <= 0.2
+    ),
+    d AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                   ORDER BY doc_id) AS rn
+      FROM q
+    )
+    SELECT m.source,
+           CAST(COUNT(DISTINCT m.doc_id) AS BIGINT)            AS n_raw,
+           CAST(COUNT(DISTINCT q.doc_id) AS BIGINT)            AS n_after_quality,
+           CAST(COUNT(DISTINCT CASE WHEN d.rn = 1
+                                    THEN d.doc_id END) AS BIGINT)
+             AS n_after_dedup,
+           CAST(COALESCE(SUM(CASE WHEN d.rn = 1
+                                  THEN d.n_words END), 0) AS BIGINT)
+             AS tokens_final
+    FROM m
+    LEFT JOIN q ON q.doc_id = m.doc_id
+    LEFT JOIN d ON d.doc_id = m.doc_id
+    GROUP BY m.source
+    """,
+)
+def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel in one DAG: Gopher rule gate →
+    exact dedup (first-by-id survivor per content hash) → final token
+    accounting, reported per source — the per-slice yield table every
+    pretraining data run publishes (how much survived each stage, how
+    many tokens remain). Composes three already-verified operators
+    into one plan: map-side quality metrics, one digest-keyed window
+    for dedup, one grouped rollup; corpus text never shuffles (the
+    dedup key is the 32-byte hash).
+
+    Same thresholds and 4dp roundings as `gopher_quality_filter`, so
+    the stage-1 survivors here are exactly that query's keep set."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = F.expr("filter(split(text, '\\\\s+'), w -> w <> '')")
+    m = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.round(F.length("text") / F.size(ws), 4).alias("mwl"),
+        F.round(
+            F.size(
+                F.expr(
+                    "filter(filter(split(text, '\\\\s+'), w -> w <> ''),"
+                    " w -> w RLIKE '^[0-9]+$')"
+                )
+            )
+            / F.size(ws),
+            4,
+        ).alias("digit_ratio"),
+    ).where(F.col("n_words") > 0)
+    q = m.where(
+        F.col("n_words").between(50, 100000)
+        & F.col("mwl").between(2.0, 10.0)
+        & (F.col("digit_ratio") <= 0.2)
+    )
+    d = q.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+        ),
+    )
+    stage = (
+        m.select("source", "doc_id")
+        .join(
+            q.select(F.col("doc_id").alias("q_id")),
+            F.col("doc_id") == F.col("q_id"),
+            "left",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("d_id"),
+                "rn",
+                F.col("n_words").alias("d_words"),
+            ),
+            F.col("doc_id") == F.col("d_id"),
+            "left",
+        )
+    )
+    return stage.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_raw"),
+        F.countDistinct("q_id").alias("n_after_quality"),
+        F.countDistinct(F.when(F.col("rn") == 1, F.col("d_id"))).alias(
+            "n_after_dedup"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == 1, F.col("d_words"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("tokens_final"),
+    )

@@ -334,3 +334,43 @@ def stream_dedup_then_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "stream_quality_gate",
+    oracle="""
+    SELECT CAST(ts AS DATE)                             AS date,
+           CAST(COUNT(*) AS BIGINT)                     AS n_events,
+           CAST(COUNT(*) FILTER (WHERE value > 0
+                AND event_type <> 'error') AS BIGINT)   AS n_pass,
+           ROUND(SUM(value) FILTER (WHERE value > 0
+                AND event_type <> 'error'), 2)          AS passed_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating INSIDE the stream: a stateless rule filter
+    (positive value, non-error type) fused with the windowed rollup,
+    reporting per-day raw vs passed counts and the passed value total
+    — the monitoring view of an ingest gate (how much is the filter
+    dropping today?). The gate itself is codegen'd and map-only; only
+    the daily aggregate keeps state, watermark-bounded. On finite
+    input the stream must equal the batch FILTER-clause aggregate."""
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    ok = (F.col("value") > 0) & (F.col("event_type") != "error")
+    st = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_pass"),
+            F.round(F.sum(F.when(ok, F.col("value"))), 2).alias("passed_value"),
+        )
+    )
+    out = _drain(st, _qname("s_quality", sf_dir), "complete")
+    return out.select(
+        F.col("w.start").cast("date").alias("date"),
+        "n_events",
+        "n_pass",
+        "passed_value",
+    )
