@@ -114,6 +114,8 @@ HEADLINE = [
     "embedding_covariance_probe",
     "copurchase_association_rules",
     "revenue_ewma_by_nation",
+    "session_window_rollup",
+    "curation_pipeline_report",
 ]
 
 
@@ -161,7 +163,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (40 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold)",
+        "metric": "headline query wall-clock (42 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

@@ -558,3 +558,67 @@ class TestProductQuantization:
             return tot / X.size
 
         assert mse(16) < mse(2)
+
+
+class TestIvfPq:
+    def test_recall_floor_against_exact(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators import similarity as sim
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = sim.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+        ann = sim.ivfpq_cosine_topk(
+            emb, q, k=5, nprobe=8, assign=3, m=16, rerank=40
+        )
+        hits = exact.join(
+            ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        ).count()
+        assert hits >= int(0.8 * exact.count())
+
+    def test_result_is_deterministic_across_runs(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators import similarity as sim
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 2)
+        r1 = sorted(
+            map(tuple, sim.ivfpq_cosine_topk(emb, q, k=5).collect())
+        )
+        r2 = sorted(
+            map(tuple, sim.ivfpq_cosine_topk(emb, q, k=5).collect())
+        )
+        assert r1 == r2  # seeded centroids/codebooks, no RNG state
+
+
+class TestJlProjection:
+    def test_audit_passes_and_orig_distance_is_exact(self, spark):
+        import numpy as np
+
+        from facebook_ads_bigquery_etl_spark.operators import similarity as sim
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        row = sim.jl_projection_audit(emb, "embedding", "vec_id").collect()[0]
+        vecs = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()
+        }
+        d0 = [
+            ((vecs[i] - vecs[i + 1]) ** 2).sum()
+            for i in sorted(vecs)
+            if i % 2 == 0 and i + 1 in vecs
+        ]
+        assert row["n_pairs"] == len(d0)
+        assert row["mean_orig_dist_sq"] == round(float(np.mean(d0)), 6)
+        assert row["distortion_ok"]
+
+    def test_wider_target_tightens_distortion(self, spark):
+        # m=32 concentrates harder than m=8: if the loose bound holds at
+        # 8 it must hold at 32 (checked by running both audits)
+        from facebook_ads_bigquery_etl_spark.operators import similarity as sim
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        r8 = sim.jl_projection_audit(emb, target_dim=8, lo=0.05, hi=3.5).collect()[0]
+        r32 = sim.jl_projection_audit(emb, target_dim=32, lo=0.05, hi=3.5).collect()[0]
+        assert r32["distortion_ok"]
+        assert r8["n_pairs"] == r32["n_pairs"]
