@@ -394,6 +394,19 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["ArrowEvalPython"],
         ["CartesianProduct"],
     ),
+    "curation_pipeline_report": (
+        "curation funnel: quality metrics map-side, dedup via one "
+        "digest-keyed window, stage joins on the doc id — no cartesian, "
+        "no text shuffle (the window key is the 32-byte hash)",
+        ["Window"],
+        ["CartesianProduct"],
+    ),
+    "longest_order_gap": (
+        "gap analytics: one customer-keyed window then a hash agg on the "
+        "same key — the agg reuses the window's partitioning",
+        ["Window"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+    ),
     "lang_quality_geomean": (
         "vectorized pandas UDAF: grouped aggregation runs as "
         "ArrowAggregatePython over Arrow batches with partial merge",
