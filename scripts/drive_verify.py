@@ -1,0 +1,127 @@
+"""The /verify drive (see .claude/skills/verify/SKILL.md): replicates
+the driver's flow in a fresh process — vanilla hostile-timezone
+session, entry() smoke, Spark-vs-DuckDB oracle compare over a
+family-spanning sample (kept in sync with each round's new queries),
+and the ETL write-path probe (exactly-once + quarantine + day
+partitions).
+
+Run from anywhere:  python scripts/drive_verify.py
+"""
+import sys, tempfile, shutil
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.session.timeZone", "America/New_York")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+# 1. entry smoke
+rows = e.entry(spark).collect()
+assert len(rows) >= 0 and len(e.entry(spark).schema) > 0
+print(f"entry smoke: {len(rows)} rows OK")
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split():
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+SAMPLE = [
+    # this diff's new queries
+    "doc_perplexity_filter", "bpe_merge_step",
+    "quantity_price_skyline", "nation_trade_pagerank",
+    "embedding_covariance_probe", "embedding_pca_audit",
+    "copurchase_association_rules", "copurchase_triangle_stats",
+    "revenue_ewma_by_nation", "brand_price_quartiles",
+    "lang_quality_geomean", "doc_stride_spans",
+    "orders_key_skew_audit", "events_selfjoin_cardinality", "source_drift_audit",
+    "gopher_quality_filter", "compression_ratio_signal",
+    "session_window_rollup", "pq_quantization_audit",
+    "feature_hash_audit", "order_rank_in_customer_history", "orc_roundtrip_audit",
+    "incremental_dedup_new_docs",
+    "vocab_coverage_stats", "schema_evolution_audit",
+    "scd2_pointintime_join",
+    "doc_bigram_perplexity", "latest_order_per_customer",
+    "decimal_revenue_exact", "nullsafe_segment_match",
+    "csv_quarantine_audit", "customer_order_years",
+    "masked_customer_extract",
+    "stratified_doc_sample", "customer_rfm_segments",
+    "weekly_revenue_iso", "stream_dedup_then_rollup",
+    "temperature_mix_weights",
+    "nation_revenue_share_of_parent",
+    "ann_ivfpq_topk",
+    "jl_projection_audit",
+    "longest_order_gap",
+    "curation_pipeline_report", "stream_quality_gate",
+    # family spread: relational / window / asof / events-ts / etl / llm
+    "revenue_by_nation", "rolling_7d_revenue", "asof_last_purchase",
+    "events_by_day", "fb_campaign_spend", "exact_dedup_docs",
+]
+
+Q, O = e.queries(), e.oracle_sql()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].map(
+                lambda v: v.date().isoformat() if pd.notna(v) else None)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: v.isoformat() if hasattr(v, "isoformat")
+                else str(list(v)) if isinstance(v, (list, tuple)) or
+                type(v).__name__ == "ndarray" else v)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+fails = []
+for name in SAMPLE:
+    sdf = norm(Q[name](spark, SF).toPandas())
+    odf = norm(con.sql(O[name]).df())
+    ok = sdf.shape == odf.shape and all(
+        (sdf[c].astype(str).values == odf[c].astype(str).values).all()
+        for c in sdf.columns)
+    print(f"{name:28s} spark={sdf.shape} oracle={odf.shape} "
+          f"{'OK' if ok else 'FAIL'}")
+    if not ok:
+        fails.append(name)
+        print(sdf.head(3))
+        print(odf.head(3))
+
+# 3. ETL write-path probe (exactly-once + quarantine + day partitions)
+from facebook_ads_bigquery_etl_spark.etl.facebook import run_facebook_pipeline
+from facebook_ads_bigquery_etl_spark.fixtures import FB_FIXTURE
+import os
+
+wh = tempfile.mkdtemp()
+try:
+    valid, quarantined = run_facebook_pipeline(spark, FB_FIXTURE, wh)
+    nq = quarantined.count()
+    n1 = spark.read.parquet(wh).count()
+    run_facebook_pipeline(spark, FB_FIXTURE, wh)
+    n2 = spark.read.parquet(wh).count()
+    parts = [d for d in os.listdir(wh) if d.startswith("date=")]
+    assert n1 == n2, f"exactly-once broken: {n1} != {n2}"
+    assert nq == 1, f"quarantine: {nq}"
+    assert parts, "no date= partition dirs"
+    print(f"etl probe: rows={n1} rerun={n2} quarantined={nq} "
+          f"partitions={len(parts)} OK")
+finally:
+    shutil.rmtree(wh, ignore_errors=True)
+
+print("RESULT:", "FAIL " + str(fails) if fails else "ALL GREEN")
+sys.exit(1 if fails else 0)
