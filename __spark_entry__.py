@@ -174,6 +174,8 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     # end-to-end curation funnel; quality gating inside the stream.
     "curation_pipeline_report",
     "stream_quality_gate",
+    # the warehouse's headline question: spend ⋈ conversions → ROAS.
+    "fb_campaign_roas",
 ]
 
 

@@ -132,6 +132,24 @@ def fb_actions_values_sql() -> str:
     return "(VALUES " + ", ".join(rows) + ") t(date_start, campaign_name, clicks, actions)"
 
 
+def fb_roas_values_sql() -> str:
+    """FB_FIXTURE rows with spend AND the nested actions list — the
+    shape the ROAS query needs (joining the scalar and actions VALUES
+    tables would misalign rows sharing (date, campaign))."""
+    rows = []
+    for r in FB_FIXTURE:
+        rows.append(
+            "('{d}', '{c}', '{cl}', '{s}', {a})".format(
+                d=r["date_start"], c=r["campaign_name"], cl=r["clicks"],
+                s=r["spend"], a=_actions_literal(r.get("actions")),
+            )
+        )
+    return (
+        "(VALUES " + ", ".join(rows)
+        + ") t(date_start, campaign_name, clicks, spend, actions)"
+    )
+
+
 def fx_values_sql() -> str:
     rows = ", ".join(
         "('{date}', '{currencies}', {rate})".format(**r) for r in FX_FIXTURE

@@ -22,6 +22,7 @@ from ..fixtures import (
     FB_FIXTURE,
     FX_FIXTURE,
     fb_actions_values_sql,
+    fb_roas_values_sql,
     fb_scalar_values_sql,
     fx_values_sql,
 )
@@ -336,4 +337,59 @@ def fb_json_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ads"),
         F.sum("clicks").alias("clicks"),
         F.round(F.sum("spend"), 2).alias("spend"),
+    )
+
+
+@register(
+    "fb_campaign_roas",
+    oracle=f"""
+    WITH raw AS (SELECT * FROM {fb_roas_values_sql()}),
+    valid AS (
+      SELECT CAST(date_start AS DATE) AS date, campaign_name,
+             CAST(spend AS DOUBLE) AS spend,
+             COALESCE(actions, []) AS actions
+      FROM raw WHERE TRY_CAST(clicks AS BIGINT) IS NOT NULL
+                 AND TRY_CAST(spend AS DOUBLE) IS NOT NULL
+    ),
+    act AS (
+      SELECT date, campaign_name,
+             SUM(CAST(a.value AS DOUBLE)) AS action_value
+      FROM (SELECT date, campaign_name, unnest(actions) AS a FROM valid)
+      GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT date, campaign_name, SUM(spend) AS spend
+      FROM valid GROUP BY 1, 2
+    )
+    SELECT sp.date, sp.campaign_name,
+           ROUND(sp.spend, 2)                          AS spend,
+           ROUND(COALESCE(act.action_value, 0), 2)     AS action_value,
+           ROUND(COALESCE(act.action_value, 0) / sp.spend, 4) AS roas
+    FROM sp LEFT JOIN act
+      ON sp.date = act.date AND sp.campaign_name = act.campaign_name
+    """,
+)
+def fb_campaign_roas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROAS — the question this whole warehouse exists to answer
+    (reference README.md:18-20: spend ⋈ conversions by campaign):
+    per (day, campaign), total spend, total action value (the
+    repeated-record column cast at analysis time, reference
+    main.py:33-38's STRING-by-design values) and their ratio. Spend
+    rows without actions keep a 0 value (LEFT join + missing-key →
+    empty array, the reference's main.py:195 semantics)."""
+    valid = _valid_fb(spark)
+    act = (
+        valid.select("date", "campaign_name", F.explode("actions").alias("a"))
+        .groupBy("date", "campaign_name")
+        .agg(F.sum(F.col("a.value").try_cast("double")).alias("action_value"))
+    )
+    sp = valid.groupBy("date", "campaign_name").agg(F.sum("spend").alias("spend"))
+    return sp.join(act, ["date", "campaign_name"], "left").select(
+        "date",
+        "campaign_name",
+        F.round("spend", 2).alias("spend"),
+        F.round(F.coalesce("action_value", F.lit(0.0)), 2).alias("action_value"),
+        F.round(
+            F.coalesce("action_value", F.lit(0.0)) / F.col("spend"), 4
+        ).alias("roas"),
     )

@@ -63,6 +63,7 @@ SAMPLE = [
     "jl_projection_audit",
     "longest_order_gap",
     "curation_pipeline_report", "stream_quality_gate",
+    "fb_campaign_roas",
     # family spread: relational / window / asof / events-ts / etl / llm
     "revenue_by_nation", "rolling_7d_revenue", "asof_last_purchase",
     "events_by_day", "fb_campaign_spend", "exact_dedup_docs",
