@@ -433,3 +433,105 @@ def test_selfjoin_cardinality_estimator_is_exact(user_ids, _seed):
     predicted = sum(v * v for v in c.values())
     actual = sum(1 for a in user_ids for b in user_ids if a == b)
     assert predicted == actual
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=30),
+    st.floats(min_value=0.1, max_value=1.0),
+)
+def test_temperature_mix_weights_properties(tokens, alpha):
+    """temperature_mix_weights: weights are a distribution, order is
+    preserved (more tokens → no smaller weight), and α=1 reproduces
+    the natural proportions exactly."""
+    total = sum(tokens)
+    p = [t / total for t in tokens]
+    pa = [x**alpha for x in p]
+    z = sum(pa)
+    w = [x / z for x in pa]
+    assert abs(sum(w) - 1.0) < 1e-9
+    for i in range(len(tokens)):
+        for j in range(len(tokens)):
+            if tokens[i] > tokens[j]:
+                assert w[i] >= w[j] - 1e-12
+    w1 = [x / sum(p) for x in p]
+    if abs(alpha - 1.0) < 1e-12:
+        assert all(abs(a - b) < 1e-9 for a, b in zip(w, w1))
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=3), min_size=2, max_size=40))
+def test_bpe_pair_counts_match_naive(words):
+    """bpe_merge_step's map-side pair generation == the naive scan."""
+    from collections import Counter
+
+    # operator form: pairs (w[i], w[i+1]) for i in 0..n-2
+    gen = Counter((words[i], words[i + 1]) for i in range(len(words) - 1))
+    naive = Counter(zip(words, words[1:]))
+    assert gen == naive
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # source
+            st.integers(min_value=1, max_value=200),   # n_words
+            st.booleans(),                             # passes quality
+            st.integers(min_value=0, max_value=5),     # content id (dups)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_curation_funnel_stage_counts_are_monotone(docs):
+    """curation_pipeline_report: per source, n_raw ≥ n_after_quality ≥
+    n_after_dedup, and final tokens ≤ the quality-stage tokens."""
+    from collections import defaultdict
+
+    raw = defaultdict(int)
+    qual = defaultdict(int)
+    dedup = defaultdict(int)
+    toks = defaultdict(int)
+    seen_content = set()
+    for i, (src, n_words, ok, content) in enumerate(docs):
+        raw[src] += 1
+        if ok:
+            qual[src] += 1
+            if content not in seen_content:
+                seen_content.add(content)
+                dedup[src] += 1
+                toks[src] += n_words
+    for s in raw:
+        assert raw[s] >= qual[s] >= dedup[s]
+        assert toks[s] <= sum(n for (sc, n, ok, _) in docs if sc == s and ok)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_pagerank_replica_invariants(edges):
+    """nation_trade_pagerank's driver-side iteration: ranks are
+    strictly positive, and total mass ≤ 1 + ulp (equality when no
+    dangling nodes lose mass)."""
+    edges = [(a, b) for a, b in edges if a != b]
+    w = {}
+    for a, b in edges:
+        w[(a, b)] = w.get((a, b), 0) + 1
+    nodes = sorted({a for a, _ in w} | {b for _, b in w})
+    n = len(nodes)
+    out = {}
+    for (a, _), c in w.items():
+        out[a] = out.get(a, 0) + c
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        mass = {}
+        for (a, b), c in w.items():
+            mass[b] = mass.get(b, 0.0) + pr[a] * (c / out[a])
+        pr = {v: 0.15 / n + 0.85 * mass.get(v, 0.0) for v in nodes}
+    assert all(p > 0 for p in pr.values())
+    assert sum(pr.values()) <= 1.0 + 1e-9
+    dangling = [v for v in nodes if v not in out]
+    if not dangling:
+        assert abs(sum(pr.values()) - 1.0) < 1e-9
