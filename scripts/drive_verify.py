@@ -71,6 +71,12 @@ SAMPLE = [
 
 Q, O = e.queries(), e.oracle_sql()
 
+if "--all" in sys.argv:
+    # full-gate mode: every oracle-backed query under the vanilla
+    # hostile-TZ session (the pytest gate runs the tuned session;
+    # this catches conf-dependence it would mask)
+    SAMPLE = list(O)
+
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
