@@ -44,139 +44,56 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining round-1-green variants (stable, re-verified on a
 #      rotating basis as window budget allows).
 _PRIORITY = [
-    # -- round-3 window. 94/125 queries already have green driver rows
-    #    (r1+r2); the 31 without one go FIRST, then changed-output and
-    #    new queries, then rotating green representatives fill to 50. --
-    # (1) the 3 sketch audits whose only driver record is an r1
-    #     `no_oracle` red — their accuracy-audit oracles shipped in r2
-    #     and verify locally; clearing the red record leads the window.
-    "price_percentiles_approx", "simhash_near_dups", "doc_fingerprints",
-    # (2) the 28 queries deferred from the round-2 window (all green in
-    #     the local DuckDB oracle gate every run; no driver row yet).
-    "customer_order_distribution", "small_qty_revenue",
-    "idle_customer_balance", "top_revenue_supplier", "min_cost_supplier",
-    "constraint_audit_orders", "incremental_monthly_revenue",
-    "funnel_conversion", "last_touch_attribution", "value_outliers",
-    "token_budget_mix", "doc_difficulty_buckets", "rolling_users_hll",
-    "lineitem_integrity_manifest", "supplier_revenue_share", "orders_pareto",
-    "wav_header_stats", "returned_revenue_topk", "shipmode_priority_counts",
-    "forecast_revenue_change", "product_profit", "supplier_part_counts",
-    "dominant_part_suppliers", "late_shippers", "dedup_keep_best",
-    "label_feature_corr", "kmv_distinct_users", "kmv_overlap_audit",
-    # (3) output changed this round: real PNG decode replaces the fake
-    #     digest features inside the image path, so these two r2-green
-    #     queries need fresh rows.
-    "multimodal_features", "image_resize_stats",
-    # (4) new this round: real-decode pixel stats, plus the z-order
-    #     skipping and compaction layout proofs promoted from
-    #     test_scale_layout.py into oracle-checked query form.
-    "png_pixel_stats", "zorder_skip_audit", "compaction_file_audit",
-    "bucketed_join_audit", "fuzzy_part_name_pairs",
-    "weighted_doc_sample", "dpp_audit", "manifest_repair_diff",
-    "revenue_trend_by_nation", "returns_pivot_by_year", "user_event_bigrams",
-    "observe_metrics_audit",
-    "grouping_sets_revenue", "exact_dedup_docs",
-    # (5) rotating representatives from the r1/r2-green set — one per
-    #     broad component family, biased toward queries whose last row
-    #     is r1 (re-verified on the regenerated testdata; events_by_day
-    #     doubles as the timestamp-unit canary).
-    "events_by_day", "pricing_summary", "revenue_by_nation",
-    "brand_revenue", "customers_without_orders", "asof_last_purchase",
-    "rapid_reorder_pairs", "top3_parts_per_brand", "daily_revenue_dod",
-    "rolling_7d_revenue", "top_customers", "nation_footprint_setops",
-    "orders_by_month", "events_json_stats",
+    # -- round-4 window: clear the proof debt. 137/182 queries have
+    #    green driver rows (r1+r2+r3); the 45 without one (the whole
+    #    round-3 deferral list) take slots 1-45, then 5 rotating green
+    #    representatives fill the window to exactly 50. Surface growth
+    #    is FROZEN this round (VERDICT r3 #1): no new queries until
+    #    every registered query has a driver row.
+    # (1) the 45 round-3 deferrals, in their deferral order — every one
+    #     green in the local DuckDB oracle gate each run; this round
+    #     records them in CORRECTNESS_r04.
+    "doc_perplexity_filter", "bpe_merge_step", "quantity_price_skyline",
+    "nation_trade_pagerank",
+    "embedding_covariance_probe", "embedding_pca_audit",
+    "copurchase_association_rules", "copurchase_triangle_stats",
+    "revenue_ewma_by_nation", "brand_price_quartiles",
+    "lang_quality_geomean", "doc_stride_spans",
+    "orders_key_skew_audit", "events_selfjoin_cardinality",
+    "source_drift_audit",
+    "gopher_quality_filter", "compression_ratio_signal",
+    "session_window_rollup", "pq_quantization_audit",
+    "feature_hash_audit", "order_rank_in_customer_history",
+    "orc_roundtrip_audit", "incremental_dedup_new_docs",
+    "vocab_coverage_stats", "schema_evolution_audit",
+    "scd2_pointintime_join", "doc_bigram_perplexity",
+    "latest_order_per_customer", "decimal_revenue_exact",
+    "nullsafe_segment_match", "csv_quarantine_audit",
+    "customer_order_years", "masked_customer_extract",
+    "stratified_doc_sample", "customer_rfm_segments",
+    "weekly_revenue_iso", "stream_dedup_then_rollup",
+    "temperature_mix_weights", "nation_revenue_share_of_parent",
+    "ann_ivfpq_topk", "jl_projection_audit", "longest_order_gap",
+    "curation_pipeline_report", "stream_quality_gate",
+    "fb_campaign_roas",
+    # (2) 5 rotating representatives from the r1/r2/r3-green set:
+    #     events_by_day stays as the timestamp-unit canary; the others
+    #     cover one broad family each (5-way join, hash agg, nested
+    #     ETL-parity explode, exact dedup).
+    "events_by_day", "revenue_by_nation", "pricing_summary",
+    "fb_actions_rollup", "exact_dedup_docs",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to
 # the NEXT round's window (every one still passes the full local DuckDB
 # oracle gate in tests/test_oracle.py each run — the deferral is only
 # about which round's driver CORRECTNESS artifact first records them).
-# Round 3 promoted all 28 round-2 deferrals into the window; this list
-# is for any NEW query that misses the round-3 window.
-#
-# ROUND-4 CURATION PLAN (first move next round, same as rounds 2→3):
-# rebuild _PRIORITY as [all 40 names below, in this order] + ~10
-# rotating r1/r2/r3-green representatives (keep events_by_day as the
-# timestamp-unit canary and one query per broad family). The 40
-# deferrals fit the 50-slot window with room to spare; cap further
-# additions next round at ~45 unproven so the window always covers
-# everything without a driver row.
-_DEFERRED_TO_NEXT_ROUND: list[str] = [
-    # late-round-3 additions (window already committed to the 31
-    # previously-unproven queries): LM-quality filter, BPE merge step,
-    # skyline frontier, fixed-iteration PageRank.
-    "doc_perplexity_filter",
-    "bpe_merge_step",
-    "quantity_price_skyline",
-    "nation_trade_pagerank",
-    # distributed linear algebra over embeddings (mergeable Gram
-    # partials; PCA audit with Eckart–Young reconstruction check).
-    "embedding_covariance_probe",
-    "embedding_pca_audit",
-    # market-basket / graph / time-series / exact-percentile family.
-    "copurchase_association_rules",
-    "copurchase_triangle_stats",
-    "revenue_ewma_by_nation",
-    "brand_price_quartiles",
-    # §2.8 UDAF/UDTF surface: vectorized grouped-agg pandas UDF and a
-    # Spark 4 Python UDTF in a SQL LATERAL join.
-    "lang_quality_geomean",
-    "doc_stride_spans",
-    # engine-ops tooling: skew diagnosis, optimizer-statistics join
-    # sizing, corpus distribution-drift monitoring.
-    "orders_key_skew_audit",
-    "events_selfjoin_cardinality",
-    "source_drift_audit",
-    # rule-based + redundancy quality gates (Gopher/C4 family).
-    "gopher_quality_filter",
-    "compression_ratio_signal",
-    # native session_window batch rollup; PQ codes completing IVF-PQ.
-    "session_window_rollup",
-    "pq_quantization_audit",
-    # feature hashing, distribution-rank windows, ORC format roundtrip.
-    "feature_hash_audit",
-    "order_rank_in_customer_history",
-    "orc_roundtrip_audit",
-    # incremental-ingest dedup against a persistent fingerprint store.
-    "incremental_dedup_new_docs",
-    # tokenizer-vocabulary coverage; parquet schema evolution.
-    "vocab_coverage_stats",
-    "schema_evolution_audit",
-    # bitemporal fact→dimension-version resolution over SCD2 history.
-    "scd2_pointintime_join",
-    # bigram LM scoring; aggregate-based latest-row-per-key (max_by).
-    "doc_bigram_perplexity",
-    "latest_order_per_customer",
-    # exact-decimal money arithmetic; null-safe equality join.
-    "decimal_revenue_exact",
-    "nullsafe_segment_match",
-    # robust CSV quarantine ingest; array-valued aggregation.
-    "csv_quarantine_audit",
-    "customer_order_years",
-    # governed extract: masking + banding + row-level policy.
-    "masked_customer_extract",
-    # per-stratum priority sampling; RFM segmentation.
-    "stratified_doc_sample",
-    "customer_rfm_segments",
-    # ISO-week calendar parity; chained stateful streaming operators.
-    "weekly_revenue_iso",
-    "stream_dedup_then_rollup",
-    # temperature-scaled corpus mixing weights (mT5/XLM-R formula).
-    "temperature_mix_weights",
-    # ratio-to-parent hierarchy proportions (window-over-aggregate).
-    "nation_revenue_share_of_parent",
-    # IVF-PQ: coarse prune + compressed ADC scoring + exact re-rank.
-    "ann_ivfpq_topk",
-    # JL random projection with a distance-preservation audit.
-    "jl_projection_audit",
-    # gap analytics: longest inactivity streak per customer.
-    "longest_order_gap",
-    # end-to-end curation funnel; quality gating inside the stream.
-    "curation_pipeline_report",
-    "stream_quality_gate",
-    # the warehouse's headline question: spend ⋈ conversions → ROAS.
-    "fb_campaign_roas",
-]
+# Round 4 promoted all 45 round-3 deferrals into the window and FROZE
+# surface growth (VERDICT r3 #1): with the round-4 rows recorded, all
+# 182 registered queries have a green driver row and this list must
+# stay empty until that invariant would be broken by a new query —
+# at which point cap additions at 45 so one window always clears them.
+_DEFERRED_TO_NEXT_ROUND: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
