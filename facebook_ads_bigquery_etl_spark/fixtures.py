@@ -139,14 +139,15 @@ def fb_roas_values_sql() -> str:
     rows = []
     for r in FB_FIXTURE:
         rows.append(
-            "('{d}', '{c}', '{cl}', '{s}', {a})".format(
+            "('{d}', '{c}', '{cl}', '{imp}', '{s}', {a})".format(
                 d=r["date_start"], c=r["campaign_name"], cl=r["clicks"],
-                s=r["spend"], a=_actions_literal(r.get("actions")),
+                imp=r["impressions"], s=r["spend"],
+                a=_actions_literal(r.get("actions")),
             )
         )
     return (
         "(VALUES " + ", ".join(rows)
-        + ") t(date_start, campaign_name, clicks, spend, actions)"
+        + ") t(date_start, campaign_name, clicks, impressions, spend, actions)"
     )
 
 

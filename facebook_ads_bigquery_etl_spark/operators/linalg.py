@@ -61,8 +61,14 @@ def moment_sums(df: DataFrame, col: str = "embedding") -> tuple[DataFrame, DataF
     DataFrames: ``counts`` (1 row: n), ``sums`` (d rows: i, s) and
     ``grams`` (d² rows: k, g) — ``k = i*d + j`` row-major. All three
     derive from ONE mapInPandas pass; the explode/group frames are
-    partial-count-sized, not data-sized."""
-    p = gram_partials(df, col)
+    partial-count-sized, not data-sized. The partials frame is
+    persisted through the shared barrier registry (operators/dedup):
+    without it each of the three aggregates — plus pca_audit's
+    reconstruction pass — re-executes the full corpus scan (ADVICE
+    r3); with it the vectors are read exactly once per moment set."""
+    from .dedup import _barrier
+
+    p = _barrier(gram_partials(df, col))
     counts = p.agg(F.sum("n").alias("n"))
     sums = (
         p.select(F.posexplode("s").alias("i", "v"))

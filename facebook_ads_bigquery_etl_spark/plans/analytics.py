@@ -3183,7 +3183,7 @@ def events_selfjoin_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_rollup",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
@@ -3191,8 +3191,11 @@ def events_selfjoin_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
+      -- event_id tie-break must match the brk window's order, else
+      -- duplicate boundary timestamps can split a session differently
+      -- between the two windows (ADVICE r3).
       SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )

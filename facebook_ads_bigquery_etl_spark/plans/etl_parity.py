@@ -348,8 +348,7 @@ def fb_json_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_start AS DATE) AS date, campaign_name,
              CAST(spend AS DOUBLE) AS spend,
              COALESCE(actions, []) AS actions
-      FROM raw WHERE TRY_CAST(clicks AS BIGINT) IS NOT NULL
-                 AND TRY_CAST(spend AS DOUBLE) IS NOT NULL
+      FROM raw WHERE {_REQUIRED_OK}
     ),
     act AS (
       SELECT date, campaign_name,
