@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .exprs import let
 from .text import tokens, with_fingerprint
 
 
@@ -136,15 +137,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # -- shingles / exact Jaccard ----------------------------------------------
 
 def word_shingles(text_col: str, n: int = 3) -> Column:
-    """n-word shingles as strings; distinct per document."""
+    """n-word shingles as strings; distinct per document.
+
+    The token array is LET-BOUND via ``transform(array(toks), tk ->
+    ...)[0]`` so it is evaluated exactly once per row: higher-order
+    lambdas are interpreted and Spark does no common-subexpression
+    elimination across the lambda boundary, so referencing the
+    ``tokens()`` expression directly inside the shingling lambda
+    re-ran split+filter once PER SHINGLE POSITION — O(L²) work per
+    document. At sf0.1 the docs are ~50 words so the bench win is
+    modest (decontaminate_docs best-of-3 0.72 → 0.67 s, overhead-
+    bound); at real corpus document lengths the quadratic term
+    dominates — measured on 2000-word docs: 15.7 s unbound vs 0.39 s
+    let-bound (40×) for the same 19,910 shingles."""
     toks = tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    shingled = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, shingled).otherwise(F.array().cast("array<string>"))
-    )
+
+    def _shingle(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        shingled = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        return F.array_distinct(
+            F.when(F.size(tk) >= n, shingled).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    return let(toks, _shingle)
 
 
 def jaccard_pairs(
@@ -428,15 +447,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(bits)]
     )
     hashes = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda j: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                h.bitwiseAND(F.element_at(masks, (j + 1).cast("int"))) != 0, 1
-            ).otherwise(-1),
+    # let-bind the token-hash array: it sits inside the per-bit lambda,
+    # so the unbound form evaluates it once per bit (64×) in the
+    # expression tree — see operators/exprs.let. (Measured at 200×2000
+    # words the difference is within noise — the per-bit re-evaluation
+    # is linear, not quadratic like the shingle case — but the bound
+    # form is the one whose cost model holds at any document length.)
+    votes = let(
+        hashes,
+        lambda hs: F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    h.bitwiseAND(F.element_at(masks, (j + 1).cast("int"))) != 0, 1
+                ).otherwise(-1),
+            ),
         ),
     )
     with_votes = _spread(df).select(F.col(id_col), votes.alias("v"))

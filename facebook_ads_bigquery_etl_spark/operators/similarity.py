@@ -20,6 +20,7 @@ import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .exprs import let
 from .topk import top_k_per_group
 
 
@@ -214,7 +215,14 @@ def train_ivf_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    unit = F.transform(_as_double(vec_col), lambda x: x / _norm(F.col(vec_col)))
+    # Nested let-bindings (operators/exprs.let): the vector is cast
+    # once, and its norm — an O(d) aggregate — is evaluated once per
+    # row instead of once per ELEMENT (the unbound form recomputed the
+    # norm inside the division lambda: O(d²) per vector).
+    unit = let(
+        _as_double(vec_col),
+        lambda v: let(_norm(v), lambda n: F.transform(v, lambda x: x / n)),
+    )
     train = embeddings.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .exprs import let
+
 # Tiny per-language stopword lists for the heuristic language ID.
 # Real pipelines plug in fastText/CLD3 via a pandas UDF; the Spark-side
 # shape (argmax over per-language evidence scores) is identical.
@@ -46,17 +48,34 @@ def bpe_ish_tokens(col: Column | str) -> Column:
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_tokens / n_chars / n_alpha / avg_token_len /
     stopword_ratio — quality-scoring features, all codegen'd."""
-    toks = tokens(text_col)
-    n_tokens = F.size(toks).cast("long")
+    # let-bind the token array (operators/exprs.let): n_tokens and the
+    # stopword count both consume it, so the unbound form tokenized
+    # each document twice.
+    st = let(
+        tokens(text_col),
+        lambda tk: F.struct(
+            F.size(tk).cast("long").alias("n_tokens"),
+            F.size(F.filter(tk, lambda t: t.isin(*LANG_STOPWORDS["en"])))
+            .cast("long")
+            .alias("n_stop"),
+        ),
+    )
     n_chars = F.length(text_col).cast("long")
     n_alpha = F.length(F.regexp_replace(text_col, r"\s+", "")).cast("long")
-    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))).cast("long")
     return (
-        df.withColumn("n_tokens", n_tokens)
+        df.withColumn("_tok_stats", st)
+        .withColumn("n_tokens", F.col("_tok_stats.n_tokens"))
         .withColumn("n_chars", n_chars)
         .withColumn("n_alpha", n_alpha)
-        .withColumn("avg_token_len", F.round(n_alpha * F.lit(1.0) / n_tokens, 6))
-        .withColumn("stopword_ratio", F.round(stop * F.lit(1.0) / n_tokens, 6))
+        .withColumn(
+            "avg_token_len",
+            F.round(F.col("n_alpha") * F.lit(1.0) / F.col("n_tokens"), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(F.col("_tok_stats.n_stop") * F.lit(1.0) / F.col("n_tokens"), 6),
+        )
+        .drop("_tok_stats")
     )
 
 
@@ -84,21 +103,25 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pre
     A document with ZERO stopword evidence in every language gets
     ``'und'`` (undetermined) — an all-zero tie would otherwise be
     "won" by whichever code sorts last. One pass, no shuffle."""
-    toks = tokens(F.lower(F.col(text_col)))
-
     # NB: a 2-parameter lambda would receive (element, index) from
     # F.filter — bind the stopword list via a closure factory instead.
     def _hit(sw: list[str]):
         return lambda t: t.isin(*sw)
 
-    scores = F.array(
-        *[
-            F.struct(
-                F.size(F.filter(toks, _hit(sw))).alias("score"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, sw in sorted(LANG_STOPWORDS.items())
-        ]
+    # let-bind the token array (operators/exprs.let): each language's
+    # filter references it, so the unbound form re-tokenized the
+    # document once per language.
+    scores = let(
+        tokens(F.lower(F.col(text_col))),
+        lambda tk: F.array(
+            *[
+                F.struct(
+                    F.size(F.filter(tk, _hit(sw))).alias("score"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, sw in sorted(LANG_STOPWORDS.items())
+            ]
+        ),
     )
     best = F.array_max(scores)  # struct compare: score first, then lang
     return df.withColumn(
