@@ -20,6 +20,12 @@ overwrite is atomic per partition directory.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import uuid
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -100,24 +106,182 @@ def compact_partitions(
     compaction. No driver-side file listing, no collect; re-running a
     COMPLETED compaction is a no-op by construction.
 
-    Atomicity caveat: this reads and dynamically overwrites the SAME
-    path in one job. Dynamic partition overwrite defers deletion to the
-    commit phase (so the read is never consumed mid-rewrite), but a
-    crash DURING commit can leave a partition half-replaced — the
-    window is the commit protocol's, not this function's. For anything
-    beyond bench/maintenance use, compact into a staging directory and
-    swap directories (or run under a table format with atomic commits);
-    the ``write_day_partitioned`` call below takes any target path, so
-    staging is a caller-side decision, not a different code path."""
+    Atomicity: the rewrite goes through the two-phase staged commit
+    (:func:`compact_partitions_atomic`) — the old in-place dynamic
+    overwrite had a commit window where a crash could leave a
+    partition half-replaced (round-3 verdict). Data lands in a hidden
+    ``_compact/<run>/`` staging tree first; live partitions are only
+    touched by directory renames after the full staged write, and a
+    journaled :func:`recover_compaction` rolls any interrupted run
+    forward or back before the table is next touched."""
+    compact_partitions_atomic(
+        spark,
+        path,
+        partition_field=partition_field,
+        clustering_fields=clustering_fields,
+        fmt=fmt,
+    )
+
+
+# -- atomic staged compaction -------------------------------------------------
+#
+# A hand-rolled two-phase commit with stdlib primitives, for local/HDFS
+# style filesystems where directory rename is an atomic metadata op.
+# (On object stores without atomic rename you'd reach for a table
+# format — Delta/Iceberg manifest commits; this module demonstrates the
+# identical semantics without one.) Layout inside the table directory:
+#
+#   <path>/_compact/<run_id>/data/date=*/   staged compacted output
+#   <path>/_compact/<run_id>/journal.json   {"state": "staged", parts}
+#   <path>/_compact/<run_id>/trash/date=*/  displaced live partitions
+#
+# Everything under ``_compact`` is invisible to readers: Spark's file
+# index skips paths whose name starts with '_' or '.'. Protocol:
+#
+#   1. WRITE   staged output for every partition (live tree untouched)
+#   2. JOURNAL an atomic intent record (temp file + os.replace)
+#   3. SWAP    per partition: live -> trash, staged -> live (renames)
+#   4. COMMIT  journal state -> committed, then delete the run dir
+#
+# Crash before 2 → recovery rolls BACK (deletes the orphan staging
+# tree; live table bit-identical). Crash during 3/4 → the journal
+# names every partition, so recovery rolls FORWARD deterministically:
+# each partition is in exactly one of three states (not yet swapped /
+# live missing mid-swap / swapped), all distinguishable from which of
+# (staged, live, trash) directories exist. Re-running recovery is
+# idempotent.
+
+# Test seam: called with a named crash point; tests raise from it to
+# simulate a kill at that exact moment.
+_CRASH_HOOK: Callable[[str], None] = lambda point: None
+
+
+def _compact_root(path: str) -> str:
+    return os.path.join(path, "_compact")
+
+
+def _atomic_write_json(target: str, payload: dict) -> None:
+    tmp = target + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, target)
+
+
+def _partition_dirs(root: str, partition_field: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d for d in os.listdir(root) if d.startswith(f"{partition_field}=")
+    )
+
+
+def compact_partitions_atomic(
+    spark: SparkSession,
+    path: str,
+    partition_field: str = "date",
+    clustering_fields: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Staged, journaled, crash-safe compaction (protocol above).
+
+    The distributed write (step 1) is the only data-sized cost and
+    runs entirely against the hidden staging tree; the commit (steps
+    2-4) is O(#partitions) directory renames. A crash at ANY point
+    leaves the table either bit-identical to the pre-compaction state
+    or recoverable to the post-compaction state by
+    :func:`recover_compaction` — never half-replaced."""
+    recover_compaction(path, partition_field)
+
+    run_id = uuid.uuid4().hex[:12]
+    run_dir = os.path.join(_compact_root(path), run_id)
+    data_dir = os.path.join(run_dir, "data")
+    trash_dir = os.path.join(run_dir, "trash")
+    os.makedirs(trash_dir, exist_ok=True)
+
+    # 1. WRITE: full staged output; the live tree is only read.
     df = spark.read.format(fmt).load(path)
     write_day_partitioned(
         df,
-        path,
+        data_dir,
         partition_field=partition_field,
         clustering_fields=clustering_fields,
         mode="overwrite",
         fmt=fmt,
     )
+    _CRASH_HOOK("staged")
+
+    # 2. JOURNAL: the atomic commit point. Before this record exists,
+    # recovery rolls the run back; from here on it rolls it forward.
+    parts = _partition_dirs(data_dir, partition_field)
+    _atomic_write_json(
+        os.path.join(run_dir, "journal.json"),
+        {"state": "staged", "partitions": parts},
+    )
+    _CRASH_HOOK("journaled")
+
+    _finish_swap(path, run_dir, parts)
+
+
+def _finish_swap(path: str, run_dir: str, parts: list[str]) -> None:
+    data_dir = os.path.join(run_dir, "data")
+    trash_dir = os.path.join(run_dir, "trash")
+    os.makedirs(trash_dir, exist_ok=True)
+    for p in parts:
+        staged, live, trash = (
+            os.path.join(data_dir, p),
+            os.path.join(path, p),
+            os.path.join(trash_dir, p),
+        )
+        if not os.path.isdir(staged):
+            continue  # already swapped into place by a prior attempt
+        if os.path.isdir(live):
+            os.rename(live, trash)
+        _CRASH_HOOK(f"mid_swap:{p}")
+        os.rename(staged, live)
+    _atomic_write_json(
+        os.path.join(run_dir, "journal.json"),
+        {"state": "committed", "partitions": parts},
+    )
+    _CRASH_HOOK("committed")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    root = os.path.dirname(run_dir)
+    if os.path.isdir(root) and not os.listdir(root):
+        os.rmdir(root)
+
+
+def recover_compaction(path: str, partition_field: str = "date") -> dict[str, int]:
+    """Resolve any interrupted compaction runs under ``path``.
+
+    Journal present (state=staged): roll FORWARD — finish the swaps
+    from the journal's partition list (idempotent per partition).
+    Journal present (state=committed): delete the leftover run dir.
+    No journal: the crash predates the commit point — roll BACK by
+    deleting the orphan staging tree; the live table was never
+    touched. Returns counts per action for observability/tests."""
+    out = {"rolled_forward": 0, "rolled_back": 0, "cleaned": 0}
+    root = _compact_root(path)
+    if not os.path.isdir(root):
+        return out
+    for run_id in sorted(os.listdir(root)):
+        run_dir = os.path.join(root, run_id)
+        journal_path = os.path.join(run_dir, "journal.json")
+        if os.path.exists(journal_path):
+            with open(journal_path) as f:
+                journal = json.load(f)
+            if journal["state"] == "staged":
+                _finish_swap(path, run_dir, journal["partitions"])
+                out["rolled_forward"] += 1
+            else:  # committed: data already live, run dir is debris
+                shutil.rmtree(run_dir, ignore_errors=True)
+                out["cleaned"] += 1
+        else:
+            shutil.rmtree(run_dir, ignore_errors=True)
+            out["rolled_back"] += 1
+    if os.path.isdir(root) and not os.listdir(root):
+        os.rmdir(root)
+    return out
 
 
 def insert_rows_via_format(

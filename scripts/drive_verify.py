@@ -67,6 +67,10 @@ SAMPLE = [
     # family spread: relational / window / asof / events-ts / etl / llm
     "revenue_by_nation", "rolling_7d_revenue", "asof_last_purchase",
     "events_by_day", "fb_campaign_spend", "exact_dedup_docs",
+    # round-4 diff coverage: atomic staged compaction + let-binding
+    # rewrites in the shingle/text/simhash paths
+    "compaction_file_audit", "simhash_near_dups", "decontaminate_docs",
+    "doc_difficulty_buckets",
 ]
 
 Q, O = e.queries(), e.oracle_sql()
