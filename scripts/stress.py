@@ -79,6 +79,9 @@ PROBES = [
     "lang_quality_geomean",         # pandas UDAF grouped agg
     "doc_stride_spans",             # Python UDTF lateral fan-out
     "compression_ratio_signal",     # zlib pandas UDF, map-only
+    # round-4: the one hot path with a per-byte Python inner loop
+    # (stdlib PNG unfilter) — probed per VERDICT r3 item 4
+    "png_pixel_stats",              # real PNG decode via mapInPandas
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
