@@ -91,7 +91,42 @@ def _png_codec():
             + _chunk(b"IEND", b"")
         )
 
-    def decode(data: bytes):
+    # Feature-detected native fast path (the round-3 verdict's libpng
+    # upgrade path, proven as a seam even where media libs are absent):
+    # the import is attempted ONCE PER WORKER PROCESS, lazily, inside
+    # the shipped closure — never on the driver — and only the PIXEL
+    # step is delegated. Validation (magic, chunk CRCs, the 8-bit-RGB
+    # non-interlaced gate) always runs in the stdlib parser first, so
+    # the accept/reject surface is identical on both branches; any
+    # native-path exception falls back to the stdlib unfilter.
+    _native: list = []  # [] unprobed / [None] absent / [fn] available
+
+    def _native_pixels(data: bytes, w: int, h: int):
+        if not _native:
+            try:
+                import io as _io
+
+                from PIL import Image as _Image
+
+                def _pil(d: bytes, pw: int, ph: int):
+                    im = _Image.open(_io.BytesIO(d))
+                    if im.mode != "RGB" or im.size != (pw, ph):
+                        return None
+                    return im.tobytes()
+
+                _native.append(_pil)
+            except Exception:
+                _native.append(None)
+        fn = _native[0]
+        if fn is None:
+            return None
+        try:
+            rgb = fn(bytes(data), w, h)
+            return rgb if rgb is not None and len(rgb) == w * h * 3 else None
+        except Exception:
+            return None
+
+    def decode(data: bytes, _pure: bool = False):
         try:
             if bytes(data[:8]) != b"\x89PNG\r\n\x1a\n":
                 return None
@@ -117,6 +152,10 @@ def _png_codec():
                 pos += 12 + ln
             if w is None or not idat:
                 return None
+            if not _pure:
+                fast = _native_pixels(data, w, h)
+                if fast is not None:
+                    return w, h, fast
             raw = _z.decompress(bytes(idat))
             bpp, stride = 3, w * 3
             if len(raw) != h * (stride + 1):
@@ -155,6 +194,13 @@ def _png_codec():
 
 
 png_encode, png_decode = _png_codec()
+
+
+def png_decode_pure(data: bytes):
+    """The stdlib-only decode path, bypassing the native fast path —
+    exists so tests can assert branch equality (PIL output == stdlib
+    output on the same payloads) whenever PIL is installed."""
+    return png_decode(data, _pure=True)
 
 
 def _synth_image_tools():
@@ -542,6 +588,7 @@ __all__ = [
     "audio_stats",
     "png_encode",
     "png_decode",
+    "png_decode_pure",
     "image_dims",
     "image_rgb",
     "FEATURE_SCHEMA",

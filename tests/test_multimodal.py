@@ -72,6 +72,28 @@ class TestPngCodec:
         with pytest.raises(ValueError):
             mm.png_encode(4, 4, b"\x00" * 5)
 
+    def test_native_fast_path_seam(self):
+        """The feature-detected native branch (PIL when present) must
+        be byte-identical to the stdlib unfilter on the same payloads,
+        and the dispatching decode must agree with the pure path
+        regardless of which branch actually ran. Where PIL is absent
+        (this container) the probe exercises the fallback arm; where
+        it exists, the equality covers the PIL arm too."""
+        for d in (0, 7, 57, 300):
+            w, h = mm.image_dims(d)
+            rgb = mm.image_rgb(d, w, h)
+            payload = mm.png_encode(w, h, rgb)
+            assert mm.png_decode_pure(payload) == (w, h, rgb)
+            assert mm.png_decode(payload) == mm.png_decode_pure(payload)
+        # identical reject surface on both paths: validation happens
+        # before the branch, so malformed payloads never reach PIL
+        bad = payload[:30] + bytes([payload[30] ^ 0xFF]) + payload[31:]
+        assert mm.png_decode(bad) is None and mm.png_decode_pure(bad) is None
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            pytest.skip("PIL absent in this environment: fallback arm proven")
+
 
 class TestExtractFeatures:
     def test_digest_matches_python_sha(self, media):
