@@ -116,6 +116,14 @@ HEADLINE = [
     "revenue_ewma_by_nation",
     "session_window_rollup",
     "curation_pipeline_report",
+    # round-4 widening (VERDICT r3 item 6): the warehouse-audit / SCD /
+    # governed-extract / IVF-PQ-serving families, so regressions there
+    # are visible per-round
+    "scd2_pointintime_join",
+    "schema_evolution_audit",
+    "csv_quarantine_audit",
+    "masked_customer_extract",
+    "ann_ivfpq_topk",
 ]
 
 
@@ -163,7 +171,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (42 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel)",
+        "metric": "headline query wall-clock (47 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-serving)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
