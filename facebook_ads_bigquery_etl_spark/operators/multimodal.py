@@ -203,6 +203,111 @@ def png_decode_pure(data: bytes):
     return png_decode(data, _pure=True)
 
 
+def _jpeg_codec():
+    """JPEG support for the same decode seam, nested for by-value
+    pickling (see ``_png_codec``). Real 100 TB image corpora are
+    mostly JPEG; no stdlib inflate exists for it, so the split is:
+
+    * ``jpeg_dims`` — pure-stdlib SOI/marker walk to the SOF frame
+      header (baseline 0xC0, extended 0xC1, progressive 0xC2):
+      (width, height, n_components), None for malformed/truncated
+      streams. Runs everywhere; powers metadata features without a
+      codec.
+    * ``jpeg_decode`` — header-validated via the same marker walk,
+      then the pixel step is delegated to PIL when the worker has it
+      (probed once per process, inside the shipped closure, exactly
+      like the PNG fast path). Without PIL it returns None — the
+      documented quarantine posture (NULL features, never a batch
+      failure), so the plan/schema/partitioning stay testable in
+      codec-less containers and light up unchanged where PIL exists.
+    """
+    import struct as _s
+
+    # standalone markers with no length field
+    _NOLEN = {0xD8, 0xD9, *range(0xD0, 0xD8), 0x01}
+    _SOF = {0xC0, 0xC1, 0xC2}
+
+    def dims(data: bytes):
+        try:
+            if bytes(data[:2]) != b"\xff\xd8":
+                return None
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    return None
+                marker = data[pos + 1]
+                if marker == 0xFF:  # fill byte
+                    pos += 1
+                    continue
+                if marker in _NOLEN:
+                    pos += 2
+                    continue
+                (ln,) = _s.unpack(">H", data[pos + 2 : pos + 4])
+                if ln < 2 or pos + 2 + ln > len(data):
+                    return None
+                if marker in _SOF:
+                    _prec, h, w, ncomp = _s.unpack(
+                        ">BHHB", data[pos + 4 : pos + 10]
+                    )
+                    return w, h, ncomp
+                if marker == 0xDA:  # SOS: frame header must precede
+                    return None
+                pos += 2 + ln
+            return None
+        except Exception:
+            return None
+
+    _native: list = []
+
+    def decode(data: bytes):
+        d = dims(data)
+        if d is None:
+            return None
+        w, h, _ncomp = d
+        if not _native:
+            try:
+                import io as _io
+
+                from PIL import Image as _Image
+
+                def _pil(payload: bytes):
+                    im = _Image.open(_io.BytesIO(payload))
+                    im = im.convert("RGB")
+                    return im.tobytes()
+
+                _native.append(_pil)
+            except Exception:
+                _native.append(None)
+        fn = _native[0]
+        if fn is None:
+            return None
+        try:
+            rgb = fn(bytes(data))
+            return (w, h, rgb) if len(rgb) == w * h * 3 else None
+        except Exception:
+            return None
+
+    return dims, decode
+
+
+jpeg_dims, jpeg_decode = _jpeg_codec()
+
+
+def image_decode(data: bytes):
+    """Magic-byte dispatch over the decode seam: PNG → stdlib codec
+    (PIL-accelerated pixel step when present), JPEG → header-validated
+    PIL decode (None where no codec exists — quarantine). Unknown
+    magic → None. This is the single entry point a mixed 100 TB image
+    corpus goes through; adding a format means adding a branch here,
+    not a new pipeline."""
+    head = bytes(data[:8]) if data is not None else b""
+    if head.startswith(b"\x89PNG\r\n\x1a\n"):
+        return png_decode(data)
+    if head.startswith(b"\xff\xd8"):
+        return jpeg_decode(data)
+    return None
+
+
 def _synth_image_tools():
     """Deterministic synthetic-image model, nested for by-value
     pickling (see ``_png_codec``). Pixel (x, y, channel c) of the
@@ -589,6 +694,9 @@ __all__ = [
     "png_encode",
     "png_decode",
     "png_decode_pure",
+    "jpeg_dims",
+    "jpeg_decode",
+    "image_decode",
     "image_dims",
     "image_rgb",
     "FEATURE_SCHEMA",

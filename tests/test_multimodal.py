@@ -235,3 +235,66 @@ class TestWavRoundTrip:
         assert len(rows) == 3
         for r in rows.values():
             assert r["sample_rate"] is None and r["n_samples"] is None
+
+
+class TestJpegSeam:
+    """JPEG enters through the same decode seam: stdlib marker walk
+    for dimensions everywhere; pixel decode feature-detected (PIL) with
+    the quarantine posture (None) where no codec exists."""
+
+    @staticmethod
+    def _jpeg_header(w, h, ncomp=3, sof=0xC0):
+        import struct
+
+        return (
+            b"\xff\xd8"                                   # SOI
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xfe" + struct.pack(">H", 6) + b"cmnt"  # COM marker
+            + bytes([0xFF, sof])
+            + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"[: 3 * ncomp]
+        )
+
+    def test_dims_marker_walk(self):
+        for w, h, sof in ((640, 480, 0xC0), (31, 7, 0xC1), (1024, 1, 0xC2)):
+            assert mm.jpeg_dims(self._jpeg_header(w, h, sof=sof)) == (w, h, 3)
+        assert mm.jpeg_dims(self._jpeg_header(16, 16, ncomp=1)) == (16, 16, 1)
+
+    def test_dims_rejects_malformed(self):
+        good = self._jpeg_header(32, 32)
+        for bad in (
+            b"",                       # empty
+            b"\xff\xd9",               # EOI only
+            b"\x89PNG\r\n\x1a\n",      # wrong magic
+            good[:9],                  # truncated inside APP0
+            good[:2] + b"\x00" + good[3:],  # marker byte not 0xFF
+            b"\xff\xd8\xff\xda\x00\x04\x00\x00",  # SOS before SOF
+        ):
+            assert mm.jpeg_dims(bad) is None
+
+    def test_decode_quarantines_without_codec_and_matches_dims_with_one(self):
+        payload = self._jpeg_header(24, 16)
+        try:
+            import PIL  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        out = mm.jpeg_decode(payload)
+        if not have_pil:
+            # header parses (dims above) but pixel step has no codec:
+            # quarantine posture — None, never an exception
+            assert out is None
+        # malformed never reaches the codec on either arm
+        assert mm.jpeg_decode(b"\xff\xd8\x00junk") is None
+
+    def test_image_decode_dispatch(self):
+        w, h = mm.image_dims(5)
+        png_payload = mm.png_encode(w, h, mm.image_rgb(5, w, h))
+        assert mm.image_decode(png_payload) == (w, h, mm.image_rgb(5, w, h))
+        # JPEG routes to the jpeg arm (None here: no codec in-container)
+        assert mm.image_decode(self._jpeg_header(8, 8)) == mm.jpeg_decode(
+            self._jpeg_header(8, 8)
+        )
+        assert mm.image_decode(b"GIF89a") is None
+        assert mm.image_decode(b"") is None
