@@ -415,12 +415,15 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     mapInPandas: each Python worker receives column batches (payload as
     bytes), computes per-item features, yields batches — the 100-TB
-    shape for any decode/resize/frame-sample stage. Image payloads are
-    REALLY decoded (stdlib PNG codec): width/height come from the
-    decoded IHDR+pixel buffer and ``n_bytes`` is the decoded content
-    size (w·h·3). Non-image modalities report raw payload size and
-    NULL dimensions. A payload that fails to decode yields NULL
-    width/height (quarantine posture, not a batch failure)."""
+    shape for any decode/resize/frame-sample stage. Image payloads go
+    through :func:`image_decode` (magic-byte dispatch: PNG via the
+    stdlib codec with the PIL fast path, JPEG via PIL): width/height
+    come from the decoded pixel buffer and ``n_bytes`` is the decoded
+    content size (w·h·3). When pixels can't be decoded, a JPEG header
+    walk still recovers dimensions (metadata without a codec) with raw
+    ``n_bytes``; only then do dimensions go NULL. Non-image modalities
+    report raw payload size and NULL dimensions. A payload that fails
+    to decode yields NULLs (quarantine posture, not a batch failure)."""
 
     # spread a compact single-file input across workers — the Python
     # stage is the expensive part, keep every core busy
@@ -428,7 +431,12 @@ def extract_features(media: DataFrame) -> DataFrame:
     if media.rdd.getNumPartitions() < target:
         media = media.repartition(target)
 
-    dec = png_decode  # nested fn: cloudpickle ships it by value
+    # nested fns: cloudpickle ships them by value. image_decode is the
+    # mixed-corpus entry point (PNG stdlib/PIL, JPEG PIL); when the
+    # pixel decode is unavailable or fails, a JPEG header walk still
+    # recovers width/height (metadata features without a codec), and
+    # only then do the dimensions go NULL (quarantine posture).
+    dec, hdr_dims = image_decode, jpeg_dims
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -440,9 +448,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                 if modality == "image":
                     decoded = dec(p)
                     if decoded is None:
+                        d = hdr_dims(p)
                         n_bytes.append(len(p))
-                        widths.append(None)
-                        heights.append(None)
+                        widths.append(d[0] if d else None)
+                        heights.append(d[1] if d else None)
                     else:
                         w, h, rgb = decoded
                         n_bytes.append(len(rgb))

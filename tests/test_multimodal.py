@@ -298,3 +298,30 @@ class TestJpegSeam:
         )
         assert mm.image_decode(b"GIF89a") is None
         assert mm.image_decode(b"") is None
+
+    def test_extract_features_mixed_corpus_header_fallback(self, spark):
+        """A mixed PNG+JPEG media frame through extract_features: PNG
+        rows decode fully; codec-less JPEG rows still get dimensions
+        from the header walk (raw n_bytes); garbage rows go NULL."""
+        w, h = mm.image_dims(3)
+        png_payload = mm.png_encode(w, h, mm.image_rgb(3, w, h))
+        jpeg_payload = self._jpeg_header(40, 30)
+        rows = [
+            (1, "image", bytearray(png_payload)),
+            (2, "image", bytearray(jpeg_payload)),
+            (3, "image", bytearray(b"not an image")),
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, modality string, payload binary"
+        )
+        feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+        assert (feats[1]["width"], feats[1]["height"]) == (w, h)
+        assert feats[1]["n_bytes"] == w * h * 3
+        try:
+            import PIL  # noqa: F401
+            # with a codec the JPEG row would decode; header test below
+            # still holds for the truncated-stream case
+        except ImportError:
+            assert (feats[2]["width"], feats[2]["height"]) == (40, 30)
+            assert feats[2]["n_bytes"] == len(jpeg_payload)
+        assert feats[3]["width"] is None and feats[3]["height"] is None
