@@ -535,3 +535,42 @@ def test_pagerank_replica_invariants(edges):
     dangling = [v for v in nodes if v not in out]
     if not dangling:
         assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="ab xyz\t", min_size=0, max_size=60),
+        min_size=1, max_size=8,
+    ),
+    st.integers(1, 6),
+)
+def test_word_shingles_match_python_reference(spark, texts, n):
+    """The let-bound shingle expression (operators/exprs.let rewrite)
+    must emit exactly the distinct n-word shingles the obvious Python
+    slicing produces, for arbitrary whitespace runs, empty strings and
+    docs shorter than one shingle — guarding the O(L) rewrite against
+    semantic drift from the original O(L²) form."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from facebook_ads_bigquery_etl_spark.operators.dedup import word_shingles
+
+    def py_shingles(text):
+        toks = [t for t in re.split(r"\s+", text) if t]
+        if n == 1:
+            return sorted(set(toks))
+        if len(toks) < n:
+            return []
+        return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select("doc_id", word_shingles("text", n).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_shingles(t), (i, t, n)
