@@ -345,12 +345,6 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct"],
     ),
-    "scd2_pointintime_join": (
-        "bitemporal resolution: equi join on the business key carries it; "
-        "the validity range is a post-join filter, never an interval loop",
-        [],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
-    ),
     "order_rank_in_customer_history": (
         "distribution ranks: one Window over customer-keyed partitions — "
         "single exchange on the partition key, no global sort",
@@ -369,12 +363,6 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         "partition cross the shuffle",
         ["WindowGroupLimit"],
         ["CartesianProduct", "Exchange rangepartitioning"],
-    ),
-    "masked_customer_extract": (
-        "governed extract: masking/banding/RLS are all map-only over one "
-        "scan — no exchange of any kind",
-        [],
-        ["Exchange", "CartesianProduct"],
     ),
     "decimal_revenue_exact": (
         "exact decimal aggregation: two-phase with map-side decimal "
@@ -412,6 +400,25 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         "ArrowAggregatePython over Arrow batches with partial merge",
         ["ArrowAggregatePython"],
         ["CartesianProduct"],
+    ),
+    # schema_evolution_audit / csv_quarantine_audit return driver-built
+    # 1-row audit frames (plan = ExistingRDD; the work is in the
+    # side-effect reads they verify) — nothing to pin, deliberately
+    # absent here.
+    "scd2_pointintime_join": (
+        "bitemporal resolution: facts equi-join the SCD2 history on the "
+        "business key with the validity interval as a join-side filter — "
+        "hash joins end to end, never an interval nested loop",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "masked_customer_extract": (
+        "governed extract: mask/band/row-policy are all codegen'd "
+        "projections over ONE column-pruned scan — policy never costs a "
+        "join or a second pass",
+        ["Scan parquet"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "BroadcastHashJoin", "Exchange"],
     ),
 }
 
