@@ -293,19 +293,33 @@ def _jpeg_codec():
 jpeg_dims, jpeg_decode = _jpeg_codec()
 
 
-def image_decode(data: bytes):
-    """Magic-byte dispatch over the decode seam: PNG → stdlib codec
-    (PIL-accelerated pixel step when present), JPEG → header-validated
-    PIL decode (None where no codec exists — quarantine). Unknown
-    magic → None. This is the single entry point a mixed 100 TB image
-    corpus goes through; adding a format means adding a branch here,
-    not a new pipeline."""
-    head = bytes(data[:8]) if data is not None else b""
-    if head.startswith(b"\x89PNG\r\n\x1a\n"):
-        return png_decode(data)
-    if head.startswith(b"\xff\xd8"):
-        return jpeg_decode(data)
-    return None
+def _make_image_decode():
+    """Factory so the dispatcher is a NESTED function: cloudpickle
+    ships nested functions by value (module-level ones go by
+    reference, which breaks on workers that cannot import this
+    package — the same constraint ``_png_codec`` documents, and
+    exactly how a module-level version of this dispatcher failed a
+    fresh-process probe)."""
+    png, jpg = png_decode, jpeg_decode  # both nested → by-value
+
+    def image_decode(data: bytes):
+        """Magic-byte dispatch over the decode seam: PNG → stdlib
+        codec (PIL-accelerated pixel step when present), JPEG →
+        header-validated PIL decode (None where no codec exists —
+        quarantine). Unknown magic → None. The single entry point a
+        mixed 100 TB image corpus goes through; adding a format means
+        adding a branch here, not a new pipeline."""
+        head = bytes(data[:8]) if data is not None else b""
+        if head.startswith(b"\x89PNG\r\n\x1a\n"):
+            return png(data)
+        if head.startswith(b"\xff\xd8"):
+            return jpg(data)
+        return None
+
+    return image_decode
+
+
+image_decode = _make_image_decode()
 
 
 def _synth_image_tools():
