@@ -325,3 +325,52 @@ class TestJpegSeam:
             assert (feats[2]["width"], feats[2]["height"]) == (40, 30)
             assert feats[2]["n_bytes"] == len(jpeg_payload)
         assert feats[3]["width"] is None and feats[3]["height"] is None
+
+
+class TestClosureShipping:
+    def test_decoders_unpickle_without_the_package(self, tmp_path):
+        """Every decode function shipped inside mapInPandas closures
+        must cloudpickle BY VALUE: unpickling and calling it in a
+        subprocess that cannot import this package must work. Guards
+        the factory/nested-function rule (a module-level image_decode
+        broke exactly this way: in-repo pytest masked it because
+        workers inherit an importable cwd)."""
+        import pickle
+        import subprocess
+        import sys
+
+        from pyspark import cloudpickle
+
+        w, h = mm.image_dims(3)
+        png_payload = mm.png_encode(w, h, mm.image_rgb(3, w, h))
+        jpeg_payload = TestJpegSeam._jpeg_header(12, 34)
+        cases = {
+            "png_decode": (mm.png_decode, png_payload, True),
+            "image_decode": (mm.image_decode, png_payload, True),
+            "jpeg_dims": (mm.jpeg_dims, jpeg_payload, True),
+            "jpeg_decode": (mm.jpeg_decode, jpeg_payload, False),
+        }
+        blob = tmp_path / "fns.pkl"
+        blob.write_bytes(
+            cloudpickle.dumps({k: (fn, payload) for k, (fn, payload, _) in cases.items()})
+        )
+        prog = (
+            "import sys, pickle;"
+            "assert not any(m.startswith('facebook_ads_bigquery') for m in sys.modules);"
+            f"fns = pickle.load(open({str(blob)!r}, 'rb'));"
+            "import json;"
+            "print(json.dumps({k: fn(bytes(p)) is not None for k, (fn, p) in fns.items()}))"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True, cwd="/", timeout=120,
+            env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ""},
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        import json
+
+        got = json.loads(out.stdout)
+        for k, (_fn, _p, expect_some) in cases.items():
+            # jpeg_decode is None without a codec — quarantine, not error
+            assert got[k] == (expect_some if k != "jpeg_decode" else got[k])
+        assert got["png_decode"] and got["image_decode"] and got["jpeg_dims"]
