@@ -58,9 +58,22 @@ def _keep_best_scale(spark, sf_dir):
     return dedup_keep_best_scale(spark, sf_dir)
 
 
+def _ann_ivfpq_serve(spark, sf_dir):
+    # serving path ONLY (train + encode + probe + ADC + re-rank): the
+    # registered ann_ivfpq_topk is the recall AUDIT, which also runs
+    # the exact cosine baseline — timing it alone would overstate the
+    # serving cost by the baseline the index exists to avoid.
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.ivfpq_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=10, nprobe=8, assign=3, m=16, rerank=100,
+    )
+
+
 EXTRA = {
     "minhash_lsh_pairs": _minhash_lsh_pairs,
     "ann_lsh_topk_op": _ann_lsh_topk,
+    "ann_ivfpq_serve_op": _ann_ivfpq_serve,
     # keep-best over LSH edges: the registered dedup_keep_best uses the
     # exact posting-join edges so DuckDB can recompute every cluster —
     # quadratic in hot-shingle frequency by construction (oracle
@@ -124,6 +137,9 @@ HEADLINE = [
     "csv_quarantine_audit",
     "masked_customer_extract",
     "ann_ivfpq_topk",
+    # serving-only IVF-PQ (no recall-audit baseline) so the serving
+    # cost is visible separately from the audit's exact re-computation
+    "ann_ivfpq_serve_op",
 ]
 
 
@@ -171,7 +187,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (47 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-serving)",
+        "metric": "headline query wall-clock (48 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-audit/ivfpq-serving)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

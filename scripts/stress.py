@@ -82,6 +82,10 @@ PROBES = [
     # round-4: the one hot path with a per-byte Python inner loop
     # (stdlib PNG unfilter) — probed per VERDICT r3 item 4
     "png_pixel_stats",              # real PNG decode via mapInPandas
+    # round-4: streaming was benched but never stress-probed — the
+    # micro-batch pipeline (availableNow source → watermarked tumbling
+    # window → sink) at 10× events
+    "stream_daily_rollup",          # structured-streaming daily rollup
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
