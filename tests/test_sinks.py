@@ -230,3 +230,41 @@ class TestAtomicCompaction:
         report = sinks.recover_compaction(table)
         assert report["rolled_forward"] == 1
         assert _rows(spark.read.parquet(table)) == rows_before
+
+    @pytest.mark.parametrize(
+        "point",
+        ["staged", "journaled", "mid_swap:date=2025-01-01",
+         "mid_swap:date=2025-01-02", "committed"],
+    )
+    def test_crash_matrix_every_point_recovers_cleanly(
+        self, spark, tmp_path, frame, table, point
+    ):
+        """Exhaustive protocol walk: kill at EVERY named crash point.
+        Invariant: after recovery the table content equals the
+        original rows exactly (compaction never changes data), the
+        layout is either the pre-state (rolled back) or the compacted
+        post-state (rolled forward), and no _compact debris remains."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        rows_before = _rows(spark.read.parquet(table))
+        files_before = {
+            p: self._files(table, p)
+            for p in ("date=2025-01-01", "date=2025-01-02")
+        }
+        self._crash_at(point)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            sinks.compact_partitions(spark, table)
+        sinks._CRASH_HOOK = lambda point: None
+        sinks.recover_compaction(table)
+        assert _rows(spark.read.parquet(table)) == rows_before
+        files_after = {
+            p: self._files(table, p)
+            for p in ("date=2025-01-01", "date=2025-01-02")
+        }
+        rolled_back = files_after == files_before
+        rolled_forward = all(len(v) == 1 for v in files_after.values())
+        assert rolled_back or rolled_forward, files_after
+        assert not os.path.isdir(os.path.join(table, "_compact"))
+        # a second compaction from the recovered state must succeed
+        sinks.compact_partitions(spark, table)
+        assert _rows(spark.read.parquet(table)) == rows_before
