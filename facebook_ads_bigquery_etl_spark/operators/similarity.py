@@ -609,9 +609,15 @@ def ivfpq_cosine_topk(
             out.append(s)
         return pd.Series(out)
 
+    # The candidate stream carries ONLY (id, m byte codes): the full
+    # vector must not ride the cell-explode (×assign copies) and the
+    # probe-join shuffle — that would ship corpus vectors through an
+    # exchange during the phase whose whole point is to avoid touching
+    # them. The ``rerank`` survivors get their vectors back via a
+    # broadcast of the pruned set onto a plain corpus scan (map-side
+    # hash join, queries×rerank rows on the build side).
     eb = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__nvec"),
         pq_encode(F.col(vec_col)).alias("__codes"),
         F.explode(_ivf_cells(vec_col, centroids, assign)).alias("__cell"),
     )
@@ -623,7 +629,7 @@ def ivfpq_cosine_topk(
     cand = (
         qb.join(eb, "__cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__qvec", "neighbor_id", "__nvec", "__codes")
+        .select("query_id", "__qvec", "neighbor_id", "__codes")
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("__adc", adc_score(F.col("__qvec"), F.col("__codes")))
     )
@@ -633,6 +639,10 @@ def ivfpq_cosine_topk(
     pruned = cand.withColumn("__r", F.row_number().over(w_adc)).where(
         F.col("__r") <= rerank
     )
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    )
+    pruned = vecs.join(F.broadcast(pruned), "neighbor_id")
     cos = _dot(F.col("__qvec"), F.col("__nvec")) / (
         _norm(F.col("__qvec")) * _norm(F.col("__nvec"))
     )
