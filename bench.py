@@ -66,7 +66,7 @@ def _ann_ivfpq_serve(spark, sf_dir):
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return sim.ivfpq_cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5),
-        k=10, nprobe=8, assign=3, m=16, rerank=100,
+        k=10, nprobe=10, assign=4, m=16, rerank=200,
     )
 
 

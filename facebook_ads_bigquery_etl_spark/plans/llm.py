@@ -509,14 +509,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_ivf_topk", oracle=_ANN_RECALL_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF index (16-list spherical k-means
-    quantizer, soft assign=2, nprobe=6 → ~¾ of the corpus pruned per
+    quantizer, soft assign=3, nprobe=8 → half the corpus pruned per
     query), emitted as the per-query recall@10 audit vs exact
-    cosine_topk (floor 70%; also asserted in tests/test_llm_ops.py)."""
+    cosine_topk (floor 90%; also asserted in tests/test_llm_ops.py).
+
+    Parameters chosen for MARGIN, not to scrape past the floor: the
+    earlier (nprobe=6, assign=2) setting measured exactly 70% on one
+    query at the driver SF — a testdata regeneration away from a red
+    row. At (8, 3): 100% per query at sf0.01, ≥90% at sf0.1."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     ann = sim.ivf_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_lists=16, nprobe=6, assign=2
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_lists=16, nprobe=8, assign=3
     )
-    return _ann_recall_audit(spark, sf_dir, ann, k=10, floor_pct=70)
+    return _ann_recall_audit(spark, sf_dir, ann, k=10, floor_pct=90)
 
 
 _EMB_DUP_ORACLE = """
@@ -2446,14 +2451,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF audits. Completes the ANN family: LSH (hash pruning), IVF
     (partition pruning), IVF-PQ (pruning + compressed scoring)."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # (nprobe=10, assign=4, rerank=200) for margin: the earlier
+    # (8, 3, 100) measured exactly 90% on one query at the driver SF
+    # and as low as 60% at sf0.1; strengthened: 100% per query at
+    # sf0.01, ≥90% at sf0.1 — the floor holds with headroom at both.
     ann = sim.ivfpq_cosine_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
         k=10,
-        nprobe=8,
-        assign=3,
+        nprobe=10,
+        assign=4,
         m=16,
-        rerank=100,
+        rerank=200,
     )
     return _ann_recall_audit(spark, sf_dir, ann, k=10, floor_pct=90)
 
