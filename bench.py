@@ -48,7 +48,7 @@ def _minhash_lsh_pairs(spark, sf_dir):
 def _ann_lsh_topk(spark, sf_dir):
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return sim.lsh_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, n_tables=8
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, n_tables=12
     )
 
 
