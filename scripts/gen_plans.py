@@ -401,6 +401,15 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["ArrowAggregatePython"],
         ["CartesianProduct"],
     ),
+    "fb_campaign_roas": (
+        "the headline question: spend and action-value aggregate "
+        "two-phase (map-side partials) on (date, campaign) and join on "
+        "the same key — one Generate for the actions explode, equi join "
+        "only (AQE broadcasts the smaller aggregate at runtime on real "
+        "volumes), never a nested loop",
+        ["HashAggregate", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # schema_evolution_audit / csv_quarantine_audit return driver-built
     # 1-row audit frames (plan = ExistingRDD; the work is in the
     # side-effect reads they verify) — nothing to pin, deliberately
