@@ -71,6 +71,9 @@ SAMPLE = [
     # rewrites in the shingle/text/simhash paths
     "compaction_file_audit", "simhash_near_dups", "decontaminate_docs",
     "doc_difficulty_buckets",
+    # round-4 second wave: image_decode dispatch in the feature path,
+    # margin-strengthened ANN audits
+    "multimodal_features", "ann_lsh_topk", "ann_ivf_topk",
 ]
 
 Q, O = e.queries(), e.oracle_sql()
