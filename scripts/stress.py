@@ -86,6 +86,11 @@ PROBES = [
     # micro-batch pipeline (availableNow source → watermarked tumbling
     # window → sink) at 10× events
     "stream_daily_rollup",          # structured-streaming daily rollup
+    # round-4 second wave: the remaining benched-but-unprobed families
+    "scd2_pointintime_join",        # bitemporal fact→version resolution
+    "masked_customer_extract",      # governed extract, map-only policy
+    "curation_pipeline_report",     # gate→dedup→accounting, one DAG
+    "decontaminate_docs",           # broadcast 5-gram decontamination
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
