@@ -152,14 +152,20 @@ def _png_codec():
                 pos += 12 + ln
             if w is None or not idat:
                 return None
-            if not _pure:
-                fast = _native_pixels(data, w, h)
-                if fast is not None:
-                    return w, h, fast
+            # Full stdlib IDAT validation runs BEFORE the native fast
+            # path so both branches share one accept/reject surface
+            # (round-4 advice: a CRC-valid PNG with inconsistent IDAT
+            # could previously be accepted by PIL yet rejected here).
             raw = _z.decompress(bytes(idat))
             bpp, stride = 3, w * 3
             if len(raw) != h * (stride + 1):
                 return None
+            if any(raw[y * (stride + 1)] > 4 for y in range(h)):
+                return None
+            if not _pure:
+                fast = _native_pixels(data, w, h)
+                if fast is not None:
+                    return w, h, fast
             rgb = bytearray(h * stride)
             prev = bytes(stride)
             for y in range(h):
@@ -246,6 +252,13 @@ def _jpeg_codec():
                 if ln < 2 or pos + 2 + ln > len(data):
                     return None
                 if marker in _SOF:
+                    # SOF payload is ≥6 bytes (prec+h+w+ncomp), so the
+                    # segment length must be ≥8; a malformed ln in
+                    # [2,7] would otherwise read dimension bytes from
+                    # the FOLLOWING segment and return garbage
+                    # (round-4 advice).
+                    if ln < 8:
+                        return None
                     _prec, h, w, ncomp = _s.unpack(
                         ">BHHB", data[pos + 4 : pos + 10]
                     )

@@ -3454,8 +3454,10 @@ def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_order_years",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(DISTINCT CAST(EXTRACT(year FROM o_orderdate)
-                                        AS BIGINT))) AS active_years,
+           array_to_string(
+             list_sort(list(DISTINCT CAST(EXTRACT(year FROM o_orderdate)
+                                          AS BIGINT))), ',')
+             AS active_years_csv,
            CAST(COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) AS BIGINT)
              AS n_active_years
     FROM orders GROUP BY o_custkey
@@ -3463,20 +3465,25 @@ def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY-VALUED aggregation: each customer's sorted distinct
-    active years as a single array column — the nested-output shape
-    (BigQuery ARRAY_AGG(DISTINCT ... ORDER BY), reference
+    active years built as a single array column — the nested-output
+    shape (BigQuery ARRAY_AGG(DISTINCT ... ORDER BY), reference
     main.py:33-38's repeated columns on the WRITE side) produced by
     the engine's own aggregate: collect_set → array_sort makes the
-    array content AND order deterministic, so the nested value
-    hash-checks cross-engine like any scalar. One hash aggregate;
-    arrays are bounded by the 7-year order calendar."""
+    array content AND order deterministic. The DRIVER-FACING
+    projection canonicalizes the array to a CSV string
+    (CORRECTNESS_r04: the driver's value-hash harness factorizes
+    cells with pandas, and list cells are unhashable there — the
+    array itself is asserted nested in
+    tests/test_operators.py::test_customer_order_years_nested).
+    One hash aggregate; arrays are bounded by the 7-year calendar."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     yr = F.year("o_orderdate").cast("bigint")
+    arr = F.array_sort(F.collect_set(yr))
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_set(yr)).alias("active_years"),
-        F.size(F.array_sort(F.collect_set(yr))).cast("bigint").alias(
-            "n_active_years"
+        F.array_join(arr.cast("array<string>"), ",").alias(
+            "active_years_csv"
         ),
+        F.size(arr).cast("bigint").alias("n_active_years"),
     )
 
 

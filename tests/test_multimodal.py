@@ -374,3 +374,61 @@ class TestClosureShipping:
             # jpeg_decode is None without a codec — quarantine, not error
             assert got[k] == (expect_some if k != "jpeg_decode" else got[k])
         assert got["png_decode"] and got["image_decode"] and got["jpeg_dims"]
+
+
+class TestAdviceR4Hardening:
+    """Round-4 advice regressions: the accept/reject surface of the
+    PNG fast path, and SOF segment-length validation in jpeg_dims."""
+
+    @staticmethod
+    def _rebuild_png(payload: bytes, mutate_raw):
+        """Decompress the IDAT stream of a single-IDAT test PNG, apply
+        ``mutate_raw`` to the raw (filter-byte-prefixed) scanlines, and
+        re-emit the file with CORRECT chunk CRCs."""
+        import struct
+        import zlib
+
+        pos, out, seen = 8, bytearray(payload[:8]), False
+        while pos + 12 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + ln]
+            if tag == b"IDAT" and not seen:
+                seen = True
+                body = zlib.compress(mutate_raw(zlib.decompress(body)))
+            out += struct.pack(">I", len(body)) + tag + body
+            out += struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            pos += 12 + ln
+        return bytes(out)
+
+    def test_crc_valid_but_inconsistent_idat_rejected_on_both_paths(self):
+        w, h = mm.image_dims(3)
+        good = mm.png_encode(w, h, mm.image_rgb(3, w, h))
+        # filter byte 5 on the first scanline, CRCs recomputed
+        bad_filter = self._rebuild_png(good, lambda raw: b"\x05" + raw[1:])
+        # one trailing byte dropped from the raw stream, CRCs recomputed
+        short_raw = self._rebuild_png(good, lambda raw: raw[:-1])
+        for bad in (bad_filter, short_raw):
+            assert bad != good
+            assert mm.png_decode_pure(bad) is None
+            # the dispatching decode must agree: stdlib validation runs
+            # BEFORE the native branch, so PIL never sees these
+            assert mm.png_decode(bad) is None
+        # sanity: the rebuild helper itself round-trips unmutated input
+        assert mm.png_decode(self._rebuild_png(good, lambda raw: raw)) == (
+            w, h, mm.image_rgb(3, w, h)
+        )
+
+    def test_jpeg_sof_segment_length_must_cover_frame_header(self):
+        import struct
+
+        base = TestJpegSeam._jpeg_header(32, 32)
+        sof_at = base.index(b"\xff\xc0")
+        for ln in range(2, 8):  # too short to hold prec+h+w+ncomp
+            bad = (
+                base[: sof_at + 2]
+                + struct.pack(">H", ln)
+                + base[sof_at + 4 :]
+            )
+            assert mm.jpeg_dims(bad) is None
+        assert mm.jpeg_dims(base) == (32, 32, 3)

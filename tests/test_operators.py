@@ -687,3 +687,36 @@ class TestPrioritySample:
         # well above the population mean (~25.5) for priority q = w/u
         mean_w = sum(r["weight"] for r in s1) / len(s1)
         assert mean_w > 30
+
+
+class TestArrayValuedAggregation:
+    def test_customer_order_years_nested(self, spark):
+        """The N45 nested-output shape itself: collect_set → array_sort
+        yields a deterministic ARRAY column (the driver-facing query
+        projects it to CSV only because the driver's pandas value-hash
+        cannot factorize list cells — CORRECTNESS_r04)."""
+        from facebook_ads_bigquery_etl_spark.plans import QUERIES
+        from facebook_ads_bigquery_etl_spark.plans.analytics import load_tables
+
+        sf = "/root/testdata/sf0.001"
+        orders = load_tables(spark, sf, "orders")["orders"]
+        yr = F.year("o_orderdate").cast("bigint")
+        nested = orders.groupBy("o_custkey").agg(
+            F.array_sort(F.collect_set(yr)).alias("active_years")
+        )
+        assert isinstance(
+            nested.schema["active_years"].dataType, T.ArrayType
+        )
+        rows = {r["o_custkey"]: r["active_years"] for r in nested.collect()}
+        assert rows and all(
+            ys == sorted(set(ys)) and all(1990 <= y <= 2005 for y in ys)
+            for ys in rows.values()
+        )
+        # the driver-facing CSV projection is exactly the joined array
+        csv = {
+            r["o_custkey"]: (r["active_years_csv"], r["n_active_years"])
+            for r in QUERIES["customer_order_years"](spark, sf).collect()
+        }
+        assert set(csv) == set(rows)
+        for k, ys in rows.items():
+            assert csv[k] == (",".join(str(y) for y in ys), len(ys))

@@ -9,6 +9,7 @@ the streaming-insert path, matching reference main.py:81-91).
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import Row
@@ -268,3 +269,88 @@ class TestAtomicCompaction:
         # a second compaction from the recovered state must succeed
         sinks.compact_partitions(spark, table)
         assert _rows(spark.read.parquet(table)) == rows_before
+
+
+class TestCompactionLeaseAndPathGuards:
+    """Round-4 advice: (a) the atomic protocol's os.* commit ops must
+    never run against URI paths — raise up front, with the Spark-write
+    fallback covering any Hadoop filesystem; (b) the single-writer
+    assumption is enforced by a per-table lease, and recovery must not
+    roll back a possibly-live writer's pre-journal staging tree."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path, frame):
+        path = str(tmp_path / "t")
+        write_day_partitioned(frame, path)
+        write_day_partitioned(
+            frame.withColumn("spend", F.col("spend") + 0.0), path
+        )
+        return path
+
+    def test_local_fs_path_classification(self):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        assert sinks._local_fs_path("/tmp/t") == "/tmp/t"
+        assert sinks._local_fs_path("rel/t") == "rel/t"
+        assert sinks._local_fs_path("file:///tmp/t") == "/tmp/t"
+        for uri in ("hdfs://nn/t", "s3a://bucket/t", "gs://b/t",
+                    "abfss://c@a.dfs.core.windows.net/t"):
+            assert sinks._local_fs_path(uri) is None
+
+    def test_atomic_refuses_uri_paths_before_any_write(self, spark):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        with pytest.raises(ValueError, match="local path"):
+            sinks.compact_partitions_atomic(spark, "s3a://bucket/table")
+
+    def test_file_uri_routes_through_atomic_protocol(self, spark, table):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        rows_before = _rows(spark.read.parquet(table))
+        sinks.compact_partitions(spark, "file://" + table)
+        assert _rows(spark.read.parquet(table)) == rows_before
+        for p in ("date=2025-01-01", "date=2025-01-02"):
+            files = [f for f in os.listdir(os.path.join(table, p))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1
+        assert not os.path.isdir(os.path.join(table, "_compact"))
+
+    def test_concurrent_compaction_is_refused_while_lease_fresh(
+        self, spark, table
+    ):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        sinks._acquire_compaction_lease(table)
+        try:
+            with pytest.raises(sinks.CompactionLockHeld):
+                sinks.compact_partitions(spark, table)
+        finally:
+            sinks._release_compaction_lease(table)
+        sinks.compact_partitions(spark, table)  # free again → succeeds
+
+    def test_stale_lease_is_broken_automatically(self, spark, table):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        lease = sinks._acquire_compaction_lease(table)
+        old = time.time() - sinks.COMPACTION_LEASE_STALE_S - 10
+        os.utime(lease, (old, old))
+        sinks.compact_partitions(spark, table)  # breaks the dead lease
+        assert not os.path.exists(lease)
+
+    def test_recover_skips_live_writer_staging_tree(self, table):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        # a concurrent writer mid staged-write: lease fresh, no journal
+        sinks._acquire_compaction_lease(table)
+        run_dir = os.path.join(table, "_compact", "livewriter123")
+        os.makedirs(os.path.join(run_dir, "data"))
+        try:
+            report = sinks.recover_compaction(table)
+            assert report["skipped"] == 1 and report["rolled_back"] == 0
+            assert os.path.isdir(run_dir)  # untouched
+        finally:
+            sinks._release_compaction_lease(table)
+        # writer gone (lease released) → the same tree is now debris
+        report = sinks.recover_compaction(table)
+        assert report["rolled_back"] == 1
+        assert not os.path.isdir(run_dir)
