@@ -95,3 +95,113 @@ def asof_join(
     out_cols += [F.col(f"__r_{c}").alias(c) for c in right_values]
     out_cols.append(F.col("__matched_ts").alias(f"asof_{right_ts}"))
     return joined.select(*out_cols)
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof
+    direction='nearest'`` semantics, which neither Spark nor DuckDB
+    has natively): for each left row, attach the right row whose
+    ``right_ts`` is closest in absolute µs distance, searching both
+    directions.
+
+    Same single-shuffle cost shape as :func:`asof_join`: tag + union
+    on the key, ONE within-partition sort, then two window carries
+    over the SAME sort — ``last(ignorenulls)`` over preceding rows
+    (best backward candidate) and ``first(ignorenulls)`` over
+    following rows (best forward candidate) — and a row-local argmin.
+    No extra shuffle for the second direction; works unmodified at
+    100 TB.
+
+    Determinism: ties are total-ordered — equal timestamps on the
+    right resolve by ``right_id`` (backward carries the largest id at
+    the winning ts, forward the smallest), and an equal-distance
+    backward/forward tie prefers the backward match. Timestamps equal
+    to the left's count as backward (inclusive), mirroring
+    :func:`asof_join`. ``tolerance_us`` nulls matches farther than
+    the bound AFTER the nearest candidate is chosen — so a backward
+    match outside tolerance never shadows a forward match inside it,
+    because both directions' candidates compete first.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    lhs = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[right_id].dataType).alias("__rid"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_id).alias("__rid"),
+        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
+    )
+    # Right rows sort BEFORE left rows at the same ts (backward is
+    # inclusive); among right rows at one ts, ascending __rid puts the
+    # LARGEST id last (what last() carries) and the smallest first.
+    order = [F.col("__ts"), F.col("__side"), F.col("__rid")]
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    both = lhs.unionByName(rhs).select(
+        *keys,
+        "__ts",
+        "__side",
+        "__lrow",
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(wb)
+        .alias("__bts"),
+        F.last(F.when(F.col("__side") == 0, F.col("__rid")), ignorenulls=True)
+        .over(wb)
+        .alias("__bid"),
+        F.first(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(wf)
+        .alias("__fts"),
+        F.first(F.when(F.col("__side") == 0, F.col("__rid")), ignorenulls=True)
+        .over(wf)
+        .alias("__fid"),
+    )
+    gap_b = F.unix_micros("__ts") - F.unix_micros("__bts")  # >= 0
+    gap_f = F.unix_micros("__fts") - F.unix_micros("__ts")  # > 0
+    pick_b = F.col("__bts").isNotNull() & (
+        F.col("__fts").isNull() | (gap_b <= gap_f)  # tie → backward
+    )
+    picked = (
+        both.filter(F.col("__side") == 1)
+        .select(
+            "__lrow",
+            F.when(pick_b, F.col("__bid")).otherwise(F.col("__fid")).alias(
+                "__mid"
+            ),
+            F.when(pick_b, gap_b).otherwise(gap_f).alias("__gap_us"),
+        )
+    )
+    if tolerance_us is not None:
+        in_tol = F.col("__gap_us") <= F.lit(tolerance_us)
+        picked = picked.select(
+            "__lrow",
+            F.when(in_tol, F.col("__mid")).alias("__mid"),
+            F.when(in_tol, F.col("__gap_us")).alias("__gap_us"),
+        )
+    return picked.select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        F.col("__mid").alias(f"nearest_{right_id}"),
+        F.col("__gap_us").alias("gap_us"),
+    )

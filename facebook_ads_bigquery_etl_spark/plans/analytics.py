@@ -3690,3 +3690,451 @@ def longest_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("gap_days").alias("n_gaps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: remaining classic-OLAP surface (SURVEY §7b slate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_groups_frame_revenue",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority, o_orderdate, o_totalprice,
+             DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderdate) AS dr
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_orderpriority ORDER BY dr
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS groups_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_orderpriority ORDER BY dr
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+             AS groups_n
+    FROM o
+    """,
+)
+def priority_groups_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 GROUPS window frame (``GROUPS BETWEEN 1 PRECEDING AND
+    1 FOLLOWING`` — the frame that steps over PEER GROUPS of the order
+    key, not physical rows): revenue summed over each order's own
+    order-date peer group plus the adjacent date on either side.
+    NEITHER engine implements GROUPS natively (Spark 4 and DuckDB both
+    reject it), so the engine exposes the exact standard rewrite:
+    dense_rank() numbers the peer groups, and a RANGE frame of ±1 over
+    that rank IS the GROUPS frame — peers share a rank, adjacent
+    groups differ by exactly 1. Both sides compute the rewrite
+    independently. Two window passes over ONE (priority) shuffle-sort;
+    no join, no Python. At 100 TB the frame never materializes more
+    than the running aggregate state regardless of peer-group size."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    dr = F.dense_rank().over(
+        W.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    )
+    wg = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("dr")
+        .rangeBetween(-1, 1)
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_orderpriority", "o_totalprice", dr.alias("dr")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.sum("o_totalprice").over(wg), 2).alias("groups_sum"),
+            F.count("*").over(wg).alias("groups_n"),
+        )
+    )
+
+
+@register(
+    "qualify_nation_top_years",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS yr,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, CAST(yr AS BIGINT) AS yr, revenue,
+           CAST(RANK() OVER (PARTITION BY n_name
+                             ORDER BY revenue DESC, yr) AS BIGINT) AS rnk,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY n_name), 6)
+             AS share
+    FROM rev
+    QUALIFY rnk <= 2 OR share > 0.25e0
+    """,
+)
+def qualify_nation_top_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-style post-window filter (BigQuery/Snowflake/DuckDB
+    QUALIFY): keep each nation's two best revenue years PLUS any year
+    carrying >25% of the nation's lifetime revenue — a predicate over
+    TWO different window functions. Spark has no QUALIFY keyword; the
+    engine expresses the identical semantics as a filter over the
+    windowed projection (what QUALIFY desugars to), while the DuckDB
+    oracle runs the native QUALIFY clause — cross-dialect parity, one
+    aggregation + one window over the nation partition."""
+    load_tables(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT n_name, year(CAST(o_orderdate AS DATE)) AS yr,
+                 ROUND(SUM(o_totalprice), 2) AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          GROUP BY 1, 2
+        ),
+        win AS (
+          SELECT n_name, CAST(yr AS BIGINT) AS yr, revenue,
+                 CAST(RANK() OVER (PARTITION BY n_name
+                                   ORDER BY revenue DESC, yr) AS BIGINT)
+                   AS rnk,
+                 ROUND(revenue / SUM(revenue) OVER (PARTITION BY n_name), 6)
+                   AS share
+          FROM rev
+        )
+        SELECT * FROM win WHERE rnk <= 2 OR share > 0.25D
+        """
+    )
+
+
+@register(
+    "grouping_id_revenue_routing",
+    oracle="""
+    SELECT CASE GROUPING_ID(n_name, yr)
+             WHEN 0 THEN 'nation_year' WHEN 1 THEN 'nation'
+             WHEN 2 THEN 'year'        ELSE 'grand' END AS level,
+           CAST(GROUPING_ID(n_name, yr) AS BIGINT)      AS gid,
+           COALESCE(n_name, 'ALL')                      AS nation,
+           CAST(COALESCE(yr, -1) AS BIGINT)             AS yr,
+           ROUND(SUM(o_totalprice), 2)                  AS revenue,
+           CAST(COUNT(*) AS BIGINT)                     AS n_orders
+    FROM (
+      SELECT n_name, EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS yr,
+             o_totalprice
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    )
+    GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr), ())
+    """,
+)
+def grouping_id_revenue_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING_ID routing over grouping sets: one multi-level
+    aggregation whose rows are LABELED by which rollup level produced
+    them — the bitmask GROUPING_ID(n_name, yr) distinguishes a genuine
+    NULL group key from a rolled-up one (the thing COALESCE sentinels
+    alone cannot), and the CASE routes each row to its report section.
+    Spark plans GROUPING SETS as a single Expand + hash aggregate —
+    one pass over the fact join, rows×4 only after the map-side
+    projection; identical shape at any scale."""
+    load_tables(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(
+        """
+        SELECT CASE GROUPING_ID(n_name, yr)
+                 WHEN 0 THEN 'nation_year' WHEN 1 THEN 'nation'
+                 WHEN 2 THEN 'year'        ELSE 'grand' END AS level,
+               CAST(GROUPING_ID(n_name, yr) AS BIGINT)      AS gid,
+               COALESCE(n_name, 'ALL')                      AS nation,
+               CAST(COALESCE(yr, -1) AS BIGINT)             AS yr,
+               ROUND(SUM(o_totalprice), 2)                  AS revenue,
+               COUNT(*)                                     AS n_orders
+        FROM (
+          SELECT n_name, year(CAST(o_orderdate AS DATE)) AS yr,
+                 o_totalprice
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+        )
+        GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr), ())
+        """
+    )
+
+
+@register(
+    "orders_tablesample_hash",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)     AS n_sampled,
+           ROUND(SUM(o_totalprice), 2)  AS sampled_revenue,
+           ROUND(AVG(o_totalprice), 6)  AS avg_price
+    FROM orders
+    WHERE (o_orderkey * 2654435761 % 1000000007) % 100 < 5
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_tablesample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TABLESAMPLE: a 5% Bernoulli sample drawn by a
+    PORTABLE multiplicative hash of the row key (Knuth 2654435761 mod
+    a large prime) instead of an RNG — so the sample is exactly
+    reproducible across engines, runs and cluster sizes, and the
+    oracle checks it EXACTLY (native TABLESAMPLE in both engines is
+    seeded-random and not cross-engine comparable). The predicate is
+    pure integer arithmetic in codegen, evaluated at the scan — at
+    100 TB the sample never shuffles more than the 5% it keeps, and
+    sampling composes with partition pruning. The estimator bias is
+    the hash's, measurable: n_sampled/N vs the 5% nominal rate."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    bucket = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(
+        1000000007
+    ) % F.lit(100)
+    return (
+        orders.filter(bucket < 5)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_revenue"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "events_props_lateral",
+    oracle="""
+    SELECT event_type, k AS prop_key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+                AS BIGINT)          AS total,
+           CAST(MAX(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+                AS BIGINT)          AS max_val
+    FROM (
+      SELECT event_type, props, unnest(json_keys(props)) AS k FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def events_props_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW / table-valued explode over a MAP column: the
+    semi-structured props payload parses to map<string,string> and
+    each row fans out to one row PER KEY (generic — no key names are
+    hard-coded anywhere), then aggregates per (event_type, key). The
+    Spark form is from_json + explode (LATERAL VIEW explode in SQL);
+    generated columns stay in codegen. Map fan-out is map-side — the
+    only shuffle carries (event_type, key) pairs."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    kv = events.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "prop_key", "v"
+        ),
+    )
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("bigint")).alias("total"),
+        F.max(F.col("v").cast("bigint")).alias("max_val"),
+    )
+
+
+@register(
+    "brand_price_disc_stats",
+    oracle="""
+    SELECT p_brand,
+           ROUND(quantile_disc(p_retailprice, 0.25e0), 2) AS p25_disc,
+           ROUND(quantile_disc(p_retailprice, 0.5e0),  2) AS p50_disc,
+           ROUND(quantile_disc(p_retailprice, 0.75e0), 2) AS p75_disc,
+           ROUND(quantile_cont(p_retailprice::DOUBLE, 0.5e0), 6) AS p50_cont,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY p_brand
+    """,
+)
+def brand_price_disc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distribution aggregates, DISCONTINUOUS family: exact
+    PERCENTILE_DISC(q) WITHIN GROUP — always an actual data value (the
+    smallest value whose cumulative distribution reaches q), vs the
+    interpolating PERCENTILE_CONT shown alongside at the median. The
+    existing brand_price_quartiles covers type-7 interpolation; this
+    covers the type-1 step function, which is what you want for
+    prices/latencies where an interpolated phantom value is
+    meaningless. Spark plans these as sorted single-pass aggregates
+    per group — one shuffle on p_brand."""
+    load_tables(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               ROUND(percentile_disc(0.25) WITHIN GROUP (ORDER BY p_retailprice), 2)
+                 AS p25_disc,
+               ROUND(percentile_disc(0.5)  WITHIN GROUP (ORDER BY p_retailprice), 2)
+                 AS p50_disc,
+               ROUND(percentile_disc(0.75) WITHIN GROUP (ORDER BY p_retailprice), 2)
+                 AS p75_disc,
+               ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY p_retailprice), 6)
+                 AS p50_cont,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY p_brand
+        """
+    )
+
+
+@register(
+    "lineitem_unpivot_metrics",
+    oracle="""
+    SELECT l_returnflag, metric,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(val), 2)       AS total,
+           ROUND(AVG(val), 6)       AS mean
+    FROM (
+      UNPIVOT (SELECT l_returnflag,
+                      l_quantity::DOUBLE      AS l_quantity,
+                      l_extendedprice::DOUBLE AS l_extendedprice,
+                      l_discount::DOUBLE      AS l_discount,
+                      l_tax::DOUBLE           AS l_tax
+               FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME metric VALUE val
+    )
+    GROUP BY 1, 2
+    """,
+)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide fact columns to long (metric, value) rows,
+    then one aggregate per (returnflag, metric): the reshape every
+    metrics store and ML feature pipeline needs, run with the native
+    relational operator (Spark's UNPIVOT clause / DataFrame.unpivot —
+    an Expand node, NOT a UNION of self-scans: the fact table is read
+    ONCE and fanned out map-side ×4). The only shuffle carries
+    (flag, metric) pairs. DuckDB's UNPIVOT syntax differs; semantics
+    are identical."""
+    load_tables(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, metric,
+               COUNT(*)            AS n,
+               ROUND(SUM(val), 2)  AS total,
+               ROUND(AVG(val), 6)  AS mean
+        FROM (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS DOUBLE)      AS l_quantity,
+                 CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+                 CAST(l_discount AS DOUBLE)      AS l_discount,
+                 CAST(l_tax AS DOUBLE)           AS l_tax
+          FROM lineitem
+        )
+        UNPIVOT (val FOR metric IN
+                 (l_quantity, l_extendedprice, l_discount, l_tax))
+        GROUP BY 1, 2
+        """
+    )
+
+
+@register(
+    "daily_revenue_locf",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders WHERE o_custkey % 97 = 0 GROUP BY 1
+    ),
+    cal AS (
+      SELECT unnest(generate_series((SELECT MIN(d) FROM obs),
+                                    (SELECT MAX(d) FROM obs),
+                                    INTERVAL 1 DAY))::DATE AS d
+    )
+    SELECT cal.d AS date,
+           COALESCE(ROUND(last_value(obs.rev IGNORE NULLS)
+                          OVER (ORDER BY cal.d), 2), 0.0) AS rev_filled,
+           obs.rev IS NOT NULL AS observed
+    FROM cal LEFT JOIN obs ON cal.d = obs.d
+    """,
+)
+def daily_revenue_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series with LAST-OBSERVATION-CARRIED-FORWARD:
+    a sparse daily series (one customer stratum's orders) joined onto
+    a dense generated calendar, missing days filled by
+    ``last_value IGNORE NULLS`` — the canonical LOCF idiom for sensor
+    / price / balance series, complementing gap_filled_revenue's
+    zero-fill. The calendar is sequence()-generated from the observed
+    min/max (two-row bounded readout broadcast back, no driver loop);
+    the carry is ONE global-order window — at scale you'd partition it
+    per series key, which the same window spec expresses."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    obs = (
+        orders.filter(F.col("o_custkey") % 97 == 0)
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    bounds = obs.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("date")
+    )
+    w = W.orderBy("date").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        cal.join(obs, cal["date"] == obs["d"], "left")
+        .select(
+            "date",
+            F.coalesce(
+                F.round(F.last("rev", ignorenulls=True).over(w), 2),
+                F.lit(0.0),
+            ).alias("rev_filled"),
+            F.col("rev").isNotNull().alias("observed"),
+        )
+    )
+
+
+@register(
+    "purchase_nearest_view",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           COALESCE(m.vid, -1)    AS nearest_view_id,
+           COALESCE(m.gap, -1)    AS gap_us
+    FROM events p
+    LEFT JOIN LATERAL (
+      SELECT v.event_id AS vid,
+             CAST(abs(epoch_us(v.ts) - epoch_us(p.ts)) AS BIGINT) AS gap
+      FROM events v
+      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 7200000000
+      ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)),
+               (v.ts > p.ts),
+               CASE WHEN v.ts <= p.ts THEN -v.event_id ELSE v.event_id END
+      LIMIT 1
+    ) m ON TRUE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def purchase_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (operators/asof.asof_nearest_join):
+    each purchase event matched to the SAME USER's closest 'view'
+    event in either time direction, within a ±2 h tolerance — the
+    attribution/feature-engineering shape pandas calls merge_asof
+    direction='nearest' and no SQL engine has natively. One shuffle on
+    user_id + one within-partition sort; both directions' candidates
+    come from two window carries over that single sort (no second
+    shuffle, no range join). The oracle is an INDEPENDENT formulation
+    (correlated LATERAL argmin with the same total tie order:
+    distance, then backward-preferred, then id) — quadratic, fine at
+    fixture scale, which is exactly why the engine's form is the one
+    that survives 100 TB."""
+    from ..operators.asof import asof_nearest_join
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_nearest_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        tolerance_us=7_200_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("nearest_event_id", F.lit(-1)).alias("nearest_view_id"),
+        F.coalesce("gap_us", F.lit(-1)).alias("gap_us"),
+    )

@@ -74,6 +74,14 @@ SAMPLE = [
     # round-4 second wave: image_decode dispatch in the feature path,
     # margin-strengthened ANN audits
     "multimodal_features", "ann_lsh_topk", "ann_ivf_topk",
+    # round-5: classic-OLAP surface growth (SURVEY §7b slate) + the
+    # array-column canonicalization fix
+    "customer_order_years",
+    "priority_groups_frame_revenue", "qualify_nation_top_years",
+    "grouping_id_revenue_routing", "orders_tablesample_hash",
+    "events_props_lateral", "brand_price_disc_stats",
+    "lineitem_unpivot_metrics", "daily_revenue_locf",
+    "purchase_nearest_view",
 ]
 
 Q, O = e.queries(), e.oracle_sql()
