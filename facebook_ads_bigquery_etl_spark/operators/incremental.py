@@ -92,3 +92,64 @@ def finalize(
         F.round("state_min", round_to).alias("min"),
         F.round("state_max", round_to).alias("max"),
     )
+
+
+def merge_apply(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_set: dict[str, "F.Column"],
+    delete_condition: "F.Column | None" = None,
+) -> DataFrame:
+    """SQL MERGE INTO semantics as ONE full-outer hash join (the
+    upsert shape BigQuery MERGE / Delta MERGE provide; vanilla parquet
+    Spark has no statement for it):
+
+    * matched + ``delete_condition``      → row dropped  (op 'delete')
+    * matched                             → ``update_set`` exprs
+                                            (op 'update')
+    * source-only                         → source row    (op 'insert')
+    * target-only                         → target row    (op 'keep')
+
+    ``update_set`` maps column → expression over the aliases ``t``
+    (target) and ``s`` (source). Non-key columns absent from
+    ``update_set`` keep the target value on match. The result carries
+    an ``op`` column so callers can journal the decision per row
+    (CDC-apply audit trails) or drop it.
+
+    Scale shape: one shuffle on the merge keys (or zero with both
+    sides bucketed on them); null-safe key equality so NULL keys merge
+    deterministically instead of fanning out. The output feeds the
+    same atomic day-partition swap the sinks layer provides — MERGE +
+    staged commit ≈ a table format's transactional upsert."""
+    val_cols = [c for c in target.columns if c not in keys]
+    t = target.withColumn("__t", F.lit(True)).alias("t")
+    s = source.withColumn("__s", F.lit(True)).alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, "full_outer")
+    matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+    op = (
+        F.when(matched & delete_condition, F.lit("delete"))
+        if delete_condition is not None
+        else F.when(F.lit(False), F.lit(""))
+    )
+    op = (
+        op.when(matched, F.lit("update"))
+        .when(F.col("s.__s").isNotNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+    )
+    out = j.select(
+        *[F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys],
+        *[
+            F.when(matched, update_set.get(c, F.col(f"t.{c}")))
+            .when(F.col("s.__s").isNotNull(), F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in val_cols
+        ],
+        op.alias("op"),
+    )
+    return out.filter(F.col("op") != "delete")

@@ -82,6 +82,8 @@ SAMPLE = [
     "events_props_lateral", "brand_price_disc_stats",
     "lineitem_unpivot_metrics", "daily_revenue_locf",
     "purchase_nearest_view",
+    "merge_upsert_monthly_revenue", "commit_protocol_audit",
+    "bloom_partition_index_audit", "parquet_codec_matrix_audit",
 ]
 
 Q, O = e.queries(), e.oracle_sql()

@@ -720,3 +720,46 @@ class TestArrayValuedAggregation:
         assert set(csv) == set(rows)
         for k, ys in rows.items():
             assert csv[k] == (",".join(str(y) for y in ys), len(ys))
+
+
+class TestMergeApply:
+    def test_merge_update_insert_keep_delete(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.incremental import (
+            merge_apply,
+        )
+
+        target = spark.createDataFrame(
+            [("a", 10, 1), ("b", 20, 2), ("c", 30, 3)], "k string, v long, n long"
+        )
+        source = spark.createDataFrame(
+            [("b", 5, 1), ("c", -999, 0), ("d", 7, 1)], "k string, v long, n long"
+        )
+        out = merge_apply(
+            target,
+            source,
+            keys=["k"],
+            update_set={
+                "v": F.col("t.v") + F.col("s.v"),
+                "n": F.col("t.n") + F.col("s.n"),
+            },
+            delete_condition=F.col("s.v") < 0,
+        ).collect()
+        got = {r["k"]: (r["v"], r["n"], r["op"]) for r in out}
+        assert got == {
+            "a": (10, 1, "keep"),        # target-only
+            "b": (25, 3, "update"),      # matched -> update exprs
+            "d": (7, 1, "insert"),       # source-only
+        }  # 'c' matched the delete predicate and is gone
+
+    def test_merge_null_keys_match_nullsafe(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.incremental import (
+            merge_apply,
+        )
+
+        target = spark.createDataFrame([(None, 1)], "k string, v long")
+        source = spark.createDataFrame([(None, 2)], "k string, v long")
+        out = merge_apply(
+            target, source, keys=["k"],
+            update_set={"v": F.col("t.v") + F.col("s.v")},
+        ).collect()
+        assert len(out) == 1 and out[0]["v"] == 3 and out[0]["op"] == "update"
