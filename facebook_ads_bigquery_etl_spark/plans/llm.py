@@ -2630,3 +2630,884 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: LLM-pipeline depth (SURVEY §7b slate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "line_dedup_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(tk[i*4+1 : i*4+4], ' ') AS seg,
+             least(4, len(tk) - i*4)                 AS seg_tokens
+      FROM (SELECT doc_id, tk,
+                   unnest(range(0, CAST(ceil(len(tk) / 4.0) AS INT))) AS i
+            FROM tok)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg_tokens,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                          AS n_segments,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS n_removed,
+           CAST(SUM(CASE WHEN rn > 1 THEN seg_tokens ELSE 0 END)
+                AS BIGINT)                                   AS tokens_removed,
+           ROUND(1e0 - SUM(CASE WHEN rn > 1 THEN seg_tokens ELSE 0 END)
+                 * 1e0 / SUM(seg_tokens), 6)                 AS keep_frac
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT line-level exact dedup (the C4 recipe: drop any
+    repeated line corpus-wide, keeping the FIRST occurrence in
+    (doc_id, position) order — first-writer-wins): documents split
+    into fixed 4-token segments (the synthetic corpus has no sentence
+    punctuation, so fixed windows stand in for lines), every later
+    occurrence of a repeated segment is marked removed, and each doc
+    reports its surviving-token fraction. Complements the
+    doc-INTERNAL dup-span operator: this dedups ACROSS the corpus.
+
+    Scale shape: segments shuffle ONCE by segment text (the
+    row_number partition); at 100 TB you'd key that shuffle on a
+    64-bit segment digest instead of the text — same plan, 8-byte
+    keys. No driver state, no Python."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    seg = (
+        docs.withColumn(
+            "tk", F.expr(r"filter(split(text, '\\s+'), t -> t <> '')")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, CAST(ceil(size(tk)/4.0) AS INT) - 1),"
+                    " i -> struct(i AS seg_idx,"
+                    "             concat_ws(' ', slice(tk, i*4+1, 4)) AS seg,"
+                    "             least(4, size(tk) - i*4) AS seg_tokens))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.seg_idx", "s.seg", "s.seg_tokens")
+    )
+    w = W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = seg.withColumn("rn", F.row_number().over(w))
+    removed = F.when(F.col("rn") > 1, F.col("seg_tokens")).otherwise(F.lit(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum((F.col("rn") > 1).cast("bigint")).alias("n_removed"),
+        F.sum(removed).cast("bigint").alias("tokens_removed"),
+        F.round(
+            F.lit(1.0) - F.sum(removed) / F.sum("seg_tokens"), 6
+        ).alias("keep_frac"),
+    )
+
+
+@register(
+    "bloom_decontaminate_13gram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g
+      FROM (SELECT doc_id,
+                   unnest(CASE WHEN len(tk) >= 13
+                          THEN list_transform(range(1, len(tk) - 11),
+                                 i -> array_to_string(tk[i:i+12], ' '))
+                          ELSE CAST([] AS VARCHAR[]) END) AS g
+            FROM tok)
+    ),
+    hashed AS (
+      SELECT doc_id, g,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(1, len(g) + 1),
+                              i -> ascii(g[i])::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS base
+      FROM grams
+    ),
+    bits AS (
+      SELECT doc_id, g,
+             (base * 2654435761 % 1000000007) % 131072 AS b1,
+             (base * 40503 + 17) % 1000000007 % 131072  AS b2,
+             (base * 1009 + 97) % 1000000007 % 131072   AS b3
+      FROM hashed
+    ),
+    bench_bits AS (
+      SELECT DISTINCT bit FROM (
+        SELECT unnest([b1, b2, b3]) AS bit FROM bits WHERE doc_id < 20)
+    ),
+    bench_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+    corpus AS (
+      SELECT doc_id, g,
+             b1 IN (SELECT bit FROM bench_bits)
+             AND b2 IN (SELECT bit FROM bench_bits)
+             AND b3 IN (SELECT bit FROM bench_bits) AS bloom_hit,
+             g IN (SELECT g FROM bench_grams)       AS exact_hit
+      FROM bits WHERE doc_id >= 20
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                             AS n_grams,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END)
+                AS BIGINT)                                      AS n_exact_shared,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+                AS BIGINT)                                      AS n_bloom_flagged,
+           SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) > 0       AS contaminated,
+           SUM(CASE WHEN exact_hit AND NOT bloom_hit
+                    THEN 1 ELSE 0 END) = 0                      AS bloom_superset
+    FROM corpus GROUP BY doc_id
+    """,
+)
+def bloom_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3 decontamination recipe: flag training docs sharing
+    any 13-GRAM with the benchmark set (doc_id < 20), probed through a
+    BLOOM FILTER (m=2^17 bits, k=3) built from the benchmark's grams —
+    the structure that makes the check O(1) per gram with a
+    fixed-size broadcast instead of a join against every benchmark
+    gram. The bloom is RELATIONAL and portable (k hashes derived from
+    a polynomial rolling hash both engines evaluate identically), so
+    the oracle reproduces the filter bit-for-bit: exact overlap
+    counts, bloom-flagged counts (INCLUDING false positives) and the
+    no-false-negative invariant are all hash-checked, not pinned.
+
+    Scale shape: the benchmark side reduces to ≤m distinct bits
+    (16 KiB as a bitmap — broadcast); corpus grams are map-side
+    hashed, and the only join is gram-bits × bench-bits (broadcast
+    hash). At 100 TB you'd swap the portable hash for xxhash64 behind
+    the same three-bit seam (the poly hash exists so DuckDB can
+    replay it) and fold the bit set into an actual bitmap UDF-free
+    via array_contains on a broadcast literal."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    grams = (
+        docs.withColumn(
+            "tk",
+            F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(tk) >= 13 THEN"
+                    " transform(sequence(0, size(tk) - 13),"
+                    "  i -> concat_ws(' ', slice(tk, i + 1, 13)))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    hashed = grams.withColumn(
+        "base",
+        F.expr(
+            "aggregate(transform(sequence(1, length(g)),"
+            " i -> ascii(substring(g, i, 1))),"
+            " 0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
+        ),
+    ).select(
+        "doc_id",
+        "g",
+        ((F.col("base") * 2654435761) % 1000000007 % 131072).alias("b1"),
+        ((F.col("base") * 40503 + 17) % 1000000007 % 131072).alias("b2"),
+        ((F.col("base") * 1009 + 97) % 1000000007 % 131072).alias("b3"),
+    )
+    bench = hashed.filter(F.col("doc_id") < 20)
+    bench_bits = (
+        bench.select(F.explode(F.array("b1", "b2", "b3")).alias("bit"))
+        .distinct()
+        .agg(F.collect_set("bit").alias("bits"))
+    )
+    bench_grams = bench.select("g").distinct().withColumn(
+        "exact_hit", F.lit(True)
+    )
+    corpus = hashed.filter(F.col("doc_id") >= 20)
+    probed = (
+        corpus.crossJoin(F.broadcast(bench_bits))
+        .withColumn(
+            "bloom_hit",
+            F.array_contains("bits", F.col("b1"))
+            & F.array_contains("bits", F.col("b2"))
+            & F.array_contains("bits", F.col("b3")),
+        )
+        .join(F.broadcast(bench_grams), "g", "left")
+        .withColumn("exact_hit", F.coalesce("exact_hit", F.lit(False)))
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("exact_hit").cast("bigint")).alias("n_exact_shared"),
+        F.sum(F.col("bloom_hit").cast("bigint")).alias("n_bloom_flagged"),
+        (F.sum(F.col("exact_hit").cast("bigint")) > 0).alias("contaminated"),
+        (
+            F.sum((F.col("exact_hit") & ~F.col("bloom_hit")).cast("bigint"))
+            == 0
+        ).alias("bloom_superset"),
+    )
+
+
+@register(
+    "quality_classifier_scores",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len(tk)                                            AS n_tokens,
+             ROUND(len(list_filter(tk, t -> list_contains(
+               ['the','a','of','and','to','in','is','it'], t)))
+               * 1e0 / len(tk), 6)                              AS stop_ratio,
+             ROUND(list_sum(list_transform(tk, t -> len(t)))
+               * 1e0 / len(tk), 6)                              AS avg_tok_len
+      FROM (SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS tk
+            FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             ROUND(1e0 / (1e0 + exp(-(
+               0.35e0 * ln(1 + n_tokens) + 2.0e0 * stop_ratio
+               - 0.15e0 * avg_tok_len - 0.6e0))), 6) AS score
+      FROM feats
+    )
+    SELECT doc_id, source, score, score >= 0.5e0 AS keep
+    FROM scored
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier gate via BROADCAST LOGISTIC WEIGHTS (the
+    fastText/CCNet-style learned filter, served without any ML
+    runtime): per-doc features (log token count, stopword ratio,
+    average token length) dotted with a fixed weight vector and
+    squashed through a sigmoid; keep = score ≥ 0.5. The weights are
+    literals here; in production they'd broadcast from a model table —
+    either way the scoring is a MAP-ONLY codegen expression, the
+    pattern that lets a learned gate run at scan speed over 100 TB
+    with zero shuffle and zero Python. Scores rounded to 6dp before
+    the threshold so summation order can't flip `keep`."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    feats = docs.withColumn(
+        "tk", F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
+    ).select(
+        "doc_id",
+        "source",
+        F.size("tk").alias("n_tokens"),
+        F.round(
+            F.expr(
+                "size(filter(tk, t -> t IN"
+                " ('the','a','of','and','to','in','is','it')))"
+            )
+            / F.size("tk"),
+            6,
+        ).alias("stop_ratio"),
+        F.round(
+            F.expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))")
+            / F.size("tk"),
+            6,
+        ).alias("avg_tok_len"),
+    )
+    z = (
+        F.lit(0.35) * F.log(F.lit(1) + F.col("n_tokens"))
+        + F.lit(2.0) * F.col("stop_ratio")
+        - F.lit(0.15) * F.col("avg_tok_len")
+        - F.lit(0.6)
+    )
+    scored = feats.select(
+        "doc_id",
+        "source",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+    return scored.select(
+        "doc_id", "source", "score", (F.col("score") >= 0.5).alias("keep")
+    )
+
+
+@register(
+    "perplexity_curriculum_mix",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc  AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM wc),
+    lp  AS (SELECT w, ln(c * 1e0 / t) AS logp FROM wc, tot),
+    pd  AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(-AVG(logp), 4) AS ce
+      FROM tok JOIN lp USING (w) GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens, ce,
+             CAST(NTILE(4) OVER (ORDER BY ce, doc_id) AS BIGINT) AS bucket
+      FROM pd
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
+           ROUND(ce_w, 2)                AS weight,
+           ROUND(SUM(n_tokens) * ce_w, 1) AS epoch_tokens
+    FROM bucketed,
+         LATERAL (SELECT CASE bucket WHEN 1 THEN 2.0e0 WHEN 2 THEN 1.5e0
+                         WHEN 3 THEN 1.0e0 ELSE 0.5e0 END AS ce_w) w
+    GROUP BY bucket, ce_w
+    """,
+)
+def perplexity_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucketed CURRICULUM MIXING: documents scored by
+    unigram cross-entropy (the doc_perplexity_filter LM), split into
+    fluency quartiles, and each quartile assigned an epoch sampling
+    weight (cleanest text oversampled 2×, noisiest undersampled 0.5×)
+    — the curriculum/mixture-reweighting step between corpus scoring
+    and dataloader manifest. Output is the per-bucket token budget the
+    sampler consumes. The quartile split is one global ntile over the
+    DOC-GRAIN frame (500 rows at fixture scale, still only
+    corpus-cardinality at 100 TB — documents, not tokens); ties are
+    doc_id-broken so bucket assignment is deterministic."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = wc.agg(F.sum("c").alias("t"))
+    lp = wc.join(F.broadcast(tot)).select(
+        "w", F.log(F.col("c") / F.col("t")).alias("logp")
+    )
+    pd_ = (
+        tok.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("ce"),
+        )
+    )
+    bucketed = pd_.withColumn(
+        "bucket",
+        F.ntile(4).over(W.orderBy("ce", "doc_id")).cast("bigint"),
+    )
+    weight = (
+        F.when(F.col("bucket") == 1, 2.0)
+        .when(F.col("bucket") == 2, 1.5)
+        .when(F.col("bucket") == 3, 1.0)
+        .otherwise(0.5)
+    )
+    return (
+        bucketed.withColumn("ce_w", weight)
+        .groupBy("bucket", "ce_w")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bucket_tokens"),
+            F.round(F.sum("n_tokens") * F.col("ce_w"), 1).alias(
+                "epoch_tokens"
+            ),
+        )
+        .select(
+            "bucket", "n_docs", "bucket_tokens",
+            F.round("ce_w", 2).alias("weight"), "epoch_tokens",
+        )
+    )
+
+
+@register(
+    "trigram_lm_train",
+    oracle="""
+    WITH w AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS ws
+      FROM documents
+    ),
+    n AS (SELECT ws, len(ws) AS m FROM w WHERE len(ws) >= 3),
+    tri AS (
+      SELECT unnest(ws[1:m-2]) AS a, unnest(ws[2:m-1]) AS b,
+             unnest(ws[3:m]) AS c
+      FROM n
+    ),
+    tc AS (SELECT a, b, c, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+    bc AS (SELECT a, b, SUM(c3) AS c2 FROM tc GROUP BY 1, 2),
+    v  AS (SELECT COUNT(DISTINCT x) AS vocab FROM (
+             SELECT unnest(ws) AS x FROM w)),
+    probs AS (
+      SELECT tc.a, tc.b, tc.c, tc.c3,
+             ROUND(ln((tc.c3 + 0.5e0) / (bc.c2 + 0.5e0 * v.vocab)), 6)
+               AS logp
+      FROM tc JOIN bc USING (a, b), v
+    )
+    SELECT a, b, c, CAST(c3 AS BIGINT) AS n, logp
+    FROM probs
+    ORDER BY n DESC, a, b, c LIMIT 30
+    """,
+)
+def trigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model TRAINING as a query: corpus trigram
+    counts → add-k-smoothed conditional log-probabilities
+    p(c | a,b) = (c₃+k)/(c₂+k·V) — the classic counting LM whose
+    output TABLE is then broadcast for scoring (the
+    doc_bigram_perplexity scorer is this model's second-order
+    sibling). Top-30 merges emitted with a total (count, trigram)
+    order. Two hash aggregates (trigram, then its bigram prefix
+    re-using the same key prefix) + a 1-row vocab readout; the token
+    stream is generated map-side from per-doc arrays — text never
+    self-joins."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tri = (
+        docs.withColumn(
+            "ws", F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
+        )
+        .filter(F.size("ws") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> struct(ws[i-1] AS a, ws[i] AS b, ws[i+1] AS c))"
+                )
+            ).alias("t")
+        )
+        .select("t.a", "t.b", "t.c")
+    )
+    tc = tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3"))
+    bc = tc.groupBy("a", "b").agg(F.sum("c3").alias("c2"))
+    docs_ws = docs.select(
+        F.explode(F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')"))
+        .alias("x")
+    )
+    v = docs_ws.agg(F.countDistinct("x").alias("vocab"))
+    probs = (
+        tc.join(bc, ["a", "b"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "a", "b", "c", F.col("c3").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("c3") + F.lit(0.5))
+                    / (F.col("c2") + F.lit(0.5) * F.col("vocab"))
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    return probs.orderBy(
+        F.desc("n"), "a", "b", "c"
+    ).limit(30)
+
+
+@register(
+    "doc_pack_with_splits",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, lang, n,
+             CAST(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) - n
+               AS start
+      FROM toks
+    ),
+    pieces AS (
+      SELECT lang, doc_id, n, start,
+             unnest(generate_series(CAST(FLOOR(start / 256) AS BIGINT),
+                                    CAST(FLOOR((start + n - 1) / 256)
+                                         AS BIGINT))) AS pack_id
+      FROM offs
+    ),
+    sized AS (
+      SELECT lang, pack_id, doc_id,
+             least(start + n, (pack_id + 1) * 256)
+               - greatest(start, pack_id * 256) AS piece_tokens,
+             (start < pack_id * 256 OR start + n > (pack_id + 1) * 256)
+               AS is_split
+      FROM pieces
+    )
+    SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT)                 AS n_pieces,
+           CAST(SUM(CASE WHEN is_split THEN 1 ELSE 0 END) AS BIGINT)
+                                                    AS n_split_pieces,
+           CAST(SUM(piece_tokens) AS BIGINT)        AS pack_tokens
+    FROM sized GROUP BY 1, 2
+    """,
+)
+def doc_pack_with_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing v2 — WITH DOCUMENT SPLITTING at pack
+    boundaries: the per-language token stream is laid out contiguously
+    (window cumsum, as in doc_sequence_packing), but a document whose
+    span crosses a 256-token boundary is CUT into per-pack pieces
+    instead of overflowing — every interior pack holds exactly 256
+    tokens, the invariant fixed-context training dataloaders need
+    (no padding, no overflow). Each doc explodes into
+    ceil(span/256) ≤ 2 + n/256 pieces map-side; the only shuffle is
+    the lang-partitioned cumsum, and the piece fan-out reuses it. The
+    split bookkeeping (which pieces are partial) is emitted for the
+    detokenizer."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(r"size(filter(split(text, '\\s+'), t -> t <> ''))")
+        .cast("bigint")
+        .alias("n"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    offs = toks.withColumn("start", F.sum("n").over(w) - F.col("n"))
+    pieces = offs.select(
+        "lang",
+        "doc_id",
+        "n",
+        "start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / 256),
+                F.floor((F.col("start") + F.col("n") - 1) / 256),
+            )
+        ).alias("pack_id"),
+    )
+    piece_tokens = F.least(
+        F.col("start") + F.col("n"), (F.col("pack_id") + 1) * 256
+    ) - F.greatest(F.col("start"), F.col("pack_id") * 256)
+    is_split = (F.col("start") < F.col("pack_id") * 256) | (
+        F.col("start") + F.col("n") > (F.col("pack_id") + 1) * 256
+    )
+    return (
+        pieces.withColumn("piece_tokens", piece_tokens)
+        .withColumn("is_split", is_split)
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_pieces"),
+            F.sum(F.col("is_split").cast("bigint")).alias("n_split_pieces"),
+            F.sum("piece_tokens").alias("pack_tokens"),
+        )
+    )
+
+
+@register(
+    "source_priority_dedup",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             CAST(substr(source, 4) AS BIGINT) AS src_rank,
+             array_to_string(list_filter(string_split_regex(text, '\\s+'),
+                                         t -> t <> '')[1:6], ' ') AS pref
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY pref
+                ORDER BY src_rank, n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY pref) AS n_candidates
+      FROM keyed
+    )
+    SELECT pref, CAST(doc_id AS BIGINT) AS kept_doc_id, source AS kept_source,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_candidates - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """,
+)
+def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-PRIORITY dedup rules: documents cluster on a
+    6-token prefix fingerprint (the near-dup blocking key), and each
+    cluster keeps ONE canonical doc by an explicit business priority —
+    preferred source first (lower srcN rank — e.g. curated > crawl),
+    then the longest text, then the smallest id as the final total
+    tie-break. The losers are journaled per cluster (n_dropped), the
+    audit trail a curation pipeline owes its provenance report. One
+    window over one shuffle on the blocking key; at 100 TB the key is
+    an 8-byte digest and the rule ladder is the same ORDER BY."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.substring("source", 4, 10).cast("bigint").alias("src_rank"),
+        F.expr(
+            r"concat_ws(' ', slice(filter(split(text, '\\s+'),"
+            r" t -> t <> ''), 1, 6))"
+        ).alias("pref"),
+    )
+    w = W.partitionBy("pref").orderBy(
+        "src_rank", F.desc("n_chars"), "doc_id"
+    )
+    ranked = keyed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_candidates", F.count("*").over(W.partitionBy("pref"))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "pref",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("source").alias("kept_source"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        (F.col("n_candidates") - 1).cast("bigint").alias("n_dropped"),
+    )
+
+
+@register(
+    "contamination_removal_report",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               CASE WHEN len(tk) >= 5
+                    THEN list_transform(range(1, len(tk) - 3),
+                                        i -> array_to_string(tk[i:i+4], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+      FROM tok
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    hits AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (shingle)
+      WHERE sh.doc_id >= 20
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)    AS n_contaminated,
+           CAST(SUM(CASE WHEN h.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)    AS n_after,
+           ROUND(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1e0 / COUNT(*), 6)                     AS frac_removed
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id >= 20
+    GROUP BY d.source
+    """,
+)
+def contamination_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination REMOVAL report — the governance artifact joined
+    back into the curation funnel: per source, how many corpus docs
+    the 5-gram benchmark-overlap decontamination step (the
+    decontaminate_docs operator) removes, how many survive, and the
+    removal fraction. This is the row a dataset card publishes per
+    subset. The hit set reuses the broadcast shingle semi-probe
+    (corpus text never shuffles); the report is one left anti-ish
+    aggregate at SOURCE grain — 20 rows out regardless of scale."""
+    import facebook_ads_bigquery_etl_spark.operators.dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].withColumn(
+        "text_lc", F.lower(F.col("text"))
+    )
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    hits = (
+        dd.contamination_overlap(corpus, bench, text_col="text_lc", ngram=5)
+        .select("doc_id")
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("hit").isNotNull().cast("bigint")).alias(
+                "n_contaminated"
+            ),
+            F.sum(F.col("hit").isNull().cast("bigint")).alias("n_after"),
+            F.round(
+                F.sum(F.col("hit").isNotNull().cast("bigint"))
+                / F.count("*"),
+                6,
+            ).alias("frac_removed"),
+        )
+    )
+
+
+@register(
+    "class_balance_audit",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    lab AS (
+      SELECT label, i, AVG(v) AS c FROM ev GROUP BY 1, 2
+    ),
+    gcent AS (
+      SELECT i, AVG(v) AS g FROM ev GROUP BY 1
+    ),
+    n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1)
+    SELECT lab.label,
+           CAST(n.n_vecs AS BIGINT)                       AS n_vecs,
+           ROUND(sqrt(SUM(lab.c * lab.c)), 6)             AS centroid_norm,
+           ROUND(sqrt(SUM((lab.c - gcent.g) * (lab.c - gcent.g))), 6)
+                                                          AS dist_to_global
+    FROM lab JOIN gcent USING (i) JOIN n ON n.label = lab.label
+    GROUP BY lab.label, n.n_vecs
+    """,
+)
+def class_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space CLASS-BALANCE audit: per label, the member
+    count, the centroid's norm, and the centroid's distance to the
+    GLOBAL centroid — the spread report that catches a label whose
+    examples collapse to a corner (near-duplicate class) or drift off
+    the manifold before they poison a training mix. Vectors reduce to
+    per-(label, dim) partial sums in ONE hash aggregate (the posexplode
+    fan-out is map-side, d=64 rows per vector); only O(labels × d)
+    centroid cells shuffle — never the vectors themselves. Distances
+    rounded to 6dp: the only cross-engine noise is double summation
+    order on ~1e-8-scale tails."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ev = emb.select(
+        "label", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    lab = ev.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    glob = ev.groupBy("i").agg(F.avg("v").alias("g"))
+    n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return (
+        lab.join(glob, "i")
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias(
+                "centroid_norm"
+            ),
+            F.round(
+                F.sqrt(F.sum((F.col("c") - F.col("g")) ** 2)), 6
+            ).alias("dist_to_global"),
+        )
+        .join(F.broadcast(n), "label")
+        .select("label", "n_vecs", "centroid_norm", "dist_to_global")
+    )
+
+
+@register(
+    "pii_cooccurrence_audit",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' +12-555-' || lpad((doc_id % 10000)::VARCHAR,
+                                              4, '0') ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' 10.0.0.' || (doc_id % 256) ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR,
+                                                4, '0') ELSE '' END AS t
+      FROM documents
+    ),
+    dc AS (
+      SELECT doc_id, unnest(list_filter([
+        CASE WHEN regexp_matches(t,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}') THEN 'email' END,
+        CASE WHEN regexp_matches(t,
+          '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}') THEN 'phone' END,
+        CASE WHEN regexp_matches(t,
+          '\\b10\\.0\\.0\\.[0-9]{1,3}\\b') THEN 'ip' END,
+        CASE WHEN regexp_matches(t,
+          '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b') THEN 'ssn' END],
+        x -> x IS NOT NULL)) AS cls
+      FROM seeded
+    )
+    SELECT x.cls AS class_a, y.cls AS class_b,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM dc x JOIN dc y ON x.doc_id = y.doc_id AND x.cls <= y.cls
+    GROUP BY 1, 2
+    """,
+)
+def pii_cooccurrence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-CLASS CO-OCCURRENCE audit: which personal-data classes
+    appear TOGETHER in the same document (email×phone is a contact
+    record; email×ssn is a breach-grade row that triggers a different
+    handling tier than either alone). The synthetic corpus carries no
+    real PII, so classes are seeded deterministically by doc_id
+    residues (3→email, 4→phone, 5→ip, 7→ssn — every pairwise
+    combination occurs) and each class is detected by its anchored
+    regex, NOT read off the seeding rule. Detection is map-only
+    codegen; the co-occurrence matrix is a self-join of the tiny
+    (doc, class) fan-out (≤4 rows/doc) on doc_id — at 100 TB that
+    join input is 4n rows of (id, enum), nothing more."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" +12-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" 10.0.0."), (F.col("doc_id") % 256).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" id 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    classes = [
+        ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+        ("phone", r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"),
+        ("ip", r"\b10\.0\.0\.[0-9]{1,3}\b"),
+        ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ]
+    dc = seeded.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            F.col("t").rlike(pat), F.lit(name)
+                        )
+                        for name, pat in classes
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("cls"),
+    )
+    a, b = dc.alias("x"), dc.alias("y")
+    return (
+        a.join(
+            b,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.cls") <= F.col("y.cls")),
+        )
+        .groupBy(
+            F.col("x.cls").alias("class_a"), F.col("y.cls").alias("class_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -84,6 +84,11 @@ SAMPLE = [
     "purchase_nearest_view",
     "merge_upsert_monthly_revenue", "commit_protocol_audit",
     "bloom_partition_index_audit", "parquet_codec_matrix_audit",
+    "line_dedup_stats", "bloom_decontaminate_13gram",
+    "quality_classifier_scores", "perplexity_curriculum_mix",
+    "trigram_lm_train", "doc_pack_with_splits",
+    "source_priority_dedup", "contamination_removal_report",
+    "class_balance_audit", "pii_cooccurrence_audit",
 ]
 
 Q, O = e.queries(), e.oracle_sql()
