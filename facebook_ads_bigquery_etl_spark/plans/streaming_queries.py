@@ -374,3 +374,330 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pass",
         "passed_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: streaming depth (SURVEY §7b slate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(COALESCE(v.event_id, -1) AS BIGINT) AS view_id
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join with state-timeout semantics:
+    purchases matched to same-user views within ±1 h, and purchases
+    with NO view emitted as unmatched (view_id −1) — but only once
+    the watermark proves no matching view can still arrive. That
+    eviction is the hard part of streaming outer joins: unmatched
+    rows sit in the state store until the watermark passes their join
+    window, so correctness depends on watermark propagation across
+    MULTIPLE micro-batches. The source is therefore staged as
+    time-sliced files consumed one per trigger (maxFilesPerTrigger=1),
+    with a far-future sentinel slice whose only job is to push the
+    final watermark past every join window (the no-data micro-batch
+    then flushes remaining state). On finite input the result must
+    equal the batch left join EXACTLY — matches and non-matches both.
+    State is O(rate × (watermark + window)) per side at any scale."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..streaming.pipeline import _event_schema
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    tmp = tempfile.mkdtemp(prefix="ss_louter_")
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-23"]
+    slices = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter((F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2])),
+        ev.filter(F.col("ts") >= cuts[2]),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(tmp)
+    # one sentinel per SIDE: the stream's global watermark is the MIN
+    # over every watermarked branch, so advancing only the view side
+    # would leave the purchase watermark at max(p_ts) − delay and the
+    # final ~1.5 h of unmatched purchases stuck in state forever.
+    sentinel = spark.createDataFrame(
+        [
+            (-1, "2099-01-01 00:00:00", -1, "view", 0.0, "{}"),
+            (-2, "2099-01-01 00:00:00", -1, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(tmp)
+
+    schema = _event_schema(T.TimestampType())
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    p = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    v = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    joined = p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - interval 1 hour"
+            " AND v_ts <= p_ts + interval 1 hour"
+        ),
+        "leftOuter",
+    )
+    out = _drain(
+        joined.select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            F.coalesce("view_id", F.lit(-1)).alias("view_id"),
+        ),
+        _qname("s_ss_louter", sf_dir),
+        "append",
+    )
+    return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(ts AS DATE) AS date, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      WHERE CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)
+            <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+      GROUP BY 1, 2
+    )
+    SELECT date, event_type, n_events,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY date
+                    ORDER BY n_events DESC, event_type) AS rnk
+          FROM counts)
+    WHERE rnk <= 2
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked TOP-K PER WINDOW: the daily event-type counts run
+    as a streaming windowed aggregate (append mode — only FINALIZED
+    windows emit, the oracle encodes that contract exactly as
+    stream_dedup_then_rollup does), and the top-2 ranking runs as a
+    bounded post-pass over the drained per-window table — the
+    standard streaming-topk decomposition, since a rank over an open
+    window can change until the window finalizes. Ranking input is
+    #windows × #types rows (tiny at any scale); ties break on
+    event_type for a total order."""
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    st = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    counts = _drain(st, _qname("s_wtopk", sf_dir), "append")
+    from pyspark.sql.window import Window as W
+
+    ranked = counts.select(
+        F.col("w.start").cast("date").alias("date"), "event_type", "n_events"
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.partitionBy("date").orderBy(F.desc("n_events"), "event_type"))
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") <= 2)
+
+
+@register(
+    "stream_rate_limit_tokens",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ),
+    m AS (SELECT user_id AS mu, MAX(i) AS n FROM ev GROUP BY 1),
+    st AS (
+      SELECT mu AS user_id, 0 AS i, CAST(0 AS BIGINT) AS tokens,
+             CAST(0 AS BIGINT) AS last_r, CAST(0 AS BIGINT) AS n_allowed
+      FROM m
+      UNION ALL
+      SELECT st.user_id, ev.i,
+             CASE WHEN least(2, st.tokens
+                            + (ev.t - st.last_r) // 14400000000) > 0
+                  THEN least(2, st.tokens
+                             + (ev.t - st.last_r) // 14400000000) - 1
+                  ELSE least(2, st.tokens
+                             + (ev.t - st.last_r) // 14400000000) END,
+             st.last_r + ((ev.t - st.last_r) // 14400000000) * 14400000000,
+             st.n_allowed
+               + CASE WHEN least(2, st.tokens
+                              + (ev.t - st.last_r) // 14400000000) > 0
+                      THEN 1 ELSE 0 END
+      FROM st JOIN ev ON ev.user_id = st.user_id AND ev.i = st.i + 1
+    )
+    SELECT st.user_id, CAST(m.n AS BIGINT) AS n_events,
+           CAST(st.n_allowed AS BIGINT) AS n_allowed,
+           CAST(m.n - st.n_allowed AS BIGINT) AS n_throttled
+    FROM st JOIN m ON m.mu = st.user_id AND st.i = m.n
+    """,
+)
+def stream_rate_limit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key token-bucket rate limiting in-stream
+    (streaming/pipeline.rate_limit_token_bucket): 2-token buckets
+    refilling one per 4 h decide per event whether it is admitted,
+    with the bucket state held in the state store across
+    micro-batches. The all-integer lazy-refill recurrence makes the
+    sequential fold exactly replayable — the DuckDB oracle rediscovers
+    every per-user admission count with a RECURSIVE CTE (a genuinely
+    sequential computation, which is the point: this is the §2.8
+    ladder's applyInPandasWithState rung doing something windows
+    cannot express)."""
+    from ..streaming import rate_limit_token_bucket
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    limited = rate_limit_token_bucket(ev)
+    return _drain(limited, _qname("s_ratelimit", sf_dir), "update")
+
+
+@register(
+    "stream_dedup_ttl",
+    oracle="""
+    SELECT event_type, CAST(h AS DATE) AS date,
+           CAST(COUNT(*) AS BIGINT)    AS n_kept
+    FROM (SELECT DISTINCT event_type, user_id,
+                 date_trunc('hour', ts) AS h
+          FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with TTL'd FINGERPRINT STATE: the fingerprint
+    is (user, event_type, event-hour) — one representative event per
+    user/type/hour survives — and because the hour column IS the
+    watermarked event-time column, the state store provably EVICTS
+    fingerprints one hour behind the watermark (the TTL; without an
+    event-time component in the key, streaming dropDuplicates state
+    grows forever). Input is the stream unioned with itself, so every
+    fingerprint is contested by real duplicates. On finite input the
+    kept set must equal the batch DISTINCT — per (type, day) counts
+    oracle-checked. State: O(active keys × 1 h), independent of
+    stream length."""
+    src = f"{sf_dir}/events.parquet"
+    doubled = read_event_stream(spark, src).unionByName(
+        read_event_stream(spark, src)
+    )
+    deduped = (
+        doubled.withColumn("h", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("h", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "h"])
+    )
+    tbl = _drain(
+        deduped.select("event_type", F.col("h").cast("date").alias("date")),
+        _qname("s_dedupttl", sf_dir),
+        "append",
+    )
+    return tbl.groupBy("event_type", "date").agg(
+        F.count("*").alias("n_kept")
+    )
+
+
+@register(
+    "stream_atomic_sink_ingest",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                         AS n_rows,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_partitions,
+           TRUE AS rerun_stable, TRUE AS compacted_single_file,
+           TRUE AS no_debris
+    FROM events
+    """,
+)
+def stream_atomic_sink_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EXACTLY-ONCE streaming ingest into the journaled
+    warehouse sink: foreachBatch writes day partitions through the
+    dynamic-overwrite path, the WHOLE stream is replayed from scratch
+    (fresh checkpoint — the at-least-once redelivery worst case), and
+    the row count must not move; then the fragmented table is
+    compacted through the ATOMIC staged-commit protocol (journal +
+    rename swap, sinks.compact_partitions_atomic) down to one file
+    per partition with no staging debris. This is the reference's
+    daily-cron ingest (README.md:57, main.py:86-89) upgraded to
+    exactly-once + crash-safe maintenance, proven as one driver row."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import sinks
+    from ..streaming import write_stream_to_warehouse
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts").cast("date").alias("date"),
+    )
+    tmp = tempfile.mkdtemp(prefix="s_atomic_")
+    wh = f"{tmp}/wh"
+    try:
+        q = write_stream_to_warehouse(out, wh, f"{tmp}/cp1")
+        q.awaitTermination(300)
+        n1 = spark.read.parquet(wh).count()
+        # full redelivery: same data, FRESH checkpoint
+        ev2 = read_event_stream(spark, f"{sf_dir}/events.parquet")
+        out2 = ev2.select(
+            "event_id", "user_id", "event_type", "value",
+            F.col("ts").cast("date").alias("date"),
+        )
+        q2 = write_stream_to_warehouse(out2, wh, f"{tmp}/cp2")
+        q2.awaitTermination(300)
+        n2 = spark.read.parquet(wh).count()
+        sinks.compact_partitions(spark, wh)
+        n3 = spark.read.parquet(wh).count()
+        parts = [d for d in os.listdir(wh) if d.startswith("date=")]
+        single = all(
+            len([f for f in os.listdir(os.path.join(wh, p))
+                 if f.endswith(".parquet")]) == 1
+            for p in parts
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    int(n3),
+                    len(parts),
+                    bool(n1 == n2 == n3),
+                    bool(single),
+                    not os.path.isdir(os.path.join(wh, "_compact")),
+                )
+            ],
+            "n_rows long, n_partitions long, rerun_stable boolean,"
+            " compacted_single_file boolean, no_debris boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

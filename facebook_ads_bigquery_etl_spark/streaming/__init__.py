@@ -19,6 +19,7 @@ from .pipeline import (
     dedup_events,
     enrich_with_rates,
     join_event_streams,
+    rate_limit_token_bucket,
     read_event_stream,
     sessionize_stream,
     transform_with_state_available,
@@ -32,6 +33,7 @@ __all__ = [
     "dedup_events",
     "join_event_streams",
     "enrich_with_rates",
+    "rate_limit_token_bucket",
     "read_event_stream",
     "sessionize_stream",
     "transform_with_state_available",

@@ -412,3 +412,89 @@ def join_event_streams(
         f"AND b.ts <= a.ts + interval {within}"
     )
     return a.join(b, cond)
+
+
+_RATE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_allowed", T.LongType()),
+        T.StructField("n_throttled", T.LongType()),
+    ]
+)
+
+_RATE_STATE = T.StructType(
+    [
+        T.StructField("tokens", T.LongType()),
+        T.StructField("last_refill_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_allowed", T.LongType()),
+    ]
+)
+
+
+def rate_limit_token_bucket(
+    events: DataFrame,
+    capacity: int = 2,
+    period_us: int = 14_400_000_000,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-key TOKEN-BUCKET rate limiting as a custom stateful
+    operator (``applyInPandasWithState``): each user owns a bucket of
+    ``capacity`` tokens refilling one per ``period_us``; an event is
+    admitted iff a token is available. The classic lazy-refill
+    recurrence, ALL-INTEGER so every engine replays it bit-identically:
+
+        refill   = (ts − last_refill) // period
+        tokens   = min(capacity, tokens + refill)
+        last_refill += refill · period
+        admit ⇔ tokens > 0 (then tokens −= 1)
+
+    Events are ordered (ts, event_id) within each micro-batch before
+    folding, and the bucket state carries ACROSS batches — with
+    time-ordered micro-batches the fold equals the global sequential
+    fold, which is what the batch oracle (a per-user recursive CTE)
+    recomputes. Emits the refreshed per-user admission profile each
+    batch (update mode; the final emit is the stream total). State is
+    4 longs per key, watermark-evictable — rate × keys, not rate ×
+    events."""
+
+    def update(key, pdfs, state):
+        tokens, last_r, n, n_allowed = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (
+                pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            for t in ts_us:
+                refill = (int(t) - last_r) // period_us
+                if refill > 0:
+                    tokens = min(capacity, tokens + refill)
+                    last_r += refill * period_us
+                n += 1
+                if tokens > 0:
+                    tokens -= 1
+                    n_allowed += 1
+        state.update((tokens, last_r, n, n_allowed))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_allowed": [n_allowed],
+                "n_throttled": [n - n_allowed],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RATE_OUT,
+            stateStructType=_RATE_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -89,6 +89,9 @@ SAMPLE = [
     "trigram_lm_train", "doc_pack_with_splits",
     "source_priority_dedup", "contamination_removal_report",
     "class_balance_audit", "pii_cooccurrence_audit",
+    "stream_stream_left_outer", "stream_windowed_topk",
+    "stream_rate_limit_tokens", "stream_dedup_ttl",
+    "stream_atomic_sink_ingest",
 ]
 
 Q, O = e.queries(), e.oracle_sql()
