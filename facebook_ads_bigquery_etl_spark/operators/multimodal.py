@@ -871,3 +871,349 @@ def parse_wav_headers(media: DataFrame) -> DataFrame:
         "duration_us",
         F.floor(F.col("n_samples") * 1000000 / F.col("sample_rate")).cast("long"),
     )
+
+
+# -- round-5: GIF header/palette parse, EXIF (APP1/TIFF) walk, dHash --------
+
+
+def _gif_tools():
+    """GIF87a/89a container support, nested for by-value pickling
+    (same constraint as ``_png_codec``): an encoder that emits a real
+    GIF header + logical screen descriptor + global color table
+    (pixel data is out of scope — the parser's job is the container),
+    and a parser that walks exactly what a cataloguing pipeline needs:
+    version, dimensions, palette size/contents, background index.
+    Malformed payloads return None (quarantine posture)."""
+    import struct as _s
+
+    def encode(d: int) -> bytes:
+        version = b"GIF89a" if d % 2 else b"GIF87a"
+        w, h = 16 + d % 32, 16 + d % 16
+        exp = d % 8
+        n_pal = 1 << (exp + 1)
+        packed = 0x80 | ((d % 8) << 4) | exp  # GCT present, res, size
+        bg = d % n_pal
+        pal = bytes((d + 7 * j) % 256 for j in range(3 * n_pal))
+        return (
+            version
+            + _s.pack("<HHBBB", w, h, packed, bg, 0)
+            + pal
+            + b"\x3b"  # trailer
+        )
+
+    def parse(data: bytes):
+        try:
+            data = bytes(data)
+            if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+                return None
+            w, h, packed, bg, _aspect = _s.unpack("<HHBBB", data[6:13])
+            if not packed & 0x80:
+                return (data[3:6].decode(), w, h, 0, bg, 0)
+            n_pal = 1 << ((packed & 0x07) + 1)
+            pal = data[13 : 13 + 3 * n_pal]
+            if len(pal) < 3 * n_pal:
+                return None
+            return (
+                data[3:6].decode(),
+                w,
+                h,
+                n_pal,
+                bg,
+                sum(pal),
+            )
+        except Exception:
+            return None
+
+    return encode, parse
+
+
+gif_encode, gif_parse = _gif_tools()
+
+
+GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("version", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_palette", T.IntegerType(), True),
+        T.StructField("bg_index", T.IntegerType(), True),
+        T.StructField("palette_sum", T.LongType(), True),
+    ]
+)
+
+
+def gif_header_table(docs: DataFrame) -> DataFrame:
+    """Synthesize real GIF containers (one per selected doc) and parse
+    them back IN A SEPARATE PASS over the wire bytes — the parser
+    never sees the generation parameters, only the payload. Both
+    stages are Arrow-batched mapInPandas, map-only."""
+    enc, par = gif_encode, gif_parse
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [enc(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "version", "width", "height",
+                                    "n_palette", "bg_index", "palette_sum")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(int(mid))
+                parsed = par(p)
+                if parsed is None:
+                    for k in ("version", "width", "height", "n_palette",
+                              "bg_index", "palette_sum"):
+                        rows[k].append(None)
+                    continue
+                v, w, h, n_pal, bg, psum = parsed
+                rows["version"].append(v)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_palette"].append(n_pal)
+                rows["bg_index"].append(bg)
+                rows["palette_sum"].append(psum)
+            yield pd.DataFrame(rows)
+
+    src = docs.select("doc_id")
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    payloads = src.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(walk, GIF_STATS_SCHEMA)
+
+
+def _exif_tools():
+    """APP1/EXIF metadata support (nested for by-value pickling): a
+    builder emitting a minimal REAL JPEG (SOI + APP1 carrying a TIFF
+    block + SOF0 + EOI) and a parser that walks the marker stream to
+    APP1, validates the Exif header, honors the TIFF byte order
+    ("II" little / "MM" big), and reads IFD0's inline-value tags —
+    the orientation/width walk every image-corpus cataloguer runs.
+    Values beyond 4 bytes (offset-addressed) are out of scope and
+    skipped, not misread."""
+    import struct as _s
+
+    def encode(d: int) -> bytes:
+        little = d % 2 == 0
+        e = "<" if little else ">"
+        orient = 1 + d % 8
+        width_tag = 16 + d % 32
+        tiff = (b"II" if little else b"MM") + _s.pack(e + "HI", 42, 8)
+        # IFD0: 3 entries, all inline values, then next-IFD offset 0
+        entries = (
+            _s.pack(e + "HHIHH", 0x0100, 3, 1, width_tag, 0)  # ImageWidth
+            + _s.pack(e + "HHIHH", 0x0112, 3, 1, orient, 0)   # Orientation
+            + _s.pack(e + "HHI4s", 0x0131, 2, 4, b"sg1\x00")  # Software
+        )
+        tiff += _s.pack(e + "H", 3) + entries + _s.pack(e + "I", 0)
+        app1_body = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + _s.pack(">H", len(app1_body) + 2) + app1_body
+        sof = b"\xff\xc0" + _s.pack(
+            ">HBHHB", 8 + 3, 8, 16 + d % 16, width_tag, 1
+        ) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app1 + sof + b"\xff\xd9"
+
+    def parse(data: bytes):
+        try:
+            data = bytes(data)
+            if data[:2] != b"\xff\xd8":
+                return None
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    return None
+                marker = data[pos + 1]
+                (ln,) = _s.unpack(">H", data[pos + 2 : pos + 4])
+                if ln < 2 or pos + 2 + ln > len(data):
+                    return None
+                if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                    t = pos + 10  # TIFF origin
+                    order = data[t : t + 2]
+                    if order == b"II":
+                        e = "<"
+                    elif order == b"MM":
+                        e = ">"
+                    else:
+                        return None
+                    magic, ifd_off = _s.unpack(e + "HI", data[t + 2 : t + 8])
+                    if magic != 42:
+                        return None
+                    p = t + ifd_off
+                    (n,) = _s.unpack(e + "H", data[p : p + 2])
+                    p += 2
+                    orient = width_tag = None
+                    for _ in range(n):
+                        tag, typ, cnt = _s.unpack(
+                            e + "HHI", data[p : p + 8]
+                        )
+                        if tag == 0x0112 and typ == 3 and cnt == 1:
+                            (orient,) = _s.unpack(
+                                e + "H", data[p + 8 : p + 10]
+                            )
+                        elif tag == 0x0100 and typ == 3 and cnt == 1:
+                            (width_tag,) = _s.unpack(
+                                e + "H", data[p + 8 : p + 10]
+                            )
+                        p += 12
+                    return (
+                        "little" if e == "<" else "big",
+                        int(n),
+                        orient,
+                        width_tag,
+                    )
+                pos += 2 + ln
+            return None
+        except Exception:
+            return None
+
+    return encode, parse
+
+
+exif_encode, exif_parse = _exif_tools()
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("endian", T.StringType(), True),
+        T.StructField("n_ifd_entries", T.IntegerType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("width_tag", T.IntegerType(), True),
+    ]
+)
+
+
+def exif_table(docs: DataFrame) -> DataFrame:
+    """Synthesize EXIF-bearing JPEGs and parse them back from wire
+    bytes (separate passes, like :func:`gif_header_table`)."""
+    enc, par = exif_encode, exif_parse
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [enc(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "endian", "n_ifd_entries",
+                                    "orientation", "width_tag")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(int(mid))
+                parsed = par(p)
+                if parsed is None:
+                    for k in ("endian", "n_ifd_entries", "orientation",
+                              "width_tag"):
+                        rows[k].append(None)
+                    continue
+                endian, n, orient, width_tag = parsed
+                rows["endian"].append(endian)
+                rows["n_ifd_entries"].append(n)
+                rows["orientation"].append(orient)
+                rows["width_tag"].append(width_tag)
+            yield pd.DataFrame(rows)
+
+    src = docs.select("doc_id")
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    payloads = src.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(walk, EXIF_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("dhash", T.StringType(), True),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, grid_w: int = 9, grid_h: int = 8) -> DataFrame:
+    """Perceptual difference hash (dHash) from REAL decoded pixels:
+    decode the PNG, floor-sample a ``grid_w × grid_h`` grayscale grid
+    (the same ``src = out·src_dim // out_dim`` rule as
+    :func:`resize_images`, gray = (r+g+b)//3 integer), and emit one
+    bit per horizontal neighbor comparison — a 64-bit fingerprint
+    (8×8 comparisons) robust to resizing/re-encoding, the standard
+    image near-dup key. Emitted as a 64-char bitstring so the hash is
+    engine-portable with no signed-int edge cases; grouping equal
+    hashes IS perceptual dedup. Map-only Arrow-batched stage; at
+    100 TB the only shuffle downstream is on the 64-bit key."""
+    dec = png_decode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "width": [], "height": [], "dhash": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(int(mid))
+                decoded = dec(p)
+                if decoded is None:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["dhash"].append(None)
+                    continue
+                w, h, rgb = decoded
+
+                def gray(x: int, y: int) -> int:
+                    o = (y * w + x) * 3
+                    return (rgb[o] + rgb[o + 1] + rgb[o + 2]) // 3
+
+                bits = []
+                for gy in range(grid_h):
+                    sy = gy * h // grid_h
+                    for gx in range(grid_w - 1):
+                        a = gray(gx * w // grid_w, sy)
+                        b = gray((gx + 1) * w // grid_w, sy)
+                        bits.append("1" if b > a else "0")
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["dhash"].append("".join(bits))
+            yield pd.DataFrame(rows)
+
+    imgs = media.filter(F.col("modality") == "image")
+    target = imgs.sparkSession.sparkContext.defaultParallelism
+    if imgs.rdd.getNumPartitions() < target:
+        imgs = imgs.repartition(target)
+    return imgs.mapInPandas(gen, DHASH_SCHEMA)
+
+
+__all__ += [
+    "gif_encode",
+    "gif_parse",
+    "gif_header_table",
+    "exif_encode",
+    "exif_parse",
+    "exif_table",
+    "image_dhash",
+    "GIF_STATS_SCHEMA",
+    "EXIF_SCHEMA",
+    "DHASH_SCHEMA",
+]

@@ -3511,3 +3511,120 @@ def pii_cooccurrence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "gif_header_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 1 THEN '89a' ELSE '87a' END AS version,
+           CAST(16 + doc_id % 32 AS INTEGER) AS width,
+           CAST(16 + doc_id % 16 AS INTEGER) AS height,
+           CAST(1 << (doc_id % 8 + 1) AS INTEGER) AS n_palette,
+           CAST(doc_id % (1 << (doc_id % 8 + 1)) AS INTEGER) AS bg_index,
+           CAST(list_sum(list_transform(
+                  range(0, 3 * (1 << (doc_id % 8 + 1))),
+                  j -> (doc_id + 7 * j) % 256)) AS BIGINT) AS palette_sum
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def gif_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF87a/89a container parse from REAL wire bytes
+    (operators/multimodal.gif_header_table): genuine GIF headers —
+    version, little-endian logical screen descriptor, packed GCT
+    flags, full global color table — are synthesized in one
+    mapInPandas pass and parsed back in a SEPARATE pass that sees
+    only the payload bytes. The oracle regenerates every field
+    (including the palette byte sum, which requires actually walking
+    the color table) from the closed-form generation model; any
+    mis-read of the packed bit layout or palette length breaks the
+    hash. Same stdlib-container seam as PNG/WAV/JPEG."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return mm.gif_header_table(
+        docs.filter(F.col("doc_id") % 3 == 1)
+    ).select(
+        "media_id", "version", "width", "height", "n_palette", "bg_index",
+        "palette_sum",
+    )
+
+
+@register(
+    "jpeg_exif_orientation_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'little' ELSE 'big' END AS endian,
+           CAST(3 AS INTEGER)               AS n_ifd_entries,
+           CAST(1 + doc_id % 8 AS INTEGER)  AS orientation,
+           CAST(16 + doc_id % 32 AS INTEGER) AS width_tag
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def jpeg_exif_orientation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction via the JPEG APP1 marker walk
+    (operators/multimodal.exif_table): real JPEG streams carrying an
+    APP1 Exif segment with a TIFF block — alternating "II"
+    little-endian and "MM" big-endian files, so the parser's
+    byte-order handling is load-bearing, not decorative — are built
+    and then parsed back from wire bytes only (marker walk → Exif
+    header → TIFF magic → IFD0 inline tags: Orientation 0x0112,
+    ImageWidth 0x0100). Pure stdlib, no codec needed: this is the
+    metadata pass a 100 TB image corpus runs BEFORE any pixel decode,
+    map-only at scan speed."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return mm.exif_table(docs.filter(F.col("doc_id") % 3 == 2)).select(
+        "media_id", "endian", "n_ifd_entries", "orientation", "width_tag"
+    )
+
+
+@register(
+    "image_dhash_dedup",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS d, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    bits AS (
+      SELECT d,
+             gy.gy, gx.gx,
+             ((d*7 + 3*((gx.gx+1)*w//9) + 5*(gy.gy*h//8)) % 256
+              + (d*8 + 3*((gx.gx+1)*w//9) + 5*(gy.gy*h//8)) % 256
+              + (d*9 + 3*((gx.gx+1)*w//9) + 5*(gy.gy*h//8)) % 256) // 3
+             >
+             ((d*7 + 3*(gx.gx*w//9) + 5*(gy.gy*h//8)) % 256
+              + (d*8 + 3*(gx.gx*w//9) + 5*(gy.gy*h//8)) % 256
+              + (d*9 + 3*(gx.gx*w//9) + 5*(gy.gy*h//8)) % 256) // 3
+             AS bit
+      FROM img,
+           generate_series(0, 7) AS gy(gy),
+           generate_series(0, 7) AS gx(gx)
+    ),
+    hashes AS (
+      SELECT d,
+             string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
+                        ORDER BY gy, gx) AS dhash
+      FROM bits GROUP BY d
+    )
+    SELECT dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(d) AS BIGINT)   AS min_media_id
+    FROM hashes GROUP BY dhash
+    """,
+)
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup dedup by DIFFERENCE HASH over REAL decoded
+    pixels (operators/multimodal.image_dhash): every PNG is inflated
+    and unfiltered, floor-sampled to a 9×8 grayscale grid, and
+    fingerprinted by its 64 horizontal gradient signs; equal hashes
+    form perceptual duplicate groups (the synthetic gradient images
+    collide heavily by construction — the grouping is real work). The
+    oracle recomputes EVERY BIT analytically from the closed-form
+    pixel model and the exact floor-division sampling rule, so a
+    single mis-decoded pixel or an off-by-one in the grid flips the
+    hash. Decode is Arrow-batched map-only; the dedup shuffle carries
+    only (hash, id)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    hashes = mm.image_dhash(mm.synth_media_from_documents(docs))
+    return hashes.groupBy("dhash").agg(
+        F.count("*").alias("n_images"),
+        F.min("media_id").alias("min_media_id"),
+    )

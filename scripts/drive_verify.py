@@ -92,6 +92,8 @@ SAMPLE = [
     "stream_stream_left_outer", "stream_windowed_topk",
     "stream_rate_limit_tokens", "stream_dedup_ttl",
     "stream_atomic_sink_ingest",
+    "gif_header_stats", "jpeg_exif_orientation_stats",
+    "image_dhash_dedup",
 ]
 
 Q, O = e.queries(), e.oracle_sql()

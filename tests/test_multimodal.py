@@ -432,3 +432,59 @@ class TestAdviceR4Hardening:
             )
             assert mm.jpeg_dims(bad) is None
         assert mm.jpeg_dims(base) == (32, 32, 3)
+
+
+class TestGifAndExifSeams:
+    def test_gif_roundtrip_and_malformed(self):
+        for d in (0, 1, 7, 37, 255):
+            v, w, h, n_pal, bg, psum = mm.gif_parse(mm.gif_encode(d))
+            assert v == ("89a" if d % 2 else "87a")
+            assert (w, h) == (16 + d % 32, 16 + d % 16)
+            assert n_pal == 1 << (d % 8 + 1) and bg == d % n_pal
+            assert psum == sum((d + 7 * j) % 256 for j in range(3 * n_pal))
+        good = mm.gif_encode(9)
+        for bad in (b"", b"GIF9", b"GIF88a" + good[6:], good[:10],
+                    good[: 13 + 5]):  # palette truncated mid-table
+            assert mm.gif_parse(bad) is None
+
+    def test_exif_roundtrip_both_endians_and_malformed(self):
+        for d in (0, 1, 14, 15, 255):
+            endian, n, orient, width_tag = mm.exif_parse(mm.exif_encode(d))
+            assert endian == ("little" if d % 2 == 0 else "big")
+            assert n == 3
+            assert orient == 1 + d % 8 and width_tag == 16 + d % 32
+            # the same stream is a valid JPEG for the SOF dims walk
+            assert mm.jpeg_dims(mm.exif_encode(d)) is not None
+        good = mm.exif_encode(4)
+        # corrupt the TIFF magic (42) inside APP1
+        t = good.index(b"II") + 2
+        bad_magic = good[:t] + b"\x00\x00" + good[t + 2:]
+        for bad in (b"", b"\xff\xd8", bad_magic):
+            assert mm.exif_parse(bad) is None
+
+    def test_dhash_matches_local_recompute(self):
+        d = 12
+        w, h = mm.image_dims(d)
+        payload = mm.png_encode(w, h, mm.image_rgb(d, w, h))
+        _, _, rgb = mm.png_decode(payload)
+
+        def gray(x, y):
+            o = (y * w + x) * 3
+            return (rgb[o] + rgb[o + 1] + rgb[o + 2]) // 3
+
+        expect = "".join(
+            "1" if gray((gx + 1) * w // 9, gy * h // 8)
+            > gray(gx * w // 9, gy * h // 8) else "0"
+            for gy in range(8) for gx in range(8)
+        )
+        # closed-form recompute (the oracle's formula) agrees too
+        analytic = "".join(
+            "1"
+            if sum((d * k + 3 * ((gx + 1) * w // 9) + 5 * (gy * h // 8)) % 256
+                   for k in (7, 8, 9)) // 3
+            > sum((d * k + 3 * (gx * w // 9) + 5 * (gy * h // 8)) % 256
+                  for k in (7, 8, 9)) // 3
+            else "0"
+            for gy in range(8) for gx in range(8)
+        )
+        assert expect == analytic and len(expect) == 64
