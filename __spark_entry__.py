@@ -44,55 +44,54 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining round-1-green variants (stable, re-verified on a
 #      rotating basis as window budget allows).
 _PRIORITY = [
-    # -- round-4 window: clear the proof debt. 137/182 queries have
-    #    green driver rows (r1+r2+r3); the 45 without one (the whole
-    #    round-3 deferral list) take slots 1-45, then 5 rotating green
-    #    representatives fill the window to exactly 50. Surface growth
-    #    is FROZEN this round (VERDICT r3 #1): no new queries until
-    #    every registered query has a driver row.
-    # (1) the 45 round-3 deferrals, in their deferral order — every one
-    #     green in the local DuckDB oracle gate each run; this round
-    #     records them in CORRECTNESS_r04.
-    "doc_perplexity_filter", "bpe_merge_step", "quantity_price_skyline",
-    "nation_trade_pagerank",
-    "embedding_covariance_probe", "embedding_pca_audit",
-    "copurchase_association_rules", "copurchase_triangle_stats",
-    "revenue_ewma_by_nation", "brand_price_quartiles",
-    "lang_quality_geomean", "doc_stride_spans",
-    "orders_key_skew_audit", "events_selfjoin_cardinality",
-    "source_drift_audit",
-    "gopher_quality_filter", "compression_ratio_signal",
-    "session_window_rollup", "pq_quantization_audit",
-    "feature_hash_audit", "order_rank_in_customer_history",
-    "orc_roundtrip_audit", "incremental_dedup_new_docs",
-    "vocab_coverage_stats", "schema_evolution_audit",
-    "scd2_pointintime_join", "doc_bigram_perplexity",
-    "latest_order_per_customer", "decimal_revenue_exact",
-    "nullsafe_segment_match", "csv_quarantine_audit",
-    "customer_order_years", "masked_customer_extract",
-    "stratified_doc_sample", "customer_rfm_segments",
-    "weekly_revenue_iso", "stream_dedup_then_rollup",
-    "temperature_mix_weights", "nation_revenue_share_of_parent",
-    "ann_ivfpq_topk", "jl_projection_audit", "longest_order_gap",
-    "curation_pipeline_report", "stream_quality_gate",
-    "fb_campaign_roas",
-    # (2) 5 rotating representatives from the r1/r2/r3-green set:
-    #     events_by_day stays as the timestamp-unit canary; the others
-    #     cover one broad family each (5-way join, hash agg, nested
-    #     ETL-parity explode, exact dedup).
+    # -- round-5 window: CORRECTNESS_r04 proved 181/182 (the one red,
+    #    customer_order_years, was a harness limitation — the driver's
+    #    pandas value-hash cannot factorize list cells; its output is
+    #    now canonicalized to CSV and it re-enters the window). Round 5
+    #    grew the surface by 31 queries (§7b slate, within the 45-new
+    #    cap) — those take slots 2-32; the remaining 18 slots rotate
+    #    green representatives across the broad families.
+    # (1) the changed query + this round's 31 new ones.
+    "customer_order_years",
+    "priority_groups_frame_revenue", "qualify_nation_top_years",
+    "grouping_id_revenue_routing", "orders_tablesample_hash",
+    "events_props_lateral", "brand_price_disc_stats",
+    "lineitem_unpivot_metrics", "daily_revenue_locf",
+    "purchase_nearest_view",
+    "merge_upsert_monthly_revenue", "commit_protocol_audit",
+    "bloom_partition_index_audit", "parquet_codec_matrix_audit",
+    "line_dedup_stats", "bloom_decontaminate_13gram",
+    "quality_classifier_scores", "perplexity_curriculum_mix",
+    "trigram_lm_train", "doc_pack_with_splits",
+    "source_priority_dedup", "contamination_removal_report",
+    "class_balance_audit", "pii_cooccurrence_audit",
+    "stream_stream_left_outer", "stream_windowed_topk",
+    "stream_rate_limit_tokens", "stream_dedup_ttl",
+    "stream_atomic_sink_ingest",
+    "gif_header_stats", "jpeg_exif_orientation_stats",
+    "image_dhash_dedup",
+    # (2) 18 rotating representatives from the green set, one per broad
+    #     family: timestamp-unit canary, 5-way join, hash agg, nested
+    #     ETL explode, exact dedup, LSH dedup, ANN, sketches, windows,
+    #     as-of, grouping sets, streaming rollup/stateful, packing,
+    #     SCD2, warehouse layout, decontamination, multimodal pixels.
     "events_by_day", "revenue_by_nation", "pricing_summary",
-    "fb_actions_rollup", "exact_dedup_docs",
+    "fb_actions_rollup", "exact_dedup_docs", "minhash_dup_pairs",
+    "cosine_topk", "rolling_users_hll", "rolling_7d_revenue",
+    "asof_last_purchase", "grouping_sets_revenue",
+    "stream_daily_rollup", "stream_user_profile",
+    "doc_sequence_packing", "scd2_dimension", "zorder_skip_audit",
+    "decontaminate_docs", "png_pixel_stats",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to
 # the NEXT round's window (every one still passes the full local DuckDB
 # oracle gate in tests/test_oracle.py each run — the deferral is only
 # about which round's driver CORRECTNESS artifact first records them).
-# Round 4 promoted all 45 round-3 deferrals into the window and FROZE
-# surface growth (VERDICT r3 #1): with the round-4 rows recorded, all
-# 182 registered queries have a green driver row and this list must
-# stay empty until that invariant would be broken by a new query —
-# at which point cap additions at 45 so one window always clears them.
+# Round 5 added exactly 32 window entrants (31 new + the reworked
+# customer_order_years) — within the 45-new cap, so nothing defers and
+# the other 18 slots rotate green representatives. Keep additions ≤45
+# per round so one window always clears them.
 _DEFERRED_TO_NEXT_ROUND: list[str] = []
 
 

@@ -140,6 +140,25 @@ HEADLINE = [
     # serving-only IVF-PQ (no recall-audit baseline) so the serving
     # cost is visible separately from the audit's exact re-computation
     "ann_ivfpq_serve_op",
+    # round-5 widening (§7b slate): the new cost families — GROUPS-frame
+    # window, nearest as-of, UNPIVOT Expand, MERGE upsert, cross-doc
+    # line dedup, bloom 13-gram hashing, map-only classifier gate,
+    # boundary-splitting packing, trigram LM, stream-stream outer join,
+    # stateful token-bucket fold, perceptual dHash decode, and the
+    # embedding class-balance reduction
+    "priority_groups_frame_revenue",
+    "purchase_nearest_view",
+    "lineitem_unpivot_metrics",
+    "merge_upsert_monthly_revenue",
+    "line_dedup_stats",
+    "bloom_decontaminate_13gram",
+    "quality_classifier_scores",
+    "doc_pack_with_splits",
+    "trigram_lm_train",
+    "stream_stream_left_outer",
+    "stream_rate_limit_tokens",
+    "image_dhash_dedup",
+    "class_balance_audit",
 ]
 
 
@@ -187,7 +206,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (48 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-audit/ivfpq-serving)",
+        "metric": "headline query wall-clock (61 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-audit/ivfpq-serving/groups-frame/nearest-asof/unpivot/merge-upsert/line-dedup/bloom-13gram/classifier-gate/pack-splits/trigram-lm/ss-outer-join/token-bucket/dhash-dedup/class-balance)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

@@ -133,7 +133,7 @@ CORE: list[tuple[str, str, list[str], str]] = [
     ("X1", "FX conversion join (spend in account currency)", ["fb_spend_local"], ""),
 ]
 
-SECTION_RE = re.compile(r"^### (2\.1[01]) ")
+SECTION_RE = re.compile(r"^### (2\.1[013]) ")
 ROW_RE = re.compile(r"^\| (?!---)(.+?) \| .+? \| (.+?) \| .+? \|$")
 NAME_RE = re.compile(r"`([a-z0-9_]+)`")
 
