@@ -429,6 +429,122 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
          "BroadcastHashJoin", "Exchange"],
     ),
+    # -- round-5 additions (§7b slate) --
+    "purchase_nearest_view": (
+        "nearest-direction as-of: tag + union + TWO window carries over "
+        "ONE sort — there is NO join operator anywhere in the plan; both "
+        "directions' candidates ride the same user_id shuffle",
+        ["Union", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "BroadcastHashJoin"],
+    ),
+    "quality_classifier_scores": (
+        "broadcast-logistic-weights gate: scoring is pure codegen over "
+        "one column-pruned scan — ZERO exchanges, zero joins, zero "
+        "Python; the learned filter runs at scan speed",
+        ["Scan parquet"],
+        ["Exchange", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin", "BroadcastHashJoin", "ArrowEvalPython",
+         "MapInPandas"],
+    ),
+    "priority_groups_frame_revenue": (
+        "GROUPS-frame rewrite: dense_rank + RANGE frame are two window "
+        "functions over the SAME (priority) partitioning — one Exchange+"
+        "Sort serves both; no join, no second shuffle",
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BroadcastNestedLoopJoin"],
+    ),
+    "lineitem_unpivot_metrics": (
+        "UNPIVOT: a single Expand node fans the fact scan ×4 map-side — "
+        "NOT a union of self-scans; one scan, one aggregate shuffle",
+        ["Expand"],
+        ["Union", "CartesianProduct", "SortMergeJoin"],
+    ),
+    "grouping_id_revenue_routing": (
+        "grouping sets: one Expand + hash aggregate over the joined "
+        "fact; dimensions broadcast; rollup levels never rescan",
+        ["Expand", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "Union"],
+    ),
+    "merge_upsert_monthly_revenue": (
+        "MERGE shape: base and delta aggregate two-phase, then ONE "
+        "null-safe full-outer sort-merge join on the merge key decides "
+        "update/insert/keep per row",
+        ["SortMergeJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "events_props_lateral": (
+        "map LATERAL: from_json + Generate(explode) fan out map-side; "
+        "only (event_type, key) pairs reach the aggregate exchange",
+        ["Generate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    "orders_tablesample_hash": (
+        "hash TABLESAMPLE: the sampling predicate is codegen'd integer "
+        "arithmetic evaluated at the scan stage — no join, no Python, "
+        "the 95% dropped never shuffle",
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "ArrowEvalPython", "MapInPandas"],
+    ),
+    "line_dedup_stats": (
+        "cross-doc line dedup: segment fan-out is a map-side Generate; "
+        "first-writer-wins is ONE window over the segment-text shuffle; "
+        "per-doc accounting aggregates on doc_id — no self-join of text",
+        ["Generate", "Window"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
+    "bloom_decontaminate_13gram": (
+        "13-gram bloom: gram fan-out map-side (Generate), the benchmark "
+        "side collapses to a broadcast bit set (BroadcastHashJoin for the "
+        "exact-overlap check, 1-row BroadcastNestedLoopJoin for the bit "
+        "array scalar) — corpus text never self-joins, no cartesian",
+        ["Generate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "trigram_lm_train": (
+        "trigram LM: map-side gram Generate, two-level hash aggregates, "
+        "1-row vocab broadcast, top-30 via TakeOrderedAndProject (never "
+        "a full sort)",
+        ["Generate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "doc_pack_with_splits": (
+        "split packing: lang-partitioned cumsum window, then the piece "
+        "fan-out (Generate over sequence()) rides the SAME partitioning — "
+        "the aggregate reuses it; no join",
+        ["Window", "Generate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    "class_balance_audit": (
+        "class balance: posexplode (Generate) fans vectors map-side into "
+        "(label, dim) cells; ONE hash aggregate reduces them — vectors "
+        "never shuffle whole; centroid joins are broadcast-sized",
+        ["Generate", "HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "pii_cooccurrence_audit": (
+        "PII co-occurrence: detection is map-only regex codegen; the "
+        "class-pair matrix is an equi self-join on doc_id of the tiny "
+        "(doc, class) fan-out — broadcast hash join, never a cartesian",
+        ["Generate", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "image_dhash_dedup": (
+        "perceptual dedup: decode+hash is Arrow-batched MapInPandas "
+        "(map-only); the dedup aggregate shuffles only (hash, id) pairs",
+        ["MapInPandas", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    "gif_header_stats": (
+        "GIF container walk: synthesize and parse are two chained "
+        "MapInPandas stages, map-only end to end — no shuffle between "
+        "them, no join",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "Window"],
+    ),
 }
 
 

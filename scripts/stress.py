@@ -91,6 +91,20 @@ PROBES = [
     "masked_customer_extract",      # governed extract, map-only policy
     "curation_pipeline_report",     # gate→dedup→accounting, one DAG
     "decontaminate_docs",           # broadcast 5-gram decontamination
+    # round-5 widening: the new cost families from the §7b slate
+    "line_dedup_stats",             # cross-doc segment dedup (seg-text shuffle)
+    "bloom_decontaminate_13gram",   # 13-gram poly-hash + broadcast bit probe
+    "image_dhash_dedup",            # PNG decode + perceptual hash (Python loop)
+    "purchase_nearest_view",        # nearest as-of: union + two window carries
+    "priority_groups_frame_revenue",  # GROUPS-frame rewrite (two windows)
+    "lineitem_unpivot_metrics",     # UNPIVOT Expand x4 over the fact
+    "trigram_lm_train",             # two-level n-gram hash aggs
+    "doc_pack_with_splits",         # cumsum + boundary-split explode
+    "merge_upsert_monthly_revenue", # full-outer MERGE shape
+    "quality_classifier_scores",    # map-only logistic gate
+    "class_balance_audit",          # (label, dim) reduction over vectors
+    "stream_rate_limit_tokens",     # stateful token-bucket fold (Python)
+    "stream_stream_left_outer",     # watermarked outer-join state
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
@@ -155,7 +169,10 @@ def main() -> None:
     synthesize(spark)
 
     results = {}
+    only = set(sys.argv[1:])  # optional probe-name filter for partial runs
     for name in PROBES:
+        if only and name not in only:
+            continue
         q = _extra(name) or QUERIES[name]
         q(spark, "/root/testdata/sf0.001").collect()  # JIT/codegen warmup
         base = min(timed(q, spark, SRC) for _ in range(2))
