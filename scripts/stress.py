@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/spark_graft_stress_sf1"
+OUT = os.environ.get("STRESS_OUT", "/tmp/spark_graft_stress_sf1")
 K = int(os.environ.get("STRESS_COPIES", "10"))
 SHIFT = 10**9
 
