@@ -2813,11 +2813,15 @@ def bloom_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # char extraction via split('', g) is O(len) per gram; the
+    # index-based substring(g, i, 1) form is O(i) per char → O(len²)
+    # per gram, and the 100× stress probe showed the hash stage
+    # dominating (23.5× at 100× data before this change).
     hashed = grams.withColumn(
         "base",
         F.expr(
-            "aggregate(transform(sequence(1, length(g)),"
-            " i -> ascii(substring(g, i, 1))),"
+            "aggregate(transform(filter(split(g, ''), c -> c <> ''),"
+            " c -> ascii(c)),"
             " 0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
         ),
     ).select(
