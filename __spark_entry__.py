@@ -48,10 +48,11 @@ _PRIORITY = [
     #    customer_order_years, was a harness limitation — the driver's
     #    pandas value-hash cannot factorize list cells; its output is
     #    now canonicalized to CSV and it re-enters the window). Round 5
-    #    grew the surface by 31 queries (§7b slate, within the 45-new
-    #    cap) — those take slots 2-32; the remaining 18 slots rotate
-    #    green representatives across the broad families.
-    # (1) the changed query + this round's 31 new ones.
+    #    grew the surface by 37 queries (§7b slate + six round-6 items
+    #    pulled forward, within the 45-new cap) — those take slots
+    #    2-38; the remaining 12 slots rotate green representatives
+    #    across the broad families.
+    # (1) the changed query + this round's new ones.
     "customer_order_years",
     "priority_groups_frame_revenue", "qualify_nation_top_years",
     "grouping_id_revenue_routing", "orders_tablesample_hash",
@@ -70,27 +71,28 @@ _PRIORITY = [
     "stream_atomic_sink_ingest",
     "gif_header_stats", "jpeg_exif_orientation_stats",
     "image_dhash_dedup",
-    # (2) 18 rotating representatives from the green set, one per broad
+    # (1b) the round-6 slate items pulled forward late in round 5
+    "embedding_outlier_quarantine", "bmp_header_stats",
+    "png_text_chunk_stats", "minhash_band_sweep_audit",
+    "stream_full_outer_interval", "stream_dimension_merge",
+    # (2) 12 rotating representatives from the green set, one per broad
     #     family: timestamp-unit canary, 5-way join, hash agg, nested
-    #     ETL explode, exact dedup, LSH dedup, ANN, sketches, windows,
-    #     as-of, grouping sets, streaming rollup/stateful, packing,
-    #     SCD2, warehouse layout, decontamination, multimodal pixels.
+    #     ETL explode, exact dedup, LSH dedup, ANN, windows, as-of,
+    #     streaming rollup, SCD2, multimodal pixels.
     "events_by_day", "revenue_by_nation", "pricing_summary",
     "fb_actions_rollup", "exact_dedup_docs", "minhash_dup_pairs",
-    "cosine_topk", "rolling_users_hll", "rolling_7d_revenue",
-    "asof_last_purchase", "grouping_sets_revenue",
-    "stream_daily_rollup", "stream_user_profile",
-    "doc_sequence_packing", "scd2_dimension", "zorder_skip_audit",
-    "decontaminate_docs", "png_pixel_stats",
+    "cosine_topk", "rolling_7d_revenue",
+    "asof_last_purchase",
+    "stream_daily_rollup", "scd2_dimension", "png_pixel_stats",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to
 # the NEXT round's window (every one still passes the full local DuckDB
 # oracle gate in tests/test_oracle.py each run — the deferral is only
 # about which round's driver CORRECTNESS artifact first records them).
-# Round 5 added exactly 32 window entrants (31 new + the reworked
+# Round 5 added exactly 38 window entrants (37 new + the reworked
 # customer_order_years) — within the 45-new cap, so nothing defers and
-# the other 18 slots rotate green representatives. Keep additions ≤45
+# the other 12 slots rotate green representatives. Keep additions ≤45
 # per round so one window always clears them.
 _DEFERRED_TO_NEXT_ROUND: list[str] = []
 

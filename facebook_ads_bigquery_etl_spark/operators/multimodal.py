@@ -1217,3 +1217,262 @@ __all__ += [
     "EXIF_SCHEMA",
     "DHASH_SCHEMA",
 ]
+
+
+def _bmp_tools():
+    """BMP (Windows DIB) support, nested for by-value pickling: a
+    24-bit bottom-up encoder with the REAL row padding rule (each
+    pixel row padded to a 4-byte boundary — the classic BMP parsing
+    trap) and a parser that validates the BITMAPFILEHEADER /
+    BITMAPINFOHEADER and walks the padded BGR rows to a pixel byte
+    sum. Malformed payloads return None."""
+    import struct as _s
+
+    def encode(w: int, h: int, rgb: bytes) -> bytes:
+        if len(rgb) != w * h * 3:
+            raise ValueError("rgb buffer does not match width*height*3")
+        stride = (w * 3 + 3) & ~3
+        img = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for x in range(w):
+                o = (y * w + x) * 3
+                row += bytes((rgb[o + 2], rgb[o + 1], rgb[o]))  # BGR
+            row += b"\x00" * (stride - len(row))
+            img += row
+        header = _s.pack(
+            "<2sIHHI", b"BM", 14 + 40 + len(img), 0, 0, 14 + 40
+        )
+        info = _s.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+        )
+        return header + info + bytes(img)
+
+    def parse(data: bytes):
+        try:
+            data = bytes(data)
+            if data[:2] != b"BM" or len(data) < 54:
+                return None
+            _size, _r1, _r2, offset = _s.unpack("<IHHI", data[2:14])
+            hsize, w, h, planes, bpp, comp = _s.unpack(
+                "<IiiHHI", data[14:34]
+            )
+            if hsize != 40 or planes != 1 or bpp != 24 or comp != 0:
+                return None
+            if w <= 0 or h == 0:
+                return None
+            flipped = h < 0
+            ah = -h if flipped else h
+            stride = (w * 3 + 3) & ~3
+            if offset + stride * ah > len(data):
+                return None
+            psum = 0
+            for row in range(ah):
+                base = offset + row * stride
+                psum += sum(data[base : base + w * 3])
+            return w, ah, bpp, psum
+        except Exception:
+            return None
+
+    return encode, parse
+
+
+bmp_encode, bmp_parse = _bmp_tools()
+
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bpp", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+    ]
+)
+
+
+def bmp_header_table(docs: DataFrame) -> DataFrame:
+    """Synthesize real padded-row BMPs from the deterministic pixel
+    model and parse them back from wire bytes in a separate pass."""
+    enc, par, dims, rgb = bmp_encode, bmp_parse, image_dims, image_rgb
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = dims(d)
+                payloads.append(enc(w, h, rgb(d, w, h)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "bpp",
+                                    "pixel_sum")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(int(mid))
+                parsed = par(p)
+                if parsed is None:
+                    for k in ("width", "height", "bpp", "pixel_sum"):
+                        rows[k].append(None)
+                    continue
+                w, h, bpp, psum = parsed
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bpp"].append(bpp)
+                rows["pixel_sum"].append(psum)
+            yield pd.DataFrame(rows)
+
+    src = docs.select("doc_id")
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    payloads = src.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(walk, BMP_STATS_SCHEMA)
+
+
+def _png_text_tools():
+    """tEXt ancillary-chunk support for the stdlib PNG codec, nested
+    for by-value pickling: an injector that splices keyword\\0value
+    tEXt chunks (correct CRCs) after IHDR, and a walker that returns
+    them — while the pixel decoder keeps ignoring them (ancillary
+    chunks must not affect decode)."""
+    import struct as _s
+    import zlib as _z
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(body))
+            + tag
+            + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def add_text(png: bytes, pairs: list[tuple[str, str]]) -> bytes:
+        png = bytes(png)
+        # IHDR chunk: 8-byte magic + 4 len + 4 tag + 13 body + 4 crc
+        ihdr_end = 8 + 12 + 13
+        extra = b"".join(
+            _chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+            for k, v in pairs
+        )
+        return png[:ihdr_end] + extra + png[ihdr_end:]
+
+    def read_text(data: bytes):
+        try:
+            data = bytes(data)
+            if data[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            pos, out = 8, []
+            while pos + 12 <= len(data):
+                (ln,) = _s.unpack(">I", data[pos : pos + 4])
+                tag = bytes(data[pos + 4 : pos + 8])
+                body = bytes(data[pos + 8 : pos + 8 + ln])
+                (crc,) = _s.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+                if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
+                    return None
+                if tag == b"tEXt" and b"\x00" in body:
+                    k, v = body.split(b"\x00", 1)
+                    out.append((k.decode("latin-1"), v.decode("latin-1")))
+                elif tag == b"IEND":
+                    break
+                pos += 12 + ln
+            return out
+        except Exception:
+            return None
+
+    return add_text, read_text
+
+
+png_add_text, png_read_text = _png_text_tools()
+
+
+PNG_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_text_chunks", T.IntegerType(), True),
+        T.StructField("meta_csv", T.StringType(), True),
+        T.StructField("decodes_with_text", T.BooleanType(), True),
+    ]
+)
+
+
+def png_text_table(docs: DataFrame) -> DataFrame:
+    """PNGs with injected tEXt metadata, walked back from wire bytes;
+    also asserts per payload that the PIXEL decoder still accepts the
+    file (ancillary chunks are transparent to decode)."""
+    enc, dims, rgb = png_encode, image_dims, image_rgb
+    add_text, read_text, dec = png_add_text, png_read_text, png_decode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = dims(d)
+                base = enc(w, h, rgb(d, w, h))
+                payloads.append(
+                    add_text(
+                        base,
+                        [("doc", str(d)), ("lang", "l" + str(d % 5))],
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_text_chunks", "meta_csv",
+                                    "decodes_with_text")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(int(mid))
+                pairs = read_text(p)
+                if pairs is None:
+                    rows["n_text_chunks"].append(None)
+                    rows["meta_csv"].append(None)
+                    rows["decodes_with_text"].append(None)
+                    continue
+                rows["n_text_chunks"].append(len(pairs))
+                rows["meta_csv"].append(
+                    ",".join(f"{k}={v}" for k, v in pairs)
+                )
+                rows["decodes_with_text"].append(dec(p) is not None)
+            yield pd.DataFrame(rows)
+
+    src = docs.select("doc_id")
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    payloads = src.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(walk, PNG_TEXT_SCHEMA)
+
+
+__all__ += [
+    "bmp_encode",
+    "bmp_parse",
+    "bmp_header_table",
+    "png_add_text",
+    "png_read_text",
+    "png_text_table",
+    "BMP_STATS_SCHEMA",
+    "PNG_TEXT_SCHEMA",
+]

@@ -3632,3 +3632,215 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_images"),
         F.min("media_id").alias("min_media_id"),
     )
+
+
+@register(
+    "embedding_outlier_quarantine",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT label, i, AVG(v) AS c,
+             AVG(v * v) - AVG(v) * AVG(v) AS var
+      FROM ev GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT ev.vec_id, ev.label,
+             ROUND(sqrt(SUM((ev.v - s.c) * (ev.v - s.c)
+                            / (s.var + 1e-9))), 4) AS mdist
+      FROM ev JOIN stats s ON s.label = ev.label AND s.i = ev.i
+      GROUP BY 1, 2
+    ),
+    thr AS (
+      SELECT label, ROUND(AVG(mdist) + 2 * stddev_pop(mdist), 4) AS cut
+      FROM dist GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.mdist, d.mdist > t.cut AS quarantined
+    FROM dist d JOIN thr t ON t.label = d.label
+    """,
+)
+def embedding_outlier_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OUTLIER QUARANTINE (diagonal-covariance Mahalanobis):
+    each vector's distance to its label centroid measured in per-dim
+    standard deviations, quarantined past mean + 2σ of its label's
+    distance distribution — the feature-space health gate that
+    catches mislabeled or corrupted embeddings before they enter a
+    training mix. Exactly oracle-checked (no sketch): the per-(label,
+    dim) moment table is ONE hash aggregate of the exploded vectors
+    (O(labels × d) cells — vectors never shuffle whole), broadcast
+    back onto the same exploded stream; thresholds are a label-grain
+    readout. Distances rounded to 4dp before the cut on both engines
+    so summation order cannot flip quarantine decisions."""
+    from pyspark.sql.window import Window as W  # noqa: F401
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ev = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = ev.groupBy("label", "i").agg(
+        F.avg("v").alias("c"),
+        (F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias(
+            "var"
+        ),
+    )
+    dist = (
+        ev.join(F.broadcast(stats), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("v") - F.col("c")) ** 2
+                        / (F.col("var") + F.lit(1e-9))
+                    )
+                ),
+                4,
+            ).alias("mdist")
+        )
+    )
+    thr = dist.groupBy("label").agg(
+        F.round(F.avg("mdist") + 2 * F.stddev_pop("mdist"), 4).alias("cut")
+    )
+    return dist.join(F.broadcast(thr), "label").select(
+        "vec_id", "label", "mdist", (F.col("mdist") > F.col("cut")).alias(
+            "quarantined"
+        ),
+    )
+
+
+@register(
+    "bmp_header_stats",
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           CAST(8 + d.doc_id % 9 AS INTEGER) AS width,
+           CAST(8 + d.doc_id % 7 AS INTEGER) AS height,
+           CAST(24 AS INTEGER)               AS bpp,
+           CAST(SUM((d.doc_id * 7 + 3 * x.x + 5 * y.y) % 256
+                    + (d.doc_id * 8 + 3 * x.x + 5 * y.y) % 256
+                    + (d.doc_id * 9 + 3 * x.x + 5 * y.y) % 256) AS BIGINT)
+                                             AS pixel_sum
+    FROM documents d,
+         generate_series(0, 15) AS x(x),
+         generate_series(0, 13) AS y(y)
+    WHERE d.doc_id % 3 = 2
+      AND x.x < 8 + d.doc_id % 9
+      AND y.y < 8 + d.doc_id % 7
+    GROUP BY d.doc_id
+    """,
+)
+def bmp_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP/DIB container parse from REAL wire bytes
+    (operators/multimodal.bmp_header_table): 24-bit bottom-up BMPs
+    with the genuine 4-byte ROW PADDING rule are synthesized from the
+    closed-form pixel model and parsed back in a separate pass —
+    header validation (BM magic, BITMAPINFOHEADER, planes/bpp/
+    compression) plus a padded-row pixel walk whose byte sum the
+    oracle regenerates analytically. An off-by-one in the stride
+    padding or the bottom-up row order pollutes the sum. Third member
+    of the stdlib container family (GIF, EXIF/TIFF, BMP) on the same
+    two-pass mapInPandas seam."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return mm.bmp_header_table(docs.filter(F.col("doc_id") % 3 == 2)).select(
+        "media_id", "width", "height", "bpp", "pixel_sum"
+    )
+
+
+@register(
+    "png_text_chunk_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(2 AS INTEGER) AS n_text_chunks,
+           'doc=' || doc_id || ',lang=l' || (doc_id % 5) AS meta_csv,
+           TRUE AS decodes_with_text
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def png_text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG ANCILLARY-CHUNK metadata walk: tEXt chunks (keyword\\0value,
+    correct CRCs) are spliced after IHDR and read back from wire
+    bytes, and the PIXEL decoder must still accept every file —
+    ancillary chunks are transparent to decode, which is exactly what
+    a metadata-enrichment stage relies on when it annotates an image
+    corpus in place. The oracle regenerates the metadata from the
+    seeding rule; the decode boolean is engine-verified against the
+    real (chunk-CRC-checking) decoder."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return mm.png_text_table(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "media_id", "n_text_chunks", "meta_csv", "decodes_with_text"
+    )
+
+
+@register(
+    "minhash_band_sweep_audit",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+      FROM tok
+    ),
+    c AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM i
+      JOIN c ca ON ca.doc_id = i.a_id
+      JOIN c cb ON cb.doc_id = i.b_id
+      WHERE inter * 1.0 / (ca.set_size + cb.set_size - inter) >= 0.7
+    )
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(64 / bands AS BIGINT) AS rows_per_band,
+           exact.n_true AS n_pairs,
+           TRUE AS matches_exact
+    FROM exact, unnest([8, 16, 32]) AS t(bands)
+    """,
+)
+def minhash_band_sweep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH PARAMETER SWEEP audit — the banding s-curve made
+    empirical: the same 64-permutation signatures banded three ways
+    (8×8, 16×4, 32×2) must each recover EXACTLY the exact-Jaccard
+    ≥0.7 pair set after verification (banding changes the CANDIDATE
+    volume and the s-curve's position, not the verified output — a
+    config whose candidate recall dipped below 1.0 at this threshold
+    would lose pairs and fail the hash). This is the audit you run
+    before fixing bands/rows for a corpus: it certifies the operating
+    point. Per config the engine computes the banded pipeline end to
+    end and diffs it against the exact posting-join baseline
+    (exceptAll both ways — a bounded-count readout, pairs are
+    corpus-pair-sized, not row-sized)."""
+    import facebook_ads_bigquery_etl_spark.operators.dedup as dd
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    exact = dd.jaccard_pairs(
+        docs, text_col="text", threshold=0.7, ngram=3
+    ).select("a_id", "b_id")
+    rows = []
+    for bands in (8, 16, 32):
+        got = dd.minhash_dup_pairs(
+            docs, threshold=0.7, num_perm=64, bands=bands, ngram=3
+        ).select("a_id", "b_id")
+        n_pairs = got.count()
+        n_missed = exact.exceptAll(got).count()
+        n_extra = got.exceptAll(exact).count()
+        rows.append(
+            (bands, 64 // bands, n_pairs, n_missed == 0 and n_extra == 0)
+        )
+    return spark.createDataFrame(
+        rows,
+        "bands long, rows_per_band long, n_pairs long,"
+        " matches_exact boolean",
+    )

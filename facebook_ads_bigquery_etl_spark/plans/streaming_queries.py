@@ -723,3 +723,192 @@ def stream_atomic_sink_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_full_outer_interval",
+    oracle="""
+    SELECT COALESCE(p.event_id, -1) AS purchase_id,
+           COALESCE(v.event_id, -1) AS view_id,
+           COALESCE(p.user_id, v.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join with a time-interval condition:
+    both sides' unmatched rows must emit — purchases with no ±1 h view
+    AND views with no ±1 h purchase — each only when the watermark
+    proves its join window closed. Full outer doubles the
+    state-eviction obligation relative to the left-outer form (both
+    sides hold rows awaiting the other), which is why it gets its own
+    driver row. Same staged multi-batch source + per-side sentinels as
+    stream_stream_left_outer (the sentinels match each other — same
+    user/ts — so they join to each other and drop with the user_id
+    filter instead of leaking unmatched sentinel rows). Must equal the
+    batch FULL JOIN exactly."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..streaming.pipeline import _event_schema
+
+    tmp = "/tmp/spark_graft_ss_louter_" + _qname("", sf_dir).strip("_")
+    if not os.path.exists(os.path.join(tmp, "_DONE")):
+        # build the shared staged source via the left-outer query's
+        # first run (same slices + sentinels)
+        stream_stream_left_outer(spark, sf_dir)
+    schema = _event_schema(T.TimestampType())
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    p = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    v = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    joined = p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - interval 1 hour"
+            " AND v_ts <= p_ts + interval 1 hour"
+        ),
+        "fullOuter",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _drain(
+            joined.select(
+                F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+                F.coalesce("view_id", F.lit(-1)).alias("view_id"),
+                F.coalesce("p_user", "v_user").alias("user_id"),
+            ),
+            _qname("s_ss_fouter", sf_dir),
+            "append",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_dimension_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(max_by(value,
+                        (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        * 100000 + event_id), 2) AS last_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGE upsert of a dimension table: each micro-batch
+    of the staged time-sliced source aggregates its per-user delta and
+    MERGEs it into a versioned parquet dimension via
+    operators/incremental.merge_apply (update = state addition +
+    newest-wins last_value, insert = first sight) — the foreachBatch ∘
+    MERGE composition that maintains a serving dimension from a
+    stream, the reference's daily-refresh table generalized to
+    incremental upserts. Batches arrive time-ordered, so
+    newest-wins-per-batch composes to global newest; the final
+    dimension must equal the batch groupBy exactly. Each version is a
+    NEW directory (read-version N → write N+1) — never an in-place
+    overwrite of the path being read."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.incremental import merge_apply
+    from ..streaming.pipeline import _event_schema
+
+    tmp = "/tmp/spark_graft_ss_louter_" + _qname("", sf_dir).strip("_")
+    if not os.path.exists(os.path.join(tmp, "_DONE")):
+        stream_stream_left_outer(spark, sf_dir)
+    schema = _event_schema(T.TimestampType())
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    work = tempfile.mkdtemp(prefix="s_dim_merge_")
+    state = {"version": -1}
+    # rebased to the corpus epoch: raw epoch-µs × 1e5 overflows int64
+    # (ANSI mode throws); 30 days of µs × 1e5 + event_id fits easily
+    ordkey = (
+        (F.unix_micros("ts") - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
+        * F.lit(100000)
+        + F.col("event_id")
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        delta = (
+            batch_df.filter(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.max_by("value", ordkey).alias("last_value"),
+            )
+        )
+        if state["version"] >= 0:
+            target = batch_df.sparkSession.read.parquet(
+                f"{work}/v{state['version']}"
+            )
+            merged = merge_apply(
+                target,
+                delta,
+                keys=["user_id"],
+                update_set={
+                    "n_events": F.col("t.n_events") + F.col("s.n_events"),
+                    "last_value": F.col("s.last_value"),
+                },
+            ).drop("op")
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(
+            f"{work}/v{state['version'] + 1}"
+        )
+        state["version"] += 1
+
+    try:
+        q = (
+            src.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{work}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        final = spark.read.parquet(f"{work}/v{state['version']}")
+        return spark.createDataFrame(
+            [
+                (int(r["user_id"]), int(r["n_events"]),
+                 round(float(r["last_value"]), 2))
+                for r in final.collect()
+            ],
+            "user_id long, n_events long, last_value double",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

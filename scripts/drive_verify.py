@@ -94,6 +94,10 @@ SAMPLE = [
     "stream_atomic_sink_ingest",
     "gif_header_stats", "jpeg_exif_orientation_stats",
     "image_dhash_dedup",
+    # round-5 second wave (round-6 slate pulled forward)
+    "embedding_outlier_quarantine", "bmp_header_stats",
+    "png_text_chunk_stats", "minhash_band_sweep_audit",
+    "stream_full_outer_interval", "stream_dimension_merge",
 ]
 
 Q, O = e.queries(), e.oracle_sql()
