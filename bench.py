@@ -159,6 +159,12 @@ HEADLINE = [
     "stream_rate_limit_tokens",
     "image_dhash_dedup",
     "class_balance_audit",
+    # round-5 second wave: Mahalanobis quarantine, BMP container walk,
+    # stream-stream FULL outer state, streaming MERGE maintenance
+    "embedding_outlier_quarantine",
+    "bmp_header_stats",
+    "stream_full_outer_interval",
+    "stream_dimension_merge",
 ]
 
 
@@ -206,7 +212,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (61 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-audit/ivfpq-serving/groups-frame/nearest-asof/unpivot/merge-upsert/line-dedup/bloom-13gram/classifier-gate/pack-splits/trigram-lm/ss-outer-join/token-bucket/dhash-dedup/class-balance)",
+        "metric": "headline query wall-clock (65 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-audit/ivfpq-serving/groups-frame/nearest-asof/unpivot/merge-upsert/line-dedup/bloom-13gram/classifier-gate/pack-splits/trigram-lm/ss-outer-join/token-bucket/dhash-dedup/class-balance/mahalanobis-quarantine/bmp-parse/ss-full-outer/stream-merge-dim)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

@@ -537,6 +537,21 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["MapInPandas", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
     ),
+    "embedding_outlier_quarantine": (
+        "Mahalanobis quarantine: posexplode fans vectors map-side, ONE "
+        "hash aggregate builds the (label, dim) moment table, broadcast "
+        "back onto the same exploded stream — vectors never shuffle "
+        "whole, thresholds are a label-grain broadcast",
+        ["Generate", "HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "bmp_header_stats": (
+        "BMP container walk: synthesize and parse are chained "
+        "MapInPandas stages, map-only end to end",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "Window"],
+    ),
     "gif_header_stats": (
         "GIF container walk: synthesize and parse are two chained "
         "MapInPandas stages, map-only end to end — no shuffle between "

@@ -105,6 +105,10 @@ PROBES = [
     "class_balance_audit",          # (label, dim) reduction over vectors
     "stream_rate_limit_tokens",     # stateful token-bucket fold (Python)
     "stream_stream_left_outer",     # watermarked outer-join state
+    # round-5 second wave
+    "embedding_outlier_quarantine", # (label, dim) moment reduction + rescore
+    "stream_full_outer_interval",   # double-sided outer-join state
+    "stream_dimension_merge",       # foreachBatch MERGE maintenance
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
