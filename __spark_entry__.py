@@ -48,9 +48,9 @@ _PRIORITY = [
     #    customer_order_years, was a harness limitation — the driver's
     #    pandas value-hash cannot factorize list cells; its output is
     #    now canonicalized to CSV and it re-enters the window). Round 5
-    #    grew the surface by 37 queries (§7b slate + six round-6 items
+    #    grew the surface by 41 queries (§7b slate + ten round-6 items
     #    pulled forward, within the 45-new cap) — those take slots
-    #    2-38; the remaining 12 slots rotate green representatives
+    #    2-42; the remaining 8 slots rotate green representatives
     #    across the broad families.
     # (1) the changed query + this round's new ones.
     "customer_order_years",
@@ -75,24 +75,25 @@ _PRIORITY = [
     "embedding_outlier_quarantine", "bmp_header_stats",
     "png_text_chunk_stats", "minhash_band_sweep_audit",
     "stream_full_outer_interval", "stream_dimension_merge",
-    # (2) 12 rotating representatives from the green set, one per broad
+    "compaction_binpack_audit", "partition_evolution_audit",
+    "retractable_view_maintenance", "watermark_lag_observability",
+    # (2) 8 rotating representatives from the green set, one per broad
     #     family: timestamp-unit canary, 5-way join, hash agg, nested
-    #     ETL explode, exact dedup, LSH dedup, ANN, windows, as-of,
-    #     streaming rollup, SCD2, multimodal pixels.
+    #     ETL explode, exact dedup, as-of, streaming rollup,
+    #     multimodal pixels.
     "events_by_day", "revenue_by_nation", "pricing_summary",
-    "fb_actions_rollup", "exact_dedup_docs", "minhash_dup_pairs",
-    "cosine_topk", "rolling_7d_revenue",
+    "fb_actions_rollup", "exact_dedup_docs",
     "asof_last_purchase",
-    "stream_daily_rollup", "scd2_dimension", "png_pixel_stats",
+    "stream_daily_rollup", "png_pixel_stats",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to
 # the NEXT round's window (every one still passes the full local DuckDB
 # oracle gate in tests/test_oracle.py each run — the deferral is only
 # about which round's driver CORRECTNESS artifact first records them).
-# Round 5 added exactly 38 window entrants (37 new + the reworked
+# Round 5 added exactly 42 window entrants (41 new + the reworked
 # customer_order_years) — within the 45-new cap, so nothing defers and
-# the other 12 slots rotate green representatives. Keep additions ≤45
+# the other 8 slots rotate green representatives. Keep additions ≤45
 # per round so one window always clears them.
 _DEFERRED_TO_NEXT_ROUND: list[str] = []
 

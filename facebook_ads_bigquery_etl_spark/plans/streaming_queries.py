@@ -912,3 +912,88 @@ def stream_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "watermark_lag_observability",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
+                  WHEN ts < TIMESTAMP '2024-01-15' THEN 1
+                  WHEN ts < TIMESTAMP '2024-01-23' THEN 2
+                  ELSE 3 END AS slice,
+             ts
+      FROM events
+    ),
+    st AS (SELECT slice, COUNT(*) AS n, MAX(ts) AS mx FROM b GROUP BY 1)
+    SELECT CAST(i AS BIGINT) AS batch_id,
+           CAST(CASE WHEN i = 0 THEN 0
+                WHEN i <= 4 THEN
+                  -- Spark tracks watermarks at MILLISECOND precision:
+                  -- floor the max event time to ms before the delay
+                  (SELECT epoch_us(MAX(mx)) // 1000 * 1000
+                   FROM st WHERE slice < i)
+                  - 1800000000
+                ELSE epoch_us(TIMESTAMP '2099-01-01') - 1800000000 END
+                AS BIGINT) AS watermark_us,
+           CAST(CASE WHEN i <= 3 THEN (SELECT n FROM st WHERE slice = i)
+                     WHEN i = 4 THEN 2 ELSE 0 END AS BIGINT)
+             AS n_input_rows
+    FROM unnest([0, 1, 2, 3, 4, 5]) AS t(i)
+    """,
+)
+def watermark_lag_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark OBSERVABILITY as a driver row: the per-micro-batch
+    StreamingQueryProgress feed (batch id, event-time watermark, input
+    rows) for a watermarked aggregation over the staged time-sliced
+    source — the monitoring surface an on-call engineer reads to
+    answer "how far behind is event time?". Every value is
+    DETERMINISTIC here and the oracle recomputes the whole ladder from
+    the slice boundaries: batch N's watermark is max(event time of
+    batches < N) − the 30-min delay (batch 0 starts at the epoch), the
+    sentinel batch carries 2 rows, and the final NO-DATA batch — the
+    one Spark triggers purely to let the advanced watermark finalize
+    state — carries 0. That empty batch appearing in the feed is
+    itself the proof that no-data finalization ran."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..streaming.pipeline import _event_schema
+
+    tmp = "/tmp/spark_graft_ss_louter_" + _qname("", sf_dir).strip("_")
+    if not os.path.exists(os.path.join(tmp, "_DONE")):
+        stream_stream_left_outer(spark, sf_dir)
+    src = (
+        spark.readStream.schema(_event_schema(T.TimestampType()))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    agg = (
+        src.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 day"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_qname("s_wm_obs", sf_dir))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import datetime as dt
+
+    rows = []
+    for p in q.recentProgress:
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        wm = d.get("eventTime", {}).get("watermark")
+        wm_us = int(
+            dt.datetime.fromisoformat(wm.replace("Z", "+00:00")).timestamp()
+            * 1_000_000
+        )
+        rows.append((int(d["batchId"]), wm_us, int(d["numInputRows"])))
+    return spark.createDataFrame(
+        rows, "batch_id long, watermark_us long, n_input_rows long"
+    )

@@ -1583,3 +1583,217 @@ def parquet_codec_matrix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codec string, n_rows long, revenue double,"
         " roundtrips boolean, nonempty_files boolean",
     )
+
+
+@register(
+    "compaction_binpack_audit",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(SUM(n) AS BIGINT)                        AS n_rows,
+           CAST(COUNT(*) AS BIGINT)                      AS n_partitions,
+           CAST(SUM(CAST(CEIL(n / 150.0) AS BIGINT)) AS BIGINT)
+                                                         AS expected_files,
+           TRUE AS file_counts_match, TRUE AS rows_stable,
+           TRUE AS no_debris
+    FROM per_day
+    """,
+)
+def compaction_binpack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction v2 — BIN-PACKED to a target file size instead of
+    one-file-per-partition: a fragmented day-partitioned table is
+    compacted through the atomic staged protocol with
+    ``max_records_per_file=150``, and every partition must end with
+    EXACTLY ceil(rows/150) files (the writer's per-file cap as a
+    target-size knob). This is the missing half of compaction at
+    100 TB: a hot partition must not collapse into one unsplittable
+    monolith — downstream scan parallelism is bounded by file count.
+    The oracle recomputes the expected total file count from per-day
+    row counts; the engine verifies per-partition equality file by
+    file after a genuine re-listing."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import sinks
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    df = events.select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts").cast("date").alias("date"),
+    )
+    tmp = tempfile.mkdtemp(prefix="binpack_audit_")
+    table = f"{tmp}/t"
+    try:
+        # two fragmented loads → multiple small files per partition
+        sinks.write_day_partitioned(df, table)
+        sinks.write_day_partitioned(df.limit(0), table, mode="append")
+        n_before = spark.read.parquet(table).count()
+        sinks.compact_partitions(spark, table, max_records_per_file=150)
+        n_after = spark.read.parquet(table).count()
+        per_day = {
+            r["date"]: r["n"]
+            for r in df.groupBy("date").agg(F.count("*").alias("n")).collect()
+        }
+        # per-partition expected file count: ceil(rows / 150)
+        import datetime as _dt
+
+        ok = True
+        parts = [d for d in os.listdir(table) if d.startswith("date=")]
+        for p in parts:
+            day = _dt.date.fromisoformat(p.split("=", 1)[1])
+            nfiles = len(
+                [f for f in os.listdir(os.path.join(table, p))
+                 if f.endswith(".parquet")]
+            )
+            if nfiles != -(-per_day[day] // 150):
+                ok = False
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_after),
+                    len(parts),
+                    int(sum(-(-n // 150) for n in per_day.values())),
+                    bool(ok),
+                    bool(n_before == n_after),
+                    not os.path.isdir(os.path.join(table, "_compact")),
+                )
+            ],
+            "n_rows long, n_partitions long, expected_files long,"
+            " file_counts_match boolean, rows_stable boolean,"
+            " no_debris boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "partition_evolution_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                        AS n_rows,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                                                           AS day_partitions,
+           CAST(COUNT(DISTINCT strftime(CAST(ts AS DATE), '%Y-%m'))
+                AS BIGINT)                                 AS month_partitions,
+           TRUE AS rows_stable, TRUE AS layout_is_monthly
+    FROM events
+    """,
+)
+def partition_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION: a day-partitioned table is re-laid-out to
+    MONTH partitioning (the day grain that was right at ingest volume
+    becomes too fine as the table ages — thousands of day directories
+    cost more in listing than they save in pruning) by one distributed
+    read → re-key → partitioned overwrite into a fresh layout root.
+    The audit re-reads the evolved table and proves: row stability,
+    the old grain's directory count, the new grain's, and that the
+    physical layout actually IS month directories. The evolved write
+    uses the same exactly-once partitioned writer — evolution is a
+    query + a sink, not a special engine mode."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import sinks
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    day = events.select(
+        "event_id", "user_id", "value",
+        F.col("ts").cast("date").alias("date"),
+    )
+    tmp = tempfile.mkdtemp(prefix="part_evo_")
+    try:
+        sinks.write_day_partitioned(day, f"{tmp}/by_day")
+        day_parts = len(
+            [d for d in os.listdir(f"{tmp}/by_day") if d.startswith("date=")]
+        )
+        evolved = spark.read.parquet(f"{tmp}/by_day").withColumn(
+            "month", F.date_format("date", "yyyy-MM")
+        )
+        sinks.write_day_partitioned(
+            evolved, f"{tmp}/by_month", partition_field="month"
+        )
+        month_dirs = [
+            d for d in os.listdir(f"{tmp}/by_month")
+            if d.startswith("month=")
+        ]
+        n_after = spark.read.parquet(f"{tmp}/by_month").count()
+        n_src = day.count()
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_after),
+                    day_parts,
+                    len(month_dirs),
+                    bool(n_after == n_src),
+                    bool(
+                        month_dirs
+                        and all(len(m) == len("month=2024-01")
+                                for m in month_dirs)
+                    ),
+                )
+            ],
+            "n_rows long, day_partitions long, month_partitions long,"
+            " rows_stable boolean, layout_is_monthly boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "retractable_view_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             SUM(o_totalprice) AS revenue, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    corrections AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             SUM(o_totalprice) AS revenue, COUNT(*) AS n_orders
+      FROM orders WHERE o_orderkey % 50 = 0 GROUP BY 1
+    )
+    SELECT b.month,
+           ROUND(b.revenue - COALESCE(c.revenue, 0), 2) AS revenue,
+           CAST(b.n_orders - COALESCE(c.n_orders, 0) AS BIGINT)
+             AS n_orders,
+           CASE WHEN c.month IS NOT NULL THEN 'update' ELSE 'keep' END
+             AS op
+    FROM base b LEFT JOIN corrections c ON c.month = b.month
+    """,
+)
+def retractable_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with RETRACTIONS: the monthly
+    revenue rollup absorbs a correction feed of DELETED facts (every
+    50th order is voided) by applying NEGATIVE deltas through the same
+    MERGE seam — update = state SUBTRACTION, the retraction algebra a
+    maintained aggregate needs when late data can be a takeback, not
+    just an arrival (merge_upsert_monthly_revenue covers the additive
+    half). Sum/count are abelian-group state (invertible), which is
+    exactly why the rollup stores them rather than derived ratios.
+    One key shuffle; O(corrections) cost against O(history)
+    recompute."""
+    from ..operators.incremental import merge_apply
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    month = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+    agg = lambda df: df.groupBy(month.alias("month")).agg(  # noqa: E731
+        F.sum("o_totalprice").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    base = agg(orders)
+    retractions = agg(orders.filter(F.col("o_orderkey") % 50 == 0))
+    merged = merge_apply(
+        base,
+        retractions,
+        keys=["month"],
+        update_set={
+            "revenue": F.col("t.revenue") - F.col("s.revenue"),
+            "n_orders": F.col("t.n_orders") - F.col("s.n_orders"),
+        },
+    )
+    return merged.select(
+        "month", F.round("revenue", 2).alias("revenue"), "n_orders", "op"
+    )

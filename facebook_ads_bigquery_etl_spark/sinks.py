@@ -38,6 +38,7 @@ def write_day_partitioned(
     clustering_fields: list[str] | None = None,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Exactly-once write of the day partitions present in ``df``.
 
@@ -48,17 +49,22 @@ def write_day_partitioned(
     plain overwrite in the same session dynamic semantics.
     mode='append' reproduces the reference's at-least-once behavior
     (kept for explicit opt-in / streaming foreachBatch).
+
+    ``max_records_per_file`` bin-packs each partition's output into
+    ceil(rows / N) files instead of one monolith — the target-size
+    knob a compaction pass uses so a hot day (or a 100 TB partition)
+    never produces a single unsplittable giant file while cold days
+    still coalesce to one.
     """
     out = df.repartition(partition_field)
     if clustering_fields:
         out = out.sortWithinPartitions(*clustering_fields)
-    (
-        out.write.mode(mode)
-        .format(fmt)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_field)
-        .save(path)
+    writer = out.write.mode(mode).format(fmt).option(
+        "partitionOverwriteMode", "dynamic"
     )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(partition_field).save(path)
 
 
 def insert_rows(
@@ -92,6 +98,7 @@ def compact_partitions(
     partition_field: str = "date",
     clustering_fields: list[str] | None = None,
     fmt: str = "parquet",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Small-file compaction for a day-partitioned table: rewrite each
     partition's fragments into one clustered file via the same
@@ -135,6 +142,7 @@ def compact_partitions(
             clustering_fields=clustering_fields,
             mode="overwrite",
             fmt=fmt,
+            max_records_per_file=max_records_per_file,
         )
         return
     compact_partitions_atomic(
@@ -143,6 +151,7 @@ def compact_partitions(
         partition_field=partition_field,
         clustering_fields=clustering_fields,
         fmt=fmt,
+        max_records_per_file=max_records_per_file,
     )
 
 
@@ -285,6 +294,7 @@ def compact_partitions_atomic(
     partition_field: str = "date",
     clustering_fields: list[str] | None = None,
     fmt: str = "parquet",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Staged, journaled, crash-safe compaction (protocol above).
 
@@ -333,6 +343,7 @@ def compact_partitions_atomic(
             clustering_fields=clustering_fields,
             mode="overwrite",
             fmt=fmt,
+            max_records_per_file=max_records_per_file,
         )
         _CRASH_HOOK("staged")
 

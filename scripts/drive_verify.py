@@ -98,6 +98,8 @@ SAMPLE = [
     "embedding_outlier_quarantine", "bmp_header_stats",
     "png_text_chunk_stats", "minhash_band_sweep_audit",
     "stream_full_outer_interval", "stream_dimension_merge",
+    "compaction_binpack_audit", "partition_evolution_audit",
+    "retractable_view_maintenance", "watermark_lag_observability",
 ]
 
 Q, O = e.queries(), e.oracle_sql()
