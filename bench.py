@@ -165,6 +165,9 @@ HEADLINE = [
     "bmp_header_stats",
     "stream_full_outer_interval",
     "stream_dimension_merge",
+    # third wave: retraction MERGE + bin-packed atomic compaction
+    "retractable_view_maintenance",
+    "compaction_binpack_audit",
 ]
 
 
@@ -212,7 +215,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (65 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-audit/ivfpq-serving/groups-frame/nearest-asof/unpivot/merge-upsert/line-dedup/bloom-13gram/classifier-gate/pack-splits/trigram-lm/ss-outer-join/token-bucket/dhash-dedup/class-balance/mahalanobis-quarantine/bmp-parse/ss-full-outer/stream-merge-dim)",
+        "metric": "headline query wall-clock (67 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-audit/ivfpq-serving/groups-frame/nearest-asof/unpivot/merge-upsert/line-dedup/bloom-13gram/classifier-gate/pack-splits/trigram-lm/ss-outer-join/token-bucket/dhash-dedup/class-balance/mahalanobis-quarantine/bmp-parse/ss-full-outer/stream-merge-dim/retraction-merge/binpack-compaction)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

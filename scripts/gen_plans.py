@@ -537,6 +537,18 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["MapInPandas", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
     ),
+    "retractable_view_maintenance": (
+        "retraction maintenance: base and correction aggregates "
+        "two-phase, ONE null-safe full-outer sort-merge join applies "
+        "the negative deltas — same shape as the additive MERGE",
+        ["SortMergeJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # compaction_binpack_audit / partition_evolution_audit /
+    # watermark_lag_observability / commit_protocol_audit /
+    # stream_* rows return driver-built audit frames (plan =
+    # ExistingRDD; the work is in the side-effect writes/streams they
+    # verify) — nothing to pin, deliberately absent here.
     "embedding_outlier_quarantine": (
         "Mahalanobis quarantine: posexplode fans vectors map-side, ONE "
         "hash aggregate builds the (label, dim) moment table, broadcast "
