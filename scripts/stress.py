@@ -109,6 +109,9 @@ PROBES = [
     "embedding_outlier_quarantine", # (label, dim) moment reduction + rescore
     "stream_full_outer_interval",   # double-sided outer-join state
     "stream_dimension_merge",       # foreachBatch MERGE maintenance
+    "retractable_view_maintenance", # negative-delta MERGE
+    "compaction_binpack_audit",     # bin-packed atomic compaction write
+    "partition_evolution_audit",    # day->month re-layout write
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
