@@ -24,6 +24,7 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 import uuid
 from typing import Callable
@@ -189,8 +190,23 @@ _CRASH_HOOK: Callable[[str], None] = lambda point: None
 
 # A lease (not just a lock): a holder that crashes leaves the file
 # behind, so a later writer may break it once it is older than this.
-# Compactions are minutes-scale; an hour of staleness is conservative.
+# A LIVE holder refreshes the lease mtime every
+# COMPACTION_LEASE_HEARTBEAT_S from a daemon thread for its whole run
+# (round-5 advice: without the heartbeat, a legitimately long staged
+# write — plausible for the 100 TB rewrite this protocol targets —
+# would have its live lease broken mid-run), so a lease observed
+# older than the stale threshold means the holder missed ~60
+# consecutive heartbeats: dead, not slow.
 COMPACTION_LEASE_STALE_S = 3600.0
+COMPACTION_LEASE_HEARTBEAT_S = 60.0
+
+# Breaking a stale lease is itself serialized by a second O_EXCL file
+# (the "breaker"): check-then-unlink on the lease alone is a TOCTOU —
+# two contenders could both stat the stale lease, then the slower one
+# unlink the FRESH lease the faster one just created (round-5 advice).
+# Breaking is a sub-second operation, so a much smaller stale bound
+# covers a breaker left behind by a crash.
+_BREAKER_STALE_S = 30.0
 
 
 class CompactionLockHeld(RuntimeError):
@@ -223,15 +239,51 @@ def _lease_path(path: str) -> str:
     return os.path.join(_compact_root(path), "_lock")
 
 
+def _break_stale_lease(lease: str, stale_after_s: float) -> None:
+    """Unlink ``lease`` iff it is STILL stale while holding the
+    breaker mutex. O_EXCL on the breaker admits exactly one contender;
+    the re-stat under the mutex is what closes the check-then-unlink
+    TOCTOU — a fresh lease created between the caller's stat and this
+    call is seen fresh here and survives. No-op (another contender is
+    breaking, or just broke and re-acquired) is fine: the caller
+    loops back to its own O_EXCL attempt."""
+    breaker = lease + ".breaker"
+    try:
+        fd = os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:  # a crashed breaker holder's debris ages out fast
+            if time.time() - os.path.getmtime(breaker) >= _BREAKER_STALE_S:
+                os.unlink(breaker)
+        except OSError:
+            pass
+        time.sleep(0.05)  # live breaker: it will finish momentarily
+        return
+    try:
+        os.close(fd)
+        try:
+            if time.time() - os.path.getmtime(lease) >= stale_after_s:
+                os.unlink(lease)
+        except OSError:
+            pass  # lease vanished or re-created fresh: nothing to do
+    finally:
+        try:
+            os.unlink(breaker)
+        except FileNotFoundError:
+            pass
+
+
 def _acquire_compaction_lease(
     path: str, stale_after_s: float = COMPACTION_LEASE_STALE_S
 ) -> str:
     """Take the per-table single-writer lease via O_EXCL create.
 
     A fresh lease file (younger than ``stale_after_s``) means a live
-    compaction → :class:`CompactionLockHeld`. An older one is a
-    crashed holder's debris and is broken. The create-after-break race
-    is closed by looping: only one contender's O_EXCL create wins."""
+    compaction → :class:`CompactionLockHeld`; live holders heartbeat
+    the mtime (see :class:`_LeaseHeartbeat`), so fresh really means
+    live. An older one is a crashed holder's debris, broken atomically
+    under the breaker mutex (:func:`_break_stale_lease`). The
+    create-after-break race is closed by looping: only one contender's
+    O_EXCL create wins."""
     root = _compact_root(path)
     os.makedirs(root, exist_ok=True)
     lease = _lease_path(path)
@@ -248,14 +300,43 @@ def _acquire_compaction_lease(
                     f"compaction lease held on {path!r} "
                     f"(age {age:.0f}s < stale threshold {stale_after_s:.0f}s)"
                 )
-            try:
-                os.unlink(lease)
-            except FileNotFoundError:
-                pass
+            _break_stale_lease(lease, stale_after_s)
             continue
         with os.fdopen(fd, "w") as f:
             json.dump({"pid": os.getpid(), "acquired_unix": time.time()}, f)
         return lease
+
+
+class _LeaseHeartbeat:
+    """Daemon thread that touches the lease mtime every
+    ``interval_s`` while a compaction runs, so a long staged write
+    (hours at 100 TB) never looks stale to contenders. Stops (and
+    joins) on context exit; a crash kills the thread with the
+    process, mtime refreshes stop, and the lease ages into breakable
+    staleness — exactly the liveness signal the protocol wants."""
+
+    def __init__(
+        self, lease: str, interval_s: float = COMPACTION_LEASE_HEARTBEAT_S
+    ):
+        self._lease = lease
+        self._interval = interval_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._interval):
+            try:
+                os.utime(self._lease, None)
+            except OSError:
+                return  # lease gone: run is over (or broken) — stop
+
+    def __enter__(self) -> "_LeaseHeartbeat":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
 
 
 def _release_compaction_lease(path: str) -> None:
@@ -321,45 +402,64 @@ def compact_partitions_atomic(
             "Use compact_partitions (Spark-write fallback) or a table format."
         )
     path = local  # file:// URIs → plain form for the os.* commit ops
-    _acquire_compaction_lease(path)
+    lease = _acquire_compaction_lease(path)
     try:
-        # Holding the lease, any journal-less run dir is a crashed
-        # run's debris, not a live writer → recover may roll it back
-        # regardless of age (stale_after_s=0).
-        recover_compaction(path, partition_field, stale_after_s=0.0)
-
-        run_id = uuid.uuid4().hex[:12]
-        run_dir = os.path.join(_compact_root(path), run_id)
-        data_dir = os.path.join(run_dir, "data")
-        trash_dir = os.path.join(run_dir, "trash")
-        os.makedirs(trash_dir, exist_ok=True)
-
-        # 1. WRITE: full staged output; the live tree is only read.
-        df = spark.read.format(fmt).load(path)
-        write_day_partitioned(
-            df,
-            data_dir,
-            partition_field=partition_field,
-            clustering_fields=clustering_fields,
-            mode="overwrite",
-            fmt=fmt,
-            max_records_per_file=max_records_per_file,
-        )
-        _CRASH_HOOK("staged")
-
-        # 2. JOURNAL: the atomic commit point. Before this record
-        # exists, recovery rolls the run back; from here on it rolls
-        # it forward.
-        parts = _partition_dirs(data_dir, partition_field)
-        _atomic_write_json(
-            os.path.join(run_dir, "journal.json"),
-            {"state": "staged", "partitions": parts},
-        )
-        _CRASH_HOOK("journaled")
-
-        _finish_swap(path, run_dir, parts)
+        with _LeaseHeartbeat(lease):
+            _compact_under_lease(
+                spark,
+                path,
+                partition_field=partition_field,
+                clustering_fields=clustering_fields,
+                fmt=fmt,
+                max_records_per_file=max_records_per_file,
+            )
     finally:
         _release_compaction_lease(path)
+
+
+def _compact_under_lease(
+    spark: SparkSession,
+    path: str,
+    partition_field: str,
+    clustering_fields: list[str] | None,
+    fmt: str,
+    max_records_per_file: int | None,
+) -> None:
+    # Holding the lease, any journal-less run dir is a crashed
+    # run's debris, not a live writer → recover may roll it back
+    # regardless of age (stale_after_s=0).
+    recover_compaction(path, partition_field, stale_after_s=0.0)
+
+    run_id = uuid.uuid4().hex[:12]
+    run_dir = os.path.join(_compact_root(path), run_id)
+    data_dir = os.path.join(run_dir, "data")
+    trash_dir = os.path.join(run_dir, "trash")
+    os.makedirs(trash_dir, exist_ok=True)
+
+    # 1. WRITE: full staged output; the live tree is only read.
+    df = spark.read.format(fmt).load(path)
+    write_day_partitioned(
+        df,
+        data_dir,
+        partition_field=partition_field,
+        clustering_fields=clustering_fields,
+        mode="overwrite",
+        fmt=fmt,
+        max_records_per_file=max_records_per_file,
+    )
+    _CRASH_HOOK("staged")
+
+    # 2. JOURNAL: the atomic commit point. Before this record
+    # exists, recovery rolls the run back; from here on it rolls
+    # it forward.
+    parts = _partition_dirs(data_dir, partition_field)
+    _atomic_write_json(
+        os.path.join(run_dir, "journal.json"),
+        {"state": "staged", "partitions": parts},
+    )
+    _CRASH_HOOK("journaled")
+
+    _finish_swap(path, run_dir, parts)
 
 
 def _finish_swap(path: str, run_dir: str, parts: list[str]) -> None:

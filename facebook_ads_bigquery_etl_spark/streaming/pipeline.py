@@ -438,6 +438,7 @@ def rate_limit_token_bucket(
     capacity: int = 2,
     period_us: int = 14_400_000_000,
     watermark: str = "1 day",
+    evict_idle_us: int | None = None,
 ) -> DataFrame:
     """Per-key TOKEN-BUCKET rate limiting as a custom stateful
     operator (``applyInPandasWithState``): each user owns a bucket of
@@ -451,33 +452,73 @@ def rate_limit_token_bucket(
         admit ⇔ tokens > 0 (then tokens −= 1)
 
     Events are ordered (ts, event_id) within each micro-batch before
-    folding, and the bucket state carries ACROSS batches — with
-    time-ordered micro-batches the fold equals the global sequential
-    fold, which is what the batch oracle (a per-user recursive CTE)
-    recomputes. Emits the refreshed per-user admission profile each
-    batch (update mode; the final emit is the stream total). State is
-    4 longs per key, watermark-evictable — rate × keys, not rate ×
-    events."""
+    folding — ALL of the key's Arrow chunks are concatenated first,
+    because ``applyInPandasWithState`` yields a large group as
+    multiple batches in arbitrary order once it exceeds
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows (round-5
+    advice: a per-chunk sort would fold out of global order and
+    diverge from the sequential oracle; the concat bounds per-key
+    memory at one micro-batch's rows for that key, which the
+    watermark already bounds in event time). The bucket state carries
+    ACROSS batches — with time-ordered micro-batches the fold equals
+    the global sequential fold, which is what the batch oracle (a
+    per-user recursive CTE) recomputes. Emits the refreshed per-user
+    admission profile each batch (update mode; the final emit is the
+    stream total). State is 4 longs per key.
+
+    State lifetime (round-5 advice — ``withWatermark`` alone never
+    expires custom state): by default (``evict_idle_us=None``,
+    NoTimeout) state is UNBOUNDED in key cardinality — right for the
+    bounded replays the registered query runs, wrong for an unbounded
+    keyspace. Pass ``evict_idle_us`` to enable EventTimeTimeout
+    eviction: a bucket idle past the watermark by that much emits its
+    final profile and is dropped. Any ``evict_idle_us ≥ capacity ×
+    period_us`` is ADMISSION-lossless (an idle bucket refills to full,
+    which is exactly the fresh-state value) — only the cumulative
+    n_events/n_allowed counters restart if the key later returns, so
+    with eviction the emitted profile is per-residency-segment, not
+    stream-total."""
 
     def update(key, pdfs, state):
+        if state.hasTimedOut:
+            tokens, last_r, n, n_allowed = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_allowed": [n_allowed],
+                    "n_throttled": [n - n_allowed],
+                }
+            )
+            return
         tokens, last_r, n, n_allowed = (
             state.get if state.exists else (0, 0, 0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ts_us = (
-                pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-            )
-            for t in ts_us:
-                refill = (int(t) - last_r) // period_us
-                if refill > 0:
-                    tokens = min(capacity, tokens + refill)
-                    last_r += refill * period_us
-                n += 1
-                if tokens > 0:
-                    tokens -= 1
-                    n_allowed += 1
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        for t in ts_us:
+            refill = (int(t) - last_r) // period_us
+            if refill > 0:
+                tokens = min(capacity, tokens + refill)
+                last_r += refill * period_us
+            n += 1
+            if tokens > 0:
+                tokens -= 1
+                n_allowed += 1
         state.update((tokens, last_r, n, n_allowed))
+        if evict_idle_us is not None:
+            last_seen_ms = int(ts_us.max()) // 1000
+            # EventTimeTimeout requires a timestamp beyond the current
+            # watermark; an already-breached deadline fires next batch.
+            state.setTimeoutTimestamp(
+                max(
+                    last_seen_ms + evict_idle_us // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -495,6 +536,8 @@ def rate_limit_token_bucket(
             outputStructType=_RATE_OUT,
             stateStructType=_RATE_STATE,
             outputMode="update",
-            timeoutConf="NoTimeout",
+            timeoutConf=(
+                "NoTimeout" if evict_idle_us is None else "EventTimeTimeout"
+            ),
         )
     )
