@@ -44,47 +44,42 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining round-1-green variants (stable, re-verified on a
 #      rotating basis as window budget allows).
 _PRIORITY = [
-    # -- round-5 window: CORRECTNESS_r04 proved 181/182 (the one red,
-    #    customer_order_years, was a harness limitation — the driver's
-    #    pandas value-hash cannot factorize list cells; its output is
-    #    now canonicalized to CSV and it re-enters the window). Round 5
-    #    grew the surface by 41 queries (§7b slate + ten round-6 items
-    #    pulled forward, within the 45-new cap) — those take slots
-    #    2-42; the remaining 8 slots rotate green representatives
-    #    across the broad families.
-    # (1) the changed query + this round's new ones.
-    "customer_order_years",
-    "priority_groups_frame_revenue", "qualify_nation_top_years",
-    "grouping_id_revenue_routing", "orders_tablesample_hash",
-    "events_props_lateral", "brand_price_disc_stats",
-    "lineitem_unpivot_metrics", "daily_revenue_locf",
-    "purchase_nearest_view",
-    "merge_upsert_monthly_revenue", "commit_protocol_audit",
-    "bloom_partition_index_audit", "parquet_codec_matrix_audit",
-    "line_dedup_stats", "bloom_decontaminate_13gram",
-    "quality_classifier_scores", "perplexity_curriculum_mix",
-    "trigram_lm_train", "doc_pack_with_splits",
-    "source_priority_dedup", "contamination_removal_report",
-    "class_balance_audit", "pii_cooccurrence_audit",
-    "stream_stream_left_outer", "stream_windowed_topk",
-    "stream_rate_limit_tokens", "stream_dedup_ttl",
-    "stream_atomic_sink_ingest",
-    "gif_header_stats", "jpeg_exif_orientation_stats",
-    "image_dhash_dedup",
-    # (1b) the round-6 slate items pulled forward late in round 5
-    "embedding_outlier_quarantine", "bmp_header_stats",
-    "png_text_chunk_stats", "minhash_band_sweep_audit",
-    "stream_full_outer_interval", "stream_dimension_merge",
-    "compaction_binpack_audit", "partition_evolution_audit",
-    "retractable_view_maintenance", "watermark_lag_observability",
-    # (2) 8 rotating representatives from the green set, one per broad
-    #     family: timestamp-unit canary, 5-way join, hash agg, nested
-    #     ETL explode, exact dedup, as-of, streaming rollup,
-    #     multimodal pixels.
-    "events_by_day", "revenue_by_nation", "pricing_summary",
-    "fb_actions_rollup", "exact_dedup_docs",
-    "asof_last_purchase",
-    "stream_daily_rollup", "png_pixel_stats",
+    # -- round-7 window (re-curated per the round-6 verdict item #4:
+    #    the r06 window re-ran r05's 50 while 129 queries sat at r1-r3
+    #    driver staleness). Slots: (1) this round's NEW queries and
+    #    every query whose physical plan changed this round — the
+    #    merge_apply struct-key join rewrite (merge family), the
+    #    token-bucket state-schema change — then (2) the STALEST
+    #    driver-green queries, all 38 whose last driver row is r1 plus
+    #    the oldest r2 names up to the 50-slot boundary.
+    # (1) new + changed this round.
+    "dedup_keep_best_equivalence",
+    # (slate queries land here as they are registered this round:
+    # aqe_skew_split_audit, aqe_broadcast_demotion_audit,
+    # multi_table_swap_audit, stream_partial_session_eviction,
+    # join_order_cost_audit, tiff_multi_ifd_stats, zstd_encoding_audit)
+    "merge_upsert_monthly_revenue", "retractable_view_maintenance",
+    "stream_dimension_merge", "stream_rate_limit_tokens",
+    # (2) stalest driver rows: the full r1 cohort (38)...
+    "big_orders", "bpe_token_counts", "brand_revenue",
+    "churned_customers", "conditional_margins", "cosine_topk",
+    "cube_events", "customers_without_orders", "daily_revenue_dod",
+    "distinct_counts", "doc_quality_filter", "doc_token_stats",
+    "event_type_pivot", "events_json_stats", "jaccard_dup_pairs",
+    "lang_id_heuristic", "lang_stats", "nation_footprint_setops",
+    "nation_market_share", "order_priority", "order_size_tiers",
+    "order_value_quartiles", "orders_above_customer_avg",
+    "orders_by_month", "part_type_tokens", "price_percentiles",
+    "promo_revenue", "rapid_reorder_pairs", "repeat_customers",
+    "rolling_7d_revenue", "rollup_returns", "shipping_priority",
+    "sliding_2d_revenue", "special_brand_revenue",
+    "top3_parts_per_brand", "top_customers", "user_sessions",
+    "volume_shipping",
+    # ...then the oldest r2 names to fill the window.
+    "ann_ivf_topk", "ann_lsh_topk", "approx_distinct_orders",
+    "audio_level_stats", "bloom_pruned_revenue", "cohort_retention",
+    "column_profile_lineitem", "countmin_top_tokens",
+    "customer_snapshot_cdc", "decontaminate_docs",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to

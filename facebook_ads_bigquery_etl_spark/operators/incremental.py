@@ -143,67 +143,76 @@ def merge_apply(
             f"got {on_duplicate_source!r}"
         )
     val_cols = [c for c in target.columns if c not in keys]
-    t = target.withColumn("__t", F.lit(True)).alias("t")
-    s = source.withColumn("__s", F.lit(True))
+    # Join on ONE composite key struct with plain equality instead of
+    # per-column eqNullSafe. Struct equality is null-safe member-wise
+    # (null = null inside a struct is TRUE — verified semantics match
+    # <=>), and unlike <=> — which Catalyst rewrites into composite
+    # (coalesce(k, default), isnull(k)) join keys for nullable columns
+    # — it keeps the join's required distribution IDENTICAL to the
+    # duplicate-count window's partitionBy below, so the window rides
+    # the join's own key shuffle instead of adding a third full
+    # exchange of the source (round-7 plan audit: eqNullSafe cost
+    # 3 exchanges on nullable keys; struct keys cost 2 in both modes).
+    t = (
+        target.withColumn("__t", F.lit(True))
+        .withColumn("__jk", F.struct(*keys))
+        .alias("t")
+    )
+    s = source.withColumn("__s", F.lit(True)).withColumn(
+        "__jk", F.struct(*keys)
+    )
     if on_duplicate_source == "error":
         s = s.withColumn(
             "__src_n",
-            F.count(F.lit(1)).over(Window.partitionBy(*keys)),
+            F.count(F.lit(1)).over(Window.partitionBy("__jk")),
         )
     s = s.alias("s")
-    cond = None
-    for k in keys:
-        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-        cond = c if cond is None else (cond & c)
-    j = t.join(s, cond, "full_outer")
+    j = t.join(s, F.col("t.__jk") == F.col("s.__jk"), "full_outer")
     matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
-    op = (
-        F.when(matched & delete_condition, F.lit("delete"))
-        if delete_condition is not None
-        else F.when(F.lit(False), F.lit(""))
-    )
+    op = F.when(F.lit(False), F.lit(""))
+    if on_duplicate_source == "error":
+        # The guard lives in the `op` expression (round-6 advice: it
+        # previously rode the first KEY column, which Spark column
+        # pruning drops for consumers that never materialize that key
+        # — e.g. a select of value columns or a bare .count() —
+        # silently yielding the fan-out instead of the promised
+        # runtime error). The trailing filter(op != 'delete') below
+        # forces `op` to be evaluated for EVERY row in EVERY consumer,
+        # so this branch cannot be pruned; Catalyst's
+        # PushFoldableIntoBranches keeps the non-foldable raise_error
+        # branch when it pushes the comparison into the CASE.
+        op = op.when(
+            matched & (F.col("s.__src_n") > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "MERGE: multiple source rows matched "
+                        "target key ("
+                    ),
+                    F.concat_ws(
+                        ", ",
+                        *[F.col(f"s.{kk}").cast("string") for kk in keys],
+                    ),
+                    F.lit(
+                        ") — deduplicate the source or pass "
+                        "on_duplicate_source='allow'"
+                    ),
+                )
+            ).cast("string"),
+        )
+    if delete_condition is not None:
+        op = op.when(matched & delete_condition, F.lit("delete"))
     op = (
         op.when(matched, F.lit("update"))
         .when(F.col("s.__s").isNotNull(), F.lit("insert"))
         .otherwise(F.lit("keep"))
     )
 
-    def key_out(k: str, first: bool) -> "F.Column":
-        base = F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}"))
-        if first and on_duplicate_source == "error":
-            # Guard rides the first key column (always materialized by
-            # any consumer) so the standard's runtime error cannot be
-            # pruned away with an unused audit column.
-            return (
-                F.when(
-                    matched & (F.col("s.__src_n") > 1),
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "MERGE: multiple source rows matched "
-                                "target key ("
-                            ),
-                            F.concat_ws(
-                                ", ",
-                                *[
-                                    F.col(f"s.{kk}").cast("string")
-                                    for kk in keys
-                                ],
-                            ),
-                            F.lit(
-                                ") — deduplicate the source or pass "
-                                "on_duplicate_source='allow'"
-                            ),
-                        )
-                    ),
-                )
-                .otherwise(base)
-                .alias(k)
-            )
-        return base.alias(k)
-
     out = j.select(
-        *[key_out(k, i == 0) for i, k in enumerate(keys)],
+        *[
+            F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k)
+            for k in keys
+        ],
         *[
             F.when(matched, update_set.get(c, F.col(f"t.{c}")))
             .when(F.col("s.__s").isNotNull(), F.col(f"s.{c}"))

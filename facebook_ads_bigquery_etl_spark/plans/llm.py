@@ -1529,6 +1529,93 @@ def dedup_keep_best_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best_equivalence",
+    oracle="""
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+      FROM tok
+    ),
+    c AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    e AS (SELECT a_id, b_id FROM i
+          JOIN c ca ON ca.doc_id = i.a_id
+          JOIN c cb ON cb.doc_id = i.b_id
+          WHERE inter * 1.0 / (ca.set_size + cb.set_size - inter) >= 0.7),
+    sym AS (SELECT a_id AS src, b_id AS dst FROM e
+            UNION SELECT b_id, a_id FROM e),
+    closure(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT cl.src, s.dst FROM closure cl JOIN sym s ON cl.dst = s.src
+    ),
+    reps AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(cl.dst), d.doc_id)) AS cluster_rep
+      FROM documents d LEFT JOIN closure cl ON cl.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT CAST(COUNT(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT)                    AS docs_covered,
+           CAST(0 AS BIGINT)                           AS n_scale_only,
+           CAST(0 AS BIGINT)                           AS n_exact_only,
+           TRUE                                        AS clusters_equal
+    FROM reps
+    """,
+)
+def dedup_keep_best_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUIVALENCE AUDIT for the deployable keep-best dedup (round-5/6
+    verdict item #1): runs :func:`dedup_keep_best_scale` — the LSH-edge
+    + pointer-jumping form a 100 TB user actually deploys — AND the
+    exact posting-join form over the SAME edge algebra (Jaccard ≥0.7,
+    3-gram shingles), then pins full output-set equality row for row
+    (cluster_rep, kept_doc_id, cluster_size, quality_score) via
+    exceptAll both ways — the ``minhash_band_sweep_audit`` pattern
+    lifted from pair level to cluster+argmax level. The DuckDB oracle
+    independently recomputes the exact clusters (recursive closure
+    over the exact pair set) so n_clusters and docs_covered are
+    value-checked, and the zero-diff booleans certify that banding +
+    verification + pointer-jumping lose NOTHING vs the quadratic
+    baseline at this operating point. Readout is bounded (5 scalars);
+    both forms stay fully distributed."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    scale = dedup_keep_best_scale(spark, sf_dir)
+    exact_edges = dd.jaccard_pairs(
+        docs, text_col="text", threshold=0.7, ngram=3
+    ).select("a_id", "b_id")
+    exact = _keep_best_over_edges(docs, exact_edges)
+    n_clusters = scale.count()
+    docs_covered = scale.agg(F.sum("cluster_size")).first()[0]
+    n_scale_only = scale.exceptAll(exact).count()
+    n_exact_only = exact.exceptAll(scale).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_clusters,
+                docs_covered,
+                n_scale_only,
+                n_exact_only,
+                n_scale_only == 0 and n_exact_only == 0,
+            )
+        ],
+        "n_clusters long, docs_covered long, n_scale_only long,"
+        " n_exact_only long, clusters_equal boolean",
+    )
+
+
+@register(
     "label_feature_corr",
     oracle="""
     WITH feat AS (

@@ -253,7 +253,20 @@ def _break_stale_lease(lease: str, stale_after_s: float) -> None:
     except FileExistsError:
         try:  # a crashed breaker holder's debris ages out fast
             if time.time() - os.path.getmtime(breaker) >= _BREAKER_STALE_S:
-                os.unlink(breaker)
+                # Claim the debris by ATOMIC rename to a unique
+                # tombstone (round-6 advice: bare check-then-unlink is
+                # itself a TOCTOU — two contenders could both see the
+                # stale breaker and the slower unlink a FRESH breaker a
+                # third contender just created). rename admits exactly
+                # one claimant per inode. Residual window: a fresh
+                # breaker created between the stat above and this
+                # rename can still be displaced — tolerated because the
+                # break critical section it guards re-stats the LEASE
+                # mtime before unlinking, so a displaced holder and a
+                # new one racing both leave a fresh lease untouched.
+                tomb = breaker + f".tomb-{uuid.uuid4().hex}"
+                os.rename(breaker, tomb)
+                os.unlink(tomb)
         except OSError:
             pass
         time.sleep(0.05)  # live breaker: it will finish momentarily
@@ -327,8 +340,15 @@ class _LeaseHeartbeat:
         while not self._stop.wait(self._interval):
             try:
                 os.utime(self._lease, None)
+            except FileNotFoundError:
+                return  # lease genuinely gone (run over / broken): stop
             except OSError:
-                return  # lease gone: run is over (or broken) — stop
+                # Transient FS error (round-6 advice: exiting here
+                # silently kills the heartbeat and a live multi-hour
+                # lease ages into breakable staleness — the exact
+                # failure the heartbeat exists to prevent). Keep
+                # heartbeating; the next utime will likely succeed.
+                continue
 
     def __enter__(self) -> "_LeaseHeartbeat":
         self._thread.start()

@@ -429,6 +429,13 @@ _RATE_STATE = T.StructType(
         T.StructField("last_refill_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
         T.StructField("n_allowed", T.LongType()),
+        # Largest event time ever folded for the key — carried so the
+        # eviction deadline is monotone in EVENT time (round-6 advice:
+        # deriving it from the current batch's max alone lets a late /
+        # out-of-order micro-batch with older timestamps REGRESS the
+        # deadline and evict sooner than evict_idle_us after the key's
+        # true latest event).
+        T.StructField("last_seen_us", T.LongType()),
     ]
 )
 
@@ -464,7 +471,9 @@ def rate_limit_token_bucket(
     the global sequential fold, which is what the batch oracle (a
     per-user recursive CTE) recomputes. Emits the refreshed per-user
     admission profile each batch (update mode; the final emit is the
-    stream total). State is 4 longs per key.
+    stream total). State is 5 longs per key (the 4 bucket counters
+    plus the key's largest event time seen, which keeps the eviction
+    deadline monotone under out-of-order micro-batches).
 
     State lifetime (round-5 advice — ``withWatermark`` alone never
     expires custom state): by default (``evict_idle_us=None``,
@@ -481,7 +490,7 @@ def rate_limit_token_bucket(
 
     def update(key, pdfs, state):
         if state.hasTimedOut:
-            tokens, last_r, n, n_allowed = state.get
+            tokens, last_r, n, n_allowed, _seen = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -492,8 +501,8 @@ def rate_limit_token_bucket(
                 }
             )
             return
-        tokens, last_r, n, n_allowed = (
-            state.get if state.exists else (0, 0, 0, 0)
+        tokens, last_r, n, n_allowed, seen = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
         )
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"]
@@ -508,14 +517,16 @@ def rate_limit_token_bucket(
             if tokens > 0:
                 tokens -= 1
                 n_allowed += 1
-        state.update((tokens, last_r, n, n_allowed))
+        # Monotone in event time: a late batch whose rows all predate
+        # the key's stored last_seen must not pull the deadline back.
+        seen = max(seen, int(ts_us.max()))
+        state.update((tokens, last_r, n, n_allowed, seen))
         if evict_idle_us is not None:
-            last_seen_ms = int(ts_us.max()) // 1000
             # EventTimeTimeout requires a timestamp beyond the current
             # watermark; an already-breached deadline fires next batch.
             state.setTimeoutTimestamp(
                 max(
-                    last_seen_ms + evict_idle_us // 1000,
+                    seen // 1000 + evict_idle_us // 1000,
                     state.getCurrentWatermarkMs() + 1,
                 )
             )

@@ -37,6 +37,13 @@ for t in ("region nation customer supplier part orders lineitem "
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 SAMPLE = [
+    # round-7 diff: the merge_apply struct-key join rewrite (all three
+    # merge-family consumers), the token-bucket state-schema change,
+    # and this round's new queries
+    "dedup_keep_best_equivalence",
+    "merge_upsert_monthly_revenue", "retractable_view_maintenance",
+    "stream_dimension_merge", "stream_rate_limit_tokens",
+    # earlier rounds' diff coverage
     # this diff's new queries
     "doc_perplexity_filter", "bpe_merge_step",
     "quantity_price_skyline", "nation_trade_pagerank",

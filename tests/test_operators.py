@@ -763,3 +763,85 @@ class TestMergeApply:
             update_set={"v": F.col("t.v") + F.col("s.v")},
         ).collect()
         assert len(out) == 1 and out[0]["v"] == 3 and out[0]["op"] == "update"
+
+
+class TestMergeDuplicateSource:
+    """on_duplicate_source contract (round-6 hardening, tests added
+    round 7): SQL MERGE requires each target row to match at most one
+    source row — 'error' raises at runtime like BigQuery/Delta,
+    'allow' opts into the documented fan-out."""
+
+    def _merge(self, spark, mode="error", source_rows=None):
+        from facebook_ads_bigquery_etl_spark.operators.incremental import (
+            merge_apply,
+        )
+
+        target = spark.createDataFrame(
+            [("a", 10), ("b", 20)], "k string, v long"
+        )
+        source = spark.createDataFrame(
+            source_rows or [("a", 1), ("a", 2), ("c", 3)],
+            "k string, v long",
+        )
+        return merge_apply(
+            target, source, keys=["k"],
+            update_set={"v": F.col("s.v")},
+            on_duplicate_source=mode,
+        )
+
+    def test_error_mode_raises_even_when_keys_are_pruned(self, spark):
+        # The round-6 guard rode the first key column; Spark column
+        # pruning dropped it for consumers that never materialize the
+        # key (round-6 advice). The guard now lives in the `op`
+        # expression behind the op filter, which EVERY consumer must
+        # evaluate — all three consumer shapes raise.
+        out = self._merge(spark)
+        for consume in (
+            lambda df: df.select("v").collect(),  # key pruned
+            lambda df: df.count(),                # everything pruned
+            lambda df: df.collect(),
+        ):
+            with pytest.raises(Exception, match="multiple source rows"):
+                consume(out)
+
+    def test_error_mode_clean_source_is_unaffected(self, spark):
+        out = self._merge(spark, source_rows=[("a", 1), ("c", 3)])
+        got = {r["k"]: (r["v"], r["op"]) for r in out.collect()}
+        assert got == {
+            "a": (1, "update"), "b": (20, "keep"), "c": (3, "insert")
+        }
+
+    def test_allow_mode_fans_out_matched_duplicates(self, spark):
+        out = self._merge(spark, mode="allow")
+        got = sorted((r["k"], r["v"], r["op"]) for r in out.collect())
+        assert got == [
+            ("a", 1, "update"), ("a", 2, "update"),
+            ("b", 20, "keep"), ("c", 3, "insert"),
+        ]
+
+    def test_error_mode_unmatched_duplicates_each_insert(self, spark):
+        out = self._merge(spark, source_rows=[("c", 3), ("c", 4)])
+        got = sorted((r["k"], r["v"], r["op"]) for r in out.collect())
+        assert got == [
+            ("a", 10, "keep"), ("b", 20, "keep"),
+            ("c", 3, "insert"), ("c", 4, "insert"),
+        ]
+
+    def test_guard_window_adds_no_extra_exchange(self, spark):
+        # The duplicate-count window partitions by the merge keys, so
+        # it rides the join's own key shuffle: same shuffle count in
+        # both guard modes.
+        def n_exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange hashpartitioning")
+
+        clean = [("a", 1), ("c", 3)]
+        assert n_exchanges(
+            self._merge(spark, mode="error", source_rows=clean)
+        ) == n_exchanges(
+            self._merge(spark, mode="allow", source_rows=clean)
+        )
+
+    def test_bad_mode_rejected(self, spark):
+        with pytest.raises(ValueError, match="on_duplicate_source"):
+            self._merge(spark, mode="upsert")

@@ -354,3 +354,158 @@ class TestCompactionLeaseAndPathGuards:
         report = sinks.recover_compaction(table)
         assert report["rolled_back"] == 1
         assert not os.path.isdir(run_dir)
+
+
+class TestLeaseProtocol:
+    """Round-6 hardening paths (breaker mutex, heartbeat) — the
+    concurrency protocol the round-6 verdict flagged as shipped
+    untested."""
+
+    def _stale(self, path_like: str, by_s: float) -> None:
+        old = time.time() - by_s
+        os.utime(path_like, (old, old))
+
+    def test_fresh_lease_survives_break_attempt(self, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        table = str(tmp_path / "t")
+        lease = sinks._acquire_compaction_lease(table)
+        sinks._break_stale_lease(lease, sinks.COMPACTION_LEASE_STALE_S)
+        assert os.path.exists(lease)  # fresh → never broken
+        sinks._release_compaction_lease(table)
+
+    def test_stale_lease_breaks_and_breaker_is_cleaned(self, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        table = str(tmp_path / "t")
+        lease = sinks._acquire_compaction_lease(table)
+        self._stale(lease, sinks.COMPACTION_LEASE_STALE_S + 5)
+        sinks._break_stale_lease(lease, sinks.COMPACTION_LEASE_STALE_S)
+        assert not os.path.exists(lease)
+        assert not os.path.exists(lease + ".breaker")
+
+    def test_live_breaker_defers_instead_of_breaking(self, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        table = str(tmp_path / "t")
+        lease = sinks._acquire_compaction_lease(table)
+        self._stale(lease, sinks.COMPACTION_LEASE_STALE_S + 5)
+        breaker = lease + ".breaker"
+        with open(breaker, "w"):
+            pass  # a LIVE contender holds the breaker mutex
+        sinks._break_stale_lease(lease, sinks.COMPACTION_LEASE_STALE_S)
+        # deferred: the stale lease is left for the breaker holder
+        assert os.path.exists(lease) and os.path.exists(breaker)
+
+    def test_crashed_breaker_debris_is_claimed_atomically(self, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        table = str(tmp_path / "t")
+        lease = sinks._acquire_compaction_lease(table)
+        self._stale(lease, sinks.COMPACTION_LEASE_STALE_S + 5)
+        breaker = lease + ".breaker"
+        with open(breaker, "w"):
+            pass
+        self._stale(breaker, sinks._BREAKER_STALE_S + 5)
+        # First call claims the debris (rename→tombstone→unlink) and
+        # returns without breaking; no tombstone debris left behind.
+        sinks._break_stale_lease(lease, sinks.COMPACTION_LEASE_STALE_S)
+        assert not os.path.exists(breaker)
+        assert not any(
+            ".tomb-" in f for f in os.listdir(os.path.dirname(lease))
+        )
+        # Second call acquires the now-free breaker and breaks the lease.
+        sinks._break_stale_lease(lease, sinks.COMPACTION_LEASE_STALE_S)
+        assert not os.path.exists(lease)
+
+    def test_two_contender_race_admits_exactly_one(self, tmp_path):
+        import threading
+
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        table = str(tmp_path / "t")
+        lease = sinks._acquire_compaction_lease(table)
+        self._stale(lease, sinks.COMPACTION_LEASE_STALE_S + 5)
+
+        wins, refusals, errors = [], [], []
+        gate = threading.Barrier(8)
+
+        def contend(i):
+            gate.wait()
+            try:
+                sinks._acquire_compaction_lease(table)
+                wins.append(i)
+            except sinks.CompactionLockHeld:
+                refusals.append(i)
+            except Exception as e:  # noqa: BLE001 — fail loudly below
+                errors.append((i, e))
+
+        threads = [
+            threading.Thread(target=contend, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+        assert errors == []
+        # The stale lease is broken once; exactly one contender's
+        # O_EXCL create wins and everyone else sees the FRESH lease.
+        assert len(wins) == 1 and len(refusals) == 7
+        assert os.path.exists(lease)
+        sinks._release_compaction_lease(table)
+
+    def test_heartbeat_keeps_slow_compaction_alive(self, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        table = str(tmp_path / "t")
+        lease = sinks._acquire_compaction_lease(table)
+        try:
+            with sinks._LeaseHeartbeat(lease, interval_s=0.05):
+                time.sleep(0.4)  # "hours-long staged write", scaled down
+                # Under a stale threshold smaller than the elapsed run,
+                # the heartbeat keeps the lease observably fresh: a
+                # contender must refuse, not break.
+                with pytest.raises(sinks.CompactionLockHeld):
+                    sinks._acquire_compaction_lease(
+                        table, stale_after_s=0.3
+                    )
+        finally:
+            sinks._release_compaction_lease(table)
+
+    def test_heartbeat_survives_transient_utime_errors(
+        self, tmp_path, monkeypatch
+    ):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        table = str(tmp_path / "t")
+        lease = sinks._acquire_compaction_lease(table)
+        real_utime = os.utime
+        fail_next = {"n": 3}
+
+        def flaky_utime(path, times=None):
+            if fail_next["n"] > 0:
+                fail_next["n"] -= 1
+                raise PermissionError("transient FS hiccup")
+            return real_utime(path, times)
+
+        monkeypatch.setattr(os, "utime", flaky_utime)
+        try:
+            with sinks._LeaseHeartbeat(lease, interval_s=0.05):
+                time.sleep(0.5)
+            # Past the transient errors the heartbeat kept running and
+            # refreshed the mtime within the last couple intervals.
+            assert time.time() - os.path.getmtime(lease) < 0.3
+        finally:
+            monkeypatch.setattr(os, "utime", real_utime)
+            sinks._release_compaction_lease(table)
+
+    def test_heartbeat_stops_when_lease_vanishes(self, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        table = str(tmp_path / "t")
+        lease = sinks._acquire_compaction_lease(table)
+        hb = sinks._LeaseHeartbeat(lease, interval_s=0.05)
+        with hb:
+            os.unlink(lease)
+            time.sleep(0.3)
+            assert not hb._thread.is_alive()  # FileNotFoundError → stop

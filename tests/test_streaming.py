@@ -218,3 +218,129 @@ class TestTsSniff:
         p = str(tmp_path / "nots")
         spark.range(3).write.parquet(p)
         assert _ts_is_parquet_nanos(p) is False
+
+
+class TestTokenBucketEviction:
+    """EventTimeTimeout state eviction for rate_limit_token_bucket
+    (round-6 hardening, tests added round 7): an idle bucket emits its
+    final profile and is removed; a returning key restarts counters;
+    and the deadline is MONOTONE in event time (round-6 advice: a late
+    micro-batch with older timestamps must not pull the deadline back).
+    """
+
+    SCHEMA = "event_id long, user_id long, ts timestamp"
+    BASE_US = 1_700_000_000_000_000  # epoch µs, integral seconds
+
+    def _drive(self, spark, tmp_path, batches, **bucket_kw):
+        """Run one file per micro-batch through the token bucket and
+        return {batch_id: sorted emitted profile tuples}."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from facebook_ads_bigquery_etl_spark.streaming import (
+            rate_limit_token_bucket,
+        )
+
+        src = tmp_path / "rl_src"
+        src.mkdir()
+        now = 1_000_000_000.0  # deterministic, strictly increasing mtimes
+        for i, rows in enumerate(batches):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array(
+                        [r[0] for r in rows], pa.int64()
+                    ),
+                    "user_id": pa.array(
+                        [r[1] for r in rows], pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [self.BASE_US + r[2] * 1_000_000 for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+            path = str(src / f"batch-{i:03d}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (now + 10 * i, now + 10 * i))
+
+        stream = (
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = {}
+
+        def sink(df, bid):
+            out[bid] = sorted(
+                (
+                    r["user_id"],
+                    r["n_events"],
+                    r["n_allowed"],
+                    r["n_throttled"],
+                )
+                for r in df.collect()
+            )
+
+        q = (
+            rate_limit_token_bucket(stream, **bucket_kw)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return out
+
+    def test_idle_key_evicts_and_restarts(self, spark, tmp_path):
+        # b0: A bursts; b1/b2: only B, advancing the watermark past
+        # A's idle deadline → A's FINAL profile is emitted from the
+        # timeout branch during b2 (a batch with no A data at all);
+        # b3: A returns and its counters have restarted (state gone).
+        out = self._drive(
+            spark,
+            tmp_path,
+            batches=[
+                [(1, 1, 0), (2, 1, 1), (3, 1, 2)],
+                [(4, 2, 30)],
+                [(5, 2, 35)],
+                [(6, 1, 40)],
+            ],
+            capacity=2,
+            period_us=1_000_000,
+            watermark="0 seconds",
+            evict_idle_us=10_000_000,
+        )
+        assert (1, 3, 3, 0) in out[0]
+        assert out[1] == [(2, 1, 1, 0)]  # A alive, not re-emitted
+        assert (1, 3, 3, 0) in out[2]  # final emit on timeout
+        assert (1, 1, 1, 0) in out[3]  # returning key restarted
+
+    def test_late_batch_does_not_regress_deadline(self, spark, tmp_path):
+        # A's latest event is t=200; a LATE batch delivers an A event
+        # at t=150 (above the 100 s watermark, below A's last seen).
+        # With the deadline derived from the late batch alone it would
+        # regress to 160 and the wm=165 during b3 would evict A early;
+        # monotone state keeps it at 210, so A survives b3/b4 and
+        # evicts only in b5 (wm=225).
+        out = self._drive(
+            spark,
+            tmp_path,
+            batches=[
+                [(1, 1, 200), (2, 2, 200)],
+                [(3, 1, 150)],
+                [(4, 2, 265)],
+                [(5, 2, 290)],
+                [(6, 2, 325)],
+                [(7, 2, 330)],
+            ],
+            capacity=2,
+            period_us=1_000_000,
+            watermark="100 seconds",
+            evict_idle_us=10_000_000,
+        )
+        final_a = (1, 2, 2, 0)
+        assert final_a in out[1]  # late fold reached the bucket
+        assert all(
+            not any(row[0] == 1 for row in out[b]) for b in (2, 3, 4)
+        ), "A was evicted early: deadline regressed on the late batch"
+        assert final_a in out[5]  # evicted at the monotone deadline
