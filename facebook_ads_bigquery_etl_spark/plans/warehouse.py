@@ -1797,3 +1797,336 @@ def retractable_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "month", F.round("revenue", 2).alias("revenue"), "n_orders", "op"
     )
+
+
+def _with_conf(spark: SparkSession, overrides: dict):
+    """Context manager: set session confs for an eager audit run and
+    restore (or unset) them on exit — audits that flip AQE knobs must
+    never leak tuning into the long-lived session the driver and the
+    test gate share."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        saved = {k: spark.conf.get(k, None) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    return cm()
+
+
+def _final_plan(df: DataFrame) -> str:
+    """The AQE FINAL physical plan text — callers must have executed
+    ``df`` (``collect()`` on the same Dataset, not ``first()``, which
+    plans a separate LIMIT query and leaves this one unexecuted)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+_AQE_SKEW_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice + p_retailprice), 2) AS total_value,
+           CAST(1 AS BIGINT) AS n_skewed_joins,
+           TRUE AS skew_split_in_plan,
+           TRUE AS matches_unsplit
+    FROM (SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 1
+                      ELSE (l_partkey % 2000) + 1 END AS sk,
+                 l_extendedprice
+          FROM lineitem) f
+    JOIN (SELECT p_partkey AS sk, p_retailprice FROM part) d USING (sk)
+"""
+
+
+@register("aqe_skew_split_audit", oracle=_AQE_SKEW_ORACLE)
+def aqe_skew_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join splitting PROVEN, not trusted (round-6 verdict:
+    load-bearing at 100 TB — one hot key turns a shuffle join into a
+    single straggler task — but never audited). A deliberately skewed
+    join (4/5 of lineitem mapped onto one hot key → one shuffle
+    partition ~150× the median) must come back from AQE re-planning
+    with the SortMergeJoin marked ``skew=true``: the hot partition is
+    split across its MAP outputs and the dim side's matching partition
+    replicated per split, restoring parallelism with no correctness
+    change. Thresholds are scaled to sf0.01 bytes (the DEFAULT 256 MiB
+    threshold is the 100 TB operating point; the ratio test is
+    identical); the fact side is repartitioned first because skew
+    splits follow map-output boundaries — a single-mapper toy shuffle
+    cannot split, while any real cluster scan has thousands of
+    mappers (empirically verified: 1 mapper → 0 skewed partitions
+    detected, 16 mappers → 1). The audit pins: the split happened
+    (plan boolean), exactly one join was treated (count), and the
+    split run equals the unsplit control run row-for-row; DuckDB
+    value-checks the aggregate itself."""
+    tabs = load_tables(spark, sf_dir, "lineitem", "part")
+    li, part = tabs["lineitem"], tabs["part"]
+    sk = F.when(F.col("l_orderkey") % 5 != 0, F.lit(1)).otherwise(
+        (F.col("l_partkey") % 2000) + 1
+    ).alias("sk")
+    fact = li.select(sk, "l_extendedprice").repartition(16)
+    dim = part.select(F.col("p_partkey").alias("sk"), "p_retailprice")
+
+    def run() -> tuple:
+        j = fact.join(dim, "sk").agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") + F.col("p_retailprice")), 2
+            ).alias("total_value"),
+        )
+        row = j.collect()[0]
+        return row, _final_plan(j)
+
+    with _with_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            # hot-vs-median contrast independent of the caller's
+            # shuffle.partitions (driver session runs 8, tests 32)
+            "spark.sql.shuffle.partitions": "32",
+        },
+    ):
+        split_row, split_plan = run()
+        with _with_conf(
+            spark, {"spark.sql.adaptive.skewJoin.enabled": "false"}
+        ):
+            plain_row, plain_plan = run()
+
+    n_skewed = split_plan.count("skew=true")
+    return spark.createDataFrame(
+        [
+            (
+                split_row["n_rows"],
+                split_row["total_value"],
+                n_skewed,
+                n_skewed >= 1 and "skew=true" not in plain_plan,
+                split_row["n_rows"] == plain_row["n_rows"]
+                and split_row["total_value"] == plain_row["total_value"],
+            )
+        ],
+        "n_rows long, total_value double, n_skewed_joins long,"
+        " skew_split_in_plan boolean, matches_unsplit boolean",
+    )
+
+
+_AQE_DEMOTE_ORACLE = """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sparse_n,
+             ROUND(SUM(o_totalprice), 2) AS sparse_value
+      FROM orders JOIN customer
+        ON o_custkey = c_custkey AND c_custkey % 500 = 0
+    ),
+    d AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS dense_n,
+             ROUND(SUM(o_totalprice), 2) AS dense_value
+      FROM orders JOIN customer
+        ON o_custkey = c_custkey AND c_custkey % 2 = 0
+    )
+    SELECT sparse_n, sparse_value, dense_n, dense_value,
+           TRUE AS sparse_demoted_to_smj,
+           TRUE AS dense_promoted_to_bhj
+    FROM s, d
+"""
+
+
+@register("aqe_broadcast_demotion_audit", oracle=_AQE_DEMOTE_ORACLE)
+def aqe_broadcast_demotion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime join-strategy selection proven in BOTH directions
+    (round-6 verdict: trusted, not audited). Static planning is
+    disabled (static broadcast threshold −1 → the initial plan is
+    always SortMergeJoin); the runtime threshold is left generous, so
+    the decision is made from RUNTIME shuffle statistics
+    (DynamicJoinSelection):
+
+    * dense small side (every 2nd customer — all shuffle partitions
+      non-empty) → PROMOTED: final plan is BroadcastHashJoin;
+    * sparse small side (every 500th customer — ~3 non-empty of 32
+      partitions, under the 0.2 non-empty-partition-ratio floor) →
+      DEMOTED: broadcasting a mostly-empty relation loses to a local
+      shuffle read, so the final plan stays SortMergeJoin even though
+      the side fits the size threshold.
+
+    At 100 TB this is the guard against broadcasting a filtered dim
+    whose post-filter footprint is tiny but whose partition layout is
+    pathological. Both joins' aggregates are DuckDB value-checked; the
+    two plan-shape booleans pin the promotion and the demotion."""
+    tabs = load_tables(spark, sf_dir, "orders", "customer")
+    orders, cust = tabs["orders"], tabs["customer"]
+
+    def run(mod: int) -> tuple:
+        dim = cust.filter(F.col("c_custkey") % mod == 0).select("c_custkey")
+        j = orders.join(dim, orders.o_custkey == dim.c_custkey).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("v"),
+        )
+        row = j.collect()[0]
+        return row, _final_plan(j)
+
+    with _with_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+            # Pin the ratio's denominator and floor: the sparse side
+            # must land ≤3 non-empty of 32 (0.094 < 0.2) regardless of
+            # the calling session's shuffle.partitions — the driver's
+            # vanilla session runs 8, where 3/8 would NOT demote.
+            "spark.sql.shuffle.partitions": "32",
+            "spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin": "0.2",
+        },
+    ):
+        sparse_row, sparse_plan = run(500)
+        dense_row, dense_plan = run(2)
+
+    return spark.createDataFrame(
+        [
+            (
+                sparse_row["n"],
+                sparse_row["v"],
+                dense_row["n"],
+                dense_row["v"],
+                "SortMergeJoin" in sparse_plan
+                and "BroadcastHashJoin" not in sparse_plan,
+                "BroadcastHashJoin" in dense_plan,
+            )
+        ],
+        "sparse_n long, sparse_value double, dense_n long,"
+        " dense_value double, sparse_demoted_to_smj boolean,"
+        " dense_promoted_to_bhj boolean",
+    )
+
+
+_MULTI_SWAP_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT)                         AS n_fact_rows,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           ROUND(SUM(value * 2), 2)                         AS total_value,
+           TRUE AS crash_left_tables_mixed,
+           TRUE AS recovery_converged,
+           TRUE AS rollup_matches_fact,
+           TRUE AS no_debris
+    FROM events
+"""
+
+
+@register("multi_table_swap_audit", oracle=_MULTI_SWAP_ORACLE)
+def multi_table_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table transactional publish under fault injection
+    (sinks.publish_tables_atomic — round-6 slate): a day-partitioned
+    fact copy of events and its per-day rollup are first published at
+    generation 1, then RE-published at generation 2 (values doubled)
+    with a crash injected BETWEEN the two tables' swap phases — the
+    exact window where fact and rollup diverge. The audit pins the
+    full contract: (a) the crash really left mixed generations (fact
+    new, rollup old — the documented convergence window), (b) ONE
+    recovery pass rolls the single shared journal FORWARD and both
+    tables land on generation 2, (c) the recovered rollup equals a
+    re-aggregation of the recovered fact row-for-row (the invariant a
+    fact+rollup reader needs), (d) no staging debris survives. DuckDB
+    pins row/day counts and the generation-2 total. Protocol cost is
+    O(#partitions) renames per table; the journal write is the single
+    commit point for the whole set."""
+    import shutil
+    import tempfile
+
+    from .. import sinks
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id",
+        "user_id",
+        F.col("value"),
+        F.col("ts").cast("date").alias("date"),
+    )
+
+    def gen(factor: int):
+        fact = ev.withColumn("value", F.col("value") * factor)
+        rollup = fact.groupBy("date").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+        )
+        return fact, rollup
+
+    tmp = tempfile.mkdtemp(prefix="multi_swap_audit_")
+    fact_t, roll_t = f"{tmp}/a_fact", f"{tmp}/b_rollup"
+    old_hook = sinks._CRASH_HOOK
+    try:
+        f1, r1 = gen(1)
+        sinks.publish_tables_atomic(spark, [(f1, fact_t), (r1, roll_t)])
+        v1_rollup = {
+            r["date"]: r["day_value"]
+            for r in spark.read.parquet(roll_t).collect()
+        }
+
+        f2, r2 = gen(2)
+
+        def crash(point: str) -> None:
+            if point == "multi_table_done:t0":
+                raise RuntimeError("injected crash: multi_table_swap_audit")
+
+        sinks._CRASH_HOOK = crash
+        crashed = False
+        try:
+            sinks.publish_tables_atomic(spark, [(f2, fact_t), (r2, roll_t)])
+        except RuntimeError:
+            crashed = True
+        sinks._CRASH_HOOK = old_hook
+
+        mixed_fact_total = spark.read.parquet(fact_t).agg(
+            F.round(F.sum("value"), 2)
+        ).first()[0]
+        mixed_rollup = {
+            r["date"]: r["day_value"]
+            for r in spark.read.parquet(roll_t).collect()
+        }
+        report = sinks.recover_multi_swap(fact_t, stale_after_s=0.0)
+
+        fact_df = spark.read.parquet(fact_t)
+        n_fact = fact_df.count()
+        total = fact_df.agg(F.round(F.sum("value"), 2)).first()[0]
+        refreshed = fact_df.groupBy("date").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+        )
+        stored = spark.read.parquet(roll_t).select(
+            "date", "n_events", "day_value"
+        )
+        n_days = stored.count()
+        diff = (
+            refreshed.exceptAll(stored).count()
+            + stored.exceptAll(refreshed).count()
+        )
+        import os
+
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_fact),
+                    int(n_days),
+                    float(total),
+                    bool(
+                        crashed
+                        and mixed_rollup == v1_rollup  # rollup still gen 1
+                        and abs(mixed_fact_total - total) < 0.02  # fact gen 2
+                    ),
+                    bool(report["rolled_forward"] == 1),
+                    bool(diff == 0),
+                    not os.path.isdir(os.path.join(fact_t, "_compact"))
+                    and not os.path.isdir(os.path.join(roll_t, "_compact")),
+                )
+            ],
+            "n_fact_rows long, n_days long, total_value double,"
+            " crash_left_tables_mixed boolean, recovery_converged boolean,"
+            " rollup_matches_fact boolean, no_debris boolean",
+        )
+    finally:
+        sinks._CRASH_HOOK = old_hook
+        shutil.rmtree(tmp, ignore_errors=True)

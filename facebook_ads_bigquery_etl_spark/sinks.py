@@ -550,6 +550,12 @@ def recover_compaction(
         run_dir = os.path.join(root, run_id)
         if not os.path.isdir(run_dir):
             continue  # the _lock lease file
+        if run_id.startswith("multi-"):
+            # A multi-table run homed here spans OTHER tables whose
+            # leases this single-table recovery does not hold — it is
+            # resolved only by recover_multi_swap / the next
+            # publish_tables_atomic, which re-acquire the full set.
+            continue
         journal_path = os.path.join(run_dir, "journal.json")
         if os.path.exists(journal_path):
             with open(journal_path) as f:
@@ -563,6 +569,192 @@ def recover_compaction(
         else:
             shutil.rmtree(run_dir, ignore_errors=True)
             out["rolled_back"] += 1
+    if os.path.isdir(root) and not os.listdir(root):
+        os.rmdir(root)
+    return out
+
+
+# -- multi-table transactional swap ----------------------------------------
+#
+# Extends the single-table staged-commit protocol to N tables under ONE
+# journal (fact + rollup must move together: a reader that joins them
+# must never converge onto mixed generations). All staging lives under
+# the PRIMARY table's _compact root (primary = lexicographically first
+# target path, so every writer and every recovery picks the same home);
+# the journal write remains the single atomic commit point for the
+# WHOLE set:
+#
+#   crash before the journal → recovery rolls every table BACK
+#     (staging deleted; no live tree was touched);
+#   crash after the journal (including between the two tables' swaps)
+#     → recovery rolls every table FORWARD from the one manifest.
+#
+# Like the single-table protocol, the swap phase is convergent, not
+# isolated: a reader racing the swaps can transiently observe table A
+# new + table B old, but after recovery both are new — the window is
+# O(#partitions) renames, not O(data). Leases are taken on EVERY
+# target in sorted order (no deadlock against another multi-writer)
+# and heartbeated for the run's duration.
+
+
+def publish_tables_atomic(
+    spark: SparkSession,
+    writes: "list[tuple[DataFrame, str]]",
+    partition_field: str = "date",
+    fmt: str = "parquet",
+) -> None:
+    """Stage and atomically publish N (DataFrame → table path) writes
+    under one journal. Local paths only (same constraint, same reason
+    as :func:`compact_partitions_atomic`)."""
+    resolved: list[tuple[DataFrame, str]] = []
+    for df, p in writes:
+        lp = _local_fs_path(p)
+        if lp is None:
+            raise ValueError(
+                f"publish_tables_atomic requires local paths, got {p!r}"
+            )
+        resolved.append((df, lp))
+    paths = [p for _, p in resolved]
+    if len(set(paths)) != len(paths):
+        raise ValueError(f"duplicate target tables: {paths}")
+    ordered = sorted(paths)
+    primary = ordered[0]
+    held: list[str] = []
+    try:
+        for p in ordered:  # sorted acquisition: no lock-order inversion
+            held.append(_acquire_compaction_lease(p))
+        import contextlib
+
+        with contextlib.ExitStack() as stack:
+            for lease in held:
+                stack.enter_context(_LeaseHeartbeat(lease))
+            _publish_under_leases(
+                spark, resolved, primary, partition_field, fmt
+            )
+    finally:
+        for p in ordered[: len(held)]:
+            _release_compaction_lease(p)
+
+
+def _multi_run_dirs(primary: str) -> list[str]:
+    root = _compact_root(primary)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("multi-")
+        and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def _publish_under_leases(
+    spark: SparkSession,
+    writes: "list[tuple[DataFrame, str]]",
+    primary: str,
+    partition_field: str,
+    fmt: str,
+) -> None:
+    # Holding every lease, any prior multi run is debris → resolve it
+    # first (forward if journaled, back otherwise), as the single-table
+    # path does for its own runs.
+    recover_multi_swap(primary, partition_field, stale_after_s=0.0)
+
+    run_dir = os.path.join(
+        _compact_root(primary), f"multi-{uuid.uuid4().hex[:12]}"
+    )
+    tables = []
+    for i, (df, p) in enumerate(writes):
+        data_dir = os.path.join(run_dir, f"t{i}", "data")
+        write_day_partitioned(
+            df,
+            data_dir,
+            partition_field=partition_field,
+            mode="overwrite",
+            fmt=fmt,
+        )
+        tables.append({"slot": f"t{i}", "path": p})
+    _CRASH_HOOK("multi_staged")
+    for t in tables:
+        t["partitions"] = _partition_dirs(
+            os.path.join(run_dir, t["slot"], "data"), partition_field
+        )
+    _atomic_write_json(
+        os.path.join(run_dir, "journal.json"),
+        {"state": "staged", "tables": tables},
+    )
+    _CRASH_HOOK("multi_journaled")
+    _finish_multi_swap(run_dir, tables)
+
+
+def _finish_multi_swap(run_dir: str, tables: list[dict]) -> None:
+    for t in tables:
+        slot_dir = os.path.join(run_dir, t["slot"])
+        data_dir = os.path.join(slot_dir, "data")
+        trash_dir = os.path.join(slot_dir, "trash")
+        os.makedirs(trash_dir, exist_ok=True)
+        for p in t["partitions"]:
+            staged = os.path.join(data_dir, p)
+            live = os.path.join(t["path"], p)
+            trash = os.path.join(trash_dir, p)
+            if not os.path.isdir(staged):
+                continue  # swapped by a prior attempt: idempotent
+            if os.path.isdir(live):
+                os.rename(live, trash)
+            _CRASH_HOOK(f"multi_swap:{t['slot']}:{p}")
+            os.rename(staged, live)
+        _CRASH_HOOK(f"multi_table_done:{t['slot']}")
+    _atomic_write_json(
+        os.path.join(run_dir, "journal.json"),
+        {"state": "committed", "tables": tables},
+    )
+    shutil.rmtree(run_dir, ignore_errors=True)
+    root = os.path.dirname(run_dir)
+    if os.path.isdir(root) and not os.listdir(root):
+        os.rmdir(root)
+
+
+def recover_multi_swap(
+    primary: str,
+    partition_field: str = "date",
+    stale_after_s: float = COMPACTION_LEASE_STALE_S,
+) -> dict[str, int]:
+    """Resolve interrupted multi-table runs homed under ``primary``.
+
+    Same liveness rule as :func:`recover_compaction`: a fresh lease on
+    the PRIMARY means a possibly-live writer (every multi writer holds
+    all its leases, primary included, for its whole run) → skip."""
+    out = {"rolled_forward": 0, "rolled_back": 0, "cleaned": 0, "skipped": 0}
+    lp = _local_fs_path(primary)
+    if lp is None:
+        raise ValueError(f"recover_multi_swap requires a local path: {primary!r}")
+    primary = lp
+    runs = _multi_run_dirs(primary)
+    if not runs:
+        return out
+    if stale_after_s > 0 and os.path.exists(_lease_path(primary)):
+        try:
+            age = time.time() - os.path.getmtime(_lease_path(primary))
+        except OSError:
+            age = stale_after_s
+        if age < stale_after_s:
+            out["skipped"] = len(runs)
+            return out
+    for run_dir in runs:
+        journal_path = os.path.join(run_dir, "journal.json")
+        if os.path.exists(journal_path):
+            with open(journal_path) as f:
+                journal = json.load(f)
+            if journal["state"] == "staged":
+                _finish_multi_swap(run_dir, journal["tables"])
+                out["rolled_forward"] += 1
+            else:
+                shutil.rmtree(run_dir, ignore_errors=True)
+                out["cleaned"] += 1
+        else:
+            shutil.rmtree(run_dir, ignore_errors=True)
+            out["rolled_back"] += 1
+    root = _compact_root(primary)
     if os.path.isdir(root) and not os.listdir(root):
         os.rmdir(root)
     return out

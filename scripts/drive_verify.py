@@ -41,6 +41,8 @@ SAMPLE = [
     # merge-family consumers), the token-bucket state-schema change,
     # and this round's new queries
     "dedup_keep_best_equivalence",
+    "aqe_skew_split_audit", "aqe_broadcast_demotion_audit",
+    "multi_table_swap_audit",
     "merge_upsert_monthly_revenue", "retractable_view_maintenance",
     "stream_dimension_merge", "stream_rate_limit_tokens",
     # earlier rounds' diff coverage

@@ -509,3 +509,145 @@ class TestLeaseProtocol:
             os.unlink(lease)
             time.sleep(0.3)
             assert not hb._thread.is_alive()  # FileNotFoundError → stop
+
+
+class TestMultiTableSwap:
+    """publish_tables_atomic: N tables, ONE journal — after a crash at
+    ANY protocol point plus recovery, the fact and its rollup are on
+    the SAME generation (both old before the journal, both new after),
+    never mixed."""
+
+    def _gen(self, spark, factor: float):
+        fact = spark.createDataFrame(
+            [
+                Row(date="2025-01-01", campaign_id="c1", spend=1.0 * factor),
+                Row(date="2025-01-01", campaign_id="c2", spend=2.0 * factor),
+                Row(date="2025-01-02", campaign_id="c1", spend=3.0 * factor),
+            ]
+        )
+        rollup = fact.groupBy("date").agg(
+            F.round(F.sum("spend"), 2).alias("total_spend")
+        )
+        return fact, rollup
+
+    def _setup(self, spark, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t = str(tmp_path / "fact")
+        roll_t = str(tmp_path / "rollup")
+        old_fact, old_roll = self._gen(spark, 1.0)
+        sinks.publish_tables_atomic(
+            spark, [(old_fact, fact_t), (old_roll, roll_t)]
+        )
+        return fact_t, roll_t
+
+    def _spends(self, spark, path):
+        return sorted(
+            r["spend"] if "spend" in r.asDict() else r["total_spend"]
+            for r in spark.read.parquet(path).collect()
+        )
+
+    def test_clean_publish_writes_both(self, spark, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t, roll_t = self._setup(spark, tmp_path)
+        assert self._spends(spark, fact_t) == [1.0, 2.0, 3.0]
+        assert self._spends(spark, roll_t) == [3.0, 3.0]
+        assert not os.path.isdir(os.path.join(fact_t, "_compact"))
+        assert not os.path.isdir(os.path.join(roll_t, "_compact"))
+
+    @pytest.mark.parametrize(
+        "point,expect_new",
+        [
+            ("multi_staged", False),         # pre-journal → both roll BACK
+            ("multi_journaled", True),       # post-journal → both FORWARD
+            ("multi_swap:t0:date=2025-01-01", True),
+            ("multi_table_done:t0", True),   # BETWEEN the two tables
+            ("multi_swap:t1:date=2025-01-02", True),
+        ],
+    )
+    def test_crash_matrix_converges_consistently(
+        self, spark, tmp_path, point, expect_new
+    ):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t, roll_t = self._setup(spark, tmp_path)
+        new_fact, new_roll = self._gen(spark, 10.0)
+        old_hook = sinks._CRASH_HOOK
+
+        def crash(p):
+            if p == point:
+                raise RuntimeError(f"injected crash at {p}")
+
+        sinks._CRASH_HOOK = crash
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                sinks.publish_tables_atomic(
+                    spark, [(new_fact, fact_t), (new_roll, roll_t)]
+                )
+        finally:
+            sinks._CRASH_HOOK = old_hook
+        primary = min(fact_t, roll_t)
+        report = sinks.recover_multi_swap(primary, stale_after_s=0.0)
+        if expect_new:
+            assert report["rolled_forward"] == 1
+            assert self._spends(spark, fact_t) == [10.0, 20.0, 30.0]
+            assert self._spends(spark, roll_t) == [30.0, 30.0]
+        else:
+            assert report["rolled_back"] == 1
+            assert self._spends(spark, fact_t) == [1.0, 2.0, 3.0]
+            assert self._spends(spark, roll_t) == [3.0, 3.0]
+        # cross-table invariant: rollup always re-derivable from fact
+        fact_sum = sorted(
+            r["s"]
+            for r in spark.read.parquet(fact_t)
+            .groupBy("date")
+            .agg(F.round(F.sum("spend"), 2).alias("s"))
+            .collect()
+        )
+        assert fact_sum == self._spends(spark, roll_t)
+        # recovery idempotent; no debris under either table
+        again = sinks.recover_multi_swap(primary, stale_after_s=0.0)
+        assert again == {
+            "rolled_forward": 0, "rolled_back": 0, "cleaned": 0, "skipped": 0,
+        }
+        assert not os.path.isdir(os.path.join(primary, "_compact"))
+
+    def test_fresh_primary_lease_defers_recovery(self, spark, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t, roll_t = self._setup(spark, tmp_path)
+        primary = min(fact_t, roll_t)
+        run = os.path.join(primary, "_compact", "multi-deadbeef")
+        os.makedirs(os.path.join(run, "t0", "data"))
+        sinks._acquire_compaction_lease(primary)
+        try:
+            report = sinks.recover_multi_swap(primary)
+            assert report["skipped"] == 1 and os.path.isdir(run)
+        finally:
+            sinks._release_compaction_lease(primary)
+        report = sinks.recover_multi_swap(primary, stale_after_s=0.0)
+        assert report["rolled_back"] == 1 and not os.path.isdir(run)
+
+    def test_single_table_recovery_leaves_multi_runs_alone(
+        self, spark, tmp_path
+    ):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t, roll_t = self._setup(spark, tmp_path)
+        primary = min(fact_t, roll_t)
+        run = os.path.join(primary, "_compact", "multi-cafebabe")
+        os.makedirs(os.path.join(run, "t0", "data"))
+        report = sinks.recover_compaction(primary, stale_after_s=0.0)
+        assert report["rolled_back"] == 0 and os.path.isdir(run)
+        sinks.recover_multi_swap(primary, stale_after_s=0.0)
+
+    def test_uri_and_duplicate_targets_rejected(self, spark, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        df, _ = self._gen(spark, 1.0)
+        with pytest.raises(ValueError, match="local paths"):
+            sinks.publish_tables_atomic(spark, [(df, "s3a://b/t")])
+        p = str(tmp_path / "x")
+        with pytest.raises(ValueError, match="duplicate"):
+            sinks.publish_tables_atomic(spark, [(df, p), (df, p)])
