@@ -55,10 +55,9 @@ _PRIORITY = [
     # (1) new + changed this round.
     "dedup_keep_best_equivalence",
     "aqe_skew_split_audit", "aqe_broadcast_demotion_audit",
-    "multi_table_swap_audit",
-    # (slate queries land here as they are registered this round:
-    # stream_partial_session_eviction, join_order_cost_audit,
-    # tiff_multi_ifd_stats, zstd_encoding_audit)
+    "multi_table_swap_audit", "stream_partial_session_eviction",
+    "join_order_cost_audit", "tiff_multi_ifd_stats",
+    "zstd_encoding_audit",
     "merge_upsert_monthly_revenue", "retractable_view_maintenance",
     "stream_dimension_merge", "stream_rate_limit_tokens",
     # (2) stalest driver rows: the full r1 cohort (38)...

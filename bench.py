@@ -168,6 +168,16 @@ HEADLINE = [
     # third wave: retraction MERGE + bin-packed atomic compaction
     "retractable_view_maintenance",
     "compaction_binpack_audit",
+    # round 7: cross-table transactional publish, ProcessingTimeTimeout
+    # eviction, TIFF IFD-chain walk, encoding-aware zstd write. The AQE
+    # and join-order audits are NOT benched (they run disabled-path
+    # control queries by design), nor is dedup_keep_best_equivalence
+    # (it runs the exact quadratic baseline the LSH form exists to
+    # avoid — the scale form is already benched as dedup_keep_best_op).
+    "multi_table_swap_audit",
+    "stream_partial_session_eviction",
+    "tiff_multi_ifd_stats",
+    "zstd_encoding_audit",
 ]
 
 
@@ -215,7 +225,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (67 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-audit/ivfpq-serving/groups-frame/nearest-asof/unpivot/merge-upsert/line-dedup/bloom-13gram/classifier-gate/pack-splits/trigram-lm/ss-outer-join/token-bucket/dhash-dedup/class-balance/mahalanobis-quarantine/bmp-parse/ss-full-outer/stream-merge-dim/retraction-merge/binpack-compaction)",
+        "metric": "headline query wall-clock (71 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-audit/ivfpq-serving/groups-frame/nearest-asof/unpivot/merge-upsert/line-dedup/bloom-13gram/classifier-gate/pack-splits/trigram-lm/ss-outer-join/token-bucket/dhash-dedup/class-balance/mahalanobis-quarantine/bmp-parse/ss-full-outer/stream-merge-dim/retraction-merge/binpack-compaction/multi-table-swap/ptime-session-evict/tiff-ifd-walk/zstd-encoding)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

@@ -1476,3 +1476,157 @@ __all__ += [
     "BMP_STATS_SCHEMA",
     "PNG_TEXT_SCHEMA",
 ]
+
+
+def _tiff_tools():
+    """Standalone TIFF with a MULTI-IFD chain (nested for by-value
+    pickling): the builder emits a real TIFF header (byte order, magic
+    42) followed by 2-4 chained IFDs — IFD0 carries width/length/
+    orientation, each subsequent IFD is a halved "thumbnail" directory
+    (the EXIF IFD1 chaining pattern) — and the parser walks the chain
+    through the next-IFD offsets with a cycle guard, reading only
+    inline SHORT values. Multi-IFD walking is what single-IFD EXIF
+    readers silently skip; a corpus cataloguer needs it to count
+    embedded thumbnails."""
+    import struct as _s
+
+    def encode(d: int) -> bytes:
+        little = d % 2 == 0
+        e = "<" if little else ">"
+        n_ifds = 2 + d % 3
+        w0, h0 = 16 + d % 32, 16 + d % 16
+        sizes = [
+            2 + (3 if k == 0 else 2) * 12 + 4 for k in range(n_ifds)
+        ]
+        offs = [8]
+        for s in sizes[:-1]:
+            offs.append(offs[-1] + s)
+        out = (b"II" if little else b"MM") + _s.pack(e + "HI", 42, 8)
+        for k in range(n_ifds):
+            w, h = max(1, w0 >> k), max(1, h0 >> k)
+            entries = _s.pack(e + "HHIHH", 0x0100, 3, 1, w, 0) + _s.pack(
+                e + "HHIHH", 0x0101, 3, 1, h, 0
+            )
+            n = 2
+            if k == 0:
+                entries += _s.pack(e + "HHIHH", 0x0112, 3, 1, 1 + d % 8, 0)
+                n = 3
+            nxt = offs[k + 1] if k + 1 < n_ifds else 0
+            out += _s.pack(e + "H", n) + entries + _s.pack(e + "I", nxt)
+        return out
+
+    def parse(data: bytes):
+        try:
+            data = bytes(data)
+            order = data[:2]
+            if order == b"II":
+                e = "<"
+            elif order == b"MM":
+                e = ">"
+            else:
+                return None
+            magic, off = _s.unpack(e + "HI", data[2:8])
+            if magic != 42:
+                return None
+            widths, orient, n_entries = [], None, 0
+            seen = set()
+            while off != 0:
+                if off in seen or len(seen) >= 8 or off + 2 > len(data):
+                    return None  # cycle / runaway chain / truncated
+                seen.add(off)
+                (n,) = _s.unpack(e + "H", data[off : off + 2])
+                p = off + 2
+                if p + n * 12 + 4 > len(data):
+                    return None
+                w = None
+                for _ in range(n):
+                    tag, typ, cnt = _s.unpack(e + "HHI", data[p : p + 8])
+                    if typ == 3 and cnt == 1:
+                        (val,) = _s.unpack(e + "H", data[p + 8 : p + 10])
+                        if tag == 0x0100:
+                            w = val
+                        elif tag == 0x0112 and orient is None:
+                            orient = val
+                    p += 12
+                n_entries += n
+                widths.append(w)
+                (off,) = _s.unpack(e + "I", data[p : p + 4])
+            return (
+                "little" if e == "<" else "big",
+                len(widths),
+                n_entries,
+                orient,
+                ",".join(str(w) for w in widths),
+            )
+        except Exception:
+            return None
+
+    return encode, parse
+
+
+tiff_encode, tiff_parse = _tiff_tools()
+
+
+TIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("endian", T.StringType(), True),
+        T.StructField("n_ifds", T.IntegerType(), True),
+        T.StructField("n_entries", T.IntegerType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("widths_csv", T.StringType(), True),
+        T.StructField("chain_ok", T.BooleanType(), True),
+    ]
+)
+
+
+def tiff_ifd_table(docs: DataFrame) -> DataFrame:
+    """Synthesize multi-IFD TIFFs and walk them back from wire bytes
+    (separate mapInPandas passes, the gif/exif seam)."""
+    enc, par = tiff_encode, tiff_parse
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [enc(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "endian", "n_ifds", "n_entries",
+                "orientation", "widths_csv", "chain_ok")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(int(mid))
+                parsed = par(p)
+                if parsed is None:
+                    for k in cols[1:-1]:
+                        rows[k].append(None)
+                    rows["chain_ok"].append(False)
+                    continue
+                endian, n_ifds, n_entries, orient, widths = parsed
+                rows["endian"].append(endian)
+                rows["n_ifds"].append(n_ifds)
+                rows["n_entries"].append(n_entries)
+                rows["orientation"].append(orient)
+                rows["widths_csv"].append(widths)
+                rows["chain_ok"].append(True)
+            yield pd.DataFrame(rows)
+
+    src = docs.select("doc_id")
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    payloads = src.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(walk, TIFF_SCHEMA)

@@ -3931,3 +3931,37 @@ def minhash_band_sweep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bands long, rows_per_band long, n_pairs long,"
         " matches_exact boolean",
     )
+
+
+@register(
+    "tiff_multi_ifd_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'little' ELSE 'big' END AS endian,
+           CAST(2 + doc_id % 3 AS INTEGER)                AS n_ifds,
+           CAST(3 + (1 + doc_id % 3) * 2 AS INTEGER)      AS n_entries,
+           CAST(1 + doc_id % 8 AS INTEGER)                AS orientation,
+           array_to_string(list_transform(
+               range(0, 2 + doc_id % 3),
+               k -> greatest(1, (16 + doc_id % 32) >> k)), ',') AS widths_csv,
+           TRUE AS chain_ok
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def tiff_multi_ifd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF multi-IFD chain walk from REAL wire bytes
+    (operators/multimodal.tiff_ifd_table — round-6 slate): genuine
+    TIFF headers with 2-4 CHAINED IFDs (IFD0 + halved thumbnail
+    directories, the EXIF IFD1 pattern) are synthesized in one
+    mapInPandas pass and walked back in a separate pass that follows
+    the next-IFD offsets under a cycle guard. The oracle regenerates
+    every chained field — IFD count, total entry count, orientation,
+    and the per-IFD width sequence (which requires actually following
+    the chain, not just reading IFD0) — from the closed-form model;
+    a parser that stopped at IFD0 or misread an offset breaks the
+    hash. Same stdlib-container seam as GIF/EXIF/BMP/WAV."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return mm.tiff_ifd_table(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "media_id", "endian", "n_ifds", "n_entries", "orientation",
+        "widths_csv", "chain_ok",
+    )

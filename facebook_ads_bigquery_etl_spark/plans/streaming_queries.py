@@ -997,3 +997,108 @@ def watermark_lag_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id long, watermark_us long, n_input_rows long"
     )
+
+
+@register(
+    "stream_partial_session_eviction",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, COALESCE(value, 0) AS value,
+             ntile(4) OVER (ORDER BY ts, event_id) - 1 AS b
+      FROM events
+    ),
+    pb AS (
+      SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(value) AS v
+      FROM ev GROUP BY 1, 2
+    ),
+    frag AS (
+      SELECT user_id, b, n, v,
+             b - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY b) AS g
+      FROM pb
+    ),
+    run AS (
+      SELECT user_id, b, g,
+             SUM(n) OVER (PARTITION BY user_id, g ORDER BY b) AS n_run,
+             SUM(v) OVER (PARTITION BY user_id, g ORDER BY b) AS v_run,
+             MAX(b) OVER (PARTITION BY user_id, g)            AS frag_end
+      FROM frag
+    )
+    SELECT user_id, CAST(n_run AS BIGINT) AS n_events,
+           ROUND(v_run, 2) AS value_sum, FALSE AS flushed
+    FROM run
+    UNION ALL
+    SELECT user_id, CAST(n_run AS BIGINT) AS n_events,
+           ROUND(v_run, 2) AS value_sum, TRUE AS flushed
+    FROM run WHERE b = frag_end
+    """,
+)
+def stream_partial_session_eviction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ProcessingTimeTimeout partial-session eviction
+    (streaming/pipeline.partial_session_flush) driven through a
+    DETERMINISTIC 4-micro-batch replay: events are split into four
+    time-ordered files (ntile over (ts, event_id) — both engines
+    recompute the same assignment) and streamed one file per trigger,
+    so a user's session fragments break exactly at their idle batches.
+    The emission log is fully replayable SQL: one running-fragment row per
+    (user, present batch), plus one flushed row per fragment — a key
+    idle one batch is evicted by the millisecond-scale processing-time
+    deadline in its first absent batch, and fragments still open at
+    stream end flush in the trailing NO-DATA batch availableNow
+    schedules precisely because state timeouts are pending (observed:
+    exactly one extra batch, every open key flushed). The DuckDB
+    oracle reconstructs every emission with gaps-and-islands windows —
+    the timeout branch's output, the state removal, and the restart
+    are all value-checked, not just row-counted."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from ..streaming import partial_session_flush
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id", F.coalesce("value", F.lit(0.0)).alias("value"),
+        "ts",
+    )
+    ev = ev.withColumn(
+        "b", F.ntile(4).over(W.orderBy("ts", "event_id")) - 1
+    )
+
+    src = tempfile.mkdtemp(prefix="partial_sess_src_")
+    try:
+        now = 1_000_000_000.0
+        for i in range(4):
+            stage = os.path.join(src, f"_stage{i}")
+            ev.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(
+                stage
+            )
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch-{i:03d}.parquet")
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, value double, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = _drain(
+            partial_session_flush(stream),
+            _qname("s_partialsess", sf_dir),
+            "update",
+        )
+        # materialize before the source dir is deleted: memory sink
+        # rows are already driver-side, but force the table once
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -2130,3 +2130,265 @@ def multi_table_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sinks._CRASH_HOOK = old_hook
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_JOIN_COST_ORACLE = """
+    SELECT r_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           TRUE AS all_dims_broadcast,
+           TRUE AS all_smj_without_estimates,
+           TRUE AS strategies_agree,
+           TRUE AS cbo_reordered_dims_first
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+
+@register("join_order_cost_audit", oracle=_JOIN_COST_ORACLE)
+def join_order_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join planning proven on two axes (round-6 slate):
+
+    1. STRATEGY by size estimate: the TPC-H star (lineitem → orders →
+       customer → nation → region) must plan all four dimension joins
+       as BroadcastHashJoin under normal thresholds and all four as
+       SortMergeJoin with estimates disabled (threshold −1), with
+       identical results — the broadcast-vs-shuffle decision is pure
+       cost, never semantics. At 100 TB the first plan moves four dim
+       tables once; the second shuffles the fact table four times.
+    2. ORDER by CBO statistics: with ANALYZE'd tables and
+       ``spark.sql.cbo.joinReorder.enabled``, a query WRITTEN as
+       (fact ⋈ customer) ⋈ nation under a selective nation filter is
+       REORDERED to join the two filtered dimensions first and the
+       fact last (detected structurally: the fact relation moves from
+       first to last in the optimized join tree, depth-first); without
+       CBO the written order stands.
+
+    DuckDB value-checks the per-region revenue; the four booleans pin
+    both plan decisions. All eager work happens against managed probe
+    tables that are dropped before returning."""
+    tabs = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+
+    def star() -> DataFrame:
+        return (
+            tabs["lineitem"]
+            .join(
+                tabs["orders"],
+                tabs["lineitem"].l_orderkey == tabs["orders"].o_orderkey,
+            )
+            .join(
+                tabs["customer"],
+                tabs["orders"].o_custkey == tabs["customer"].c_custkey,
+            )
+            .join(
+                tabs["nation"],
+                tabs["customer"].c_nationkey == tabs["nation"].n_nationkey,
+            )
+            .join(
+                tabs["region"],
+                tabs["nation"].n_regionkey == tabs["region"].r_regionkey,
+            )
+            .groupBy("r_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue")
+            )
+        )
+
+    bcast = star()
+    bcast_rows = {tuple(r) for r in bcast.collect()}
+    bcast_plan = _final_plan(bcast)
+    with _with_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        smj = star()
+        smj_rows = {tuple(r) for r in smj.collect()}
+        smj_plan = _final_plan(smj)
+
+    db_tables = {
+        "jcost_fact": tabs["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        "jcost_cust": tabs["customer"].select("c_custkey", "c_nationkey"),
+        "jcost_nat": tabs["nation"].select("n_nationkey", "n_name"),
+    }
+    sql = """
+        SELECT n_name, COUNT(*) AS n
+        FROM jcost_fact
+        JOIN jcost_cust ON o_custkey = c_custkey
+        JOIN jcost_nat  ON c_nationkey = n_nationkey
+        WHERE n_nationkey < 3
+        GROUP BY n_name
+    """
+
+    def scrub() -> None:
+        import shutil
+
+        for name in db_tables:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                "file:"
+            )
+            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+    scrub()
+    try:
+        for name, df in db_tables.items():
+            df.write.saveAsTable(name)
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+            spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+        plain_opt = (
+            spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        with _with_conf(
+            spark,
+            {
+                "spark.sql.cbo.enabled": "true",
+                "spark.sql.cbo.joinReorder.enabled": "true",
+            },
+        ):
+            cbo_opt = (
+                spark.sql(sql)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+            )
+        reordered = (
+            plain_opt.index("jcost_fact")
+            < plain_opt.index("jcost_nat")
+            and cbo_opt.index("jcost_fact") > cbo_opt.index("jcost_nat")
+        )
+    finally:
+        scrub()
+
+    return bcast.select(
+        "r_name",
+        "revenue",
+        F.lit(
+            bcast_plan.count("BroadcastHashJoin") == 4
+            and "SortMergeJoin" not in bcast_plan
+        ).alias("all_dims_broadcast"),
+        F.lit(
+            smj_plan.count("SortMergeJoin") == 4
+            and "BroadcastHashJoin" not in smj_plan
+        ).alias("all_smj_without_estimates"),
+        F.lit(bcast_rows == smj_rows).alias("strategies_agree"),
+        F.lit(bool(reordered)).alias("cbo_reordered_dims_first"),
+    )
+
+
+_ZSTD_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT)                  AS n_rows,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+           ROUND(SUM(l_extendedprice), 2)            AS total_price,
+           TRUE AS both_zstd,
+           TRUE AS default_dict_encoded,
+           TRUE AS nodict_plain_only,
+           TRUE AS dict_smaller_on_lowcard,
+           TRUE AS roundtrip_equal
+    FROM lineitem
+"""
+
+
+@register("zstd_encoding_audit", oracle=_ZSTD_ORACLE)
+def zstd_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet ENCODING-under-zstd audit (round-6 slate): the same
+    lineitem projection (a 3-value flag column + a high-cardinality
+    price column) is written twice with zstd compression — once with
+    default dictionary encoding, once with
+    ``parquet.enable.dictionary=false`` — and the footers are read
+    back (pyarrow metadata, the same inspection a table-maintenance
+    job runs). Pinned: both files really compress ZSTD; the default
+    write dictionary-encodes the flag column; the forced write is
+    PLAIN-only; and the dictionary version of the low-cardinality
+    column is strictly SMALLER on disk — the reason dictionary +
+    zstd is the right default for categorical columns at 100 TB
+    (zstd alone cannot recover what a 3-entry dictionary removes
+    before it). Row content round-trips identically from both files;
+    DuckDB value-checks count/cardinality/sum."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_returnflag", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="zstd_audit_")
+    try:
+        a_dir, b_dir = f"{tmp}/dict", f"{tmp}/nodict"
+        w = li.coalesce(1).write.option("compression", "zstd")
+        w.parquet(a_dir)
+        li.coalesce(1).write.option("compression", "zstd").option(
+            "parquet.enable.dictionary", "false"
+        ).parquet(b_dir)
+
+        def footer(d: str):
+            f = next(
+                x for x in os.listdir(d) if x.endswith(".parquet")
+            )
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            out = {}
+            for i in range(md.num_columns):
+                col = md.row_group(0).column(i)
+                encs = set(col.encodings)
+                size = sum(
+                    md.row_group(g).column(i).total_compressed_size
+                    for g in range(md.num_row_groups)
+                )
+                out[col.path_in_schema] = (col.compression, encs, size)
+            return out
+
+        fa, fb = footer(a_dir), footer(b_dir)
+        dict_encs = {"PLAIN_DICTIONARY", "RLE_DICTIONARY"}
+        both_zstd = all(
+            v[0] == "ZSTD" for v in list(fa.values()) + list(fb.values())
+        )
+        default_dict = bool(fa["l_returnflag"][1] & dict_encs)
+        nodict_plain = not any(
+            v[1] & dict_encs for v in fb.values()
+        )
+        dict_smaller = fa["l_returnflag"][2] < fb["l_returnflag"][2]
+
+        ra = spark.read.parquet(a_dir)
+        rb = spark.read.parquet(b_dir)
+        agg = lambda df: df.agg(  # noqa: E731
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_returnflag").alias("n_flags"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        ).first()
+        va, vb = agg(ra), agg(rb)
+        return spark.createDataFrame(
+            [
+                (
+                    va["n_rows"],
+                    va["n_flags"],
+                    va["total_price"],
+                    bool(both_zstd),
+                    bool(default_dict),
+                    bool(nodict_plain),
+                    bool(dict_smaller),
+                    bool(tuple(va) == tuple(vb)),
+                )
+            ],
+            "n_rows long, n_flags long, total_price double,"
+            " both_zstd boolean, default_dict_encoded boolean,"
+            " nodict_plain_only boolean, dict_smaller_on_lowcard boolean,"
+            " roundtrip_equal boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -19,6 +19,7 @@ from .pipeline import (
     dedup_events,
     enrich_with_rates,
     join_event_streams,
+    partial_session_flush,
     rate_limit_token_bucket,
     read_event_stream,
     sessionize_stream,
@@ -33,6 +34,7 @@ __all__ = [
     "dedup_events",
     "join_event_streams",
     "enrich_with_rates",
+    "partial_session_flush",
     "rate_limit_token_bucket",
     "read_event_stream",
     "sessionize_stream",

@@ -552,3 +552,89 @@ def rate_limit_token_bucket(
             ),
         )
     )
+
+
+_PARTIAL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("flushed", T.BooleanType()),
+    ]
+)
+
+_PARTIAL_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+
+
+def partial_session_flush(
+    events: DataFrame,
+    idle_timeout_ms: int = 1,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """PARTIAL-SESSION EVICTION on ProcessingTimeTimeout — the one
+    stateful-timeout shape the engine had not exercised (round-6
+    slate; EventTimeTimeout lives in rate_limit_token_bucket, session
+    windows in sessionize_stream). Per user it accumulates an open
+    session fragment (event count + value sum); every batch WITH data
+    for the key emits the refreshed running fragment (``flushed`` =
+    false) and re-arms a processing-time deadline. A key that stays
+    idle past the deadline is flushed from the TIMEOUT branch — the
+    fragment is emitted once more with ``flushed`` = true and the
+    state REMOVED, so per-key state lives only while the key is hot:
+    this is how a 100 TB pipeline bounds session state for a keyspace
+    where most keys go quiet and event-time watermarks alone cannot
+    expire custom state.
+
+    Determinism contract (what the oracle replays): with a
+    file-per-micro-batch source, a key's fragment breaks exactly at
+    its idle BATCHES — any batch without the key runs long after a
+    millisecond-scale deadline, so the flush fires in the key's first
+    absent batch, and a fragment still open in the stream's final
+    batch is never flushed (no further batch runs). Fragments are
+    therefore the maximal runs of consecutive batches containing the
+    key — a pure gaps-and-islands recomputation in SQL."""
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [round(v, 2)],
+                    "flushed": [True],
+                }
+            )
+            return
+        n, v = state.get if state.exists else (0, 0.0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        n += len(pdf)
+        v += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, v))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [round(v, 2)],
+                "flushed": [False],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_PARTIAL_OUT,
+            stateStructType=_PARTIAL_STATE,
+            outputMode="update",
+            timeoutConf="ProcessingTimeTimeout",
+        )
+    )

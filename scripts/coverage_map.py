@@ -133,13 +133,13 @@ CORE: list[tuple[str, str, list[str], str]] = [
     ("X1", "FX conversion join (spend in account currency)", ["fb_spend_local"], ""),
 ]
 
-SECTION_RE = re.compile(r"^### (2\.1[013]) ")
+SECTION_RE = re.compile(r"^### (2\.1[0134]) ")
 ROW_RE = re.compile(r"^\| (?!---)(.+?) \| .+? \| (.+?) \| .+? \|$")
 NAME_RE = re.compile(r"`([a-z0-9_]+)`")
 
 
 def parse_survey_tables(path: str) -> list[tuple[str, str, list[str], str]]:
-    """(section, operator, queries, infra) rows from §2.10/§2.11."""
+    """(section, operator, queries, infra) rows from §2.10/§2.11/§2.13/§2.14."""
     rows, section = [], None
     with open(path) as f:
         for line in f:

@@ -572,6 +572,20 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "Window"],
     ),
+    "join_order_cost_audit": (
+        "star join under size estimates: all four dimension joins "
+        "broadcast (the returned frame is the broadcast-mode run); "
+        "no shuffle join, no cross product",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "tiff_multi_ifd_stats": (
+        "TIFF IFD-chain walk: chained MapInPandas stages, map-only — "
+        "payload bytes never shuffle, no join, no window",
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "Window"],
+    ),
 }
 
 

@@ -123,10 +123,15 @@ class TestAtomicCompaction:
     a kill at any protocol point must leave the table either
     bit-identical to the pre-compaction state (crash before the
     journal) or mechanically recoverable to the post-compaction state
-    (crash after) — never half-replaced."""
+    (crash after) — never half-replaced.
 
-    @pytest.fixture()
-    def table(self, spark, tmp_path, frame):
+    Parametrized over BOTH protocol arms (round-6 verdict item #6):
+    the stdlib fast path on a plain local path, and the Hadoop
+    FileSystem arm forced over a file:// URI — same journal/swap/
+    recovery code, primitives routed through org.apache.hadoop.fs."""
+
+    @pytest.fixture(params=["local", "hadoop"])
+    def table(self, spark, tmp_path, frame, request):
         import facebook_ads_bigquery_etl_spark.sinks as sinks
 
         path = str(tmp_path / "t")
@@ -135,8 +140,17 @@ class TestAtomicCompaction:
         write_day_partitioned(
             frame.withColumn("spend", F.col("spend") + 0.0), path
         )
-        yield path
+        if request.param == "hadoop":
+            sinks._FORCE_HADOOP_FS = True
+            yield "file://" + path
+            sinks._FORCE_HADOOP_FS = False
+        else:
+            yield path
         sinks._CRASH_HOOK = lambda point: None
+
+    @staticmethod
+    def _loc(path):
+        return path.removeprefix("file://")
 
     def _crash_at(self, point_name):
         import facebook_ads_bigquery_etl_spark.sinks as sinks
@@ -148,7 +162,7 @@ class TestAtomicCompaction:
         sinks._CRASH_HOOK = hook
 
     def _files(self, path, part):
-        d = os.path.join(path, part)
+        d = os.path.join(self._loc(path), part)
         return sorted(f for f in os.listdir(d) if f.endswith((".parquet", ".orc")))
 
     def test_crash_after_stage_leaves_old_partitions_intact(
@@ -177,7 +191,7 @@ class TestAtomicCompaction:
         sinks._CRASH_HOOK = lambda point: None
         report = sinks.recover_compaction(table)
         assert report["rolled_back"] == 1
-        assert not os.path.isdir(os.path.join(table, "_compact"))
+        assert not os.path.isdir(os.path.join(self._loc(table), "_compact"))
 
     def test_crash_mid_swap_recovers_forward(self, spark, tmp_path, frame, table):
         """Kill after the journal, mid partition swap (one partition's
@@ -196,7 +210,7 @@ class TestAtomicCompaction:
         # compacted: exactly one file per partition, no run debris
         for p in ("date=2025-01-01", "date=2025-01-02"):
             assert len(self._files(table, p)) == 1
-        assert not os.path.isdir(os.path.join(table, "_compact"))
+        assert not os.path.isdir(os.path.join(self._loc(table), "_compact"))
 
     def test_clean_compaction_is_atomic_and_idempotent(
         self, spark, tmp_path, frame, table
@@ -209,7 +223,7 @@ class TestAtomicCompaction:
         assert _rows(spark.read.parquet(table)) == rows_before
         for p in ("date=2025-01-01", "date=2025-01-02"):
             assert len(self._files(table, p)) == 1
-        assert not os.path.isdir(os.path.join(table, "_compact"))
+        assert not os.path.isdir(os.path.join(self._loc(table), "_compact"))
 
     def test_staging_tree_is_invisible_to_readers(
         self, spark, tmp_path, frame, table
@@ -225,7 +239,7 @@ class TestAtomicCompaction:
             sinks.compact_partitions(spark, table)
         sinks._CRASH_HOOK = lambda point: None
         # staging + journal exist on disk, yet the read sees live only
-        assert os.path.isdir(os.path.join(table, "_compact"))
+        assert os.path.isdir(os.path.join(self._loc(table), "_compact"))
         assert _rows(spark.read.parquet(table)) == rows_before
         # and recovery rolls the journaled run forward
         report = sinks.recover_compaction(table)
@@ -265,7 +279,7 @@ class TestAtomicCompaction:
         rolled_back = files_after == files_before
         rolled_forward = all(len(v) == 1 for v in files_after.values())
         assert rolled_back or rolled_forward, files_after
-        assert not os.path.isdir(os.path.join(table, "_compact"))
+        assert not os.path.isdir(os.path.join(self._loc(table), "_compact"))
         # a second compaction from the recovered state must succeed
         sinks.compact_partitions(spark, table)
         assert _rows(spark.read.parquet(table)) == rows_before
@@ -359,7 +373,20 @@ class TestCompactionLeaseAndPathGuards:
 class TestLeaseProtocol:
     """Round-6 hardening paths (breaker mutex, heartbeat) — the
     concurrency protocol the round-6 verdict flagged as shipped
-    untested."""
+    untested. Parametrized over the stdlib arm and the Hadoop
+    FileSystem arm (plain paths resolved through the default
+    file:// FileSystem when forced)."""
+
+    @pytest.fixture(params=["local", "hadoop"], autouse=True)
+    def backend(self, request, spark):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        if request.param == "hadoop":
+            sinks._FORCE_HADOOP_FS = True
+            yield "hadoop"
+            sinks._FORCE_HADOOP_FS = False
+        else:
+            yield "local"
 
     def _stale(self, path_like: str, by_s: float) -> None:
         old = time.time() - by_s
@@ -418,8 +445,14 @@ class TestLeaseProtocol:
         sinks._break_stale_lease(lease, sinks.COMPACTION_LEASE_STALE_S)
         assert not os.path.exists(lease)
 
-    def test_two_contender_race_admits_exactly_one(self, tmp_path):
+    def test_two_contender_race_admits_exactly_one(self, tmp_path, backend):
         import threading
+
+        if backend == "hadoop":
+            pytest.skip(
+                "exclusive-create atomicity is the namenode's contract; "
+                "the local-FS Hadoop shim is check-then-create"
+            )
 
         import facebook_ads_bigquery_etl_spark.sinks as sinks
 
