@@ -1091,11 +1091,42 @@ def stream_partial_session_eviction(
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        out = _drain(
-            partial_session_flush(stream),
-            _qname("s_partialsess", sf_dir),
-            "update",
+        # NOT _drain: a ProcessingTimeTimeout query never self-
+        # terminates under availableNow — the engine keeps scheduling
+        # empty batches as long as the operator uses processing-time
+        # wake-ups (found by the 10× stress probe: each run silently
+        # burned _drain's full 300 s timeout and left the query
+        # ACTIVE, colliding with the next run's name). Drain until
+        # QUIESCENT instead: the first zero-input batch after the data
+        # is, by construction, the flush batch (every deadline is
+        # ms-scale, so it is breached by then), and with the state
+        # drained every later empty batch emits nothing — stop there.
+        # The name is uniquified so a straggling stop never collides.
+        import time as _time
+        import uuid as _uuid
+
+        name = _qname("s_partialsess", sf_dir) + "_" + _uuid.uuid4().hex[:6]
+        q = (
+            partial_session_flush(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
+        deadline = _time.time() + 300
+        saw_data = False
+        while _time.time() < deadline and q.isActive:
+            lp = q.lastProgress
+            if lp is not None:
+                if lp["numInputRows"] > 0:
+                    saw_data = True
+                elif saw_data:
+                    q.stop()
+                    break
+            _time.sleep(0.2)
+        q.awaitTermination(60)
+        out = spark.table(name)
         # materialize before the source dir is deleted: memory sink
         # rows are already driver-side, but force the table once
         out.count()

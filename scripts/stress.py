@@ -112,6 +112,11 @@ PROBES = [
     "retractable_view_maintenance", # negative-delta MERGE
     "compaction_binpack_audit",     # bin-packed atomic compaction write
     "partition_evolution_audit",    # day->month re-layout write
+    # round 7
+    "multi_table_swap_audit",       # two-table one-journal publish (write x2)
+    "stream_partial_session_eviction",  # ProcessingTimeTimeout state
+    "tiff_multi_ifd_stats",         # chained-IFD container walk
+    "zstd_encoding_audit",          # encoding-matrix zstd write
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
