@@ -3965,3 +3965,381 @@ def tiff_multi_ifd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "endian", "n_ifds", "n_entries", "orientation",
         "widths_csv", "chain_ok",
     )
+
+
+@register(
+    "cross_lingual_contamination",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(
+               regexp_replace(
+                 translate(lower(text),
+                           'áàâäãéèêëíìîïóòôöõúùûüçñ',
+                           'aaaaaeeeeiiiiooooouuuucn'),
+                 '[^a-z0-9 ]', ' ', 'g'),
+               '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS g
+      FROM norm
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0),
+    corpus AS (SELECT * FROM grams WHERE doc_id % 11 <> 0),
+    hits AS (
+      SELECT c.doc_id, c.lang, COUNT(*) AS n_hits
+      FROM corpus c JOIN bench b ON c.g = b.g
+      GROUP BY 1, 2
+    ),
+    docs AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id % 11 <> 0 GROUP BY lang
+    )
+    SELECT d.lang,
+           d.n_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT)          AS n_contaminated,
+           CAST(COALESCE(SUM(h.n_hits), 0) AS BIGINT) AS total_gram_hits
+    FROM docs d LEFT JOIN hits h ON h.lang = d.lang
+    GROUP BY d.lang, d.n_docs
+    """,
+)
+def cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-LINGUAL benchmark decontamination (SURVEY §7c slate,
+    deferred from round 6): a held-out eval slice (every 11th doc, any
+    language) is checked for leakage into the rest of the corpus per
+    LANGUAGE — after a transliteration NORMALIZER (lowercase, accent
+    folding via an explicit translate table so both engines share the
+    exact mapping, punctuation collapse), because eval text that leaks
+    into a foreign-language crawl typically survives only modulo
+    diacritics and casing. Contamination = any shared normalized
+    3-gram; the benchmark gram set is DISTINCT-collapsed and
+    broadcast-joined against corpus grams (the 13-gram Bloom variant
+    handles the scale where the gram set outgrows a broadcast — this
+    exact-join form is the audit baseline). Per-language row: corpus
+    docs, contaminated docs, total gram hits — all value-checked."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.expr(
+        r"""filter(split(regexp_replace(
+              translate(lower(text),
+                        'áàâäãéèêëíìîïóòôöõúùûüçñ',
+                        'aaaaaeeeeiiiiooooouuuucn'),
+              '[^a-z0-9 ]', ' '), '\\s+'), t -> t <> '')"""
+    )
+    from ..operators.exprs import let
+
+    def _shingle(tk):
+        # tk is let-bound: the normalize+split runs ONCE per row, not
+        # once per gram position (operators/exprs.let — the projection
+        # collapse would otherwise inline the regexp pipeline into
+        # every lambda reference, O(L²) per document).
+        idx = F.sequence(F.lit(1), F.size(tk) - 2)
+        grams3 = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 3))
+        )
+        return F.array_distinct(
+            F.when(F.size(tk) >= 3, grams3).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    grams = docs.select(
+        "doc_id", "lang", F.explode(let(norm, _shingle)).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 11 == 0).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") % 11 != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        base.join(hits.withColumnRenamed("lang", "h_lang"),
+                  base.lang == F.col("h_lang"), "left")
+        .groupBy("lang", "n_docs")
+        .agg(
+            F.count("doc_id").alias("n_contaminated"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).alias("total_gram_hits"),
+        )
+    )
+
+
+@register(
+    "domain_router_mix",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, source,
+             ln(1 + len(tk))                                    AS f_len,
+             ROUND(len(list_filter(tk, t -> list_contains(
+               ['the','a','of','and','to','in','is','it'], t)))
+               * 1e0 / len(tk), 6)                              AS f_stop,
+             ROUND(list_sum(list_transform(tk, t -> len(t)))
+               * 1e0 / len(tk), 6)                              AS f_alen
+      FROM (SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS tk
+            FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             ROUND(1e0/(1e0+exp(-( 0.40e0*f_len + 1.5e0*f_stop - 0.10e0*f_alen - 1.2e0))), 6) AS s_web,
+             ROUND(1e0/(1e0+exp(-( 0.10e0*f_len - 2.0e0*f_stop + 0.30e0*f_alen - 0.4e0))), 6) AS s_code,
+             ROUND(1e0/(1e0+exp(-( 0.55e0*f_len + 0.5e0*f_stop + 0.05e0*f_alen - 1.8e0))), 6) AS s_books,
+             ROUND(1e0/(1e0+exp(-(-0.20e0*f_len + 1.0e0*f_stop + 0.20e0*f_alen - 0.2e0))), 6) AS s_news
+      FROM feats
+    ),
+    routed AS (
+      SELECT source,
+             CASE greatest(s_web, s_code, s_books, s_news)
+               WHEN s_web   THEN 'web'
+               WHEN s_code  THEN 'code'
+               WHEN s_books THEN 'books'
+               ELSE 'news' END                          AS domain,
+             greatest(s_web, s_code, s_books, s_news)   AS top_score
+      FROM scored
+    )
+    SELECT source, domain,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           ROUND(AVG(top_score), 6)      AS avg_top_score
+    FROM routed GROUP BY source, domain
+    """,
+)
+def domain_router_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-CLASSIFIER ROUTING MIX (SURVEY §7c slate, deferred from
+    round 6): the quality-classifier seam generalized from one gate to
+    a PANEL of four broadcast linear heads (web/code/books/news —
+    fixed literal weights standing in for a model table) over the same
+    three map-only features; each document routes to its argmax head
+    (ties break by the declared head order in both engines — scores
+    are rounded to 6dp BEFORE the argmax so summation order cannot
+    flip a route), and the output is the routing table a mixture
+    builder consumes: docs and mean top score per (source, domain).
+    Still zero shuffle until the final small agg, zero Python —
+    a K-head learned router at scan speed, the pattern that scales to
+    100 TB exactly like the single gate."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    feats = docs.withColumn(
+        "tk", F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
+    ).select(
+        "doc_id",
+        "source",
+        F.log(F.lit(1) + F.size("tk")).alias("f_len"),
+        F.round(
+            F.expr(
+                "size(filter(tk, t -> t IN"
+                " ('the','a','of','and','to','in','is','it')))"
+            )
+            / F.size("tk"),
+            6,
+        ).alias("f_stop"),
+        F.round(
+            F.expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))")
+            / F.size("tk"),
+            6,
+        ).alias("f_alen"),
+    )
+    heads = {
+        "web": (0.40, 1.5, -0.10, -1.2),
+        "code": (0.10, -2.0, 0.30, -0.4),
+        "books": (0.55, 0.5, 0.05, -1.8),
+        "news": (-0.20, 1.0, 0.20, -0.2),
+    }
+    scored = feats.select(
+        "source",
+        *[
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.lit(wl) * F.col("f_len")
+                            + F.lit(ws) * F.col("f_stop")
+                            + F.lit(wa) * F.col("f_alen")
+                            + F.lit(b)
+                        )
+                    )
+                ),
+                6,
+            ).alias(f"s_{d}")
+            for d, (wl, ws, wa, b) in heads.items()
+        ],
+    )
+    top = F.greatest(*[F.col(f"s_{d}") for d in heads])
+    domain = F.when(F.col("s_web") == top, F.lit("web"))
+    for d in ("code", "books"):
+        domain = domain.when(F.col(f"s_{d}") == top, F.lit(d))
+    domain = domain.otherwise(F.lit("news"))
+    return (
+        scored.select("source", domain.alias("domain"), top.alias("top_score"))
+        .groupBy("source", "domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("top_score"), 6).alias("avg_top_score"),
+        )
+    )
+
+
+@register(
+    "dedup_corpus_token_accounting",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    raw AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(len(tk)) AS BIGINT) AS t
+      FROM tok
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+    ex AS (SELECT tok.doc_id, tk FROM tok JOIN keep USING (doc_id)),
+    exagg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(len(tk)) AS BIGINT) AS t
+      FROM ex
+    ),
+    seg AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(tk[i*4+1 : i*4+4], ' ') AS seg,
+             least(4, len(tk) - i*4)                 AS seg_tokens
+      FROM (SELECT doc_id, tk,
+                   unnest(range(0, CAST(ceil(len(tk) / 4.0) AS INT))) AS i
+            FROM ex)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_tokens,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    ),
+    surv AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN rn = 1 THEN seg_tokens ELSE 0 END)
+                  AS BIGINT) AS kept
+      FROM ranked GROUP BY doc_id
+    ),
+    ld AS (
+      SELECT CAST(SUM(CASE WHEN kept > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(kept) AS BIGINT) AS t
+      FROM surv
+    ),
+    pk AS (
+      SELECT CAST(SUM(CASE WHEN kept > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(kept) AS BIGINT) AS t,
+             CAST(SUM(CAST(ceil(kept / 128.0) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(SUM(CAST(ceil(kept / 128.0) AS BIGINT) * 128 - kept)
+                  AS BIGINT) AS pad
+      FROM surv WHERE kept > 0
+    )
+    SELECT 'a_raw' AS stage, d AS n_docs, t AS n_tokens,
+           CAST(0 AS BIGINT) AS n_sequences, CAST(0 AS BIGINT) AS pad_tokens
+    FROM raw
+    UNION ALL
+    SELECT 'b_exact_dedup', d, t, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM exagg
+    UNION ALL
+    SELECT 'c_line_dedup', d, t, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM ld
+    UNION ALL
+    SELECT 'd_packed', d, t, sq, pad FROM pk
+    """,
+)
+def dedup_corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUPLICATED-CORPUS TOKEN ACCOUNTING (SURVEY §7c slate,
+    deferred from round 6): the end-to-end manifest a dataset card
+    reports — token counts through the curation funnel, each stage
+    feeding the next: raw corpus → exact dedup (min-id per body
+    digest) → cross-document line dedup (first-writer-wins 4-token
+    segments, the C4 recipe shared with `line_dedup_stats`) → 128-token
+    sequence packing (per-doc ceil-pack: sequence count + padding
+    waste). One row per stage (stage keys prefixed so the sort order
+    IS the pipeline order). Re-states the family's independent
+    queries as one consistent ledger — the number that actually gets
+    quoted ("X B tokens after dedup") is the composition, and the
+    oracle recomputes every stage transitively so an inconsistency
+    between the family members breaks the hash. Scale shape: digests
+    shuffle, segments shuffle once, packing is a per-doc closed form —
+    no new shuffle beyond the members' own."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "doc_id",
+        "text",
+        F.expr(r"filter(split(text, '\\s+'), t -> t <> '')").alias("tk"),
+    )
+    raw = tok.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("tk")).alias("n_tokens")
+    )
+    keep = docs.groupBy(F.sha2("text", 256)).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    ex = tok.join(keep, "doc_id")
+    exagg = ex.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("tk")).alias("n_tokens")
+    )
+    seg = ex.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(tk)/4.0) as int) - 1),"
+                " i -> struct(i as seg_idx,"
+                "   concat_ws(' ', slice(tk, i*4+1, 4)) as seg,"
+                "   least(4, size(tk) - i*4) as seg_tokens))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.seg_idx", "s.seg", "s.seg_tokens")
+    ranked = seg.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+        ),
+    )
+    surv = ranked.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("rn") == 1, F.col("seg_tokens")).otherwise(0))
+        .alias("kept")
+    )
+    ld = surv.agg(
+        F.sum((F.col("kept") > 0).cast("long")).alias("n_docs"),
+        F.sum("kept").alias("n_tokens"),
+    )
+    nseq = F.ceil(F.col("kept") / 128.0)
+    pk = surv.filter(F.col("kept") > 0).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("n_tokens"),
+        F.sum(nseq).alias("n_sequences"),
+        F.sum(nseq * 128 - F.col("kept")).alias("pad_tokens"),
+    )
+    zero = F.lit(0).cast("long")
+
+    def stage(df, name, with_pack=False):
+        cols = [
+            F.lit(name).alias("stage"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        ]
+        if with_pack:
+            cols += [
+                F.col("n_sequences").cast("long").alias("n_sequences"),
+                F.col("pad_tokens").cast("long").alias("pad_tokens"),
+            ]
+        else:
+            cols += [zero.alias("n_sequences"), zero.alias("pad_tokens")]
+        return df.select(*cols)
+
+    return (
+        stage(raw, "a_raw")
+        .unionByName(stage(exagg, "b_exact_dedup"))
+        .unionByName(stage(ld, "c_line_dedup"))
+        .unionByName(stage(pk, "d_packed", with_pack=True))
+    )

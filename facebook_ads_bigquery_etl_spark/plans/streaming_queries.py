@@ -1004,7 +1004,7 @@ def watermark_lag_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT user_id, COALESCE(value, 0) AS value,
-             ntile(4) OVER (ORDER BY ts, event_id) - 1 AS b
+             CAST(event_id % 4 AS INT) AS b
       FROM events
     ),
     pb AS (
@@ -1039,8 +1039,12 @@ def stream_partial_session_eviction(
     """ProcessingTimeTimeout partial-session eviction
     (streaming/pipeline.partial_session_flush) driven through a
     DETERMINISTIC 4-micro-batch replay: events are split into four
-    time-ordered files (ntile over (ts, event_id) — both engines
-    recompute the same assignment) and streamed one file per trigger,
+    files by ``event_id % 4`` — a MAP-ONLY assignment both engines
+    recompute identically (the first version used a global ntile sort,
+    which the 100× probe showed dominating the audit: the stateful op
+    needs batch DETERMINISM, not time order, since ProcessingTime
+    timeouts never consult event time) — and streamed one file per
+    trigger,
     so a user's session fragments break exactly at their idle batches.
     The emission log is fully replayable SQL: one running-fragment row per
     (user, present batch), plus one flushed row per fragment — a key
@@ -1056,17 +1060,13 @@ def stream_partial_session_eviction(
     import shutil
     import tempfile
 
-    from pyspark.sql.window import Window as W
-
     from ..streaming import partial_session_flush
 
     ev = load_tables(spark, sf_dir, "events")["events"].select(
         "event_id", "user_id", F.coalesce("value", F.lit(0.0)).alias("value"),
         "ts",
     )
-    ev = ev.withColumn(
-        "b", F.ntile(4).over(W.orderBy("ts", "event_id")) - 1
-    )
+    ev = ev.withColumn("b", (F.col("event_id") % 4).cast("int"))
 
     src = tempfile.mkdtemp(prefix="partial_sess_src_")
     try:

@@ -45,6 +45,8 @@ SAMPLE = [
     "multi_table_swap_audit", "stream_partial_session_eviction",
     "join_order_cost_audit", "tiff_multi_ifd_stats",
     "zstd_encoding_audit",
+    "cross_lingual_contamination", "domain_router_mix",
+    "dedup_corpus_token_accounting",
     "merge_upsert_monthly_revenue", "retractable_view_maintenance",
     "stream_dimension_merge", "stream_rate_limit_tokens",
     # earlier rounds' diff coverage
