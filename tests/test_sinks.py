@@ -548,7 +548,23 @@ class TestMultiTableSwap:
     """publish_tables_atomic: N tables, ONE journal — after a crash at
     ANY protocol point plus recovery, the fact and its rollup are on
     the SAME generation (both old before the journal, both new after),
-    never mixed."""
+    never mixed. Parametrized over the stdlib arm and the Hadoop
+    FileSystem arm (file:// URIs with the FS routing forced)."""
+
+    @pytest.fixture(params=["local", "hadoop"], autouse=True)
+    def backend(self, request, spark):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        if request.param == "hadoop":
+            sinks._FORCE_HADOOP_FS = True
+            yield "hadoop"
+            sinks._FORCE_HADOOP_FS = False
+        else:
+            yield "local"
+
+    @staticmethod
+    def _loc(path):
+        return path.removeprefix("file://")
 
     def _gen(self, spark, factor: float):
         fact = spark.createDataFrame(
@@ -566,8 +582,9 @@ class TestMultiTableSwap:
     def _setup(self, spark, tmp_path):
         import facebook_ads_bigquery_etl_spark.sinks as sinks
 
-        fact_t = str(tmp_path / "fact")
-        roll_t = str(tmp_path / "rollup")
+        prefix = "file://" if sinks._FORCE_HADOOP_FS else ""
+        fact_t = prefix + str(tmp_path / "fact")
+        roll_t = prefix + str(tmp_path / "rollup")
         old_fact, old_roll = self._gen(spark, 1.0)
         sinks.publish_tables_atomic(
             spark, [(old_fact, fact_t), (old_roll, roll_t)]
@@ -586,8 +603,8 @@ class TestMultiTableSwap:
         fact_t, roll_t = self._setup(spark, tmp_path)
         assert self._spends(spark, fact_t) == [1.0, 2.0, 3.0]
         assert self._spends(spark, roll_t) == [3.0, 3.0]
-        assert not os.path.isdir(os.path.join(fact_t, "_compact"))
-        assert not os.path.isdir(os.path.join(roll_t, "_compact"))
+        assert not os.path.isdir(os.path.join(self._loc(fact_t), "_compact"))
+        assert not os.path.isdir(os.path.join(self._loc(roll_t), "_compact"))
 
     @pytest.mark.parametrize(
         "point,expect_new",
@@ -644,14 +661,14 @@ class TestMultiTableSwap:
         assert again == {
             "rolled_forward": 0, "rolled_back": 0, "cleaned": 0, "skipped": 0,
         }
-        assert not os.path.isdir(os.path.join(primary, "_compact"))
+        assert not os.path.isdir(os.path.join(self._loc(primary), "_compact"))
 
     def test_fresh_primary_lease_defers_recovery(self, spark, tmp_path):
         import facebook_ads_bigquery_etl_spark.sinks as sinks
 
         fact_t, roll_t = self._setup(spark, tmp_path)
         primary = min(fact_t, roll_t)
-        run = os.path.join(primary, "_compact", "multi-deadbeef")
+        run = os.path.join(self._loc(primary), "_compact", "multi-deadbeef")
         os.makedirs(os.path.join(run, "t0", "data"))
         sinks._acquire_compaction_lease(primary)
         try:
@@ -669,7 +686,7 @@ class TestMultiTableSwap:
 
         fact_t, roll_t = self._setup(spark, tmp_path)
         primary = min(fact_t, roll_t)
-        run = os.path.join(primary, "_compact", "multi-cafebabe")
+        run = os.path.join(self._loc(primary), "_compact", "multi-cafebabe")
         os.makedirs(os.path.join(run, "t0", "data"))
         report = sinks.recover_compaction(primary, stale_after_s=0.0)
         assert report["rolled_back"] == 0 and os.path.isdir(run)
