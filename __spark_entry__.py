@@ -90,14 +90,23 @@ _PRIORITY = [
 # customer_order_years) — within the 45-new cap, so nothing defers and
 # the other 8 slots rotate green representatives. Keep additions ≤45
 # per round so one window always clears them.
-# Round 7 added 11 new queries; the first 8 (the round-6 slate) took
-# window slots, and these three late LLM-depth additions defer so the
-# stalest r1 cohort keeps its 38 re-proof slots (they still pass the
-# full local DuckDB oracle gate each run).
+# Round 7 added 19 new queries; the first 8 (the round-6 slate) took
+# window slots, and these eleven late additions (LLM depth + the
+# round-8 slate pulled forward) defer so the stalest r1 cohort keeps
+# its 38 re-proof slots (they still pass the full local DuckDB oracle
+# gate each run).
 _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "cross_lingual_contamination",
     "domain_router_mix",
     "dedup_corpus_token_accounting",
+    "bloom_fpr_audit",
+    "tokenizer_fertility_by_lang",
+    "stats_staleness_audit",
+    "semantic_dedup_keep_best",
+    "ngram_novelty_scores",
+    "stream_two_table_publish",
+    "bloom_index_merge_maintenance",
+    "stream_rocksdb_state_rollup",
 ]
 
 

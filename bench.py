@@ -58,6 +58,12 @@ def _keep_best_scale(spark, sf_dir):
     return dedup_keep_best_scale(spark, sf_dir)
 
 
+def _semantic_dedup_scale(spark, sf_dir):
+    from facebook_ads_bigquery_etl_spark.plans.llm import semantic_dedup_scale
+
+    return semantic_dedup_scale(spark, sf_dir)
+
+
 def _ann_ivfpq_serve(spark, sf_dir):
     # serving path ONLY (train + encode + probe + ADC + re-rank): the
     # registered ann_ivfpq_topk is the recall AUDIT, which also runs
@@ -80,6 +86,10 @@ EXTRA = {
     # baseline); benching it would time the baseline the LSH path
     # exists to avoid, same reasoning as the minhash/ann entries above.
     "dedup_keep_best_op": _keep_best_scale,
+    # semantic (embedding-tier) dedup, scale form only: the registered
+    # semantic_dedup_keep_best is the equivalence audit and runs the
+    # exact quadratic cosine baseline — same reasoning as above.
+    "semantic_dedup_op": _semantic_dedup_scale,
 }
 
 HEADLINE = [
@@ -178,6 +188,18 @@ HEADLINE = [
     "stream_partial_session_eviction",
     "tiff_multi_ifd_stats",
     "zstd_encoding_audit",
+    # late round 7 (round-8 slate pulled forward): embedding-tier
+    # semantic dedup (scale form), gram-join novelty scoring, streaming
+    # one-journal fact+rollup publish, MERGE-maintained bloom index.
+    # stats_staleness_audit is NOT benched (it times ANALYZE/DDL
+    # control runs by design, like the AQE audits).
+    "semantic_dedup_op",
+    "ngram_novelty_scores",
+    "stream_two_table_publish",
+    "bloom_index_merge_maintenance",
+    # RocksDB provider twin of stream_daily_rollup: the timing delta
+    # between the two families IS the provider-overhead measurement.
+    "stream_rocksdb_state_rollup",
 ]
 
 

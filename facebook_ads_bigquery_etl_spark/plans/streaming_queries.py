@@ -1133,3 +1133,185 @@ def stream_partial_session_eviction(
         return out
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@register(
+    "stream_two_table_publish",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fact_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             (SELECT DISTINCT CAST(ts AS DATE), event_type FROM events))
+             AS n_rollup_rows,
+           ROUND(SUM(value), 2)     AS total_value,
+           TRUE AS multi_epoch,
+           TRUE AS all_epochs_consistent,
+           TRUE AS no_debris
+    FROM events
+    """,
+)
+def stream_two_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING fact+rollup publication under ONE journal per epoch
+    (round-8 slate pulled forward) — the foreachBatch variant of
+    ``sinks.publish_tables_atomic``: every micro-batch extends the fact
+    table AND recomputes its day×type rollup, then publishes BOTH
+    through the journaled two-phase swap, so a reader joining fact to
+    rollup can never observe one table at epoch N and the other at
+    N−1 — the cross-table consistency contract
+    ``multi_table_swap_audit`` proves under crash injection, here
+    proven under live multi-epoch streaming. After EVERY epoch the
+    audit re-reads both published tables and checks rollup ≡
+    groupBy(fact) (exceptAll both ways); a single torn publish would
+    flip ``all_epochs_consistent``. Terminal facts value-checked by
+    DuckDB: fact row count, rollup cardinality, rollup-summed total
+    value. State: the journal covers table SWAPS — streaming progress
+    itself stays in the checkpoint, so a crashed epoch replays
+    batch-idempotently (same staged content, same swap)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .. import sinks
+    from ..streaming.pipeline import _event_schema
+
+    tmp = "/tmp/spark_graft_ss_louter_" + _qname("", sf_dir).strip("_")
+    if not os.path.exists(os.path.join(tmp, "_DONE")):
+        stream_stream_left_outer(spark, sf_dir)
+    # ts → date crosses the session-TZ seam: pin UTC exactly as
+    # read_event_stream / load_tables do, or a hostile-TZ session
+    # shifts midnight-adjacent events onto the neighboring day (the
+    # other staged-source queries never cast to date, so this is the
+    # first one that needs the pin itself).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = _event_schema(T.TimestampType())
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    work = tempfile.mkdtemp(prefix="s_twotab_")
+    fact_t = f"{work}/fact"
+    roll_t = f"{work}/rollup"
+    audit = {"epochs": 0, "consistent": True}
+
+    def publish_batch(batch_df, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        inc = batch_df.filter(F.col("event_id") >= 0).select(
+            "event_id", "user_id", "event_type", "value",
+            F.col("ts").cast("date").alias("date"),
+        )
+        if os.path.isdir(fact_t):
+            fact = ss.read.parquet(fact_t).unionByName(inc)
+        else:
+            fact = inc
+        rollup = fact.groupBy("date", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        sinks.publish_tables_atomic(
+            ss, [(fact, fact_t), (rollup, roll_t)]
+        )
+        # reader-side consistency probe: the published rollup must be
+        # derivable from the published fact at EVERY epoch boundary
+        pf = ss.read.parquet(fact_t)
+        pr = ss.read.parquet(roll_t).select(
+            "date", "event_type", "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        derived = pf.groupBy("date", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        torn = pr.exceptAll(derived).count() + derived.exceptAll(pr).count()
+        audit["epochs"] += 1
+        audit["consistent"] &= torn == 0
+
+    try:
+        q = (
+            src.writeStream.foreachBatch(publish_batch)
+            .option("checkpointLocation", f"{work}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        n_fact = spark.read.parquet(fact_t).count()
+        roll = spark.read.parquet(roll_t)
+        n_roll = roll.count()
+        total = roll.agg(
+            F.round(F.sum("sum_value"), 2).alias("t")
+        ).first()["t"]
+        debris = any(
+            os.path.isdir(os.path.join(t, "_compact"))
+            and os.listdir(os.path.join(t, "_compact"))
+            for t in (fact_t, roll_t)
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_fact),
+                    int(n_roll),
+                    float(total),
+                    audit["epochs"] >= 3,
+                    bool(audit["consistent"]),
+                    not debris,
+                )
+            ],
+            "n_fact_rows long, n_rollup_rows long, total_value double,"
+            " multi_epoch boolean, all_epochs_consistent boolean,"
+            " no_debris boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_rocksdb_state_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE)          AS date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_rocksdb_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-rollup stateful aggregation under the ROCKSDB state
+    store provider (round-8 slate: the 100 TB state path, proven not
+    trusted): identical pipeline to ``stream_daily_rollup``, with
+    ``spark.sql.streaming.stateStore.providerClass`` pointed at
+    RocksDBStateStoreProvider for this query's start and restored
+    after (the provider is captured at stream start, same conf
+    discipline as ``stream_user_profile``). At 100 TB the default
+    HDFS-backed provider holds every key in executor heap — windowed
+    state on a high-cardinality stream OOMs or forces tiny state
+    partitions; RocksDB spills to local disk with incremental
+    checkpointing, making state size a disk problem instead of a heap
+    problem. The oracle is the SAME batch group-by as the default
+    provider's row, so the two driver rows together pin
+    backend-identical output; bench.py times both families so the
+    provider overhead (JNI + serde per state op) stays visible
+    per-round. The rocksdbjni jar ships with pyspark — no protobuf
+    needed (that gates transformWithState, not the provider)."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = daily_rollup(
+            read_event_stream(spark, f"{sf_dir}/events.parquet")
+        )
+        return _drain(stream, _qname("s_rocksroll", sf_dir), "complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -1516,6 +1516,151 @@ def bloom_partition_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_index_merge_maintenance",
+    oracle="""
+    WITH ins AS (
+      SELECT event_id + 1000000000 AS event_id,
+             user_id + 1000000     AS user_id,
+             CAST(ts AS DATE)      AS d
+      FROM events
+      WHERE event_id % 5 = 0 AND CAST(ts AS DATE) < DATE '2024-01-11'
+    ),
+    merged AS (
+      SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events
+      UNION ALL
+      SELECT event_id, user_id, d FROM ins
+    ),
+    idx AS (
+      SELECT DISTINCT d,
+             (user_id * 2654435761 % 1000000007) % 1024 AS bit
+      FROM merged
+    ),
+    touched AS (
+      SELECT DISTINCT d FROM (
+        SELECT CAST(ts AS DATE) AS d FROM events
+        WHERE event_id % 7 = 0 AND CAST(ts AS DATE) < DATE '2024-01-11'
+        UNION ALL SELECT d FROM ins)
+    ),
+    probe AS (
+      SELECT MIN(user_id) + 1000000 AS u
+      FROM events
+      WHERE event_id % 5 = 0 AND CAST(ts AS DATE) < DATE '2024-01-11'
+    ),
+    cand AS (
+      SELECT i.d FROM idx i, probe p
+      WHERE i.bit = (p.u * 2654435761 % 1000000007) % 1024
+    ),
+    truth AS (
+      SELECT m.d, COUNT(*) AS n FROM merged m, probe p
+      WHERE m.user_id = p.u GROUP BY m.d
+    )
+    SELECT
+      (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM merged) AS n_parts_total,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM touched)         AS n_touched_parts,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM idx)             AS n_index_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)            AS n_parts_probed,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)           AS n_parts_true,
+      (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM truth) AS n_events_found,
+      TRUE AS incr_equals_rebuild
+    """,
+)
+def bloom_index_merge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the per-partition bloom side index
+    through the MERGE seam (round-8 slate pulled forward): a CDC batch
+    — value updates for event_id % 7 == 0 and NEW-user inserts
+    (event_id % 5 == 0, user_id shifted by 1e6) — lands on the fact
+    via ``operators/incremental.merge_apply``, and the index is
+    refreshed for ONLY the partitions the delta touched: untouched
+    partitions keep their existing (d, bit) rows (anti-join against
+    the broadcast touched-date set), touched ones are recomputed from
+    the merged fact. The audit then REBUILDS the index from scratch
+    and pins incremental ≡ rebuild (exceptAll both ways) — the
+    invariant that makes incremental refresh safe to trust at 100 TB,
+    where rebuilding the index means re-reading every partition but
+    refreshing means re-reading only the day(s) a CDC batch touched.
+    A point probe for an inserted user then exercises the refreshed
+    index end-to-end (no false negatives by construction; candidate
+    and true partition counts exact). Same PORTABLE hash as
+    ``bloom_partition_index_audit``, so DuckDB reproduces the merged
+    fact, the index, the touched set, and every probe count
+    bit-for-bit — nothing pinned except the equality boolean."""
+    from ..operators.incremental import merge_apply
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    fact0 = events.select(
+        "event_id", "user_id", "value", F.col("ts").cast("date").alias("d")
+    )
+    in_window = F.col("d") < F.lit("2024-01-11").cast("date")
+    updates = fact0.filter((F.col("event_id") % 7 == 0) & in_window).select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value"), "d"
+    )
+    inserts = fact0.filter((F.col("event_id") % 5 == 0) & in_window).select(
+        (F.col("event_id") + 1000000000).alias("event_id"),
+        (F.col("user_id") + 1000000).alias("user_id"),
+        "value",
+        "d",
+    )
+    delta = updates.unionByName(inserts)
+    merged = merge_apply(
+        fact0,
+        delta,
+        keys=["event_id"],
+        update_set={"value": F.col("s.value")},
+    ).drop("op")
+
+    bit = lambda c: (F.col(c) * F.lit(2654435761)) % F.lit(  # noqa: E731
+        1000000007
+    ) % F.lit(1024)
+    index0 = fact0.select("d", bit("user_id").alias("bit")).distinct()
+    touched = delta.select("d").distinct()
+    refreshed = merged.join(F.broadcast(touched), "d", "semi").select(
+        "d", bit("user_id").alias("bit")
+    ).distinct()
+    kept = index0.join(F.broadcast(touched), "d", "anti")
+    incr = kept.unionByName(refreshed)
+    rebuild = merged.select("d", bit("user_id").alias("bit")).distinct()
+    incr = incr.persist()
+    diff = incr.exceptAll(rebuild).count() + rebuild.exceptAll(incr).count()
+
+    probe_u = (
+        fact0.filter((F.col("event_id") % 5 == 0) & in_window)
+        .agg((F.min("user_id") + 1000000).alias("u"))
+        .first()["u"]
+    )
+    probe_bit = (probe_u * 2654435761 % 1000000007) % 1024
+    n_probed = incr.filter(F.col("bit") == probe_bit).count()
+    truth = (
+        merged.filter(F.col("user_id") == probe_u)
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    n_true = truth.count()
+    n_found = truth.agg(F.coalesce(F.sum("n"), F.lit(0))).first()[0]
+    n_parts_total = merged.select("d").distinct().count()
+    n_touched = touched.count()
+    n_index_rows = incr.count()
+    incr.unpersist(blocking=False)
+    truth.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [
+            (
+                n_parts_total,
+                n_touched,
+                n_index_rows,
+                n_probed,
+                n_true,
+                int(n_found),
+                diff == 0,
+            )
+        ],
+        "n_parts_total long, n_touched_parts long, n_index_rows long,"
+        " n_parts_probed long, n_parts_true long, n_events_found long,"
+        " incr_equals_rebuild boolean",
+    )
+
+
+@register(
     "parquet_codec_matrix_audit",
     oracle="""
     WITH agg AS (
@@ -2392,3 +2537,141 @@ def zstd_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STATS_STALE_ORACLE = """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT)        AS n_orders,
+           ROUND(SUM(o_totalprice), 2)     AS total_price,
+           TRUE AS fresh_stats_broadcast,
+           TRUE AS stale_stats_still_broadcast,
+           TRUE AS reanalyzed_plan_shuffles,
+           TRUE AS results_stable
+    FROM orders JOIN nation ON o_custkey % 25 = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@register("stats_staleness_audit", oracle=_STATS_STALE_ORACLE)
+def stats_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based planning's OPERATIONAL failure mode proven: statistics
+    go stale, plans follow the stats (round-8 slate pulled forward).
+    With AQE disabled so the STATIC planner's decision is what is read:
+
+    1. a 25-row ANALYZE'd EXTERNAL dimension joins the fact under a
+       64 KiB broadcast threshold → BroadcastHashJoin (stats say tiny);
+    2. the dimension is grown ~2400× OUT OF BAND — parquet files
+       appended straight to the table location, bypassing the catalog
+       (another engine, a bulk copy) — then REFRESH TABLE so scans see
+       the files but the ANALYZE stats stay stale → the planner STILL
+       broadcasts: it trusts catalog statistics now wrong by three
+       orders. (A catalog-aware append would not reproduce this —
+       Spark deliberately clears table stats on its own writes; the
+       hazard is exactly the write path the catalog never saw.)
+    3. one ANALYZE later the same query plans a SortMergeJoin.
+
+    This is the audit behind the maintenance rule "ANALYZE after bulk
+    load": at 100 TB a stale-stats broadcast ships a multi-GB build
+    side to every executor. Results are pinned identical across all
+    three runs and value-checked by DuckDB (the appended keys are
+    deliberately non-matching); the three plan-shape booleans pin the
+    decision sequence. AQE (re-enabled for the value runs) is the
+    runtime backstop the engine's own aqe_broadcast_demotion_audit
+    proves — this row proves why the backstop is needed."""
+    import shutil
+    import tempfile
+
+    tabs = load_tables(spark, sf_dir, "orders", "lineitem", "nation")
+    dim_name = "stale_stats_dim"
+    loc = tempfile.mkdtemp(prefix="stale_stats_dim_")
+
+    def scrub() -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {dim_name}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+    def q() -> DataFrame:
+        return (
+            tabs["orders"]
+            .join(
+                spark.table(dim_name),
+                tabs["orders"].o_custkey % 25
+                == F.col(f"{dim_name}.n_nationkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+
+    def static_plan() -> str:
+        with _with_conf(spark, {"spark.sql.adaptive.enabled": "false"}):
+            return (
+                q()._jdf.queryExecution().executedPlan().toString()
+            )
+
+    scrub()
+    try:
+        with _with_conf(
+            spark, {"spark.sql.autoBroadcastJoinThreshold": "64KB"}
+        ):
+            tabs["nation"].select("n_nationkey", "n_name").write.mode(
+                "overwrite"
+            ).parquet(loc)
+            spark.sql(
+                f"CREATE TABLE {dim_name} (n_nationkey BIGINT, "
+                f"n_name STRING) USING parquet LOCATION '{loc}'"
+            )
+            spark.sql(f"ANALYZE TABLE {dim_name} COMPUTE STATISTICS")
+            fresh = static_plan()
+            fresh_rows = {tuple(r) for r in q().collect()}
+
+            # bulk-append ~60k NON-MATCHING rows OUT OF BAND: straight
+            # to the location, never through the catalog — REFRESH makes
+            # the scan see the files while ANALYZE stats stay stale
+            tabs["lineitem"].select(
+                (F.col("l_orderkey") + 1000).alias("n_nationkey"),
+                F.concat(F.lit("pad-"), F.col("l_partkey").cast("string"))
+                .alias("n_name"),
+            ).write.mode("append").parquet(loc)
+            spark.sql(f"REFRESH TABLE {dim_name}")
+            stale = static_plan()
+            stale_rows = {tuple(r) for r in q().collect()}
+
+            spark.sql(f"ANALYZE TABLE {dim_name} COMPUTE STATISTICS")
+            refreshed = static_plan()
+            refreshed_rows = {tuple(r) for r in q().collect()}
+    finally:
+        scrub()
+
+    return (
+        tabs["orders"]
+        .join(
+            tabs["nation"],
+            tabs["orders"].o_custkey % 25 == tabs["nation"].n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "n_name",
+            "n_orders",
+            "total_price",
+            F.lit("BroadcastHashJoin" in fresh).alias(
+                "fresh_stats_broadcast"
+            ),
+            F.lit(
+                "BroadcastHashJoin" in stale
+                and "SortMergeJoin" not in stale
+            ).alias("stale_stats_still_broadcast"),
+            F.lit(
+                "SortMergeJoin" in refreshed
+                and "BroadcastHashJoin" not in refreshed
+            ).alias("reanalyzed_plan_shuffles"),
+            F.lit(
+                fresh_rows == stale_rows == refreshed_rows
+            ).alias("results_stable"),
+        )
+    )

@@ -46,7 +46,11 @@ SAMPLE = [
     "join_order_cost_audit", "tiff_multi_ifd_stats",
     "zstd_encoding_audit",
     "cross_lingual_contamination", "domain_router_mix",
-    "dedup_corpus_token_accounting",
+    "dedup_corpus_token_accounting", "bloom_fpr_audit",
+    "tokenizer_fertility_by_lang", "stats_staleness_audit",
+    "semantic_dedup_keep_best", "ngram_novelty_scores",
+    "stream_two_table_publish", "bloom_index_merge_maintenance",
+    "stream_rocksdb_state_rollup",
     "merge_upsert_monthly_revenue", "retractable_view_maintenance",
     "stream_dimension_merge", "stream_rate_limit_tokens",
     # earlier rounds' diff coverage

@@ -586,6 +586,14 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "Window"],
     ),
+    "ngram_novelty_scores": (
+        "novelty scoring: gram fan-out map-side (Generate over the "
+        "let-bound tokenizer), reference DF table is a pre-aggregated "
+        "(gram, df) frame joined on the gram key — document bodies "
+        "never shuffle, per-doc aggregation is two-phase partial",
+        ["Generate", "partial_"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 

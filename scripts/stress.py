@@ -117,6 +117,12 @@ PROBES = [
     "stream_partial_session_eviction",  # ProcessingTimeTimeout state
     "tiff_multi_ifd_stats",         # chained-IFD container walk
     "zstd_encoding_audit",          # encoding-matrix zstd write
+    # late round 7 (round-8 slate pulled forward)
+    "semantic_dedup_op",            # LSH cosine edges + components + argmax
+    "ngram_novelty_scores",         # gram fan-out + (gram, df) join
+    "stream_two_table_publish",     # per-epoch two-table journaled publish
+    "bloom_index_merge_maintenance",  # MERGE + touched-partition refresh
+    "stream_rocksdb_state_rollup",  # RocksDB provider vs stream_daily_rollup
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
@@ -135,6 +141,12 @@ def _extra(name):
         )
 
         return dedup_keep_best_scale
+    if name == "semantic_dedup_op":
+        from facebook_ads_bigquery_etl_spark.plans.llm import (
+            semantic_dedup_scale,
+        )
+
+        return semantic_dedup_scale
     return None
 
 
