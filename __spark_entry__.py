@@ -107,6 +107,10 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "stream_two_table_publish",
     "bloom_index_merge_maintenance",
     "stream_rocksdb_state_rollup",
+    "semantic_dedup_ivf_keep_best",
+    "doc_kl_novelty",
+    "stream_rocksdb_changelog_restart",
+    "stream_bloom_index_maintenance",
 ]
 
 

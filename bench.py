@@ -64,6 +64,12 @@ def _semantic_dedup_scale(spark, sf_dir):
     return semantic_dedup_scale(spark, sf_dir)
 
 
+def _semantic_dedup_ivf_scale(spark, sf_dir):
+    from facebook_ads_bigquery_etl_spark.plans.llm import semantic_dedup_ivf_scale
+
+    return semantic_dedup_ivf_scale(spark, sf_dir)
+
+
 def _ann_ivfpq_serve(spark, sf_dir):
     # serving path ONLY (train + encode + probe + ADC + re-rank): the
     # registered ann_ivfpq_topk is the recall AUDIT, which also runs
@@ -90,6 +96,11 @@ EXTRA = {
     # semantic_dedup_keep_best is the equivalence audit and runs the
     # exact quadratic cosine baseline — same reasoning as above.
     "semantic_dedup_op": _semantic_dedup_scale,
+    # the IVF candidate algebra for the same downstream (registered
+    # form semantic_dedup_ivf_keep_best is likewise the audit); benched
+    # separately so the two algebras stay comparable round over round
+    # (IVF pays k-means training per run; LSH pays wider buckets).
+    "semantic_dedup_ivf_op": _semantic_dedup_ivf_scale,
 }
 
 HEADLINE = [
@@ -194,12 +205,22 @@ HEADLINE = [
     # stats_staleness_audit is NOT benched (it times ANALYZE/DDL
     # control runs by design, like the AQE audits).
     "semantic_dedup_op",
+    "semantic_dedup_ivf_op",
     "ngram_novelty_scores",
+    "doc_kl_novelty",
     "stream_two_table_publish",
     "bloom_index_merge_maintenance",
     # RocksDB provider twin of stream_daily_rollup: the timing delta
     # between the two families IS the provider-overhead measurement.
     "stream_rocksdb_state_rollup",
+    # changelog-checkpointing restart probe: times the two-phase
+    # stop/restart protocol (commit cost ∝ batch delta is the claim
+    # worth watching round over round).
+    "stream_rocksdb_changelog_restart",
+    # in-loop bloom-index refresh: times ingest + touched-partition
+    # index maintenance per micro-batch (the refresh-vs-rebuild gap
+    # is the scaling claim).
+    "stream_bloom_index_maintenance",
 ]
 
 

@@ -122,6 +122,68 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_dup_pairs_ivf(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    assign: int = 3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via an IVF (coarse-quantizer)
+    candidate algebra — the alternative to :func:`embedding_dup_pairs`'s
+    multi-table LSH: a k-means coarse quantizer splits the corpus into
+    ``n_lists`` Voronoi cells, each vector lands in its ``assign``
+    nearest cells (soft assignment — the recall lever for vectors near
+    a cell border), and candidate pairs come only from co-resident
+    cells. Candidates are exact-scored, so precision is exact and only
+    recall is approximate, same contract as the LSH form.
+
+    ``assign=3`` (heavier than :func:`ivf_cosine_topk`'s ``assign=2``)
+    because PAIR recall is harsher than point recall: a pair survives
+    only if BOTH endpoints co-reside in some cell, so per-point miss
+    probabilities compound. Measured edge recall vs the exact baseline
+    on the fixture corpus: (8,3) → 1.000 at sf0.001 / 0.983 at sf0.01;
+    the top-k defaults (16,2) manage only 0.742 here.
+
+    Scale: pair space is Σ cell² instead of n²; unlike LSH the buckets
+    are DATA-ADAPTIVE (a clustered corpus gets tight cells where random
+    hyperplanes split clusters in half), and the same centroid matrix
+    serves the IVF ANN index (``ivf_cosine_topk``) — one trained
+    structure, two operators. Grow ``n_lists`` ∝ √n to hold cell sizes
+    flat; pass precomputed ``centroids`` to skip training (train once
+    offline on a sample at 100 TB)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, vec_col, n_lists=n_lists)
+    base = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "n", _norm(F.col("v"))
+    )
+    cells = base.withColumn(
+        "__cell", F.explode(_ivf_cells("v", centroids, assign))
+    )
+    a = cells.select(
+        F.col(id_col).alias("a_id"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "__cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("b_id"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "__cell",
+    )
+    pairs = (
+        a.join(b, ["__cell"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        pairs.withColumn(
+            "cosine", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (fixed seed → stable
     bucketing across runs/engines)."""

@@ -48,9 +48,11 @@ SAMPLE = [
     "cross_lingual_contamination", "domain_router_mix",
     "dedup_corpus_token_accounting", "bloom_fpr_audit",
     "tokenizer_fertility_by_lang", "stats_staleness_audit",
-    "semantic_dedup_keep_best", "ngram_novelty_scores",
+    "semantic_dedup_keep_best", "semantic_dedup_ivf_keep_best",
+    "ngram_novelty_scores", "doc_kl_novelty",
     "stream_two_table_publish", "bloom_index_merge_maintenance",
-    "stream_rocksdb_state_rollup",
+    "stream_rocksdb_state_rollup", "stream_rocksdb_changelog_restart",
+    "stream_bloom_index_maintenance",
     "merge_upsert_monthly_revenue", "retractable_view_maintenance",
     "stream_dimension_merge", "stream_rate_limit_tokens",
     # earlier rounds' diff coverage

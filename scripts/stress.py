@@ -123,6 +123,11 @@ PROBES = [
     "stream_two_table_publish",     # per-epoch two-table journaled publish
     "bloom_index_merge_maintenance",  # MERGE + touched-partition refresh
     "stream_rocksdb_state_rollup",  # RocksDB provider vs stream_daily_rollup
+    # round-7 final wave (round-8 remainder pulled forward)
+    "semantic_dedup_ivf_op",        # IVF cosine edges + components + argmax
+    "doc_kl_novelty",               # trigram LM train + gram-key scoring join
+    "stream_rocksdb_changelog_restart",  # two-phase changelog restart
+    "stream_bloom_index_maintenance",    # in-loop touched-partition refresh
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
@@ -147,6 +152,12 @@ def _extra(name):
         )
 
         return semantic_dedup_scale
+    if name == "semantic_dedup_ivf_op":
+        from facebook_ads_bigquery_etl_spark.plans.llm import (
+            semantic_dedup_ivf_scale,
+        )
+
+        return semantic_dedup_ivf_scale
     return None
 
 

@@ -211,6 +211,25 @@ class TestEmbeddingDedup:
         # recall: OR-amplified tables must recover most true pairs
         assert len(lsh) / len(exact) >= 0.6
 
+    def test_ivf_path_recall_and_exact_precision(self, spark, emb):
+        """IVF (coarse-quantizer) candidate algebra: precision exact
+        (every emitted pair is a true pair with the true score — IVF
+        only restricts the candidate space, scoring is exact), pair
+        recall ≥ 0.9 at the tuned (n_lists=8, assign=3) operating
+        point (measured 1.000/0.983 at the two check SFs)."""
+        exact = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in sim.embedding_dup_pairs(emb, 0.4, exact=True).collect()
+        }
+        ivf = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in sim.embedding_dup_pairs_ivf(emb, 0.4).collect()
+        }
+        assert exact
+        for k, v in ivf.items():
+            assert k in exact and v == exact[k]
+        assert len(ivf) / len(exact) >= 0.9
+
 
 class TestDecontamination:
     def test_overlap_counts_distinct_shared_shingles(self, spark):
