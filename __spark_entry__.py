@@ -111,6 +111,7 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "doc_kl_novelty",
     "stream_rocksdb_changelog_restart",
     "stream_bloom_index_maintenance",
+    "aqe_coalesce_partitions_audit",
 ]
 
 

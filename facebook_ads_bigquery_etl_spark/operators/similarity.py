@@ -84,7 +84,11 @@ def embedding_dup_pairs(
     path): candidates only from pairs sharing a multi-table LSH cell —
     pair space shrinks to Σ bucket², then candidates are exact-scored,
     so precision is exact and only recall is approximate (asserted vs
-    the exact baseline in tests)."""
+    the exact baseline in tests).
+
+    The scale path's candidate→verify tail is :func:`_bucketed_dup_pairs`
+    (BLAS per-bucket candidate matmul, int-only dedup exchange,
+    HOF-exact re-verify) — shared with the IVF algebra."""
     base = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
         "n", _norm(F.col("v"))
     )
@@ -96,26 +100,87 @@ def embedding_dup_pairs(
             F.col(id_col).alias("b_id"), F.col("v").alias("vb"), F.col("n").alias("nb")
         )
         pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    else:
-        cells = base.withColumn(
-            "__cell", F.explode(_table_buckets("v", n_planes, dim, n_tables, multiprobe=False))
+        return (
+            pairs.withColumn(
+                "cosine",
+                F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine")
         )
-        a = cells.select(
-            F.col(id_col).alias("a_id"), F.col("v").alias("va"),
-            F.col("n").alias("na"), "__cell",
-        )
-        b = cells.select(
-            F.col(id_col).alias("b_id"), F.col("v").alias("vb"),
-            F.col("n").alias("nb"), "__cell",
-        )
-        pairs = (
-            a.join(b, ["__cell"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .dropDuplicates(["a_id", "b_id"])
-        )
+    cells = base.withColumn(
+        "__cell", F.explode(_table_buckets("v", n_planes, dim, n_tables, multiprobe=False))
+    )
+    return _bucketed_dup_pairs(base, cells, threshold, id_col)
+
+
+def _bucketed_dup_pairs(
+    base: DataFrame,
+    cells: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared candidate→verify tail of the bucketed near-dup algebras
+    (multi-table LSH and IVF): BLAS generates, Spark SQL verifies.
+
+    * CANDIDATES — ``applyInPandas`` per bucket: one (k×d)(d×k)
+      normalized matmul per co-residence group emits the upper-triangle
+      pairs at ``threshold − 1e-6`` (the slack covers BLAS-vs-HOF
+      float summation-order divergence, ~1e-15 relative, so no true
+      pair can be lost to it). Per-pair cost is vectorized BLAS — the
+      HOF-lambda dot product the operators used before paid an O(d)
+      interpreted fold per candidate, which dominated the whole family
+      (measured 14.9 s → the matmul path at sf0.1).
+    * DEDUP — cross-bucket duplicates collapse on (a_id, b_id) ints
+      only; no vector ever crosses this exchange.
+    * VERIFY — survivors (few, by selectivity) are re-scored with the
+      SAME HOF expression as ``exact=True`` and re-thresholded, so the
+      emitted cosine is bit-identical to the exact baseline (the
+      equivalence audits compare 6dp-rounded values; BLAS scores must
+      not leak into the output). The rejoin broadcasts the tiny pair
+      set against the vector table — the table streams, it never
+      shuffles."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    thr = float(threshold)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])[
+            order
+        ]
+        nrm = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
+        S = (X / nrm[:, None]) @ (X / nrm[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        m = S[iu, ju] >= thr - 1e-6
+        return pd.DataFrame({"a_id": ids[iu[m]], "b_id": ids[ju[m]]})
+
+    cand = (
+        cells.select(F.col(id_col).alias("__id"), "v", "__cell")
+        .groupBy("__cell")
+        .applyInPandas(cell_pairs, T.StructType([
+            T.StructField("a_id", T.LongType()),
+            T.StructField("b_id", T.LongType()),
+        ]))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    a = base.select(
+        F.col(id_col).alias("a_id"), F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    half = a.join(F.broadcast(cand), "a_id")
     return (
-        pairs.withColumn(
-            "cosine", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        b.join(F.broadcast(half), "b_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
@@ -162,26 +227,7 @@ def embedding_dup_pairs_ivf(
     cells = base.withColumn(
         "__cell", F.explode(_ivf_cells("v", centroids, assign))
     )
-    a = cells.select(
-        F.col(id_col).alias("a_id"), F.col("v").alias("va"),
-        F.col("n").alias("na"), "__cell",
-    )
-    b = cells.select(
-        F.col(id_col).alias("b_id"), F.col("v").alias("vb"),
-        F.col("n").alias("nb"), "__cell",
-    )
-    pairs = (
-        a.join(b, ["__cell"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    return (
-        pairs.withColumn(
-            "cosine", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("a_id", "b_id", "cosine")
-    )
+    return _bucketed_dup_pairs(base, cells, threshold, id_col)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

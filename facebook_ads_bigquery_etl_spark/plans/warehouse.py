@@ -2151,6 +2151,74 @@ def aqe_broadcast_demotion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AQE_COALESCE_ORACLE = """
+    SELECT o_custkey % 1000            AS g,
+           CAST(COUNT(*) AS BIGINT)    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_value,
+           TRUE AS coalesced_in_plan,
+           TRUE AS parts_reduced,
+           TRUE AS matches_control
+    FROM orders GROUP BY 1
+"""
+
+
+@register("aqe_coalesce_partitions_audit", oracle=_AQE_COALESCE_ORACLE)
+def aqe_coalesce_partitions_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE post-shuffle partition COALESCING proven — the third AQE
+    behavior after the skew-split and promotion/demotion audits: a
+    64-partition shuffle whose map outputs are far below the advisory
+    size must come back from runtime re-planning as an
+    ``AQEShuffleRead coalesced`` with strictly fewer reduce partitions
+    than configured, and the coalesced run must equal the
+    uncoalesced control group-for-group. At 100 TB this is the knob
+    that makes one global ``shuffle.partitions`` livable: stages size
+    their reducers from actual map-output bytes instead of a static
+    count, so a filtered branch doesn't schedule thousands of
+    near-empty reduce tasks (task-launch overhead + tiny-file output
+    are the costs at scale). Every per-group aggregate is DuckDB
+    value-checked; the booleans pin the plan shape, the partition
+    reduction, and run equality."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+
+    def run() -> tuple:
+        j = orders.groupBy((F.col("o_custkey") % 1000).alias("g")).agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        rows = j.collect()
+        return rows, _final_plan(j), j.rdd.getNumPartitions()
+
+    with _with_conf(
+        spark,
+        {
+            # fixed contrast base independent of the caller's session
+            # (driver runs 8 shuffle partitions, the test gate 32)
+            "spark.sql.shuffle.partitions": "64",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+        },
+    ):
+        co_rows, co_plan, co_parts = run()
+        with _with_conf(
+            spark,
+            {"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+        ):
+            ctl_rows, ctl_plan, ctl_parts = run()
+
+    coalesced = "coalesced" in co_plan and "coalesced" not in ctl_plan
+    reduced = co_parts < ctl_parts and ctl_parts == 64
+    matches = sorted(map(tuple, co_rows)) == sorted(map(tuple, ctl_rows))
+    return spark.createDataFrame(
+        [
+            (r["g"], r["n_orders"], r["total_value"], coalesced, reduced, matches)
+            for r in co_rows
+        ],
+        "g long, n_orders long, total_value double,"
+        " coalesced_in_plan boolean, parts_reduced boolean,"
+        " matches_control boolean",
+    )
+
+
 _MULTI_SWAP_ORACLE = """
     SELECT CAST(COUNT(*) AS BIGINT)                         AS n_fact_rows,
            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,

@@ -42,6 +42,7 @@ SAMPLE = [
     # and this round's new queries
     "dedup_keep_best_equivalence",
     "aqe_skew_split_audit", "aqe_broadcast_demotion_audit",
+    "aqe_coalesce_partitions_audit",
     "multi_table_swap_audit", "stream_partial_session_eviction",
     "join_order_cost_audit", "tiff_multi_ifd_stats",
     "zstd_encoding_audit",

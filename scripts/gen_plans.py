@@ -594,6 +594,14 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["Generate", "partial_"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "doc_kl_novelty": (
+        "learned-LM KL novelty: map-side trigram Generate, two-level LM "
+        "hash aggregates, scoring joins carry (a,b,c) gram keys + counts "
+        "(bodies never shuffle), 1-row vocab broadcast, per-doc window + "
+        "final agg two-phase partial",
+        ["Generate", "partial_", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
