@@ -3895,9 +3895,12 @@ def orders_tablesample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling composes with partition pruning. The estimator bias is
     the hash's, measurable: n_sampled/N vs the 5% nominal rate."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    bucket = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(
-        1000000007
-    ) % F.lit(100)
+    # pre-mod the key: (u % p)*c == u*c (mod p) and (p-1)*c fits int64,
+    # while a 10x-shifted orderkey overflows the ANSI multiplication
+    # (same fix as the bloom bit hashes — caught by the 10x probe).
+    bucket = (
+        F.pmod(F.col("o_orderkey"), F.lit(1000000007)) * F.lit(2654435761)
+    ) % F.lit(1000000007) % F.lit(100)
     return (
         orders.filter(bucket < 5)
         .groupBy("o_orderpriority")

@@ -1475,9 +1475,12 @@ def bloom_partition_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.createDataFrame(
         [(7,), (13,), (9999991,)], "probe_user long"
     )
-    bit = lambda c: (F.col(c) * F.lit(2654435761)) % F.lit(  # noqa: E731
-        1000000007
-    ) % F.lit(1024)
+    bit = lambda c: (  # noqa: E731
+        # pre-mod the key: (u % p)*c == u*c (mod p), and (p-1)*c fits
+        # int64 while a 10x-shifted key (stress copies at +1e9 each)
+        # overflows ANSI multiplication — caught by the 10x probe
+        F.pmod(F.col(c), F.lit(1000000007)) * F.lit(2654435761)
+    ) % F.lit(1000000007) % F.lit(1024)
     index = (
         events.select(
             F.col("ts").cast("date").alias("d"), bit("user_id").alias("bit")
@@ -1519,9 +1522,9 @@ def bloom_partition_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_index_merge_maintenance",
     oracle="""
     WITH ins AS (
-      SELECT event_id + 1000000000 AS event_id,
-             user_id + 1000000     AS user_id,
-             CAST(ts AS DATE)      AS d
+      SELECT -event_id - 1        AS event_id,
+             user_id + 1000000    AS user_id,
+             CAST(ts AS DATE)     AS d
       FROM events
       WHERE event_id % 5 = 0 AND CAST(ts AS DATE) < DATE '2024-01-11'
     ),
@@ -1594,8 +1597,13 @@ def bloom_index_merge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     updates = fact0.filter((F.col("event_id") % 7 == 0) & in_window).select(
         "event_id", "user_id", (F.col("value") * 2).alias("value"), "d"
     )
+    # synthetic new-row keys live in the NEGATIVE mirror of the key
+    # space (-k-1): a fixed positive shift collides with real keys on
+    # any corpus whose ids reach it — the 10x stress copies (keys
+    # shifted by copy*1e9) tripped the MERGE duplicate-source guard on
+    # exactly that aliasing.
     inserts = fact0.filter((F.col("event_id") % 5 == 0) & in_window).select(
-        (F.col("event_id") + 1000000000).alias("event_id"),
+        (-F.col("event_id") - 1).alias("event_id"),
         (F.col("user_id") + 1000000).alias("user_id"),
         "value",
         "d",
@@ -1608,9 +1616,12 @@ def bloom_index_merge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         update_set={"value": F.col("s.value")},
     ).drop("op")
 
-    bit = lambda c: (F.col(c) * F.lit(2654435761)) % F.lit(  # noqa: E731
-        1000000007
-    ) % F.lit(1024)
+    bit = lambda c: (  # noqa: E731
+        # pre-mod the key: (u % p)*c == u*c (mod p), and (p-1)*c fits
+        # int64 while a 10x-shifted key (stress copies at +1e9 each)
+        # overflows ANSI multiplication — caught by the 10x probe
+        F.pmod(F.col(c), F.lit(1000000007)) * F.lit(2654435761)
+    ) % F.lit(1000000007) % F.lit(1024)
     index0 = fact0.select("d", bit("user_id").alias("bit")).distinct()
     touched = delta.select("d").distinct()
     refreshed = merged.join(F.broadcast(touched), "d", "semi").select(
