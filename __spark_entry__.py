@@ -112,6 +112,7 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "stream_rocksdb_changelog_restart",
     "stream_bloom_index_maintenance",
     "aqe_coalesce_partitions_audit",
+    "state_store_metrics_audit",
 ]
 
 

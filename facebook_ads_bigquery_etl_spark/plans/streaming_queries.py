@@ -1681,3 +1681,129 @@ def stream_bloom_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "state_store_metrics_audit",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0
+                  WHEN ts < TIMESTAMP '2024-01-15' THEN 1
+                  WHEN ts < TIMESTAMP '2024-01-23' THEN 2
+                  ELSE 3 END AS slice,
+             CAST(ts AS DATE) AS d, event_type, ts
+      FROM events
+    ),
+    wm AS (
+      SELECT i,
+             CASE WHEN i = 0 THEN 0
+                  ELSE (SELECT epoch_us(MAX(ts)) // 1000 * 1000
+                        FROM b WHERE slice < i) - 1800000000 END AS wm_us
+      FROM unnest([0, 1, 2, 3, 4]) AS t(i)
+    ),
+    keys AS (SELECT DISTINCT slice, d, event_type FROM b),
+    met AS (
+      SELECT w.i AS batch_id,
+             CAST(COALESCE((SELECT COUNT(*) FROM b WHERE slice = w.i), 0)
+                  AS BIGINT) AS n_input,
+             CAST(COALESCE((SELECT COUNT(*) FROM keys WHERE slice = w.i), 0)
+                  AS BIGINT) AS n_updated,
+             CAST((SELECT COUNT(DISTINCT (d, event_type)) FROM keys
+                   WHERE epoch_us(CAST(d + 1 AS TIMESTAMP)) <= w.wm_us)
+                - COALESCE((SELECT COUNT(DISTINCT (k2.d, k2.event_type))
+                   FROM keys k2, wm w2
+                   WHERE w2.i = w.i - 1
+                     AND epoch_us(CAST(k2.d + 1 AS TIMESTAMP)) <= w2.wm_us),
+                   0) AS BIGINT) AS n_removed,
+             CAST((SELECT COUNT(DISTINCT (d, event_type)) FROM keys
+                   WHERE slice <= w.i)
+                - (SELECT COUNT(DISTINCT (d, event_type)) FROM keys
+                   WHERE epoch_us(CAST(d + 1 AS TIMESTAMP)) <= w.wm_us)
+                  AS BIGINT) AS n_state_rows,
+             CAST(w.wm_us AS BIGINT) AS watermark_us
+      FROM wm w
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, n_input, n_updated,
+           n_removed, n_state_rows, watermark_us
+    FROM met
+    """,
+)
+def state_store_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE metrics observability as a driver row — the
+    state-rows twin of ``watermark_lag_observability``: the per-batch
+    ``stateOperators`` feed (rows total / updated / removed) for a
+    watermarked UPDATE-mode daily rollup over the staged time-sliced
+    source. This is the surface an on-call engineer reads to answer
+    "is streaming state bounded?" — and here every value is
+    DETERMINISTIC, so the DuckDB oracle recomputes the entire ladder
+    from the slice cut dates:
+
+    * ``n_updated``  — distinct (day, type) keys in the batch's slice
+      (slices are date-range-aligned, so no late rows are dropped);
+    * ``n_removed``  — watermark-based eviction: a window's state is
+      removed in the first batch whose watermark (ms-floored max event
+      time of PRIOR batches − the 30-min delay) passes the window end;
+    * ``n_state_rows`` — cumulative keys minus cumulative evictions:
+      the boundedness invariant (state = the watermark-retention
+      frontier, never the whole history);
+    * the sentinel slice is PRUNED AT THE SCAN (user_id ≥ 0 pushes to
+      the parquet source whose row-group stats kill the file), so
+      batch 4 reads 0 input rows yet still runs eviction for slice
+      4's watermark — the flush batch, and the proof that state
+      cleanup is driven by the watermark, not by data arrival."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..streaming.pipeline import _event_schema
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staged = "/tmp/spark_graft_ss_louter_" + _qname("", sf_dir).strip("_")
+    if not os.path.exists(os.path.join(staged, "_DONE")):
+        stream_stream_left_outer(spark, sf_dir)
+    src = (
+        spark.readStream.schema(_event_schema(T.TimestampType()))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    agg = (
+        src.withWatermark("ts", "30 minutes")
+        .filter(F.col("user_id") >= 0)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_qname("s_state_metrics", sf_dir))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import datetime as dt
+
+    rows = []
+    for p in q.recentProgress:
+        d = json.loads(p.json)
+        so = d["stateOperators"][0]
+        wm = d.get("eventTime", {}).get("watermark")
+        wm_us = int(
+            dt.datetime.fromisoformat(wm.replace("Z", "+00:00")).timestamp()
+            * 1_000_000
+        )
+        rows.append(
+            (
+                int(d["batchId"]),
+                int(d["numInputRows"]),
+                int(so["numRowsUpdated"]),
+                int(so["numRowsRemoved"]),
+                int(so["numRowsTotal"]),
+                wm_us,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, n_input long, n_updated long, n_removed long,"
+        " n_state_rows long, watermark_us long",
+    )

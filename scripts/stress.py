@@ -128,6 +128,7 @@ PROBES = [
     "doc_kl_novelty",               # trigram LM train + gram-key scoring join
     "stream_rocksdb_changelog_restart",  # two-phase changelog restart
     "stream_bloom_index_maintenance",    # in-loop touched-partition refresh
+    "state_store_metrics_audit",         # per-batch state-rows ladder
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
