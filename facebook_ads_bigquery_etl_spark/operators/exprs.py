@@ -28,3 +28,25 @@ def let(expr: Column, body: Callable[[Column], Column]) -> Column:
     referenced inside an F.transform/F.filter/F.aggregate lambda, or
     referenced by several sibling output expressions."""
     return F.get(F.transform(F.array(expr), body), 0)
+
+
+def knuth_bucket(
+    key: Column | str,
+    buckets: int,
+    p: int = 1000000007,
+    c: int = 2654435761,
+) -> Column:
+    """PORTABLE multiplicative key hash → bucket id in ``[0, buckets)``
+    — the shared hash of the bloom partition indexes and the hash
+    TABLESAMPLE, chosen so DuckDB oracles reproduce it bit-for-bit
+    (``(key * c % p) % buckets`` in any engine with big-enough ints).
+
+    The key is PRE-MODDED before the Knuth multiply:
+    ``((key % p) * c) % p ≡ (key * c) % p`` (modular identity, value
+    unchanged), and ``(p−1)·c ≈ 2.65e18`` fits int64 — the raw product
+    hard-errors under Spark's ANSI mode once keys reach ~3.5e9. A
+    10×-scale probe (keys shifted by copy·1e9) caught exactly that
+    overflow in every raw-key call site; real 100 TB surrogate-key
+    spaces reach the same range."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (F.pmod(k, F.lit(p)) * F.lit(c)) % F.lit(p) % F.lit(buckets)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..operators.asof import asof_join
+from ..operators.exprs import knuth_bucket
 from ..operators.bloom import bloom_pruned_join, ensure_runtime_bloom
 from ..operators.topk import top_k_per_group
 from .registry import load_tables, register
@@ -3895,12 +3896,7 @@ def orders_tablesample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling composes with partition pruning. The estimator bias is
     the hash's, measurable: n_sampled/N vs the 5% nominal rate."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    # pre-mod the key: (u % p)*c == u*c (mod p) and (p-1)*c fits int64,
-    # while a 10x-shifted orderkey overflows the ANSI multiplication
-    # (same fix as the bloom bit hashes — caught by the 10x probe).
-    bucket = (
-        F.pmod(F.col("o_orderkey"), F.lit(1000000007)) * F.lit(2654435761)
-    ) % F.lit(1000000007) % F.lit(100)
+    bucket = knuth_bucket("o_orderkey", 100)
     return (
         orders.filter(bucket < 5)
         .groupBy("o_orderpriority")

@@ -26,6 +26,7 @@ from ..streaming import (
     user_profile_stateful,
     user_running_totals,
 )
+from ..operators.exprs import knuth_bucket
 from .registry import load_tables, register
 
 
@@ -1586,12 +1587,7 @@ def stream_bloom_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         stream_stream_left_outer(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="s_bloomidx_")
     fact_dir = os.path.join(work, "fact")
-    bit = lambda c: (  # noqa: E731
-        # pre-mod the key: (u % p)*c == u*c (mod p), and (p-1)*c fits
-        # int64 while a 10x-shifted key (stress copies at +1e9 each)
-        # overflows ANSI multiplication — caught by the 10x probe
-        F.pmod(F.col(c), F.lit(1000000007)) * F.lit(2654435761)
-    ) % F.lit(1000000007) % F.lit(1024)
+    bit = lambda c: knuth_bucket(c, 1024)  # noqa: E731
     state = {"version": -1, "days_seen": set(), "refresh": 0, "rebuild": 0}
 
     def apply_batch(batch_df, batch_id: int) -> None:

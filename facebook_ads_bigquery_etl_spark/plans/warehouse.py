@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.expectations import constraint_audit
+from ..operators.exprs import knuth_bucket
 from ..operators.incremental import finalize, merge_states, partial_state
 from ..operators.profile import column_profile
 from ..operators.scd import scd2_merge, snapshot_diff
@@ -1475,12 +1476,7 @@ def bloom_partition_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.createDataFrame(
         [(7,), (13,), (9999991,)], "probe_user long"
     )
-    bit = lambda c: (  # noqa: E731
-        # pre-mod the key: (u % p)*c == u*c (mod p), and (p-1)*c fits
-        # int64 while a 10x-shifted key (stress copies at +1e9 each)
-        # overflows ANSI multiplication — caught by the 10x probe
-        F.pmod(F.col(c), F.lit(1000000007)) * F.lit(2654435761)
-    ) % F.lit(1000000007) % F.lit(1024)
+    bit = lambda c: knuth_bucket(c, 1024)  # noqa: E731
     index = (
         events.select(
             F.col("ts").cast("date").alias("d"), bit("user_id").alias("bit")
@@ -1616,12 +1612,7 @@ def bloom_index_merge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         update_set={"value": F.col("s.value")},
     ).drop("op")
 
-    bit = lambda c: (  # noqa: E731
-        # pre-mod the key: (u % p)*c == u*c (mod p), and (p-1)*c fits
-        # int64 while a 10x-shifted key (stress copies at +1e9 each)
-        # overflows ANSI multiplication — caught by the 10x probe
-        F.pmod(F.col(c), F.lit(1000000007)) * F.lit(2654435761)
-    ) % F.lit(1000000007) % F.lit(1024)
+    bit = lambda c: knuth_bucket(c, 1024)  # noqa: E731
     index0 = fact0.select("d", bit("user_id").alias("bit")).distinct()
     touched = delta.select("d").distinct()
     refreshed = merged.join(F.broadcast(touched), "d", "semi").select(

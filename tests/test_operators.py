@@ -845,3 +845,49 @@ class TestMergeDuplicateSource:
     def test_bad_mode_rejected(self, spark):
         with pytest.raises(ValueError, match="on_duplicate_source"):
             self._merge(spark, mode="upsert")
+
+
+class TestKnuthBucket:
+    """The portable multiplicative key hash shared by the bloom
+    partition indexes and the hash TABLESAMPLE (operators/exprs.
+    knuth_bucket). The 10x stress probe caught the raw form
+    (key * 2654435761) hard-erroring under ANSI once keys pass
+    ~3.5e9 — this pins the pre-mod form's two contracts: it never
+    overflows, and it equals the mathematical (key*c % p) % m that
+    the DuckDB oracles compute in wide integers."""
+
+    P, C = 1000000007, 2654435761
+
+    def test_matches_wide_integer_math_including_huge_keys(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.exprs import (
+            knuth_bucket,
+        )
+
+        keys = [0, 1, 7, 9999991, 3_500_000_001, 9_000_000_190,
+                2**62, 2**63 - 1]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", knuth_bucket("k", 1024).alias("b")
+            ).collect()
+        }
+        for k in keys:
+            assert got[k] == (k * self.C % self.P) % 1024, k
+
+    def test_bucket_range_and_determinism(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators.exprs import (
+            knuth_bucket,
+        )
+
+        # large-key spread — multiplier deliberately NOT the hash's own
+        # modulus p (id·p would alias every key to bucket 0)
+        df = spark.range(0, 5000).select(
+            knuth_bucket(F.col("id") * 999_999_937, 100).alias("b")
+        )
+        stats = df.agg(
+            F.min("b").alias("lo"), F.max("b").alias("hi"),
+            F.countDistinct("b").alias("n"),
+        ).first()
+        assert stats["lo"] >= 0 and stats["hi"] < 100
+        assert stats["n"] > 50  # spreads, not constant
