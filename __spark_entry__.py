@@ -113,6 +113,7 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "stream_bloom_index_maintenance",
     "aqe_coalesce_partitions_audit",
     "state_store_metrics_audit",
+    "length_bucket_packing_audit",
 ]
 
 

@@ -5084,3 +5084,110 @@ def doc_kl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tris", "cross_entropy", "kl_divergence")
     )
+
+
+@register(
+    "length_bucket_packing_audit",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n
+      FROM documents
+    ),
+    naive AS (
+      SELECT doc_id // 32 AS batch, n FROM toks
+    ),
+    nstat AS (
+      SELECT batch, COUNT(*) AS k, MAX(n) AS mx, SUM(n) AS s
+      FROM naive GROUP BY batch
+    ),
+    bucketed AS (
+      SELECT n // 32 AS lb,
+             (ROW_NUMBER() OVER (PARTITION BY n // 32
+                                 ORDER BY n, doc_id) - 1) // 32 AS rb,
+             n
+      FROM toks
+    ),
+    bstat AS (
+      SELECT lb, rb, COUNT(*) AS k, MAX(n) AS mx, SUM(n) AS s
+      FROM bucketed GROUP BY lb, rb
+    ),
+    res AS (
+      SELECT 'naive' AS strategy,
+             CAST(COUNT(*) AS BIGINT)          AS n_batches,
+             CAST(SUM(s) AS BIGINT)            AS total_tokens,
+             CAST(SUM(k * mx - s) AS BIGINT)   AS padded_tokens,
+             ROUND(SUM(k * mx - s) * 1e0 / SUM(k * mx), 6) AS padding_frac
+      FROM nstat
+      UNION ALL
+      SELECT 'length_bucketed',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(s) AS BIGINT),
+             CAST(SUM(k * mx - s) AS BIGINT),
+             ROUND(SUM(k * mx - s) * 1e0 / SUM(k * mx), 6)
+      FROM bstat
+    )
+    SELECT * FROM res
+    """,
+)
+def length_bucket_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PADDING-efficiency audit for batched inference/training over
+    variable-length documents — the quantified case for length-bucketed
+    batching: fixed batches of 32 pad every member to the batch max,
+    so wasted compute is Σ(k·max − Σlen). Two deterministic strategies
+    compared on identical data:
+
+    * ``naive`` — arrival-order batches (doc_id // 32): the default a
+      naive loader produces; long-tail docs poison whole batches;
+    * ``length_bucketed`` — docs grouped into length buckets
+      (n // 32), batched WITHIN each bucket in (n, doc_id) order: the
+      production pattern (sorted/bucketed batching).
+
+    The output pins batch counts, true token mass, padded tokens, and
+    the padding fraction for both — the measured gap (typically 2-5×
+    less padding) is the audit's point, and every number is recomputed
+    by the oracle.
+
+    Scale shape: naive assignment is MAP-ONLY (key arithmetic); the
+    bucketed row_number partitions by the length bucket — many small
+    independent windows, never a global sort (the classic scale bug in
+    sorted batching is a single ORDER BY over the corpus; bucketing by
+    coarse length first caps every window's partition at one bucket).
+    Both stat passes are two-phase hash aggregates on batch keys."""
+    from ..operators.text import tokens
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n")
+    )
+    naive = toks.withColumn("batch", F.expr("doc_id div 32"))
+    nstat = naive.groupBy("batch").agg(
+        F.count("*").alias("k"), F.max("n").alias("mx"), F.sum("n").alias("s")
+    )
+    bucketed = toks.withColumn("lb", F.expr("n div 32")).withColumn(
+        "rb",
+        F.expr(
+            "(row_number() OVER (PARTITION BY lb ORDER BY n, doc_id) - 1)"
+            " div 32"
+        ),
+    )
+    bstat = bucketed.groupBy("lb", "rb").agg(
+        F.count("*").alias("k"), F.max("n").alias("mx"), F.sum("n").alias("s")
+    )
+
+    def summarize(stat: DataFrame, name: str) -> DataFrame:
+        return stat.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").alias("n_batches"),
+            F.sum("s").alias("total_tokens"),
+            F.sum(F.col("k") * F.col("mx") - F.col("s")).alias("padded_tokens"),
+            F.round(
+                F.sum(F.col("k") * F.col("mx") - F.col("s"))
+                / F.sum(F.col("k") * F.col("mx")),
+                6,
+            ).alias("padding_frac"),
+        )
+    return summarize(nstat, "naive").unionByName(
+        summarize(bstat, "length_bucketed")
+    )

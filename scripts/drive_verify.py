@@ -51,6 +51,7 @@ SAMPLE = [
     "tokenizer_fertility_by_lang", "stats_staleness_audit",
     "semantic_dedup_keep_best", "semantic_dedup_ivf_keep_best",
     "ngram_novelty_scores", "doc_kl_novelty",
+    "length_bucket_packing_audit",
     "stream_two_table_publish", "bloom_index_merge_maintenance",
     "stream_rocksdb_state_rollup", "stream_rocksdb_changelog_restart",
     "stream_bloom_index_maintenance", "state_store_metrics_audit",

@@ -129,6 +129,7 @@ PROBES = [
     "stream_rocksdb_changelog_restart",  # two-phase changelog restart
     "stream_bloom_index_maintenance",    # in-loop touched-partition refresh
     "state_store_metrics_audit",         # per-batch state-rows ladder
+    "length_bucket_packing_audit",       # bucket-partitioned batching windows
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
