@@ -114,6 +114,7 @@ _DEFERRED_TO_NEXT_ROUND: list[str] = [
     "aqe_coalesce_partitions_audit",
     "state_store_metrics_audit",
     "length_bucket_packing_audit",
+    "parquet_bloom_filter_audit",
 ]
 
 

@@ -209,6 +209,7 @@ HEADLINE = [
     "ngram_novelty_scores",
     "doc_kl_novelty",
     "length_bucket_packing_audit",
+    "parquet_bloom_filter_audit",
     "stream_two_table_publish",
     "bloom_index_merge_maintenance",
     # RocksDB provider twin of stream_daily_rollup: the timing delta

@@ -2745,3 +2745,122 @@ def stats_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("results_stable"),
         )
     )
+
+
+@register(
+    "parquet_bloom_filter_audit",
+    oracle="""
+    WITH p AS (SELECT MIN(event_id) AS k FROM events)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events)  AS n_rows,
+           (SELECT ROUND(SUM(value), 2) FROM events)      AS total_value,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM events, p WHERE event_id = p.k)          AS n_point_rows,
+           TRUE AS bloom_written,
+           TRUE AS dict_col_suppressed,
+           TRUE AS size_increased,
+           TRUE AS roundtrip_exact
+    """,
+)
+def parquet_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE parquet column bloom filters proven at the footer level —
+    the file-format sibling of the engine's relational bloom indexes
+    (`bloom_partition_index_audit` family): the writer is asked for a
+    split-block bloom on the high-cardinality ``event_id``
+    (``parquet.bloom.filter.enabled#event_id``), and the audit pins
+
+    * ``bloom_written`` — the footer's column chunk carries a bloom
+      offset (> 0) for event_id, read back through the parquet footer
+      API, and the control file written WITHOUT the option carries
+      none (−1);
+    * ``dict_col_suppressed`` — parquet-mr intentionally SKIPS the
+      bloom for fully dictionary-encoded chunks (the dictionary is
+      already an exact membership filter): requesting a bloom on the
+      low-cardinality ``user_id`` yields offset −1 — the semantics a
+      100 TB layout designer must know (bloom the surrogate keys, let
+      dictionaries cover the categoricals);
+    * ``size_increased`` — the bloom-bearing file is strictly larger
+      than the control (the filter is real bytes, not a flag);
+    * ``roundtrip_exact`` + the value columns — row count, 2dp value
+      sum and a point lookup on MIN(event_id) are identical through
+      the bloom-bearing file and DuckDB-value-checked.
+
+    At 100 TB: point lookups on non-partition keys skip row groups via
+    these blooms inside the parquet reader itself, composing with
+    partition pruning and min/max — per-row-group filtering the
+    relational side table can't give."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="pq_bloom_audit_")
+    try:
+        (
+            ev.coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#event_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#event_id", "20000")
+            .option("parquet.bloom.filter.enabled#user_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#user_id", "1000")
+            .parquet(f"{tmp}/bloomed")
+        )
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/control")
+
+        def bloom_offsets(path_glob: str) -> dict:
+            f = _glob.glob(path_glob)[0]
+            jvm = spark._jvm
+            infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                jvm.org.apache.hadoop.fs.Path(f),
+                spark._jsc.hadoopConfiguration(),
+            )
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+                infile
+            )
+            try:
+                rg = reader.getFooter().getBlocks().get(0)
+                out = {}
+                for i in range(rg.getColumns().size()):
+                    col = rg.getColumns().get(i)
+                    out[col.getPath().toDotString()] = (
+                        col.getBloomFilterOffset()
+                    )
+                return out
+            finally:
+                reader.close()
+
+        offs = bloom_offsets(f"{tmp}/bloomed/*.parquet")
+        ctl_offs = bloom_offsets(f"{tmp}/control/*.parquet")
+        size_b = os.path.getsize(_glob.glob(f"{tmp}/bloomed/*.parquet")[0])
+        size_c = os.path.getsize(_glob.glob(f"{tmp}/control/*.parquet")[0])
+
+        back = spark.read.parquet(f"{tmp}/bloomed")
+        n_rows = back.count()
+        total_value = round(
+            float(back.agg(F.round(F.sum("value"), 2)).first()[0]), 2
+        )
+        point_key = back.agg(F.min("event_id")).first()[0]
+        n_point = back.filter(F.col("event_id") == point_key).count()
+        src = ev.agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+        ).first()
+        return spark.createDataFrame(
+            [
+                (
+                    n_rows,
+                    total_value,
+                    n_point,
+                    offs["event_id"] > 0 and ctl_offs["event_id"] == -1,
+                    offs["user_id"] == -1,
+                    size_b > size_c,
+                    n_rows == src["n"] and total_value == float(src["v"]),
+                )
+            ],
+            "n_rows long, total_value double, n_point_rows long,"
+            " bloom_written boolean, dict_col_suppressed boolean,"
+            " size_increased boolean, roundtrip_exact boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

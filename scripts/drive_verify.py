@@ -55,6 +55,7 @@ SAMPLE = [
     "stream_two_table_publish", "bloom_index_merge_maintenance",
     "stream_rocksdb_state_rollup", "stream_rocksdb_changelog_restart",
     "stream_bloom_index_maintenance", "state_store_metrics_audit",
+    "parquet_bloom_filter_audit",
     "merge_upsert_monthly_revenue", "retractable_view_maintenance",
     "stream_dimension_merge", "stream_rate_limit_tokens",
     # earlier rounds' diff coverage

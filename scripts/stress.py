@@ -130,6 +130,7 @@ PROBES = [
     "stream_bloom_index_maintenance",    # in-loop touched-partition refresh
     "state_store_metrics_audit",         # per-batch state-rows ladder
     "length_bucket_packing_audit",       # bucket-partitioned batching windows
+    "parquet_bloom_filter_audit",        # footer bloom write x2 (single-file)
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit
