@@ -90,9 +90,12 @@ _PRIORITY = [
 # customer_order_years) — within the 45-new cap, so nothing defers and
 # the other 8 slots rotate green representatives. Keep additions ≤45
 # per round so one window always clears them.
-# Round 7 added 19 new queries; the first 8 (the round-6 slate) took
-# window slots, and these eleven late additions (LLM depth + the
-# round-8 slate pulled forward) defer so the stalest r1 cohort keeps
+# Round 7 added 28 new queries; the first 8 (the round-6 slate) took
+# window slots, and these twenty late additions (LLM depth, the
+# round-8 slate pulled forward, and the final-session wave: IVF
+# semantic dedup, learned-LM KL novelty, changelog restart, in-loop
+# bloom maintenance, AQE coalesce, state-store metrics, length-bucket
+# packing, native parquet blooms) defer so the stalest r1 cohort keeps
 # its 38 re-proof slots (they still pass the full local DuckDB oracle
 # gate each run).
 _DEFERRED_TO_NEXT_ROUND: list[str] = [
