@@ -90,8 +90,8 @@ _PRIORITY = [
 # customer_order_years) — within the 45-new cap, so nothing defers and
 # the other 8 slots rotate green representatives. Keep additions ≤45
 # per round so one window always clears them.
-# Round 7 added 28 new queries; the first 8 (the round-6 slate) took
-# window slots, and these twenty late additions (LLM depth, the
+# Round 7 added 27 new queries; the first 8 (the round-6 slate) took
+# window slots, and these nineteen late additions (LLM depth, the
 # round-8 slate pulled forward, and the final-session wave: IVF
 # semantic dedup, learned-LM KL novelty, changelog restart, in-loop
 # bloom maintenance, AQE coalesce, state-store metrics, length-bucket
