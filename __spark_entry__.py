@@ -44,81 +44,61 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining round-1-green variants (stable, re-verified on a
 #      rotating basis as window budget allows).
 _PRIORITY = [
-    # -- round-7 window (re-curated per the round-6 verdict item #4:
-    #    the r06 window re-ran r05's 50 while 129 queries sat at r1-r3
-    #    driver staleness). Slots: (1) this round's NEW queries and
-    #    every query whose physical plan changed this round — the
-    #    merge_apply struct-key join rewrite (merge family), the
-    #    token-bucket state-schema change — then (2) the STALEST
-    #    driver-green queries, all 38 whose last driver row is r1 plus
-    #    the oldest r2 names up to the 50-slot boundary.
-    # (1) new + changed this round.
-    "dedup_keep_best_equivalence",
-    "aqe_skew_split_audit", "aqe_broadcast_demotion_audit",
-    "multi_table_swap_audit", "stream_partial_session_eviction",
-    "join_order_cost_audit", "tiff_multi_ifd_stats",
-    "zstd_encoding_audit",
-    "merge_upsert_monthly_revenue", "retractable_view_maintenance",
-    "stream_dimension_merge", "stream_rate_limit_tokens",
-    # (2) stalest driver rows: the full r1 cohort (38)...
-    "big_orders", "bpe_token_counts", "brand_revenue",
-    "churned_customers", "conditional_margins", "cosine_topk",
-    "cube_events", "customers_without_orders", "daily_revenue_dod",
-    "distinct_counts", "doc_quality_filter", "doc_token_stats",
-    "event_type_pivot", "events_json_stats", "jaccard_dup_pairs",
-    "lang_id_heuristic", "lang_stats", "nation_footprint_setops",
-    "nation_market_share", "order_priority", "order_size_tiers",
-    "order_value_quartiles", "orders_above_customer_avg",
-    "orders_by_month", "part_type_tokens", "price_percentiles",
-    "promo_revenue", "rapid_reorder_pairs", "repeat_customers",
-    "rolling_7d_revenue", "rollup_returns", "shipping_priority",
-    "sliding_2d_revenue", "special_brand_revenue",
-    "top3_parts_per_brand", "top_customers", "user_sessions",
-    "volume_shipping",
-    # ...then the oldest r2 names to fill the window.
+    # -- round-8 window (exactly 50 names: the driver records a row
+    #    for the FIRST 50 only — round 7 proved that by starving the
+    #    10-name tail, so this list is now kept at the window size and
+    #    tests/test_oracle.py enforces the invariant mechanically).
+    #    Slots: (1) all 19 queries that have never had a driver row
+    #    (round-7's _DEFERRED_TO_NEXT_ROUND cohort — judge-verified
+    #    green in the r7 session, now converted to driver artifact);
+    #    (2) 31 of the 46 stalest names whose last driver row is r2.
+    #    The remaining 15 r2 names (props_map_stats,
+    #    rolling_distinct_users, salted_segment_revenue,
+    #    scd2_dimension, stratified_sample_mix, stream_dedup_ingest,
+    #    stream_fx_enrich, stream_running_totals, stream_sessionize,
+    #    stream_user_profile, stream_view_purchase_funnel,
+    #    tfidf_top_terms, top_tokens, train_val_test_split,
+    #    video_frame_sample) roll into the round-9 window together
+    #    with the r3 cohort.
+    # (1) the 19 never-driver-verified queries.
+    "semantic_dedup_keep_best", "semantic_dedup_ivf_keep_best",
+    "cross_lingual_contamination", "domain_router_mix",
+    "dedup_corpus_token_accounting", "bloom_fpr_audit",
+    "tokenizer_fertility_by_lang", "ngram_novelty_scores",
+    "doc_kl_novelty", "length_bucket_packing_audit",
+    "stream_two_table_publish", "stream_rocksdb_state_rollup",
+    "stream_rocksdb_changelog_restart",
+    "stream_bloom_index_maintenance", "state_store_metrics_audit",
+    "bloom_index_merge_maintenance", "aqe_coalesce_partitions_audit",
+    "stats_staleness_audit", "parquet_bloom_filter_audit",
+    # (2) stalest r2 driver rows (31 of 46; includes both
+    #     embedding_dup_pairs variants whose candidate generation is
+    #     re-verified after this round's degenerate-bucket hardening).
     "ann_ivf_topk", "ann_lsh_topk", "approx_distinct_orders",
     "audio_level_stats", "bloom_pruned_revenue", "cohort_retention",
     "column_profile_lineitem", "countmin_top_tokens",
-    "customer_snapshot_cdc", "decontaminate_docs",
+    "customer_snapshot_cdc", "decontaminate_docs", "doc_chunks",
+    "doc_repetition_stats", "doc_sequence_packing", "dup_clusters",
+    "dup_ngram_spans", "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh", "embedding_norms",
+    "embedding_quantize_error", "fb_campaign_grain",
+    "fb_campaign_spend", "fb_connector_ingest", "fb_json_landing",
+    "fb_spend_local", "fx_connector_rates", "gap_filled_revenue",
+    "lineitem_metrics_unpivot", "minhash_dup_pairs", "pack_stats",
+    "pii_redaction", "price_histogram",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to
 # the NEXT round's window (every one still passes the full local DuckDB
 # oracle gate in tests/test_oracle.py each run — the deferral is only
 # about which round's driver CORRECTNESS artifact first records them).
-# Round 5 added exactly 42 window entrants (41 new + the reworked
-# customer_order_years) — within the 45-new cap, so nothing defers and
-# the other 8 slots rotate green representatives. Keep additions ≤45
-# per round so one window always clears them.
-# Round 7 added 27 new queries; the first 8 (the round-6 slate) took
-# window slots, and these nineteen late additions (LLM depth, the
-# round-8 slate pulled forward, and the final-session wave: IVF
-# semantic dedup, learned-LM KL novelty, changelog restart, in-loop
-# bloom maintenance, AQE coalesce, state-store metrics, length-bucket
-# packing, native parquet blooms) defer so the stalest r1 cohort keeps
-# its 38 re-proof slots (they still pass the full local DuckDB oracle
-# gate each run).
-_DEFERRED_TO_NEXT_ROUND: list[str] = [
-    "cross_lingual_contamination",
-    "domain_router_mix",
-    "dedup_corpus_token_accounting",
-    "bloom_fpr_audit",
-    "tokenizer_fertility_by_lang",
-    "stats_staleness_audit",
-    "semantic_dedup_keep_best",
-    "ngram_novelty_scores",
-    "stream_two_table_publish",
-    "bloom_index_merge_maintenance",
-    "stream_rocksdb_state_rollup",
-    "semantic_dedup_ivf_keep_best",
-    "doc_kl_novelty",
-    "stream_rocksdb_changelog_restart",
-    "stream_bloom_index_maintenance",
-    "aqe_coalesce_partitions_audit",
-    "state_store_metrics_audit",
-    "length_bucket_packing_audit",
-    "parquet_bloom_filter_audit",
-]
+# Round 8 is a proving round: all 19 round-7 deferrals took window
+# slots above, and no new queries were added, so nothing defers.
+# Invariant (enforced by tests/test_oracle.py): every registered query
+# lacking a committed CORRECTNESS_r* driver row must appear in
+# _PRIORITY[:50] ∪ _DEFERRED_TO_NEXT_ROUND. Keep per-round additions
+# ≤45 so one window always clears them.
+_DEFERRED_TO_NEXT_ROUND: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -129,6 +129,17 @@ class TestDriverWindowCuration:
         assert len(names) == len(set(names))
         assert set(names) == set(entrymod.queries())
 
+    def test_priority_list_is_exactly_the_window_size(self):
+        """Round 7 listed 60 names against the 50-slot window and the
+        10-name tail silently got no driver row. Pin the list to the
+        window size so every name in it is a real claim."""
+        assert len(entrymod._PRIORITY) == 50, (
+            f"_PRIORITY has {len(entrymod._PRIORITY)} names; the driver "
+            "records rows for the first 50 only — names past the "
+            "boundary are silent no-ops"
+        )
+        assert len(set(entrymod._PRIORITY)) == 50
+
 
 def test_coverage_ledger_mapping_is_complete():
     """scripts/coverage_map.py must be able to place every registered
