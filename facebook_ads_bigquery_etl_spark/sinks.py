@@ -314,6 +314,26 @@ class _LocalPathOps:
             return json.load(f)
 
 
+def _java_exc_is_missing(e: Exception) -> bool:
+    """True only for a genuine ``java.io.FileNotFoundException`` (the
+    py4j error's Java class, or anything in its cause chain). Used by
+    the Hadoop arm to translate ONLY real missing-file errors into
+    Python's FileNotFoundError — transient namenode/RPC failures must
+    keep their own type so retry loops (the lease heartbeat) see
+    them as retryable."""
+    java_exc = getattr(e, "java_exception", None)
+    seen = 0
+    while java_exc is not None and seen < 8:
+        try:
+            if "FileNotFoundException" in java_exc.getClass().getName():
+                return True
+            java_exc = java_exc.getCause()
+        except Exception:
+            return False
+        seen += 1
+    return False
+
+
 class _HadoopPathOps:
     """The same primitives through a Hadoop ``FileSystem`` (via the
     session JVM) — lease/journal/swap on hdfs:// etc. Rename atomicity
@@ -376,14 +396,32 @@ class _HadoopPathOps:
     def mtime(self, p: str) -> float:
         try:
             return self._fs.getFileStatus(self._p(p)).getModificationTime() / 1000.0
-        except Exception as e:  # java FileNotFoundException via py4j
-            raise FileNotFoundError(p) from e
+        except Exception as e:
+            if _java_exc_is_missing(e):
+                raise FileNotFoundError(p) from e
+            raise  # transient namenode/RPC error: caller may retry
 
     def touch(self, p: str) -> None:
+        # Missing-file detection is an explicit exists() probe:
+        # RawLocalFileSystem.setTimes raises a plain IOException for a
+        # missing file, and HDFS errors must NOT be blanket-translated
+        # (round-7 advice: wrapping EVERY failure as FileNotFoundError
+        # made _LeaseHeartbeat's transient-retry branch unreachable —
+        # one RPC hiccup stopped the heartbeat and the live lease aged
+        # into breakable staleness). A file deleted in the
+        # exists→setTimes window surfaces as a transient error; the
+        # heartbeat retries and the next probe reports it missing.
+        jp = self._p(p)
         try:
-            self._fs.setTimes(self._p(p), int(time.time() * 1000), -1)
+            if not self._fs.exists(jp):
+                raise FileNotFoundError(p)
+            self._fs.setTimes(jp, int(time.time() * 1000), -1)
+        except FileNotFoundError:
+            raise
         except Exception as e:
-            raise FileNotFoundError(p) from e
+            if _java_exc_is_missing(e):
+                raise FileNotFoundError(p) from e
+            raise
 
     def create_excl(self, p: str, payload: bytes) -> bool:
         # FileSystem.create(path, overwrite=false) is HDFS's atomic
@@ -703,7 +741,14 @@ def _compact_under_lease(
 ) -> None:
     # Holding the lease, any journal-less run dir is a crashed
     # run's debris, not a live writer → recover may roll it back
-    # regardless of age (stale_after_s=0).
+    # regardless of age (stale_after_s=0). Multi-table debris homed
+    # under this table (it was some crashed publish's primary) is
+    # resolved first — at minimum THIS table's pending swaps finish
+    # (we hold its lease), so the compaction below reads a fully
+    # published tree and can't later be rolled-forward-over.
+    recover_multi_swap(
+        path, partition_field, stale_after_s=0.0, held_paths=(path,)
+    )
     recover_compaction(path, partition_field, stale_after_s=0.0)
 
     run_id = uuid.uuid4().hex[:12]
@@ -919,10 +964,19 @@ def _publish_under_leases(
     fmt: str,
 ) -> None:
     ops = _path_ops(primary)[0]
-    # Holding every lease, any prior multi run is debris → resolve it
-    # first (forward if journaled, back otherwise), as the single-table
-    # path does for its own runs.
-    recover_multi_swap(primary, partition_field, stale_after_s=0.0)
+    targets = tuple(p for _, p in writes)
+    # Holding every target's lease, any prior run touching these
+    # tables is debris → resolve BOTH protocols before staging
+    # (round-7 advice: a crashed-but-journaled single-table compaction
+    # left unresolved here would be rolled forward AFTER this publish
+    # commits, resurrecting the pre-publish generation over newer
+    # committed data). Single-table first, then multi, so a committed
+    # publish generation is what survives when both list a partition.
+    for p in targets:
+        recover_compaction(p, partition_field, stale_after_s=0.0)
+    recover_multi_swap(
+        primary, partition_field, stale_after_s=0.0, held_paths=targets
+    )
 
     run_dir = ops.join(
         ops.join(primary, "_compact"), f"multi-{uuid.uuid4().hex[:12]}"
@@ -953,23 +1007,30 @@ def _publish_under_leases(
     _finish_multi_swap(run_dir, tables, ops)
 
 
+def _swap_multi_table(run_dir: str, t: dict, ops) -> None:
+    """Finish ONE table's swaps from a staged multi journal
+    (idempotent per partition — a partition whose staged dir is gone
+    was already swapped by a prior attempt)."""
+    slot_dir = ops.join(run_dir, t["slot"])
+    data_dir = ops.join(slot_dir, "data")
+    trash_dir = ops.join(slot_dir, "trash")
+    ops.mkdirs(trash_dir)
+    for p in t["partitions"]:
+        staged = ops.join(data_dir, p)
+        live = ops.join(t["path"], p)
+        trash = ops.join(trash_dir, p)
+        if not ops.isdir(staged):
+            continue  # swapped by a prior attempt: idempotent
+        if ops.isdir(live):
+            ops.rename(live, trash)
+        _CRASH_HOOK(f"multi_swap:{t['slot']}:{p}")
+        ops.rename(staged, live)
+    _CRASH_HOOK(f"multi_table_done:{t['slot']}")
+
+
 def _finish_multi_swap(run_dir: str, tables: list[dict], ops) -> None:
     for t in tables:
-        slot_dir = ops.join(run_dir, t["slot"])
-        data_dir = ops.join(slot_dir, "data")
-        trash_dir = ops.join(slot_dir, "trash")
-        ops.mkdirs(trash_dir)
-        for p in t["partitions"]:
-            staged = ops.join(data_dir, p)
-            live = ops.join(t["path"], p)
-            trash = ops.join(trash_dir, p)
-            if not ops.isdir(staged):
-                continue  # swapped by a prior attempt: idempotent
-            if ops.isdir(live):
-                ops.rename(live, trash)
-            _CRASH_HOOK(f"multi_swap:{t['slot']}:{p}")
-            ops.rename(staged, live)
-        _CRASH_HOOK(f"multi_table_done:{t['slot']}")
+        _swap_multi_table(run_dir, t, ops)
     ops.write_json_atomic(
         ops.join(run_dir, "journal.json"),
         {"state": "committed", "tables": tables},
@@ -983,14 +1044,33 @@ def recover_multi_swap(
     primary: str,
     partition_field: str = "date",
     stale_after_s: float = COMPACTION_LEASE_STALE_S,
+    held_paths: "tuple[str, ...]" = (),
 ) -> dict[str, int]:
     """Resolve interrupted multi-table runs homed under ``primary``.
 
-    Same liveness rule as :func:`recover_compaction`: a fresh lease on
-    the PRIMARY means a possibly-live writer (every multi writer holds
-    all its leases, primary included, for its whole run) → skip."""
-    out = {"rolled_forward": 0, "rolled_back": 0, "cleaned": 0, "skipped": 0}
+    Liveness is checked per TABLE, not just on the primary (round-7
+    advice: a journaled multi run can list a non-primary table whose
+    lease a LIVE single-table compaction holds — rolling it forward
+    under that writer's feet races its swaps). Before finishing a
+    staged run, the leases of EVERY table in its journal are acquired
+    (sorted order, same as the writer — no lock inversion); a table
+    whose lease is live-fresh blocks: the run's swaps are finished
+    ONLY for acquirable/held tables (idempotent partial forward — the
+    journal stays ``staged`` and a later recovery completes the rest)
+    and counted under ``partial``.
+
+    ``held_paths`` names tables whose leases the CALLER already holds
+    (``publish_tables_atomic`` / ``compact_partitions_atomic`` recover
+    while holding their own leases) — those are never re-acquired and
+    never block. The primary's top-level freshness gate is unchanged:
+    a fresh primary lease means a possibly-live multi writer → skip
+    everything."""
+    out = {
+        "rolled_forward": 0, "rolled_back": 0, "cleaned": 0,
+        "skipped": 0, "partial": 0,
+    }
     ops, primary = _path_ops(primary)
+    held = {_path_ops(p)[1] for p in held_paths}
     runs = _multi_run_dirs(primary, ops)
     if not runs:
         return out
@@ -1008,8 +1088,35 @@ def recover_multi_swap(
         if ops.exists(journal_path):
             journal = ops.read_json(journal_path)
             if journal["state"] == "staged":
-                _finish_multi_swap(run_dir, journal["tables"], ops)
-                out["rolled_forward"] += 1
+                acquired: list[str] = []
+                blocked: list[str] = []
+                try:
+                    for t in sorted(
+                        journal["tables"], key=lambda t: t["path"]
+                    ):
+                        p = _path_ops(t["path"])[1]
+                        if p in held or p in acquired:
+                            continue
+                        try:
+                            _acquire_compaction_lease(p)
+                            acquired.append(p)
+                        except CompactionLockHeld:
+                            blocked.append(p)
+                    if not blocked:
+                        _finish_multi_swap(run_dir, journal["tables"], ops)
+                        out["rolled_forward"] += 1
+                    else:
+                        # Finish what we can exclusively touch so a
+                        # caller about to republish these tables can't
+                        # be resurrected-over later; leave the journal
+                        # staged for the blocked remainder.
+                        for t in journal["tables"]:
+                            if _path_ops(t["path"])[1] not in blocked:
+                                _swap_multi_table(run_dir, t, ops)
+                        out["partial"] += 1
+                finally:
+                    for p in acquired:
+                        _release_compaction_lease(p)
             else:
                 ops.rmtree(run_dir)
                 out["cleaned"] += 1
@@ -1018,6 +1125,114 @@ def recover_multi_swap(
             out["rolled_back"] += 1
     ops.rmdir_if_empty(ops.join(primary, "_compact"))
     return out
+
+
+def has_published_data(path: str, partition_field: str = "date") -> bool:
+    """True iff ``path`` holds committed day-partition data. Callers
+    must use THIS, not a bare directory-existence check, to decide
+    whether a table exists yet: the lease protocol creates
+    ``<table>/_compact`` before the first publish lands, so the
+    directory existing does not mean data does."""
+    ops, p = _path_ops(path)
+    return bool(_partition_dirs(p, partition_field, ops))
+
+
+def publish_tables_atomic_once(
+    spark: SparkSession,
+    targets: "list[str]",
+    build: "Callable[[], list[DataFrame]]",
+    meta_table: str,
+    batch_id: int,
+    partition_field: str = "date",
+    fmt: str = "parquet",
+) -> bool:
+    """Exactly-once :func:`publish_tables_atomic` for REPLAYABLE
+    callers (Structured Streaming ``foreachBatch``): the batch id is
+    swapped into a tiny ``meta_table`` under the SAME journal as the
+    data tables, so "did batch N publish?" is answered by committed
+    table state itself — no sidecar whose write could be torn from
+    the publish (round-7 advice: ``fact = read(fact) ∪ inc`` re-run
+    by a foreachBatch retry after a committed-but-unacknowledged
+    publish double-counts the batch).
+
+    Order of operations, all under the full lease set (targets +
+    meta): resolve BOTH protocols' debris first, THEN read the meta
+    table, THEN call ``build()`` — so a crashed prior epoch's journal
+    is rolled forward before the replay decision and before any input
+    table is read. Returns False (and publishes nothing) when
+    ``batch_id`` was already published; True otherwise. ``build``
+    must derive its DataFrames (aligned with ``targets``) from
+    committed table state when invoked, not capture them eagerly."""
+    from pyspark.sql import functions as F
+
+    resolved: list[str] = []
+    for p in list(targets) + [meta_table]:
+        try:
+            _, lp = _path_ops(p)
+        except _FsUnavailable as e:
+            raise ValueError(
+                f"publish_tables_atomic_once requires local paths or an "
+                f"atomic-rename filesystem, got {p!r}: {e}"
+            ) from e
+        resolved.append(lp)
+    *data_paths, meta_p = resolved
+    if len(set(resolved)) != len(resolved):
+        raise ValueError(f"duplicate target tables: {resolved}")
+    ordered = sorted(resolved)
+    primary = ordered[0]
+    held: list[str] = []
+    try:
+        for p in ordered:  # sorted acquisition: no lock-order inversion
+            held.append(_acquire_compaction_lease(p))
+        import contextlib
+
+        with contextlib.ExitStack() as stack:
+            for lease in held:
+                stack.enter_context(_LeaseHeartbeat(lease))
+            for p in resolved:
+                recover_compaction(p, partition_field, stale_after_s=0.0)
+            recover_multi_swap(
+                primary,
+                partition_field,
+                stale_after_s=0.0,
+                held_paths=tuple(resolved),
+            )
+            ops = _path_ops(primary)[0]
+            # lease acquisition already created <meta>/_compact, so
+            # dir-existence alone doesn't mean committed data: probe
+            # for actual partition dirs before reading
+            if ops.isdir(meta_p) and _partition_dirs(
+                meta_p, partition_field, ops
+            ):
+                row = (
+                    spark.read.format(fmt)
+                    .load(meta_p)
+                    .agg(F.max("batch_id"))
+                    .first()
+                )
+                if (
+                    row is not None
+                    and row[0] is not None
+                    and int(row[0]) >= int(batch_id)
+                ):
+                    return False  # replayed epoch: already published
+            dfs = build()
+            if len(dfs) != len(data_paths):
+                raise ValueError(
+                    f"build() returned {len(dfs)} DataFrames for "
+                    f"{len(data_paths)} targets"
+                )
+            meta_df = spark.createDataFrame(
+                [(int(batch_id),)], "batch_id bigint"
+            ).withColumn(partition_field, F.to_date(F.lit("1970-01-01")))
+            writes = list(zip(dfs, data_paths)) + [(meta_df, meta_p)]
+            _publish_under_leases(
+                spark, writes, primary, partition_field, fmt
+            )
+            return True
+    finally:
+        for p in ordered[: len(held)]:
+            _release_compaction_lease(p)
 
 
 def insert_rows_via_format(

@@ -543,6 +543,90 @@ class TestLeaseProtocol:
             time.sleep(0.3)
             assert not hb._thread.is_alive()  # FileNotFoundError → stop
 
+    def test_java_exception_translation_is_class_exact(self):
+        """Round-7 advice: the Hadoop arm wrapped EVERY touch/mtime
+        failure as FileNotFoundError, so the heartbeat's
+        transient-retry branch was unreachable there. Only a genuine
+        java.io.FileNotFoundException (directly or in the cause
+        chain) may translate."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        class JClass:
+            def __init__(self, name):
+                self._n = name
+
+            def getName(self):
+                return self._n
+
+        class JExc:
+            def __init__(self, name, cause=None):
+                self._c, self._cause = JClass(name), cause
+
+            def getClass(self):
+                return self._c
+
+            def getCause(self):
+                return self._cause
+
+        class PyErr(Exception):
+            def __init__(self, jexc):
+                super().__init__("java side")
+                self.java_exception = jexc
+
+        fnf = PyErr(JExc("java.io.FileNotFoundException"))
+        rpc = PyErr(JExc("java.net.ConnectException"))
+        wrapped = PyErr(
+            JExc(
+                "org.apache.hadoop.ipc.RemoteException",
+                JExc("java.io.FileNotFoundException"),
+            )
+        )
+        assert sinks._java_exc_is_missing(fnf)
+        assert not sinks._java_exc_is_missing(rpc)
+        assert sinks._java_exc_is_missing(wrapped)
+        assert not sinks._java_exc_is_missing(RuntimeError("plain python"))
+
+    def test_hadoop_arm_heartbeat_retries_transient_rpc_errors(
+        self, spark, tmp_path
+    ):
+        """A transient setTimes failure on the Hadoop arm must re-raise
+        (heartbeat retries, lease stays fresh); a genuinely deleted
+        lease must still stop the thread."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        sinks._FORCE_HADOOP_FS = True
+        try:
+            table = "file://" + str(tmp_path / "t")
+            lease = sinks._acquire_compaction_lease(table)
+            ops, lp = sinks._path_ops(lease)
+            fails = {"n": 3}
+            real_fs = ops._fs
+
+            class FlakyFs:
+                def __getattr__(self, a):
+                    return getattr(real_fs, a)
+
+                def setTimes(self, p, m, a):
+                    if fails["n"] > 0:
+                        fails["n"] -= 1
+                        raise RuntimeError("transient RPC hiccup")
+                    return real_fs.setTimes(p, m, a)
+
+            flaky_ops = sinks._HadoopPathOps(ops._jvm, FlakyFs())
+            hb = sinks._LeaseHeartbeat(lp, interval_s=0.05, ops=flaky_ops)
+            with hb:
+                time.sleep(0.5)
+                # past the transient errors the thread is alive and the
+                # mtime was refreshed within the last few intervals
+                assert hb._thread.is_alive()
+                assert time.time() - ops.mtime(lp) < 0.3
+                ops.unlink(lp)
+                time.sleep(0.3)
+                assert not hb._thread.is_alive()  # real FNF → stop
+        finally:
+            sinks._FORCE_HADOOP_FS = False
+            sinks._release_compaction_lease(table)
+
 
 class TestMultiTableSwap:
     """publish_tables_atomic: N tables, ONE journal — after a crash at
@@ -659,7 +743,8 @@ class TestMultiTableSwap:
         # recovery idempotent; no debris under either table
         again = sinks.recover_multi_swap(primary, stale_after_s=0.0)
         assert again == {
-            "rolled_forward": 0, "rolled_back": 0, "cleaned": 0, "skipped": 0,
+            "rolled_forward": 0, "rolled_back": 0, "cleaned": 0,
+            "skipped": 0, "partial": 0,
         }
         assert not os.path.isdir(os.path.join(self._loc(primary), "_compact"))
 
@@ -691,6 +776,165 @@ class TestMultiTableSwap:
         report = sinks.recover_compaction(primary, stale_after_s=0.0)
         assert report["rolled_back"] == 0 and os.path.isdir(run)
         sinks.recover_multi_swap(primary, stale_after_s=0.0)
+
+    def test_publish_resolves_crashed_single_table_compaction(
+        self, spark, tmp_path
+    ):
+        """Round-7 advice: a crashed-but-journaled single-table
+        compaction under a target used to survive a later publish and
+        then be rolled FORWARD, resurrecting the pre-publish
+        generation over newer committed data. publish_tables_atomic
+        must resolve it (it holds every target's lease) before
+        staging."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t, roll_t = self._setup(spark, tmp_path)
+        old_hook = sinks._CRASH_HOOK
+
+        def crash(p):
+            if p == "journaled":
+                raise RuntimeError("injected crash at journaled")
+
+        sinks._CRASH_HOOK = crash
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                sinks.compact_partitions_atomic(spark, fact_t)
+        finally:
+            sinks._CRASH_HOOK = old_hook
+        new_fact, new_roll = self._gen(spark, 10.0)
+        sinks.publish_tables_atomic(
+            spark, [(new_fact, fact_t), (new_roll, roll_t)]
+        )
+        assert self._spends(spark, fact_t) == [10.0, 20.0, 30.0]
+        # The stale compaction journal is gone: recovery is a no-op and
+        # cannot resurrect the pre-publish generation.
+        report = sinks.recover_compaction(fact_t, stale_after_s=0.0)
+        assert report["rolled_forward"] == 0
+        assert self._spends(spark, fact_t) == [10.0, 20.0, 30.0]
+
+    def test_multi_roll_forward_blocks_on_foreign_table_lease(
+        self, spark, tmp_path
+    ):
+        """Round-7 advice: recover_multi_swap checked only the PRIMARY
+        lease, so it could roll a run forward over a non-primary table
+        while a live writer held that table's lease. Now the held
+        table blocks (partial forward: exclusively-owned tables
+        finish, the journal stays staged) and the run completes once
+        the lease clears."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t, roll_t = self._setup(spark, tmp_path)
+        new_fact, new_roll = self._gen(spark, 10.0)
+        old_hook = sinks._CRASH_HOOK
+
+        def crash(p):
+            if p == "multi_table_done:t0":
+                raise RuntimeError("injected crash between tables")
+
+        sinks._CRASH_HOOK = crash
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                sinks.publish_tables_atomic(
+                    spark, [(new_fact, fact_t), (new_roll, roll_t)]
+                )
+        finally:
+            sinks._CRASH_HOOK = old_hook
+        primary, other = min(fact_t, roll_t), max(fact_t, roll_t)
+        sinks._acquire_compaction_lease(other)  # live writer on t1
+        try:
+            report = sinks.recover_multi_swap(primary, stale_after_s=0.0)
+            assert report["partial"] == 1
+            assert report["rolled_forward"] == 0
+            # the held table was not touched: still the old generation
+            assert self._spends(spark, roll_t) == [3.0, 3.0]
+        finally:
+            sinks._release_compaction_lease(other)
+        report = sinks.recover_multi_swap(primary, stale_after_s=0.0)
+        assert report["rolled_forward"] == 1
+        assert self._spends(spark, fact_t) == [10.0, 20.0, 30.0]
+        assert self._spends(spark, roll_t) == [30.0, 30.0]
+
+    def _once_paths(self, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        prefix = "file://" if sinks._FORCE_HADOOP_FS else ""
+        return (
+            prefix + str(tmp_path / "fact"),
+            prefix + str(tmp_path / "rollup"),
+            prefix + str(tmp_path / "meta"),
+        )
+
+    def test_publish_once_skips_replayed_batch(self, spark, tmp_path):
+        """publish_tables_atomic_once: the batch id swaps in the SAME
+        journal as the data, so a replay of an already-published batch
+        id publishes nothing even with different input."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t, roll_t, meta_t = self._once_paths(tmp_path)
+        f0, r0 = self._gen(spark, 1.0)
+        assert sinks.publish_tables_atomic_once(
+            spark, [fact_t, roll_t], lambda: [f0, r0], meta_t, 0
+        )
+        f1, r1 = self._gen(spark, 10.0)
+        assert not sinks.publish_tables_atomic_once(
+            spark, [fact_t, roll_t], lambda: [f1, r1], meta_t, 0
+        )
+        assert self._spends(spark, fact_t) == [1.0, 2.0, 3.0]
+        assert sinks.publish_tables_atomic_once(
+            spark, [fact_t, roll_t], lambda: [f1, r1], meta_t, 1
+        )
+        assert self._spends(spark, fact_t) == [10.0, 20.0, 30.0]
+
+    def test_publish_once_replay_after_journaled_crash_is_exactly_once(
+        self, spark, tmp_path
+    ):
+        """The round-7 double-count scenario: a foreachBatch-style
+        build (committed fact ∪ increment) whose publish crashed AFTER
+        the journal commit point, then the batch replays. Recovery
+        rolls the crashed epoch forward under the replay's leases and
+        the replay skips — the increment lands exactly once."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t, roll_t, meta_t = self._once_paths(tmp_path)
+        base, _ = self._gen(spark, 1.0)
+        inc, _ = self._gen(spark, 10.0)
+
+        def build():
+            if sinks.has_published_data(fact_t):
+                fact = spark.read.parquet(fact_t).unionByName(inc)
+            else:
+                fact = base
+            rollup = fact.groupBy("date").agg(
+                F.round(F.sum("spend"), 2).alias("total_spend")
+            )
+            return [fact, rollup]
+
+        assert sinks.publish_tables_atomic_once(
+            spark, [fact_t, roll_t], build, meta_t, 0
+        )
+        old_hook = sinks._CRASH_HOOK
+
+        def crash(p):
+            if p == "multi_journaled":
+                raise RuntimeError("injected crash after journal")
+
+        sinks._CRASH_HOOK = crash
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                sinks.publish_tables_atomic_once(
+                    spark, [fact_t, roll_t], build, meta_t, 1
+                )
+        finally:
+            sinks._CRASH_HOOK = old_hook
+        # replay of batch 1: rolled forward, then skipped
+        assert not sinks.publish_tables_atomic_once(
+            spark, [fact_t, roll_t], build, meta_t, 1
+        )
+        assert self._spends(spark, fact_t) == [
+            1.0, 2.0, 3.0, 10.0, 20.0, 30.0,
+        ]
+        # per-date rollup: 1+2+10+20 and 3+30 — each exactly once
+        assert self._spends(spark, roll_t) == [33.0, 33.0]
 
     def test_uri_and_duplicate_targets_rejected(self, spark, tmp_path):
         import facebook_ads_bigquery_etl_spark.sinks as sinks
