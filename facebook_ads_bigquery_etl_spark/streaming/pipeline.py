@@ -423,6 +423,15 @@ _RATE_OUT = T.StructType(
     ]
 )
 
+# STATE-SCHEMA VERSION 2 (5 longs). v1 had 4 (no last_seen_us); adding
+# the field is CHECKPOINT-BREAKING for this operator: state rows are
+# deserialized with the declared stateStructType, so a query restarted
+# from a checkpoint written under v1 fails (or misreads state) rather
+# than migrating. Restarting across this change requires discarding the
+# old checkpoint and replaying from the source (the operator is
+# deterministic, so a replay reconverges). Spark offers no schema
+# evolution for applyInPandasWithState state — treat ANY future edit of
+# this struct the same way and bump the version note.
 _RATE_STATE = T.StructType(
     [
         T.StructField("tokens", T.LongType()),
