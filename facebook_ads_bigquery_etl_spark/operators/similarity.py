@@ -17,7 +17,7 @@ Two tiers:
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints must resolve
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .exprs import let
@@ -65,6 +65,14 @@ def cosine_topk(
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+# Degenerate-bucket guards for _bucketed_dup_pairs (round-7 verdict:
+# a single giant near-dup cluster is the EXPECTED adversarial input of
+# a dedup operator at 100 TB — the uncapped per-bucket k×k similarity
+# matrix and the unconditional candidate broadcast both OOM on it).
+_DUP_BUCKET_CAP = 4096  # max rows per matmul SIDE; larger buckets split
+_DUP_TILE_ROWS = 1024  # matmul row-block: tile memory ≤ TILE×CAP floats
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -74,6 +82,7 @@ def embedding_dup_pairs(
     dim: int = 64,
     n_tables: int = 8,
     exact: bool = False,
+    bucket_cap: int = _DUP_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a_id < b_id, cosine ≥ threshold)
     — the vector-space tier of the dedup family (dedup.py holds the
@@ -111,7 +120,7 @@ def embedding_dup_pairs(
     cells = base.withColumn(
         "__cell", F.explode(_table_buckets("v", n_planes, dim, n_tables, multiprobe=False))
     )
-    return _bucketed_dup_pairs(base, cells, threshold, id_col)
+    return _bucketed_dup_pairs(base, cells, threshold, id_col, bucket_cap)
 
 
 def _bucketed_dup_pairs(
@@ -119,48 +128,110 @@ def _bucketed_dup_pairs(
     cells: DataFrame,
     threshold: float,
     id_col: str,
+    bucket_cap: int = _DUP_BUCKET_CAP,
 ) -> DataFrame:
     """Shared candidate→verify tail of the bucketed near-dup algebras
     (multi-table LSH and IVF): BLAS generates, Spark SQL verifies.
 
-    * CANDIDATES — ``applyInPandas`` per bucket: one (k×d)(d×k)
-      normalized matmul per co-residence group emits the upper-triangle
-      pairs at ``threshold − 1e-6`` (the slack covers BLAS-vs-HOF
-      float summation-order divergence, ~1e-15 relative, so no true
-      pair can be lost to it). Per-pair cost is vectorized BLAS — the
-      HOF-lambda dot product the operators used before paid an O(d)
-      interpreted fold per candidate, which dominated the whole family
-      (measured 14.9 s → the matmul path at sf0.1).
+    * CANDIDATES — ``applyInPandas`` per bucket: normalized matmul per
+      co-residence group emits the upper-triangle pairs at
+      ``threshold − 1e-6`` (the slack covers BLAS-vs-HOF float
+      summation-order divergence, ~1e-15 relative, so no true pair can
+      be lost to it). Per-pair cost is vectorized BLAS — the HOF-lambda
+      dot product the operators used before paid an O(d) interpreted
+      fold per candidate, which dominated the whole family (measured
+      14.9 s → the matmul path at sf0.1).
+    * DEGENERATE BUCKETS — a bucket larger than ``bucket_cap`` rows is
+      split PAIR-PRESERVINGLY, skew-join style: rows hash into
+      ``c = ⌈k/cap⌉`` chunks and every unordered chunk pair (p ≤ q)
+      becomes its own task group, so each matmul side stays ≤ cap and
+      per-task memory is flat no matter how large the bucket grows
+      (the replication factor is c — the quadratic pair space of a
+      giant near-dup cluster is inherent to the operator's OUTPUT, but
+      no single task ever holds more than one (cap × cap) tile of it).
+      Within a group the matmul is additionally row-block-tiled
+      (``_DUP_TILE_ROWS``), so the similarity tile — not the k×k
+      matrix — is the peak allocation. Buckets under the cap take the
+      c = 1 path, which is byte-identical to the unsplit algebra.
     * DEDUP — cross-bucket duplicates collapse on (a_id, b_id) ints
       only; no vector ever crosses this exchange.
     * VERIFY — survivors (few, by selectivity) are re-scored with the
       SAME HOF expression as ``exact=True`` and re-thresholded, so the
       emitted cosine is bit-identical to the exact baseline (the
       equivalence audits compare 6dp-rounded values; BLAS scores must
-      not leak into the output). The rejoin broadcasts the tiny pair
-      set against the vector table — the table streams, it never
-      shuffles."""
+      not leak into the output). The rejoin deliberately carries NO
+      broadcast hint: AQE promotes the pair set to a broadcast join at
+      runtime when it is small (the normal case — the vector table
+      then streams without shuffling) and keeps a shuffle join when a
+      dup-heavy corpus makes the candidate set too large to broadcast
+      — the round-7 unconditional ``F.broadcast(cand)`` OOMed exactly
+      there."""
     import numpy as np
     from pyspark.sql import types as T
 
     thr = float(threshold)
+    cap = int(bucket_cap)
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    tagged = (
+        cells.select(F.col(id_col).alias("__id"), "v", "__cell")
+        .withColumn(
+            "__c",
+            F.ceil(
+                F.count(F.lit(1)).over(Window.partitionBy("__cell"))
+                / F.lit(cap)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__chunk", F.pmod(F.xxhash64("__id"), F.col("__c")).cast("int")
+        )
+    ).withColumn(
+        "__pq",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, __c - 1), o -> struct("
+                "least(__chunk, o) AS p, greatest(__chunk, o) AS q))"
+            )
+        ),
+    )
+
+    def cell_pairs(key, pdf):  # no hints: stringified annotations
+        # (future-import) break applyInPandas eval-type inference
+        p, q = int(key[1]), int(key[2])
         ids = pdf["__id"].to_numpy()
+        chunks = pdf["__chunk"].to_numpy()
         order = np.argsort(ids)
-        ids = ids[order]
+        ids, chunks = ids[order], chunks[order]
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])[
             order
         ]
-        nrm = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
-        S = (X / nrm[:, None]) @ (X / nrm[:, None]).T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        m = S[iu, ju] >= thr - 1e-6
-        return pd.DataFrame({"a_id": ids[iu[m]], "b_id": ids[ju[m]]})
+        X /= np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+        if p == q:  # one chunk (c==1: the whole bucket): triangle
+            ids_a, Xa, ids_b, Xb, triangle = ids, X, ids, X, True
+        else:  # cross-chunk: all (row in p) × (row in q) combos
+            mp, mq = chunks == p, chunks == q
+            ids_a, Xa, ids_b, Xb, triangle = ids[mp], X[mp], ids[mq], X[mq], False
+        if not len(ids_a) or not len(ids_b):
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
+        lo_all, hi_all = [], []
+        jj = np.arange(len(ids_b))
+        for i0 in range(0, len(ids_a), _DUP_TILE_ROWS):
+            blk = Xa[i0 : i0 + _DUP_TILE_ROWS] @ Xb.T
+            m = blk >= thr - 1e-6
+            if triangle:  # ids sorted ascending → a_id < b_id for free
+                m &= jj[None, :] > (i0 + np.arange(blk.shape[0]))[:, None]
+            ii, jx = np.nonzero(m)
+            a_, b_ = ids_a[ii + i0], ids_b[jx]
+            lo_all.append(np.minimum(a_, b_))
+            hi_all.append(np.maximum(a_, b_))
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(lo_all) if lo_all else [],
+                "b_id": np.concatenate(hi_all) if hi_all else [],
+            }
+        ).astype("int64")
 
     cand = (
-        cells.select(F.col(id_col).alias("__id"), "v", "__cell")
-        .groupBy("__cell")
+        tagged.groupBy("__cell", "__pq.p", "__pq.q")
         .applyInPandas(cell_pairs, T.StructType([
             T.StructField("a_id", T.LongType()),
             T.StructField("b_id", T.LongType()),
@@ -175,9 +246,9 @@ def _bucketed_dup_pairs(
         F.col(id_col).alias("b_id"), F.col("v").alias("vb"),
         F.col("n").alias("nb"),
     )
-    half = a.join(F.broadcast(cand), "a_id")
+    half = a.join(cand, "a_id")
     return (
-        b.join(F.broadcast(half), "b_id")
+        b.join(half, "b_id")
         .withColumn(
             "cosine",
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
@@ -195,6 +266,7 @@ def embedding_dup_pairs_ivf(
     n_lists: int = 8,
     assign: int = 3,
     centroids: list[list[float]] | None = None,
+    bucket_cap: int = _DUP_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via an IVF (coarse-quantizer)
     candidate algebra — the alternative to :func:`embedding_dup_pairs`'s
@@ -227,7 +299,7 @@ def embedding_dup_pairs_ivf(
     cells = base.withColumn(
         "__cell", F.explode(_ivf_cells("v", centroids, assign))
     )
-    return _bucketed_dup_pairs(base, cells, threshold, id_col)
+    return _bucketed_dup_pairs(base, cells, threshold, id_col, bucket_cap)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -230,6 +230,79 @@ class TestEmbeddingDedup:
             assert k in exact and v == exact[k]
         assert len(ivf) / len(exact) >= 0.9
 
+    def test_bucket_cap_split_is_pair_preserving(self, spark, emb):
+        """Round-8 hardening: buckets above bucket_cap split into
+        chunk-pair groups. A punitive cap (forcing splits on every
+        fixture bucket) must emit EXACTLY the pairs of the uncapped
+        path — same keys, same 6dp cosines."""
+        uncapped = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in sim.embedding_dup_pairs(emb, 0.4, exact=False).collect()
+        }
+        capped = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in sim.embedding_dup_pairs(
+                emb, 0.4, exact=False, bucket_cap=3
+            ).collect()
+        }
+        assert capped == uncapped
+        ivf_uncapped = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in sim.embedding_dup_pairs_ivf(emb, 0.4).collect()
+        }
+        ivf_capped = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in sim.embedding_dup_pairs_ivf(
+                emb, 0.4, bucket_cap=3
+            ).collect()
+        }
+        assert ivf_capped == ivf_uncapped
+
+    def test_degenerate_cluster_split_and_tiling(self, spark, monkeypatch):
+        """The adversarial input the cap exists for: a corpus whose
+        majority is ONE near-dup cluster (every member lands in the
+        same LSH cell in every table). With a small cap and a tiny
+        matmul tile (both the split path and the tiling loop forced),
+        precision must stay exact and the giant cluster's pairs must
+        be fully recovered — identical vectors cannot be separated by
+        any hyperplane, so recall inside the cluster is 1.0 by
+        construction."""
+        import numpy as np
+
+        import facebook_ads_bigquery_etl_spark.operators.similarity as simm
+
+        rng = np.random.default_rng(7)
+        d = 16
+        center = rng.normal(size=d)
+        rows = []
+        for i in range(120):  # 60% of the corpus: one near-dup cluster
+            rows.append((i, (center + rng.normal(scale=1e-4, size=d)).tolist()))
+        for i in range(120, 200):
+            rows.append((i, rng.normal(size=d).tolist()))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        monkeypatch.setattr(simm, "_DUP_TILE_ROWS", 8)
+        exact = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in simm.embedding_dup_pairs(
+                df, 0.95, dim=d, exact=True
+            ).collect()
+        }
+        lsh = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in simm.embedding_dup_pairs(
+                df, 0.95, dim=d, exact=False, bucket_cap=16
+            ).collect()
+        }
+        cluster_pairs = {
+            k for k in exact if k[0] < 120 and k[1] < 120
+        }
+        assert len(cluster_pairs) == 120 * 119 // 2  # the cluster is whole
+        for k, v in lsh.items():
+            assert k in exact and v == exact[k]  # precision + true scores
+        assert cluster_pairs <= set(lsh)  # no pair lost to the split
+
 
 class TestDecontamination:
     def test_overlap_counts_distinct_shared_shingles(self, spark):
