@@ -270,13 +270,32 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline query wall-clock (71 queries: agg/join/window/asof/json/grouping-sets/range-join/correlated-subq/bloom-join/dedup/lsh/ann/count-min/multimodal/frames/streaming/topk/packing/decontam/quality-audit/attribution/sketch-merge/state-merge/fact-fact-join/chunk-fanout/wav-parse/kmv-set-algebra/distinct-pairs/keep-best-dedup/cross-modal-corr/png-decode/perplexity-filter/pagerank/gram-partials/market-basket/ewma-fold/session-merge/curation-funnel/scd2-pit/schema-evolution/csv-quarantine/governed-extract/ivfpq-audit/ivfpq-serving/groups-frame/nearest-asof/unpivot/merge-upsert/line-dedup/bloom-13gram/classifier-gate/pack-splits/trigram-lm/ss-outer-join/token-bucket/dhash-dedup/class-balance/mahalanobis-quarantine/bmp-parse/ss-full-outer/stream-merge-dim/retraction-merge/binpack-compaction/multi-table-swap/ptime-session-evict/tiff-ifd-walk/zstd-encoding)",
+        "metric": (
+            f"headline query wall-clock ({len(times)} queries, one per "
+            "cost family; full list = bench.py HEADLINE, per-family "
+            "history = bench_full_latest.json)"
+        ),
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
     }
     print(json.dumps(out))
+    # The driver's BENCH artifact keeps only a 2000-char tail, which
+    # truncated the per-family map and made cross-round comparison
+    # possible on a subset only (round-7 verdict). Persist the full
+    # per-family JSON next to the harness; round-end commits snapshot
+    # it as bench_full_r{N}.json.
+    try:
+        full = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_full_latest.json",
+        )
+        with open(full, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout already has the full line
 
 
 if __name__ == "__main__":

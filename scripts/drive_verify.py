@@ -122,6 +122,10 @@ SAMPLE = [
     "stream_full_outer_interval", "stream_dimension_merge",
     "compaction_binpack_audit", "partition_evolution_audit",
     "retractable_view_maintenance", "watermark_lag_observability",
+    # round-8 diff coverage: degenerate-bucket hardening of the shared
+    # candidate tail (_bucketed_dup_pairs: chunk-pair split + tiled
+    # matmul + AQE-adaptive rejoin) — both consumers of the LSH algebra
+    "embedding_dup_pairs", "embedding_dup_pairs_lsh",
 ]
 
 Q, O = e.queries(), e.oracle_sql()
