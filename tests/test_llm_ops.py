@@ -303,6 +303,44 @@ class TestEmbeddingDedup:
             assert k in exact and v == exact[k]  # precision + true scores
         assert cluster_pairs <= set(lsh)  # no pair lost to the split
 
+    @pytest.mark.parametrize(
+        "seed,cap,threshold", [(1, 2, 0.3), (2, 5, 0.5), (3, 17, 0.2)]
+    )
+    def test_split_pair_preservation_randomized(
+        self, spark, seed, cap, threshold
+    ):
+        """Randomized sweep of the chunk-split invariant: for ANY
+        corpus, cap and threshold, the capped candidate algebra emits
+        the same pair set as the uncapped one (recall is a property of
+        the LSH cells, which the split does not change)."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # mixed corpus: a few small clusters + noise, random sizes
+        rows, vid = [], 0
+        for _ in range(rng.integers(2, 5)):
+            c = rng.normal(size=8)
+            for _ in range(int(rng.integers(3, 20))):
+                rows.append((vid, (c + rng.normal(scale=0.05, size=8)).tolist()))
+                vid += 1
+        for _ in range(int(rng.integers(10, 40))):
+            rows.append((vid, rng.normal(size=8).tolist()))
+            vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        base = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in sim.embedding_dup_pairs(
+                df, threshold, dim=8, exact=False
+            ).collect()
+        }
+        split = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in sim.embedding_dup_pairs(
+                df, threshold, dim=8, exact=False, bucket_cap=cap
+            ).collect()
+        }
+        assert split == base
+
 
 class TestDecontamination:
     def test_overlap_counts_distinct_shared_shingles(self, spark):

@@ -936,6 +936,56 @@ class TestMultiTableSwap:
         # per-date rollup: 1+2+10+20 and 3+30 — each exactly once
         assert self._spends(spark, roll_t) == [33.0, 33.0]
 
+    @pytest.mark.parametrize("held_slot", [0, 1])
+    def test_publish_refuses_cleanly_under_foreign_lease(
+        self, spark, tmp_path, held_slot
+    ):
+        """A live writer on ANY target (primary or not — acquisition is
+        sorted, so both orders are exercised) makes publish raise
+        CompactionLockHeld BEFORE any staging, releasing every lease it
+        did take and leaving both tables untouched."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t, roll_t = self._setup(spark, tmp_path)
+        targets = sorted([fact_t, roll_t])
+        held = targets[held_slot]
+        other = targets[1 - held_slot]
+        new_fact, new_roll = self._gen(spark, 10.0)
+        sinks._acquire_compaction_lease(held)
+        try:
+            with pytest.raises(sinks.CompactionLockHeld):
+                sinks.publish_tables_atomic(
+                    spark, [(new_fact, fact_t), (new_roll, roll_t)]
+                )
+            # data untouched, no staging debris anywhere
+            assert self._spends(spark, fact_t) == [1.0, 2.0, 3.0]
+            assert self._spends(spark, roll_t) == [3.0, 3.0]
+            for t in (fact_t, roll_t):
+                root = os.path.join(self._loc(t), "_compact")
+                runs = (
+                    [
+                        d
+                        for d in os.listdir(root)
+                        # _lock + the Hadoop arm's .crc checksum sidecars
+                        if d != "_lock" and not d.startswith(".")
+                    ]
+                    if os.path.isdir(root)
+                    else []
+                )
+                assert runs == []
+            # the publisher's partially-acquired leases were released:
+            # the OTHER table is immediately acquirable
+            lease = sinks._acquire_compaction_lease(other)
+            assert os.path.exists(self._loc(lease))
+        finally:
+            sinks._release_compaction_lease(other)
+            sinks._release_compaction_lease(held)
+        # with the lease gone the same publish succeeds
+        sinks.publish_tables_atomic(
+            spark, [(new_fact, fact_t), (new_roll, roll_t)]
+        )
+        assert self._spends(spark, fact_t) == [10.0, 20.0, 30.0]
+
     def test_uri_and_duplicate_targets_rejected(self, spark, tmp_path):
         import facebook_ads_bigquery_etl_spark.sinks as sinks
 
