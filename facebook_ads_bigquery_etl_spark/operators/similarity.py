@@ -17,7 +17,7 @@ Two tiers:
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints must resolve
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .exprs import let
@@ -172,20 +172,30 @@ def _bucketed_dup_pairs(
     thr = float(threshold)
     cap = int(bucket_cap)
 
+    # Per-cell chunk counts come from an INT-ONLY aggregation joined
+    # back, not a window over the vector-carrying rows: a window's
+    # partitionBy("__cell") would shuffle the full vector payload an
+    # extra time just to count it, where this agg shuffles 8-byte cell
+    # ids and AQE broadcasts the (cell, c) side (≤ #cells rows) so the
+    # vectors shuffle exactly ONCE — into the applyInPandas groups.
+    chunk_counts = (
+        cells.groupBy(F.col("__cell"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__cell",
+            F.ceil(F.col("__n") / F.lit(cap)).cast("int").alias("__c"),
+        )
+    )
     tagged = (
         cells.select(F.col(id_col).alias("__id"), "v", "__cell")
-        .withColumn(
-            "__c",
-            F.ceil(
-                F.count(F.lit(1)).over(Window.partitionBy("__cell"))
-                / F.lit(cap)
-            ).cast("int"),
-        )
+        .join(chunk_counts, "__cell")
         .withColumn(
             "__chunk", F.pmod(F.xxhash64("__id"), F.col("__c")).cast("int")
         )
     ).withColumn(
         "__pq",
+        # one entry per chunk partner: the row joins every group whose
+        # unordered chunk pair includes its own chunk
         F.explode(
             F.expr(
                 "transform(sequence(0, __c - 1), o -> struct("
@@ -231,7 +241,17 @@ def _bucketed_dup_pairs(
         ).astype("int64")
 
     cand = (
-        tagged.groupBy("__cell", "__pq.p", "__pq.q")
+        # prune __c/__pq before the group exchange: the shuffled rows
+        # carry exactly (cell, p, q, id, chunk, vector)
+        tagged.select(
+            "__cell",
+            F.col("__pq.p").alias("__p"),
+            F.col("__pq.q").alias("__q"),
+            "__id",
+            "__chunk",
+            "v",
+        )
+        .groupBy("__cell", "__p", "__q")
         .applyInPandas(cell_pairs, T.StructType([
             T.StructField("a_id", T.LongType()),
             T.StructField("b_id", T.LongType()),
