@@ -986,6 +986,76 @@ class TestMultiTableSwap:
         )
         assert self._spends(spark, fact_t) == [10.0, 20.0, 30.0]
 
+    def test_concurrent_publish_compact_recover_converges(
+        self, spark, tmp_path, backend
+    ):
+        """Protocol torture: threads race journaled publishes (fact +
+        rollup), single-table compactions and external recoveries on
+        the SAME two tables. Every operation either completes or
+        refuses with CompactionLockHeld; afterwards one recovery pass
+        must leave fact and rollup on ONE published generation with
+        rollup ≡ groupBy(fact). Exercises the round-8 cross-protocol
+        resolution under real interleaving, not just crash injection."""
+        import random
+        import threading
+
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        if backend == "hadoop":
+            pytest.skip("py4j gateway is not thread-safe enough for this")
+        fact_t, roll_t = self._setup(spark, tmp_path)
+        primary = min(fact_t, roll_t)
+        published = []  # generations that publish reported as committed
+        errors = []
+
+        def worker(seed):
+            rng = random.Random(seed)
+            for i in range(4):
+                gen = seed * 10 + i + 2  # distinct generations ≥ 2
+                op = rng.choice(("publish", "compact", "recover"))
+                try:
+                    if op == "publish":
+                        f, r = self._gen(spark, float(gen))
+                        sinks.publish_tables_atomic(
+                            spark, [(f, fact_t), (r, roll_t)]
+                        )
+                        published.append(gen)
+                    elif op == "compact":
+                        sinks.compact_partitions_atomic(spark, fact_t)
+                    else:
+                        sinks.recover_multi_swap(primary)
+                        sinks.recover_compaction(fact_t)
+                except sinks.CompactionLockHeld:
+                    pass  # a live writer holds the table: correct refusal
+                except Exception as e:  # noqa: BLE001 — fail the test below
+                    errors.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(s,)) for s in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        # converge any debris, then check the cross-table invariant
+        sinks.recover_multi_swap(primary, stale_after_s=0.0)
+        sinks.recover_compaction(fact_t, stale_after_s=0.0)
+        sinks.recover_compaction(roll_t, stale_after_s=0.0)
+        fact_spends = self._spends(spark, fact_t)
+        gens = {round(s / base, 6) for s, base in zip(fact_spends, [1, 2, 3])}
+        assert len(gens) == 1, f"fact holds mixed generations: {fact_spends}"
+        gen = gens.pop()
+        assert gen == 1.0 or gen in published
+        derived = sorted(
+            r["s"]
+            for r in spark.read.parquet(fact_t)
+            .groupBy("date")
+            .agg(F.round(F.sum("spend"), 2).alias("s"))
+            .collect()
+        )
+        assert derived == self._spends(spark, roll_t)
+
     def test_uri_and_duplicate_targets_rejected(self, spark, tmp_path):
         import facebook_ads_bigquery_etl_spark.sinks as sinks
 
