@@ -1,0 +1,161 @@
+"""Global ranking without a single-partition window.
+
+An unpartitioned window (``Window.orderBy`` with no ``partitionBy``)
+plans an ``Exchange SinglePartition``: the ENTIRE input is sorted by
+one task — fine at bench scale (measured 2.9–3.0× wall at 10×), the
+bottleneck at 100×+. These operators compute the same exact global
+rank / ntile with fully parallel stages:
+
+1. value-based histogram boundaries from ``approxQuantile`` — ONLY a
+   parallelism lever: exactness never depends on them, any
+   deterministic value cuts work (approximate, skewed, even a single
+   cut all stay correct, just less parallel);
+2. per-bucket exact counts → cumulative offsets (≤ ``n_buckets`` rows,
+   driver-side, broadcast back as a literal map);
+3. ``row_number`` within each bucket (``partitionBy(bucket)`` — many
+   small parallel windows);
+4. global rank = bucket offset + local rank; ntile from the rank by
+   Spark's own bucket-size distribution (first N mod k tiles get
+   ⌈N/k⌉ rows).
+
+Exactness requires the order to be TOTAL (pass tiebreak columns that
+make it unique — every registered quartile/rank query already orders
+by (value, key)); ties in ``value_col`` land in one bucket by
+construction, so cross-bucket order is never violated.
+
+Reference has no ranking surface (`main.py` is connector-only); this
+is the scale form of the W-family global-rank queries, queued to
+replace their single-partition windows in round 9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_of(value_col: str, cuts: list[float]) -> Column:
+    # index = #cuts strictly below the value → rows tied on a cut value
+    # share a bucket; ≤ n_buckets comparisons per row, JVM-side HOF
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0),
+    )
+
+
+def with_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "global_rank",
+    n_buckets: int = 256,
+    ascending: bool = True,
+) -> DataFrame:
+    """Add the exact 1-based global rank by
+    ``(value_col, *tiebreak_cols)`` (a TOTAL order — tiebreaks must
+    make it unique) without ever shuffling to a single partition."""
+    n = max(2, int(n_buckets))
+    probes = [i / n for i in range(1, n)]
+    cuts = sorted(set(df.approxQuantile(value_col, probes, 0.001)))
+    bucket = (
+        _bucket_of(value_col, cuts) if cuts else F.lit(0)
+    )  # empty/constant input: one bucket
+    b = df.withColumn("__bucket", bucket)
+    # exact per-bucket counts → cumulative offsets; ≤ n rows to driver
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in b.groupBy("__bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    direction = F.asc if ascending else F.desc
+    if not ascending:
+        # descending global order: buckets must also flip — rank from
+        # the top means offset counts rows ABOVE, i.e. from higher
+        # buckets. Recompute offsets in descending bucket order.
+        offsets, acc = {}, 0
+        for k in sorted(counts, reverse=True):
+            offsets[k] = acc
+            acc += counts[k]
+        omap = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+    w = Window.partitionBy("__bucket").orderBy(
+        direction(value_col), *[direction(c) for c in tiebreak_cols]
+    )
+    return (
+        b.withColumn("__local", F.row_number().over(w))
+        .withColumn(
+            out_col,
+            (F.element_at(omap, F.col("__bucket")) + F.col("__local")).cast(
+                "long"
+            ),
+        )
+        .drop("__bucket", "__local")
+    )
+
+
+def ntile_from_rank(rank_col: str, total: int, k: int) -> Column:
+    """Spark's exact NTILE(k) bucket for a 1-based global rank over
+    ``total`` rows: the first ``total % k`` tiles hold ⌈total/k⌉ rows,
+    the rest ⌊total/k⌋ — identical to ``F.ntile(k)`` over the same
+    total order."""
+    size, rem = divmod(int(total), int(k))
+    big = rem * (size + 1)
+    r = F.col(rank_col)
+    if size == 0:  # fewer rows than tiles: rank IS the tile
+        return r.cast("int")
+    return (
+        F.when(r <= big, F.ceil(r / F.lit(size + 1)))
+        .otherwise(F.lit(rem) + F.ceil((r - big) / F.lit(size)))
+        .cast("int")
+    )
+
+
+# Below this row count a single-task window sort beats the parallel
+# form's fixed overhead (quantile probe + counts collect = 2 extra
+# jobs): measured 2.0 s window vs 6.4 s parallel on 1.5 M rows — the
+# parallel form exists for the 10⁷+ regime where one sort task becomes
+# the job, not for small inputs.
+GLOBAL_RANK_SMALL_INPUT_ROWS = 4_000_000
+
+
+def with_global_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    k: int,
+    out_col: str = "tile",
+    n_buckets: int = 256,
+    ascending: bool = True,
+    small_input_rows: int = GLOBAL_RANK_SMALL_INPUT_ROWS,
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY value, *tiebreaks)`` that never
+    single-task-sorts a LARGE input. Dispatch is free — the total row
+    count is needed for the tile formula anyway: at or below
+    ``small_input_rows`` the classic window form runs (one job, fastest
+    at small scale); above it, the range-bucketed parallel form (two
+    extra narrow passes buy a fully parallel sort). Both produce
+    identical assignments."""
+    total = df.count()
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    if total <= small_input_rows:
+        direction = F.asc if ascending else F.desc
+        w = Window.orderBy(
+            direction(value_col), *[direction(c) for c in tiebreak_cols]
+        )
+        return df.withColumn(out_col, F.ntile(int(k)).over(w))
+    ranked = with_global_rank(
+        df, value_col, tiebreak_cols, "__grank", n_buckets, ascending
+    )
+    return ranked.withColumn(
+        out_col, ntile_from_rank("__grank", total, k)
+    ).drop("__grank")

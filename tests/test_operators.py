@@ -891,3 +891,87 @@ class TestKnuthBucket:
         ).first()
         assert stats["lo"] >= 0 and stats["hi"] < 100
         assert stats["n"] > 50  # spreads, not constant
+
+
+class TestGlobalRankWithoutSinglePartition:
+    """operators/rank.py: the parallel global-rank/ntile forms must be
+    VALUE-IDENTICAL to the single-partition window they replace, and
+    their plans must not contain an Exchange SinglePartition."""
+
+    def _orders(self, spark, sf="/root/testdata/sf0.01"):
+        return spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+
+    @pytest.mark.parametrize("k,ascending", [(4, True), (7, False)])
+    def test_ntile_matches_window_form(self, spark, k, ascending):
+        from pyspark.sql import Window as W
+
+        from facebook_ads_bigquery_etl_spark.operators import rank
+
+        df = self._orders(spark)
+        direction = F.asc if ascending else F.desc
+        w = W.orderBy(direction("o_totalprice"), direction("o_orderkey"))
+        want = {
+            r["o_orderkey"]: r["t"]
+            for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+        }
+        got_df = rank.with_global_ntile(
+            df, "o_totalprice", ["o_orderkey"], k, ascending=ascending,
+            small_input_rows=0,  # force the parallel form
+        )
+        got = {r["o_orderkey"]: r["tile"] for r in got_df.collect()}
+        assert got == want
+        assert "SinglePartition" not in got_df._jdf.queryExecution().toString()
+
+    def test_heavy_ties_and_tiny_inputs(self, spark):
+        from pyspark.sql import Window as W
+
+        from facebook_ads_bigquery_etl_spark.operators import rank
+
+        rows = [(i, float(i % 3)) for i in range(100)]  # 3 giant tie groups
+        df = spark.createDataFrame(rows, "id long, v double")
+        w = W.orderBy(F.asc("v"), F.asc("id"))
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn("t", F.ntile(4).over(w)).collect()
+        }
+        got = {
+            r["id"]: r["tile"]
+            for r in rank.with_global_ntile(
+                df, "v", ["id"], 4, small_input_rows=0
+            ).collect()
+        }
+        assert got == want
+        # fewer rows than tiles: rank IS the tile (Spark semantics)
+        tiny = spark.createDataFrame([(1, 5.0), (2, 1.0)], "id long, v double")
+        got_tiny = {
+            r["id"]: r["tile"]
+            for r in rank.with_global_ntile(
+                tiny, "v", ["id"], 4, small_input_rows=0
+            ).collect()
+        }
+        assert got_tiny == {2: 1, 1: 2}
+
+    def test_small_inputs_dispatch_to_the_window_form(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators import rank
+
+        df = self._orders(spark)
+        small = rank.with_global_ntile(df, "o_totalprice", ["o_orderkey"], 4)
+        plan = small._jdf.queryExecution().toString()
+        assert "ntile(4)" in plan  # one window job, no bucket machinery
+        forced = rank.with_global_ntile(
+            df, "o_totalprice", ["o_orderkey"], 4, small_input_rows=0
+        )
+        assert {r["tile"] for r in forced.collect()} == {
+            r["tile"] for r in small.collect()
+        }
+
+    def test_global_rank_is_exact_and_total(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators import rank
+
+        df = self._orders(spark)
+        n = df.count()
+        ranked = rank.with_global_rank(df, "o_totalprice", ["o_orderkey"])
+        rs = ranked.select("global_rank").collect()
+        assert sorted(r["global_rank"] for r in rs) == list(range(1, n + 1))
