@@ -782,22 +782,50 @@ def _compact_under_lease(
     _finish_swap(path, run_dir, parts, ops)
 
 
+def _swap_partition(
+    staged: str, live: str, trash: str, ops, hook_point: str | None = None
+) -> None:
+    """One partition's staged→live swap, tolerant of a CONCURRENT
+    recoverer rolling the same journal forward (an orchestrator retry
+    storm): each rename's loser re-checks the state a winning peer
+    would have left and converges instead of raising. A rename failure
+    with the source still present is a real FS error and re-raises."""
+    if not ops.isdir(staged):
+        return  # already swapped by a prior attempt or a peer
+    if ops.isdir(live):
+        try:
+            ops.rename(live, trash)
+        except OSError:
+            if ops.isdir(live) and ops.isdir(staged):
+                raise  # genuine failure: nothing moved
+    if hook_point is not None:
+        _CRASH_HOOK(hook_point)
+    try:
+        ops.rename(staged, live)
+    except OSError:
+        # a peer won the race iff the staged dir is gone and the live
+        # tree exists (the peer's rename installed it)
+        if ops.isdir(staged) or not ops.isdir(live):
+            raise
+
+
 def _finish_swap(path: str, run_dir: str, parts: list[str], ops) -> None:
     data_dir = ops.join(run_dir, "data")
     trash_dir = ops.join(run_dir, "trash")
     ops.mkdirs(trash_dir)
     for p in parts:
-        staged, live, trash = (
+        _swap_partition(
             ops.join(data_dir, p),
             ops.join(path, p),
             ops.join(trash_dir, p),
+            ops,
+            hook_point=f"mid_swap:{p}",
         )
-        if not ops.isdir(staged):
-            continue  # already swapped into place by a prior attempt
-        if ops.isdir(live):
-            ops.rename(live, trash)
-        _CRASH_HOOK(f"mid_swap:{p}")
-        ops.rename(staged, live)
+    # a racing recoverer may have finished the run (journal committed,
+    # run dir removed) while this pass was mid-swap: converged — done.
+    if not ops.isdir(run_dir):
+        ops.rmdir_if_empty(ops.join(path, "_compact"))
+        return
     ops.write_json_atomic(
         ops.join(run_dir, "journal.json"),
         {"state": "committed", "partitions": parts},
@@ -1009,28 +1037,28 @@ def _publish_under_leases(
 
 def _swap_multi_table(run_dir: str, t: dict, ops) -> None:
     """Finish ONE table's swaps from a staged multi journal
-    (idempotent per partition — a partition whose staged dir is gone
-    was already swapped by a prior attempt)."""
+    (idempotent per partition, tolerant of a concurrently-finishing
+    peer — same contract as :func:`_swap_partition`)."""
     slot_dir = ops.join(run_dir, t["slot"])
     data_dir = ops.join(slot_dir, "data")
     trash_dir = ops.join(slot_dir, "trash")
     ops.mkdirs(trash_dir)
     for p in t["partitions"]:
-        staged = ops.join(data_dir, p)
-        live = ops.join(t["path"], p)
-        trash = ops.join(trash_dir, p)
-        if not ops.isdir(staged):
-            continue  # swapped by a prior attempt: idempotent
-        if ops.isdir(live):
-            ops.rename(live, trash)
-        _CRASH_HOOK(f"multi_swap:{t['slot']}:{p}")
-        ops.rename(staged, live)
+        _swap_partition(
+            ops.join(data_dir, p),
+            ops.join(t["path"], p),
+            ops.join(trash_dir, p),
+            ops,
+            hook_point=f"multi_swap:{t['slot']}:{p}",
+        )
     _CRASH_HOOK(f"multi_table_done:{t['slot']}")
 
 
 def _finish_multi_swap(run_dir: str, tables: list[dict], ops) -> None:
     for t in tables:
         _swap_multi_table(run_dir, t, ops)
+    if not ops.isdir(run_dir):
+        return  # a racing recoverer committed and cleaned the run
     ops.write_json_atomic(
         ops.join(run_dir, "journal.json"),
         {"state": "committed", "tables": tables},

@@ -285,6 +285,57 @@ class TestAtomicCompaction:
         assert _rows(spark.read.parquet(table)) == rows_before
 
 
+class TestRacingRecoverers:
+    """Round-8: two recoveries rolling the SAME journal forward must
+    converge, not throw — deterministically interleaved by turning the
+    crash hook into a competitor that runs a COMPLETE recovery pass
+    mid-swap, so the outer pass resumes over an already-finished run."""
+
+    def test_reentrant_roll_forward_converges(self, spark, tmp_path, frame):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        path = str(tmp_path / "t")
+        write_day_partitioned(frame, path)
+        write_day_partitioned(
+            frame.withColumn("spend", F.col("spend") + 0.0), path
+        )
+        rows_before = _rows(spark.read.parquet(path))
+        # crash the compaction right after its journal commit point
+        def crash(point):
+            if point == "journaled":
+                raise RuntimeError("injected crash at journaled")
+
+        sinks._CRASH_HOOK = crash
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                sinks.compact_partitions_atomic(spark, path)
+        finally:
+            sinks._CRASH_HOOK = lambda point: None
+        # outer recovery: at its FIRST mid-swap point a competitor
+        # recovery runs to completion, then the outer pass continues
+        fired = {"n": 0}
+
+        def competitor(point):
+            if point.startswith("mid_swap:") and fired["n"] == 0:
+                fired["n"] = 1
+                sinks._CRASH_HOOK = lambda p: None
+                sinks.recover_compaction(path, stale_after_s=0.0)
+
+        sinks._CRASH_HOOK = competitor
+        try:
+            report = sinks.recover_compaction(path, stale_after_s=0.0)
+        finally:
+            sinks._CRASH_HOOK = lambda point: None
+        assert fired["n"] == 1, "interleaver did not fire"
+        # converged: full compacted content, no debris, no exception
+        assert report["rolled_forward"] == 1
+        assert _rows(spark.read.parquet(path)) == rows_before
+        for p in ("date=2025-01-01", "date=2025-01-02"):
+            d = os.path.join(path, p)
+            assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 1
+        assert not os.path.isdir(os.path.join(path, "_compact"))
+
+
 class TestCompactionLeaseAndPathGuards:
     """Round-4 advice: (a) the atomic protocol's os.* commit ops must
     never run against URI paths — raise up front, with the Spark-write
