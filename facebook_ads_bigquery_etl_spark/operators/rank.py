@@ -24,8 +24,11 @@ by (value, key)); ties in ``value_col`` land in one bucket by
 construction, so cross-bucket order is never violated.
 
 Reference has no ranking surface (`main.py` is connector-only); this
-is the scale form of the W-family global-rank queries, queued to
-replace their single-partition windows in round 9.
+is the scale form of the W-family global-rank queries — wired into
+`order_value_quartiles` and `customer_rfm_segments` (round 9), which
+forced the parallel form (`small_input_rows=0`) so their committed
+plans carry no `Exchange SinglePartition` (10× ratio 2.9–3.0 → 1.15–1.21,
+STRESS.md round-9 section).
 """
 
 from __future__ import annotations
@@ -52,10 +55,25 @@ def with_global_rank(
     out_col: str = "global_rank",
     n_buckets: int = 256,
     ascending: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Add the exact 1-based global rank by
     ``(value_col, *tiebreak_cols)`` (a TOTAL order — tiebreaks must
-    make it unique) without ever shuffling to a single partition."""
+    make it unique) without ever shuffling to a single partition.
+
+    The operator runs three actions over ``df`` (quantile probe,
+    per-bucket counts, the final ranked plan). A source that is not
+    re-read-stable (concurrent writes, sampling) can grow a bucket
+    between the counts collect and window time; that bucket's offset
+    would be absent from the broadcast map, so the rank expression
+    raises at runtime instead of silently emitting null ranks. Pass
+    ``persist=True`` to pin ``df`` (MEMORY_AND_DISK) across the three
+    actions when the source is not deterministic — the caller owns
+    ``df.unpersist()`` after consuming the result."""
+    if persist:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     n = max(2, int(n_buckets))
     probes = [i / n for i in range(1, n)]
     cuts = sorted(set(df.approxQuantile(value_col, probes, 0.001)))
@@ -90,14 +108,25 @@ def with_global_rank(
     w = Window.partitionBy("__bucket").orderBy(
         direction(value_col), *[direction(c) for c in tiebreak_cols]
     )
+    # A bucket present at window time but absent at count time means the
+    # input changed between the two actions — fail loudly, never emit
+    # null ranks (advisor r8 finding).
+    offset = F.element_at(omap, F.col("__bucket"))
+    offset = F.when(
+        offset.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "with_global_rank: bucket absent at count time "
+                    "(input not re-read-stable; pass persist=True): "
+                ),
+                F.col("__bucket").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(offset)
     return (
         b.withColumn("__local", F.row_number().over(w))
-        .withColumn(
-            out_col,
-            (F.element_at(omap, F.col("__bucket")) + F.col("__local")).cast(
-                "long"
-            ),
-        )
+        .withColumn(out_col, (offset + F.col("__local")).cast("long"))
         .drop("__bucket", "__local")
     )
 
@@ -136,6 +165,7 @@ def with_global_ntile(
     n_buckets: int = 256,
     ascending: bool = True,
     small_input_rows: int = GLOBAL_RANK_SMALL_INPUT_ROWS,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact ``NTILE(k) OVER (ORDER BY value, *tiebreaks)`` that never
     single-task-sorts a LARGE input. Dispatch is free — the total row
@@ -143,7 +173,13 @@ def with_global_ntile(
     ``small_input_rows`` the classic window form runs (one job, fastest
     at small scale); above it, the range-bucketed parallel form (two
     extra narrow passes buy a fully parallel sort). Both produce
-    identical assignments."""
+    identical assignments. ``persist=True`` pins ``df`` across the
+    count + rank actions for non-re-read-stable sources (caller owns
+    ``unpersist``)."""
+    if persist:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     total = df.count()
     if total == 0:
         return df.withColumn(out_col, F.lit(None).cast("int"))
@@ -155,7 +191,7 @@ def with_global_ntile(
         return df.withColumn(out_col, F.ntile(int(k)).over(w))
     ranked = with_global_rank(
         df, value_col, tiebreak_cols, "__grank", n_buckets, ascending
-    )
+    )  # df already persisted above when requested — don't double-pin
     return ranked.withColumn(
         out_col, ntile_from_rank("__grank", total, k)
     ).drop("__grank")

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window as W
 
 from ..operators.asof import asof_join
 from ..operators.exprs import knuth_bucket
+from ..operators.rank import with_global_ntile
 from ..operators.bloom import bloom_pruned_join, ensure_runtime_bloom
 from ..operators.topk import top_k_per_group
 from .registry import load_tables, register
@@ -824,13 +825,21 @@ def nation_footprint_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quartiles over order value (orderkey tie-break ⇒ total
-    order ⇒ identical tiles across engines). Scale note: an un-keyed
-    NTILE is a single-partition window sort — fine for reporting
-    outputs, wrong inside a pipeline; keyed variants shard the sort."""
+    order ⇒ identical tiles across engines). Scale: the registered
+    form uses operators/rank.py:with_global_ntile — range-bucketed
+    exact global rank, so the corpus-sized sort runs as many parallel
+    per-bucket windows and the plan never contains an ``Exchange
+    SinglePartition`` (forced via ``small_input_rows=0`` so the
+    committed plan IS the 100 TB plan; equality to ``F.ntile`` is
+    pinned in tests/test_operators.py)."""
     o = load_tables(spark, sf_dir, "orders")["orders"]
-    t = o.withColumn(
-        "quartile",
-        F.ntile(4).over(W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))),
+    t = with_global_ntile(
+        o,
+        "o_totalprice",
+        ["o_orderkey"],
+        4,
+        out_col="quartile",
+        small_input_rows=0,
     )
     return t.groupBy("quartile").agg(
         F.count("*").alias("n_orders"),
@@ -3517,7 +3526,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     run over the CUSTOMER-GRAIN frame — the fact table reduces first
     (one hash agg), so the global windows sort thousands of rows, not
     billions; the (metric, custkey) tie-break makes every quintile
-    assignment deterministic cross-engine."""
+    assignment deterministic cross-engine.
+
+    Scale: the three quintile scores run over the CUSTOMER-GRAIN frame
+    — corpus-sized at 100 TB — so each uses
+    operators/rank.py:with_global_ntile (range-bucketed parallel exact
+    ntile; ``small_input_rows=0`` forces the parallel form so the
+    committed plan is free of ``Exchange SinglePartition``). The DESC
+    recency order is expressed as ASC on the negated metric, which
+    keeps the (metric DESC, custkey ASC) mixed-direction tie-break of
+    the oracle exact. ``base`` is persisted because each score runs
+    count + quantile + offset actions over it; the skinny
+    (custkey, score) frames join back on the unique customer key."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     base = orders.groupBy("o_custkey").agg(
         F.datediff(
@@ -3528,24 +3548,34 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recency_days"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
-    return base.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(W.orderBy(F.col("recency_days").desc(), "o_custkey"))
-        .cast("bigint")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy("frequency", "o_custkey"))
-        .cast("bigint")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy("monetary", "o_custkey"))
-        .cast("bigint")
-        .alias("m_score"),
+    ).persist()
+
+    def score(value_col: str, out_col: str, negate: bool) -> DataFrame:
+        src = base
+        col = value_col
+        if negate:  # metric DESC, custkey ASC ≡ (−metric) ASC, custkey ASC
+            col = "__neg"
+            src = base.withColumn("__neg", -F.col(value_col))
+        return with_global_ntile(
+            src, col, ["o_custkey"], 5, out_col=out_col, small_input_rows=0
+        ).select("o_custkey", F.col(out_col).cast("bigint").alias(out_col))
+
+    r = score("recency_days", "r_score", negate=True)
+    f = score("frequency", "f_score", negate=False)
+    m = score("monetary", "m_score", negate=False)
+    return (
+        base.join(r, "o_custkey")
+        .join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
     )
 
 

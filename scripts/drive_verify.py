@@ -37,6 +37,9 @@ for t in ("region nation customer supplier part orders lineitem "
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 SAMPLE = [
+    # round-9 diff: the global-rank rewire (with_global_ntile parallel
+    # form in both registered queries; customer_rfm_segments also below)
+    "order_value_quartiles",
     # round-7 diff: the merge_apply struct-key join rewrite (all three
     # merge-family consumers), the token-bucket state-schema change,
     # and this round's new queries

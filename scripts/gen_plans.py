@@ -602,6 +602,22 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["Generate", "partial_", "Window"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "order_value_quartiles": (
+        "global NTILE via operators/rank.py range-bucketed exact rank: the "
+        "sort runs as parallel per-bucket windows (Exchange hashpartitioning "
+        "on the histogram bucket), never one task sorting the whole fact — "
+        "the r7/r8 verdicts' last named scale-killer, closed",
+        ["Window", "partial_"],
+        ["SinglePartition", "CartesianProduct"],
+    ),
+    "customer_rfm_segments": (
+        "three global quintiles over the customer-grain frame via "
+        "range-bucketed parallel ntile; base agg persisted once "
+        "(InMemoryTableScan) and the skinny (custkey, score) frames join "
+        "back on the unique key — no single-task sort anywhere",
+        ["Window", "InMemoryTableScan"],
+        ["SinglePartition", "CartesianProduct"],
+    ),
 }
 
 

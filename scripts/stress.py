@@ -131,6 +131,10 @@ PROBES = [
     "state_store_metrics_audit",         # per-batch state-rows ladder
     "length_bucket_packing_audit",       # bucket-partitioned batching windows
     "parquet_bloom_filter_audit",        # footer bloom write x2 (single-file)
+    # round 9: the rewired global-rank family (was the last named
+    # SinglePartition scale-killer; now range-bucketed parallel ntile)
+    "order_value_quartiles",        # global NTILE via with_global_ntile
+    "customer_rfm_segments",        # 3 global quintiles, customer grain
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit

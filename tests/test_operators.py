@@ -975,3 +975,52 @@ class TestGlobalRankWithoutSinglePartition:
         ranked = rank.with_global_rank(df, "o_totalprice", ["o_orderkey"])
         rs = ranked.select("global_rank").collect()
         assert sorted(r["global_rank"] for r in rs) == list(range(1, n + 1))
+
+    def test_persist_flag_pins_input_and_ranks_stay_exact(self, spark):
+        """persist=True (advisor r8: non-re-read-stable sources) must
+        pin the input across the operator's three actions and produce
+        the same exact total ranking."""
+        from facebook_ads_bigquery_etl_spark.operators import rank
+
+        df = self._orders(spark)
+        n = df.count()
+        ranked = rank.with_global_rank(
+            df, "o_totalprice", ["o_orderkey"], persist=True
+        )
+        try:
+            rs = ranked.select("global_rank").collect()
+            assert sorted(r["global_rank"] for r in rs) == list(
+                range(1, n + 1)
+            )
+            # the plan reads the pinned copy, not the live source
+            assert "InMemoryTableScan" in (
+                ranked._jdf.queryExecution().toString()
+            )
+        finally:
+            spark.catalog.clearCache()
+
+    def test_missing_bucket_offset_raises_not_null(self, spark):
+        """The broadcast offset map covers every bucket seen at count
+        time; a bucket the map lacks must RAISE at runtime (advisor r8:
+        never silently emit null ranks). Exercised by evaluating the
+        guarded offset expression against an out-of-range bucket id."""
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id long, v double"
+        )
+        omap = F.create_map(F.lit(0), F.lit(0))
+        offset = F.element_at(omap, F.col("__bucket"))
+        guarded = F.when(
+            offset.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("with_global_rank: bucket absent: "),
+                    F.col("__bucket").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(offset)
+        bad = df.withColumn("__bucket", F.lit(7)).withColumn("o", guarded)
+        with pytest.raises(Exception) as ei:
+            bad.collect()
+        assert "bucket absent" in str(ei.value)
+        ok = df.withColumn("__bucket", F.lit(0)).withColumn("o", guarded)
+        assert [r["o"] for r in ok.collect()] == [0, 0]
