@@ -376,7 +376,18 @@ class _HadoopPathOps:
             pass  # parity with shutil.rmtree(ignore_errors=True)
 
     def rename(self, src: str, dst: str) -> None:
-        if not self._fs.rename(self._p(src), self._p(dst)):
+        # Hadoop FileSystem.rename with an EXISTING DIRECTORY dst moves
+        # src INTO dst and returns true (POSIX os.rename would fail
+        # ENOTEMPTY) — under that semantic a lagging swap peer could
+        # silently relocate a freshly installed live partition into a
+        # run's trash (advisor r8 medium finding). The swap/lease
+        # protocols rely on rename-refuses-existing-dst, so enforce
+        # local-arm parity here; every caller renames to a fresh name
+        # (unique trash/tombstone/tmp) or deletes dst first.
+        jdst = self._p(dst)
+        if self._fs.exists(jdst):
+            raise OSError(f"rename destination exists: {src} -> {dst}")
+        if not self._fs.rename(self._p(src), jdst):
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def unlink(self, p: str, missing_ok: bool = False) -> None:
@@ -789,15 +800,34 @@ def _swap_partition(
     recoverer rolling the same journal forward (an orchestrator retry
     storm): each rename's loser re-checks the state a winning peer
     would have left and converges instead of raising. A rename failure
-    with the source still present is a real FS error and re-raises."""
+    with the source still present is a real FS error and re-raises.
+
+    The trash name is made unique PER ATTEMPT (advisor r8): a retry or
+    racing peer can then never rename onto an existing trash dir —
+    which on Hadoop filesystems would merge src INTO dst rather than
+    fail — and a peer that displaced the winner's freshly installed
+    live tree (staged vanished between its check and its move) can
+    detect exactly that from its own unique trash and restore it.
+    Trash contents are never read; the whole run dir is discarded at
+    commit, so the suffix is invisible to recovery."""
     if not ops.isdir(staged):
         return  # already swapped by a prior attempt or a peer
+    trash = f"{trash}.attempt-{uuid.uuid4().hex[:8]}"
     if ops.isdir(live):
         try:
             ops.rename(live, trash)
         except OSError:
             if ops.isdir(live) and ops.isdir(staged):
                 raise  # genuine failure: nothing moved
+        else:
+            if not ops.isdir(staged) and not ops.isdir(live):
+                # The staged dir vanished the instant before our move:
+                # a peer had ALREADY installed it as live, so what we
+                # just moved to trash IS the committed tree. Put it
+                # back and converge (advisor r8: previously this data
+                # sat in trash and the winner's cleanup deleted it).
+                ops.rename(trash, live)
+                return
     if hook_point is not None:
         _CRASH_HOOK(hook_point)
     try:
@@ -826,10 +856,22 @@ def _finish_swap(path: str, run_dir: str, parts: list[str], ops) -> None:
     if not ops.isdir(run_dir):
         ops.rmdir_if_empty(ops.join(path, "_compact"))
         return
-    ops.write_json_atomic(
-        ops.join(run_dir, "journal.json"),
-        {"state": "committed", "partitions": parts},
-    )
+    try:
+        ops.write_json_atomic(
+            ops.join(run_dir, "journal.json"),
+            {"state": "committed", "partitions": parts},
+        )
+    except Exception as e:
+        # TOCTOU (advisor r8): a racing recoverer's rmtree(run_dir)
+        # between the isdir check above and this write makes the
+        # journal write fail on the missing parent — that's the peer
+        # having committed and cleaned: converged — done.
+        if not ops.isdir(run_dir) and (
+            isinstance(e, FileNotFoundError) or _java_exc_is_missing(e)
+        ):
+            ops.rmdir_if_empty(ops.join(path, "_compact"))
+            return
+        raise
     _CRASH_HOOK("committed")
     ops.rmtree(run_dir)
     ops.rmdir_if_empty(ops.join(path, "_compact"))
@@ -1059,10 +1101,20 @@ def _finish_multi_swap(run_dir: str, tables: list[dict], ops) -> None:
         _swap_multi_table(run_dir, t, ops)
     if not ops.isdir(run_dir):
         return  # a racing recoverer committed and cleaned the run
-    ops.write_json_atomic(
-        ops.join(run_dir, "journal.json"),
-        {"state": "committed", "tables": tables},
-    )
+    try:
+        ops.write_json_atomic(
+            ops.join(run_dir, "journal.json"),
+            {"state": "committed", "tables": tables},
+        )
+    except Exception as e:
+        # Same TOCTOU as _finish_swap (advisor r8): a peer's
+        # rmtree(run_dir) between the check and the write means the
+        # peer committed — converged, don't raise.
+        if not ops.isdir(run_dir) and (
+            isinstance(e, FileNotFoundError) or _java_exc_is_missing(e)
+        ):
+            return
+        raise
     ops.rmtree(run_dir)
     root = run_dir.rsplit("/", 1)[0]
     ops.rmdir_if_empty(root)
@@ -1116,32 +1168,47 @@ def recover_multi_swap(
         if ops.exists(journal_path):
             journal = ops.read_json(journal_path)
             if journal["state"] == "staged":
+                import contextlib
+
                 acquired: list[str] = []
                 blocked: list[str] = []
                 try:
-                    for t in sorted(
-                        journal["tables"], key=lambda t: t["path"]
-                    ):
-                        p = _path_ops(t["path"])[1]
-                        if p in held or p in acquired:
-                            continue
-                        try:
-                            _acquire_compaction_lease(p)
-                            acquired.append(p)
-                        except CompactionLockHeld:
-                            blocked.append(p)
-                    if not blocked:
-                        _finish_multi_swap(run_dir, journal["tables"], ops)
-                        out["rolled_forward"] += 1
-                    else:
-                        # Finish what we can exclusively touch so a
-                        # caller about to republish these tables can't
-                        # be resurrected-over later; leave the journal
-                        # staged for the blocked remainder.
-                        for t in journal["tables"]:
-                            if _path_ops(t["path"])[1] not in blocked:
-                                _swap_multi_table(run_dir, t, ops)
-                        out["partial"] += 1
+                    # Heartbeat every lease acquired for this run's
+                    # roll-forward (advisor r8: a swap stalled past
+                    # COMPACTION_LEASE_STALE_S — slow namenode, many
+                    # partitions — would otherwise age its own lease
+                    # into breakable staleness mid-swap, re-admitting
+                    # the race the per-table liveness check closes).
+                    # Heartbeats stop (ExitStack exit) BEFORE the
+                    # finally releases the leases.
+                    with contextlib.ExitStack() as hb:
+                        for t in sorted(
+                            journal["tables"], key=lambda t: t["path"]
+                        ):
+                            p = _path_ops(t["path"])[1]
+                            if p in held or p in acquired:
+                                continue
+                            try:
+                                lease_path = _acquire_compaction_lease(p)
+                                acquired.append(p)
+                                hb.enter_context(_LeaseHeartbeat(lease_path))
+                            except CompactionLockHeld:
+                                blocked.append(p)
+                        if not blocked:
+                            _finish_multi_swap(
+                                run_dir, journal["tables"], ops
+                            )
+                            out["rolled_forward"] += 1
+                        else:
+                            # Finish what we can exclusively touch so a
+                            # caller about to republish these tables
+                            # can't be resurrected-over later; leave
+                            # the journal staged for the blocked
+                            # remainder.
+                            for t in journal["tables"]:
+                                if _path_ops(t["path"])[1] not in blocked:
+                                    _swap_multi_table(run_dir, t, ops)
+                            out["partial"] += 1
                 finally:
                     for p in acquired:
                         _release_compaction_lease(p)

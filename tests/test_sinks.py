@@ -1116,3 +1116,161 @@ class TestMultiTableSwap:
         p = str(tmp_path / "x")
         with pytest.raises(ValueError, match="duplicate"):
             sinks.publish_tables_atomic(spark, [(df, p), (df, p)])
+
+
+class TestAdvisorR8SwapHardening:
+    """Round-9 (advisor r8 findings): (a) the Hadoop arm's rename must
+    refuse an existing destination — FileSystem.rename onto an existing
+    DIRECTORY silently moves src INTO dst, which let a lagging swap
+    peer relocate a freshly installed live partition into a run's
+    trash; (b) a peer that displaced the winner's install must detect
+    it and restore; (c) the committed-journal write must converge, not
+    raise, when a racing recoverer removed the run dir between the
+    isdir check and the write; (d) recover_multi_swap's roll-forward
+    must heartbeat every lease it acquires."""
+
+    def test_hadoop_rename_refuses_existing_destination(self, spark, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        sinks._FORCE_HADOOP_FS = True
+        try:
+            ops, _ = sinks._path_ops("file://" + str(tmp_path))
+        finally:
+            sinks._FORCE_HADOOP_FS = False
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        os.makedirs(src)
+        open(os.path.join(src, "a.txt"), "w").write("x")
+        os.makedirs(dst)
+        with pytest.raises(OSError, match="destination exists"):
+            ops.rename("file://" + src, "file://" + dst)
+        # no merge happened: src intact, dst still empty
+        assert os.path.isdir(src) and os.listdir(src) == ["a.txt"]
+        assert os.listdir(dst) == []
+        # and a fresh destination still works
+        os.rmdir(dst)
+        ops.rename("file://" + src, "file://" + dst)
+        assert os.listdir(dst) == ["a.txt"]
+
+    @pytest.mark.parametrize("backend", ["local", "hadoop"])
+    def test_displaced_install_is_restored(self, spark, tmp_path, backend):
+        """Interleave: the peer passes its isdir(live) check, then the
+        winner completes the whole swap (live->trash, staged->live);
+        the peer's live->trash then moves the freshly INSTALLED tree.
+        The peer must detect that (staged vanished) and restore live."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        prefix = "file://" if backend == "hadoop" else ""
+        sinks._FORCE_HADOOP_FS = backend == "hadoop"
+        try:
+            ops, root = sinks._path_ops(prefix + str(tmp_path))
+            staged = ops.join(root, "staged")
+            live = ops.join(root, "live")
+            trash = ops.join(root, "trash-base")
+            for d, marker in ((staged, "new"), (live, "old")):
+                ops.mkdirs(d)
+            open(os.path.join(str(tmp_path), "staged", "gen"), "w").write("new")
+            open(os.path.join(str(tmp_path), "live", "gen"), "w").write("old")
+
+            raw_rename = ops.rename
+            fired = {"n": 0}
+
+            class Interleaved:
+                def __getattr__(self, name):
+                    return getattr(ops, name)
+
+                def rename(self, src, dst):
+                    if fired["n"] == 0 and src == live:
+                        fired["n"] = 1
+                        # winner completes the full swap first
+                        raw_rename(live, trash + ".winner")
+                        raw_rename(staged, live)
+                    raw_rename(src, dst)
+
+            sinks._swap_partition(staged, live, trash, Interleaved())
+            assert fired["n"] == 1
+            # converged: the INSTALLED (new) generation is live
+            assert ops.isdir(live) and not ops.isdir(staged)
+            with open(os.path.join(str(tmp_path), "live", "gen")) as f:
+                assert f.read() == "new"
+        finally:
+            sinks._FORCE_HADOOP_FS = False
+
+    @pytest.mark.parametrize("backend", ["local", "hadoop"])
+    def test_committed_journal_toctou_converges(self, spark, tmp_path, backend):
+        """A racing recoverer rmtree(run_dir)s between _finish_swap's
+        isdir check and its committed-journal write: the write fails on
+        the missing parent and must be treated as the peer having
+        finished (return), not raised."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        prefix = "file://" if backend == "hadoop" else ""
+        sinks._FORCE_HADOOP_FS = backend == "hadoop"
+        try:
+            ops, table = sinks._path_ops(prefix + str(tmp_path / "t"))
+            run_dir = ops.join(ops.join(table, "_compact"), "run1")
+            data_dir = ops.join(run_dir, "data")
+            part = "date=2025-01-01"
+            ops.mkdirs(ops.join(data_dir, part))
+            ops.mkdirs(ops.join(run_dir, "trash"))
+            ops.write_json_atomic(
+                ops.join(run_dir, "journal.json"),
+                {"state": "staged", "partitions": [part]},
+            )
+
+            class PeerWins:
+                def __getattr__(self, name):
+                    return getattr(ops, name)
+
+                def write_json_atomic(self, target, payload):
+                    if payload.get("state") == "committed":
+                        ops.rmtree(run_dir)  # the peer commits + cleans
+                    ops.write_json_atomic(target, payload)
+
+            # must converge silently (no exception), swap done
+            sinks._finish_swap(table, run_dir, [part], PeerWins())
+            assert ops.isdir(ops.join(table, part))
+            assert not ops.isdir(run_dir)
+        finally:
+            sinks._FORCE_HADOOP_FS = False
+
+    def test_recover_multi_swap_heartbeats_acquired_leases(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        fact_t = str(tmp_path / "fact")
+        roll_t = str(tmp_path / "rollup")
+        df = spark.createDataFrame(
+            [Row(date="2025-01-01", campaign_id="c1", spend=1.0)]
+        )
+        roll = df.groupBy("date").agg(F.sum("spend").alias("total_spend"))
+        sinks.publish_tables_atomic(spark, [(df, fact_t), (roll, roll_t)])
+
+        def crash(point):
+            if point == "multi_journaled":
+                raise RuntimeError("injected crash at multi_journaled")
+
+        sinks._CRASH_HOOK = crash
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                sinks.publish_tables_atomic(
+                    spark, [(df, fact_t), (roll, roll_t)]
+                )
+        finally:
+            sinks._CRASH_HOOK = lambda point: None
+
+        entered: list[str] = []
+        real_hb = sinks._LeaseHeartbeat
+
+        class RecordingHB(real_hb):
+            def __enter__(self):
+                entered.append(self._lease)
+                return super().__enter__()
+
+        monkeypatch.setattr(sinks, "_LeaseHeartbeat", RecordingHB)
+        report = sinks.recover_multi_swap(fact_t, stale_after_s=0.0)
+        assert report["rolled_forward"] == 1
+        # one heartbeat per acquired lease (both tables, none held)
+        assert len(entered) == 2
+        assert all(p.endswith("_lock") for p in entered)
