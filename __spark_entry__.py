@@ -44,48 +44,50 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining round-1-green variants (stable, re-verified on a
 #      rotating basis as window budget allows).
 _PRIORITY = [
-    # -- round-8 window (exactly 50 names: the driver records a row
+    # -- round-9 window (exactly 50 names: the driver records a row
     #    for the FIRST 50 only — round 7 proved that by starving the
-    #    10-name tail, so this list is now kept at the window size and
+    #    10-name tail, so this list is kept at the window size and
     #    tests/test_oracle.py enforces the invariant mechanically).
-    #    Slots: (1) all 19 queries that have never had a driver row
-    #    (round-7's _DEFERRED_TO_NEXT_ROUND cohort — judge-verified
-    #    green in the r7 session, now converted to driver artifact);
-    #    (2) 31 of the 46 stalest names whose last driver row is r2.
-    #    The remaining 15 r2 names (props_map_stats,
-    #    rolling_distinct_users, salted_segment_revenue,
-    #    scd2_dimension, stratified_sample_mix, stream_dedup_ingest,
-    #    stream_fx_enrich, stream_running_totals, stream_sessionize,
-    #    stream_user_profile, stream_view_purchase_funnel,
-    #    tfidf_top_terms, top_tokens, train_val_test_split,
-    #    video_frame_sample) roll into the round-9 window together
-    #    with the r3 cohort.
-    # (1) the 19 never-driver-verified queries.
-    "semantic_dedup_keep_best", "semantic_dedup_ivf_keep_best",
-    "cross_lingual_contamination", "domain_router_mix",
-    "dedup_corpus_token_accounting", "bloom_fpr_audit",
-    "tokenizer_fertility_by_lang", "ngram_novelty_scores",
-    "doc_kl_novelty", "length_bucket_packing_audit",
-    "stream_two_table_publish", "stream_rocksdb_state_rollup",
-    "stream_rocksdb_changelog_restart",
-    "stream_bloom_index_maintenance", "state_store_metrics_audit",
-    "bloom_index_merge_maintenance", "aqe_coalesce_partitions_audit",
-    "stats_staleness_audit", "parquet_bloom_filter_audit",
-    # (2) stalest r2 driver rows (31 of 46; includes both
-    #     embedding_dup_pairs variants whose candidate generation is
-    #     re-verified after this round's degenerate-bucket hardening).
-    "ann_ivf_topk", "ann_lsh_topk", "approx_distinct_orders",
-    "audio_level_stats", "bloom_pruned_revenue", "cohort_retention",
-    "column_profile_lineitem", "countmin_top_tokens",
-    "customer_snapshot_cdc", "decontaminate_docs", "doc_chunks",
-    "doc_repetition_stats", "doc_sequence_packing", "dup_clusters",
-    "dup_ngram_spans", "embedding_dup_pairs",
-    "embedding_dup_pairs_lsh", "embedding_norms",
-    "embedding_quantize_error", "fb_campaign_grain",
-    "fb_campaign_spend", "fb_connector_ingest", "fb_json_landing",
-    "fb_spend_local", "fx_connector_rates", "gap_filled_revenue",
-    "lineitem_metrics_unpivot", "minhash_dup_pairs", "pack_stats",
-    "pii_redaction", "price_histogram",
+    #    After the r8 artifact, all 250 registered queries have at
+    #    least one green driver row, so this window is pure
+    #    re-curation hygiene (VERDICT r8 item 2): (1) the 2 queries
+    #    REWIRED this round onto operators/rank.py:with_global_ntile
+    #    (plan changed → re-prove through a driver row); (2) the 15
+    #    names whose last driver row is r2 — the stalest cohort;
+    #    (3) the first 33 (alphabetical) of the 45 names whose last
+    #    row is r3. The remaining 12 r3 names (shipmode_priority_counts
+    #    simhash_near_dups small_qty_revenue supplier_part_counts
+    #    supplier_revenue_share token_budget_mix top_revenue_supplier
+    #    user_event_bigrams value_outliers wav_header_stats
+    #    weighted_doc_sample zorder_skip_audit) + the r4 cohort ride
+    #    in round 10.
+    # (1) rewired this round — plans changed, re-prove first.
+    "order_value_quartiles", "customer_rfm_segments",
+    # (2) the 15 remaining r2-stale names.
+    "props_map_stats", "rolling_distinct_users",
+    "salted_segment_revenue", "scd2_dimension",
+    "stratified_sample_mix", "stream_dedup_ingest",
+    "stream_fx_enrich", "stream_running_totals", "stream_sessionize",
+    "stream_user_profile", "stream_view_purchase_funnel",
+    "tfidf_top_terms", "top_tokens", "train_val_test_split",
+    "video_frame_sample",
+    # (3) the 33 oldest r3-stale names (alphabetical prefix).
+    "bucketed_join_audit", "compaction_file_audit",
+    "constraint_audit_orders", "customer_order_distribution",
+    "dedup_keep_best", "doc_difficulty_buckets", "doc_fingerprints",
+    "dominant_part_suppliers", "dpp_audit",
+    "forecast_revenue_change", "funnel_conversion",
+    "fuzzy_part_name_pairs", "grouping_sets_revenue",
+    "idle_customer_balance", "image_resize_stats",
+    "incremental_monthly_revenue", "kmv_distinct_users",
+    "kmv_overlap_audit", "label_feature_corr",
+    "last_touch_attribution", "late_shippers",
+    "lineitem_integrity_manifest", "manifest_repair_diff",
+    "min_cost_supplier", "multimodal_features",
+    "observe_metrics_audit", "orders_pareto",
+    "price_percentiles_approx", "product_profit",
+    "returned_revenue_topk", "returns_pivot_by_year",
+    "revenue_trend_by_nation", "rolling_users_hll",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to
