@@ -55,14 +55,18 @@ _PRIORITY = [
     #    (plan changed → re-prove through a driver row); (2) the 15
     #    names whose last driver row is r2 — the stalest cohort;
     #    (3) the first 33 (alphabetical) of the 45 names whose last
-    #    row is r3. The remaining 12 r3 names (shipmode_priority_counts
-    #    simhash_near_dups small_qty_revenue supplier_part_counts
-    #    supplier_revenue_share token_budget_mix top_revenue_supplier
-    #    user_event_bigrams value_outliers wav_header_stats
-    #    weighted_doc_sample zorder_skip_audit) + the r4 cohort ride
-    #    in round 10.
-    # (1) rewired this round — plans changed, re-prove first.
+    #    row is r3. The remaining 13 r3 names (rolling_users_hll —
+    #    displaced by the rewired perplexity_curriculum_mix —
+    #    shipmode_priority_counts simhash_near_dups small_qty_revenue
+    #    supplier_part_counts supplier_revenue_share token_budget_mix
+    #    top_revenue_supplier user_event_bigrams value_outliers
+    #    wav_header_stats weighted_doc_sample zorder_skip_audit) + the
+    #    r4 cohort ride in round 10.
+    # (1) rewired this round — plans (and for orders_pareto, the
+    #     decimal-exact oracle) changed, re-prove first.
+    #     orders_pareto sits in its alphabetical r3 slot below.
     "order_value_quartiles", "customer_rfm_segments",
+    "perplexity_curriculum_mix",
     # (2) the 15 remaining r2-stale names.
     "props_map_stats", "rolling_distinct_users",
     "salted_segment_revenue", "scd2_dimension",
@@ -87,7 +91,7 @@ _PRIORITY = [
     "observe_metrics_audit", "orders_pareto",
     "price_percentiles_approx", "product_profit",
     "returned_revenue_topk", "returns_pivot_by_year",
-    "revenue_trend_by_nation", "rolling_users_hll",
+    "revenue_trend_by_nation",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to

@@ -223,6 +223,13 @@ HEADLINE = [
     # index maintenance per micro-batch (the refresh-vs-rebuild gap
     # is the scaling claim).
     "stream_bloom_index_maintenance",
+    # round-9: range-bucketed parallel global ntile (operators/rank.py)
+    # — the rewired global-rank family's representative; carries the
+    # parallel form's fixed overhead (quantile probe + bucket counts)
+    # at bench SF in exchange for the 10× ratio dropping 2.9–3.0 →
+    # 1.15 (STRESS.md round-9). customer_rfm_segments is the same
+    # machinery ×3, not separately benched.
+    "order_value_quartiles",
 ]
 
 

@@ -148,6 +148,85 @@ def ntile_from_rank(rank_col: str, total: int, k: int) -> Column:
     )
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    sum_col: str,
+    value_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "global_cumsum",
+    n_buckets: int = 256,
+    ascending: bool = True,
+    persist: bool = False,
+) -> DataFrame:
+    """Exact running ``SUM(sum_col) OVER (ORDER BY value, *tiebreaks
+    ROWS UNBOUNDED PRECEDING)`` without a single-partition sort: the
+    same histogram buckets as :func:`with_global_rank`, per-bucket
+    SUM totals → cumulative offsets (≤ ``n_buckets`` rows to the
+    driver), then a per-bucket running sum window.
+
+    Exactness caveat: per-bucket partials are combined in bucket
+    order, not element order — for FLOAT inputs the result can differ
+    from a sequential pass by ulps (non-associative addition). Use an
+    exactly-additive ``sum_col`` type (integer / decimal) when
+    bit-parity with a sequential window or another engine matters;
+    the offsets and the output are cast to the aggregate's own type."""
+    if persist:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    n = max(2, int(n_buckets))
+    probes = [i / n for i in range(1, n)]
+    cuts = sorted(set(df.approxQuantile(value_col, probes, 0.001)))
+    bucket = _bucket_of(value_col, cuts) if cuts else F.lit(0)
+    b = df.withColumn("__bucket", bucket)
+    # the aggregate's own type (e.g. decimal widens, long stays long)
+    agg_type = b.groupBy("__bucket").agg(
+        F.sum(sum_col).alias("s")
+    ).schema["s"].dataType.simpleString()
+    sums = {
+        r["__bucket"]: r["s"]
+        for r in b.groupBy("__bucket").agg(F.sum(sum_col).alias("s")).collect()
+    }
+    order = sorted(sums, reverse=not ascending)
+    offsets, acc = {}, 0
+    for k in order:
+        offsets[k] = acc  # sum of all STRICTLY-prior buckets
+        acc = acc + (sums[k] if sums[k] is not None else 0)
+    omap = F.create_map(
+        *[
+            x
+            for k in sorted(offsets)
+            for x in (F.lit(k), F.lit(str(offsets[k])).cast(agg_type))
+        ]
+    )
+    direction = F.asc if ascending else F.desc
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(direction(value_col), *[direction(c) for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # same missing-bucket guard as with_global_rank: a bucket absent
+    # at sum time must raise, never silently contribute a null offset
+    offset = F.element_at(omap, F.col("__bucket"))
+    offset = F.when(
+        offset.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "with_global_cumsum: bucket absent at sum time "
+                    "(input not re-read-stable; pass persist=True): "
+                ),
+                F.col("__bucket").cast("string"),
+            )
+        ).cast(agg_type),
+    ).otherwise(offset)
+    return (
+        b.withColumn("__local_sum", F.sum(sum_col).over(w))
+        .withColumn(out_col, (offset + F.col("__local_sum")).cast(agg_type))
+        .drop("__bucket", "__local_sum")
+    )
+
+
 # Below this row count a single-task window sort beats the parallel
 # form's fixed overhead (quantile probe + counts collect = 2 extra
 # jobs): measured 2.0 s window vs 6.4 s parallel on 1.5 M rows — the

@@ -2118,61 +2118,67 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_pareto",
     oracle="""
     WITH c AS (
-      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+      SELECT o_custkey,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
       FROM orders GROUP BY o_custkey
     ),
     r AS (
       SELECT o_custkey, rev,
              SUM(rev) OVER (ORDER BY rev DESC, o_custkey
                             ROWS UNBOUNDED PRECEDING) AS cum,
-             SUM(rev) OVER ()                          AS total,
-             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rnk
+             SUM(rev) OVER ()                          AS total
       FROM c
     )
     SELECT CAST(COUNT(*) AS BIGINT)                          AS n_top_customers,
            CAST((SELECT COUNT(*) FROM c) AS BIGINT)          AS n_customers,
-           ROUND(MAX(cum) / MAX(total), 7)                   AS revenue_share
-    FROM r WHERE cum - rev < total * 0.8
+           ROUND(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 7)
+             AS revenue_share
+    FROM r
+    WHERE CAST(cum - rev AS DOUBLE) < CAST(total AS DOUBLE) * 0.8e0
     """,
 )
 def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: the smallest prefix of customers (by
     revenue, total-ordered with a key tie-break) covering 80% of
-    revenue. A take-while over a DESC running share — same cumsum
-    shape as token_budget_mix but over a GLOBAL order, which is the
-    one window this library allows a single-partition sort for: the
-    frame is per-CUSTOMER aggregates (|customers| ≪ |orders|), not
-    the fact table, and at 100 TB that aggregate is small enough to
-    window. Emits one summary row, fully hash-checkable."""
+    revenue. A take-while over a DESC running share over the
+    CUSTOMER-GRAIN frame — corpus-sized at 100 TB — so the running
+    sum uses operators/rank.py:with_global_cumsum (range-bucketed
+    parallel exact cumsum; no ``Exchange SinglePartition``). The
+    per-customer revenue is carried as DECIMAL(18,2): decimal addition
+    is associative, so the bucketed partial-sum combination is
+    bit-identical to the oracle's sequential window (double would
+    drift by ulps), and the DESC-rev / ASC-custkey mixed order is
+    expressed as ASC on the negated metric. Emits one summary row."""
+    from ..operators.rank import with_global_cumsum
+
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     per_cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("rev")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    scalars = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev").alias("total"),
     )
-    ranked = per_cust.select(
-        "o_custkey",
-        "rev",
-        F.sum("rev").over(w).alias("cum"),
-        F.sum("rev").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
+    ranked = with_global_cumsum(
+        per_cust.withColumn("__neg_rev", -F.col("rev")),
+        sum_col="rev",
+        value_col="__neg_rev",
+        tiebreak_cols=["o_custkey"],
+        out_col="cum",
+    ).join(F.broadcast(scalars))
+    top = ranked.filter(
+        (F.col("cum") - F.col("rev")).cast("double")
+        < F.col("total").cast("double") * 0.8
     )
-    n_customers = per_cust.agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
-    top = ranked.filter(F.col("cum") - F.col("rev") < F.col("total") * 0.8)
-    return (
-        top.agg(
-            F.count(F.lit(1)).cast("long").alias("n_top_customers"),
-            F.round(F.max("cum") / F.max("total"), 7).alias("revenue_share"),
-        )
-        .join(F.broadcast(n_customers))
-        .select("n_top_customers", "n_customers", "revenue_share")
-    )
+    return top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_top_customers"),
+        F.max("n_customers").alias("n_customers"),
+        F.round(
+            F.max("cum").cast("double") / F.max("total").cast("double"), 7
+        ).alias("revenue_share"),
+    ).select("n_top_customers", "n_customers", "revenue_share")
 
 
 @register(

@@ -3270,12 +3270,12 @@ def perplexity_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight (cleanest text oversampled 2×, noisiest undersampled 0.5×)
     — the curriculum/mixture-reweighting step between corpus scoring
     and dataloader manifest. Output is the per-bucket token budget the
-    sampler consumes. The quartile split is one global ntile over the
-    DOC-GRAIN frame (500 rows at fixture scale, still only
-    corpus-cardinality at 100 TB — documents, not tokens); ties are
-    doc_id-broken so bucket assignment is deterministic."""
-    from pyspark.sql.window import Window as W
-
+    sampler consumes. The quartile split is a global ntile over the
+    DOC-GRAIN frame — corpus-sized at 100 TB — so it runs through
+    operators/rank.py:with_global_ntile (range-bucketed parallel exact
+    ntile, forced via ``small_input_rows=0`` so the committed plan has
+    no ``Exchange SinglePartition``); ties are doc_id-broken so bucket
+    assignment is deterministic and identical to the window form."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     wc = tok.groupBy("w").agg(F.count("*").alias("c"))
@@ -3291,10 +3291,11 @@ def perplexity_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg("logp"), 4).alias("ce"),
         )
     )
-    bucketed = pd_.withColumn(
-        "bucket",
-        F.ntile(4).over(W.orderBy("ce", "doc_id")).cast("bigint"),
-    )
+    from ..operators.rank import with_global_ntile
+
+    bucketed = with_global_ntile(
+        pd_, "ce", ["doc_id"], 4, out_col="bucket", small_input_rows=0
+    ).withColumn("bucket", F.col("bucket").cast("bigint"))
     weight = (
         F.when(F.col("bucket") == 1, 2.0)
         .when(F.col("bucket") == 2, 1.5)

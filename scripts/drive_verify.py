@@ -37,9 +37,10 @@ for t in ("region nation customer supplier part orders lineitem "
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 SAMPLE = [
-    # round-9 diff: the global-rank rewire (with_global_ntile parallel
-    # form in both registered queries; customer_rfm_segments also below)
-    "order_value_quartiles",
+    # round-9 diff: the global-rank/cumsum rewires (parallel forms in
+    # all four registered queries; customer_rfm_segments also below)
+    "order_value_quartiles", "orders_pareto",
+    "perplexity_curriculum_mix",
     # round-7 diff: the merge_apply struct-key join rewrite (all three
     # merge-family consumers), the token-bucket state-schema change,
     # and this round's new queries

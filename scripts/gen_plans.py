@@ -618,6 +618,25 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         ["Window", "InMemoryTableScan"],
         ["SinglePartition", "CartesianProduct"],
     ),
+    "orders_pareto": (
+        "global running revenue share via range-bucketed parallel cumsum "
+        "(with_global_cumsum) over DECIMAL: the customer-grain sort runs "
+        "as per-bucket windows (hashpartitioning on __bucket), never one "
+        "task. The plan's remaining SinglePartition exchanges are the "
+        "1-ROW scalar aggregates (n_customers/total and the final summary "
+        "row) — bounded aggregate state after map-side partials, which is "
+        "the correct shape for a scalar output, not a data sort",
+        ["Window", "partial_", "hashpartitioning(__bucket"],
+        ["CartesianProduct"],
+    ),
+    "perplexity_curriculum_mix": (
+        "doc-grain fluency quartiles via range-bucketed parallel ntile "
+        "(per-bucket windows, hashpartitioning on __bucket); the LM "
+        "scoring joins stay broadcast. Remaining SinglePartition "
+        "exchanges are the 1-row corpus-total aggregates (bounded state)",
+        ["Window", "BroadcastHashJoin", "hashpartitioning(__bucket"],
+        ["CartesianProduct"],
+    ),
 }
 
 

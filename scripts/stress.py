@@ -135,6 +135,8 @@ PROBES = [
     # SinglePartition scale-killer; now range-bucketed parallel ntile)
     "order_value_quartiles",        # global NTILE via with_global_ntile
     "customer_rfm_segments",        # 3 global quintiles, customer grain
+    "orders_pareto",                # global cumsum via with_global_cumsum
+    "perplexity_curriculum_mix",    # doc-grain parallel ntile + LM scoring
 ]
 
 # Scale-path forms probed instead of their registered oracle-audit

@@ -976,6 +976,63 @@ class TestGlobalRankWithoutSinglePartition:
         rs = ranked.select("global_rank").collect()
         assert sorted(r["global_rank"] for r in rs) == list(range(1, n + 1))
 
+    def test_global_cumsum_matches_window_form_decimal_exact(self, spark):
+        """with_global_cumsum over a DECIMAL column must be
+        bit-identical to the sequential single-partition window
+        (decimal addition is associative, so bucket-order combination
+        cannot drift), and its plan free of SinglePartition."""
+        from pyspark.sql import Window as W
+
+        from facebook_ads_bigquery_etl_spark.operators import rank
+
+        df = (
+            spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+            .groupBy("o_custkey")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2)
+                .cast("decimal(18,2)")
+                .alias("rev")
+            )
+        )
+        w = (
+            W.orderBy(F.desc("rev"), F.desc("o_custkey"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        want = {
+            r["o_custkey"]: r["cum"]
+            for r in df.withColumn("cum", F.sum("rev").over(w)).collect()
+        }
+        got_df = rank.with_global_cumsum(
+            df, "rev", "rev", ["o_custkey"], out_col="cum", ascending=False
+        )
+        got = {r["o_custkey"]: r["cum"] for r in got_df.collect()}
+        assert got == want
+        assert "SinglePartition" not in (
+            got_df._jdf.queryExecution().toString()
+        )
+
+    def test_global_cumsum_long_and_heavy_ties(self, spark):
+        from pyspark.sql import Window as W
+
+        from facebook_ads_bigquery_etl_spark.operators import rank
+
+        rows = [(i, float(i % 3), (i * 7) % 11) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, v double, x long")
+        w = W.orderBy(F.asc("v"), F.asc("id")).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        want = {
+            r["id"]: r["cum"]
+            for r in df.withColumn("cum", F.sum("x").over(w)).collect()
+        }
+        got = {
+            r["id"]: r["cum"]
+            for r in rank.with_global_cumsum(
+                df, "x", "v", ["id"], out_col="cum"
+            ).collect()
+        }
+        assert got == want  # long sums: exact on any combination order
+
     def test_persist_flag_pins_input_and_ranks_stay_exact(self, spark):
         """persist=True (advisor r8: non-re-read-stable sources) must
         pin the input across the operator's three actions and produce
