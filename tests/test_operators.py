@@ -1033,6 +1033,18 @@ class TestGlobalRankWithoutSinglePartition:
         }
         assert got == want  # long sums: exact on any combination order
 
+    def test_global_cumsum_empty_and_single_row(self, spark):
+        from facebook_ads_bigquery_etl_spark.operators import rank
+
+        empty = spark.createDataFrame([], "id long, v double, x long")
+        out = rank.with_global_cumsum(empty, "x", "v", ["id"], out_col="cum")
+        assert out.count() == 0 and "cum" in out.columns
+        one = spark.createDataFrame([(1, 2.0, 5)], "id long, v double, x long")
+        rows = rank.with_global_cumsum(
+            one, "x", "v", ["id"], out_col="cum"
+        ).collect()
+        assert [(r["id"], r["cum"]) for r in rows] == [(1, 5)]
+
     def test_persist_flag_pins_input_and_ranks_stay_exact(self, spark):
         """persist=True (advisor r8: non-re-read-stable sources) must
         pin the input across the operator's three actions and produce
