@@ -2148,7 +2148,15 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     is associative, so the bucketed partial-sum combination is
     bit-identical to the oracle's sequential window (double would
     drift by ulps), and the DESC-rev / ASC-custkey mixed order is
-    expressed as ASC on the negated metric. Emits one summary row."""
+    expressed as ASC on the negated metric. Emits one summary row.
+    ``per_cust`` is persisted because it derives from FLOAT
+    aggregation (sum of doubles, then round): the cumsum operator
+    runs 3 separate actions plus the scalar readout, and double
+    aggregation is not bit-deterministic across re-executions — a
+    rev value straddling a rounding/bucket boundary could otherwise
+    change buckets between the counts action and the window action
+    (advisor r9 finding). All actions now read one pinned
+    materialization, matching customer_rfm_segments."""
     from ..operators.rank import with_global_cumsum
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
@@ -2156,7 +2164,7 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2)
         .cast("decimal(18,2)")
         .alias("rev")
-    )
+    ).persist()
     scalars = per_cust.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("rev").alias("total"),
@@ -2172,9 +2180,14 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum") - F.col("rev")).cast("double")
         < F.col("total").cast("double") * 0.8
     )
+    # empty input: `top` has no rows, so MAX(n_customers) is NULL while
+    # the oracle's scalar subquery COUNT(*) reads 0 — coalesce to match
+    # (advisor r9 finding).
     return top.agg(
         F.count(F.lit(1)).cast("long").alias("n_top_customers"),
-        F.max("n_customers").alias("n_customers"),
+        F.coalesce(F.max("n_customers"), F.lit(0).cast("long")).alias(
+            "n_customers"
+        ),
         F.round(
             F.max("cum").cast("double") / F.max("total").cast("double"), 7
         ).alias("revenue_share"),

@@ -3275,7 +3275,13 @@ def perplexity_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/rank.py:with_global_ntile (range-bucketed parallel exact
     ntile, forced via ``small_input_rows=0`` so the committed plan has
     no ``Exchange SinglePartition``); ties are doc_id-broken so bucket
-    assignment is deterministic and identical to the window form."""
+    assignment is deterministic and identical to the window form.
+    ``pd_`` is persisted because it derives from FLOAT aggregation
+    (avg of log-probs, then round) and the ntile operator runs
+    count + quantile + offset actions over it: double aggregation is
+    not bit-deterministic across re-executions, so a ce value
+    straddling a rounding/bucket boundary could otherwise change
+    buckets between actions (advisor r9 finding)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     wc = tok.groupBy("w").agg(F.count("*").alias("c"))
@@ -3290,7 +3296,7 @@ def perplexity_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.round(-F.avg("logp"), 4).alias("ce"),
         )
-    )
+    ).persist()
     from ..operators.rank import with_global_ntile
 
     bucketed = with_global_ntile(

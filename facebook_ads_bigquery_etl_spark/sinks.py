@@ -382,12 +382,31 @@ class _HadoopPathOps:
         # silently relocate a freshly installed live partition into a
         # run's trash (advisor r8 medium finding). The swap/lease
         # protocols rely on rename-refuses-existing-dst, so enforce
-        # local-arm parity here; every caller renames to a fresh name
-        # (unique trash/tombstone/tmp) or deletes dst first.
+        # local-arm parity here. NOTE (advisor r9): this exists-probe
+        # is itself check-then-act, NOT atomic — two concurrent
+        # renamers targeting the SAME dst can both pass it, after
+        # which HDFS still merges the loser's src INTO the winner's
+        # directory. It is an advisory guard only; the actual mutual-
+        # exclusion invariant is UNIQUE-DESTINATION NAMING, which
+        # every caller upholds (per-attempt uuid trash, tombstone and
+        # tmp suffixes) or by deleting dst first. New callers must
+        # not rely on this check for exclusion.
         jdst = self._p(dst)
         if self._fs.exists(jdst):
             raise OSError(f"rename destination exists: {src} -> {dst}")
-        if not self._fs.rename(self._p(src), jdst):
+        # Local-arm parity: a missing SRC must surface as Python's
+        # FileNotFoundError (what os.rename raises), not a raw
+        # Py4JJavaError — the _swap_partition convergence paths catch
+        # OSError uniformly across both arms.
+        try:
+            ok = self._fs.rename(self._p(src), jdst)
+        except Exception as e:
+            if _java_exc_is_missing(e):
+                raise FileNotFoundError(
+                    f"rename source missing: {src} -> {dst}"
+                ) from e
+            raise
+        if not ok:
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def unlink(self, p: str, missing_ok: bool = False) -> None:
@@ -826,7 +845,27 @@ def _swap_partition(
                 # just moved to trash IS the committed tree. Put it
                 # back and converge (advisor r8: previously this data
                 # sat in trash and the winner's cleanup deleted it).
-                ops.rename(trash, live)
+                try:
+                    ops.rename(trash, live)
+                except OSError:
+                    # The restore itself can race (advisor r9): the
+                    # winning peer may commit and rmtree(run_dir) —
+                    # which contains this attempt's trash — between
+                    # our live->trash move and this rename, or
+                    # re-create live (the exists-refusing Hadoop arm
+                    # then raises). Converge like the other renames:
+                    # live back → a peer finished the install; trash
+                    # gone with live absent → the committed tree is
+                    # lost, surface that distinctly, never silently.
+                    if ops.isdir(live):
+                        return
+                    if not ops.isdir(trash):
+                        raise OSError(
+                            "displaced live tree lost: trash "
+                            f"{trash} removed before restore and "
+                            f"live {live} absent"
+                        )
+                    raise  # trash intact, live absent: real FS error
                 return
     if hook_point is not None:
         _CRASH_HOOK(hook_point)

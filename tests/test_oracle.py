@@ -85,6 +85,32 @@ def test_entry_smoke(spark):
     assert df.count() >= 0
 
 
+def test_orders_pareto_empty_input_matches_oracle(spark, tmp_path):
+    """Degenerate-input parity (advisor r9): on an EMPTY orders table
+    the oracle's scalar subquery ``(SELECT COUNT(*) FROM c)`` emits 0,
+    so the Spark plan must coalesce its MAX-over-empty NULL to 0 —
+    full Spark-vs-DuckDB compare on an empty-orders fixture dir."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF_SMOKE}/orders.parquet")
+    pq.write_table(src.slice(0, 0), str(tmp_path / "orders.parquet"))
+
+    sdf = QUERIES["orders_pareto"](spark, str(tmp_path))
+    spark_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+    )
+    res = con.sql(ORACLES["orders_pareto"])
+    duck_rows = _normalize(res.fetchall(), [c for c in res.columns])
+    assert spark_rows == duck_rows
+    # pin the shape too: one summary row, n_customers literally 0
+    assert len(spark_rows) == 1
+    row = {c: v for c, v in zip(sdf.columns, [tuple(r) for r in sdf.collect()][0])}
+    assert row["n_top_customers"] == 0 and row["n_customers"] == 0
+
+
 class TestDriverWindowCuration:
     """The driver's CORRECTNESS run covers only the FIRST 50 entries of
     queries(). These invariants keep the curation honest as queries

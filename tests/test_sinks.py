@@ -1274,3 +1274,129 @@ class TestAdvisorR8SwapHardening:
         # one heartbeat per acquired lease (both tables, none held)
         assert len(entered) == 2
         assert all(p.endswith("_lock") for p in entered)
+
+
+class TestAdvisorR9RestoreRaceGuard:
+    """Round-10 (advisor r9 finding): the displaced-install restore
+    rename in _swap_partition was unguarded — if the winning peer
+    commits and rmtree(run_dir)s (which contains this attempt's trash)
+    between the peer's live->trash move and the restore, or re-creates
+    live, the rename raised and the installed tree was reported lost.
+    The restore must now converge like the other renames: live back →
+    done; trash gone with live absent → a DISTINCT loud error."""
+
+    def _drive(self, sinks, tmp_path, backend, at_restore):
+        """Run _swap_partition through the displaced-install path and
+        invoke ``at_restore(ops, attempt_trash)`` just before the
+        restore rename fires."""
+        prefix = "file://" if backend == "hadoop" else ""
+        ops, root = sinks._path_ops(prefix + str(tmp_path))
+        staged = ops.join(root, "staged")
+        live = ops.join(root, "live")
+        trash = ops.join(root, "trash-base")
+        ops.mkdirs(staged)
+        ops.mkdirs(live)
+        open(os.path.join(str(tmp_path), "staged", "gen"), "w").write("new")
+        open(os.path.join(str(tmp_path), "live", "gen"), "w").write("old")
+
+        raw_rename = ops.rename
+        stage = {"n": 0}
+
+        class Interleaved:
+            def __getattr__(self, name):
+                return getattr(ops, name)
+
+            def rename(self, src, dst):
+                if stage["n"] == 0 and src == live:
+                    stage["n"] = 1
+                    # the winner completes the full swap first, so this
+                    # peer's live->trash displaces the installed tree
+                    raw_rename(live, trash + ".winner")
+                    raw_rename(staged, live)
+                elif stage["n"] == 1 and dst == live:
+                    stage["n"] = 2
+                    at_restore(ops, src)  # src IS the attempt trash
+                raw_rename(src, dst)
+
+        sinks._swap_partition(staged, live, trash, Interleaved())
+        assert stage["n"] == 2, "restore rename never fired"
+        return ops, live
+
+    @pytest.mark.parametrize("backend", ["local", "hadoop"])
+    def test_peer_commit_rmtree_with_live_reinstalled_converges(
+        self, spark, tmp_path, backend
+    ):
+        """The winning peer commits (rmtree of the run dir removed this
+        attempt's trash) AND live exists again: restore must observe
+        live and return, never raise."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        sinks._FORCE_HADOOP_FS = backend == "hadoop"
+        try:
+            def peer_commits(ops, attempt_trash):
+                ops.rmtree(attempt_trash)
+                # peer re-creates live with its own committed tree
+                os.makedirs(os.path.join(str(tmp_path), "live"))
+                open(
+                    os.path.join(str(tmp_path), "live", "gen"), "w"
+                ).write("peer")
+
+            ops, live = self._drive(sinks, tmp_path, backend, peer_commits)
+            assert ops.isdir(live)
+            with open(os.path.join(str(tmp_path), "live", "gen")) as f:
+                assert f.read() == "peer"
+        finally:
+            sinks._FORCE_HADOOP_FS = False
+
+    @pytest.mark.parametrize("backend", ["local", "hadoop"])
+    def test_live_recreated_trash_intact_converges(
+        self, spark, tmp_path, backend
+    ):
+        """live was re-created (non-empty) while this attempt's trash
+        survives: the exists-refusing rename raises, the guard sees
+        live and converges; the displaced tree stays in trash."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        sinks._FORCE_HADOOP_FS = backend == "hadoop"
+        try:
+            def peer_reinstalls(ops, attempt_trash):
+                os.makedirs(os.path.join(str(tmp_path), "live"))
+                open(
+                    os.path.join(str(tmp_path), "live", "gen"), "w"
+                ).write("peer")
+
+            ops, live = self._drive(sinks, tmp_path, backend, peer_reinstalls)
+            assert ops.isdir(live)
+            with open(os.path.join(str(tmp_path), "live", "gen")) as f:
+                assert f.read() == "peer"
+            # the displaced generation is still recoverable from trash
+            trash_dirs = [
+                d for d in os.listdir(str(tmp_path))
+                if d.startswith("trash-base.attempt-")
+            ]
+            assert len(trash_dirs) == 1
+            with open(
+                os.path.join(str(tmp_path), trash_dirs[0], "gen")
+            ) as f:
+                assert f.read() == "new"
+        finally:
+            sinks._FORCE_HADOOP_FS = False
+
+    @pytest.mark.parametrize("backend", ["local", "hadoop"])
+    def test_trash_gone_live_absent_raises_distinctly(
+        self, spark, tmp_path, backend
+    ):
+        """Trash removed with NO live tree anywhere: the committed data
+        is genuinely gone — must surface the distinct loud error, not a
+        generic rename failure and not silence."""
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        sinks._FORCE_HADOOP_FS = backend == "hadoop"
+        try:
+            def trash_vanishes(ops, attempt_trash):
+                ops.rmtree(attempt_trash)
+
+            with pytest.raises(OSError, match="displaced live tree lost"):
+                self._drive(sinks, tmp_path, backend, trash_vanishes)
+        finally:
+            sinks._FORCE_HADOOP_FS = False
