@@ -44,54 +44,51 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining round-1-green variants (stable, re-verified on a
 #      rotating basis as window budget allows).
 _PRIORITY = [
-    # -- round-9 window (exactly 50 names: the driver records a row
+    # -- round-10 window (exactly 50 names: the driver records a row
     #    for the FIRST 50 only — round 7 proved that by starving the
     #    10-name tail, so this list is kept at the window size and
     #    tests/test_oracle.py enforces the invariant mechanically).
-    #    After the r8 artifact, all 250 registered queries have at
-    #    least one green driver row, so this window is pure
-    #    re-curation hygiene (VERDICT r8 item 2): (1) the 2 queries
-    #    REWIRED this round onto operators/rank.py:with_global_ntile
-    #    (plan changed → re-prove through a driver row); (2) the 15
-    #    names whose last driver row is r2 — the stalest cohort;
-    #    (3) the first 33 (alphabetical) of the 45 names whose last
-    #    row is r3. The remaining 13 r3 names (rolling_users_hll —
-    #    displaced by the rewired perplexity_curriculum_mix —
-    #    shipmode_priority_counts simhash_near_dups small_qty_revenue
-    #    supplier_part_counts supplier_revenue_share token_budget_mix
-    #    top_revenue_supplier user_event_bigrams value_outliers
-    #    wav_header_stats weighted_doc_sample zorder_skip_audit) + the
-    #    r4 cohort ride in round 10.
-    # (1) rewired this round — plans (and for orders_pareto, the
-    #     decimal-exact oracle) changed, re-prove first.
-    #     orders_pareto sits in its alphabetical r3 slot below.
-    "order_value_quartiles", "customer_rfm_segments",
-    "perplexity_curriculum_mix",
-    # (2) the 15 remaining r2-stale names.
-    "props_map_stats", "rolling_distinct_users",
-    "salted_segment_revenue", "scd2_dimension",
-    "stratified_sample_mix", "stream_dedup_ingest",
-    "stream_fx_enrich", "stream_running_totals", "stream_sessionize",
-    "stream_user_profile", "stream_view_purchase_funnel",
-    "tfidf_top_terms", "top_tokens", "train_val_test_split",
-    "video_frame_sample",
-    # (3) the 33 oldest r3-stale names (alphabetical prefix).
-    "bucketed_join_audit", "compaction_file_audit",
-    "constraint_audit_orders", "customer_order_distribution",
-    "dedup_keep_best", "doc_difficulty_buckets", "doc_fingerprints",
-    "dominant_part_suppliers", "dpp_audit",
-    "forecast_revenue_change", "funnel_conversion",
-    "fuzzy_part_name_pairs", "grouping_sets_revenue",
-    "idle_customer_balance", "image_resize_stats",
-    "incremental_monthly_revenue", "kmv_distinct_users",
-    "kmv_overlap_audit", "label_feature_corr",
-    "last_touch_attribution", "late_shippers",
-    "lineitem_integrity_manifest", "manifest_repair_diff",
-    "min_cost_supplier", "multimodal_features",
-    "observe_metrics_audit", "orders_pareto",
-    "price_percentiles_approx", "product_profit",
-    "returned_revenue_topk", "returns_pivot_by_year",
-    "revenue_trend_by_nation",
+    #    All 250 registered queries are driver-green at latest check,
+    #    so this is proof-debt window #3 (VERDICT r9 item 1): (1) the
+    #    2 queries whose PHYSICAL PLAN changed this round (advisor r9
+    #    medium: the frames feeding with_global_cumsum/ntile are now
+    #    persisted, so the committed plans gained InMemoryRelation
+    #    scans — a changed plan re-proves through a driver row even
+    #    though both were green r9); (2) the 13 names whose last
+    #    driver row is r3 — the stalest cohort; (3) the first 35
+    #    (alphabetical) of the 43 names whose last row is r4. The
+    #    remaining 8 r4 names (session_window_rollup
+    #    source_drift_audit stratified_doc_sample
+    #    stream_dedup_then_rollup stream_quality_gate
+    #    temperature_mix_weights vocab_coverage_stats
+    #    weekly_revenue_iso) ride in round 11.
+    # (1) plan changed this round (persist pin, advisor r9) —
+    #     re-prove first.
+    "orders_pareto", "perplexity_curriculum_mix",
+    # (2) the 13 r3-stale names.
+    "rolling_users_hll", "shipmode_priority_counts",
+    "simhash_near_dups", "small_qty_revenue", "supplier_part_counts",
+    "supplier_revenue_share", "token_budget_mix",
+    "top_revenue_supplier", "user_event_bigrams", "value_outliers",
+    "wav_header_stats", "weighted_doc_sample", "zorder_skip_audit",
+    # (3) the 35 oldest r4-stale names (alphabetical prefix).
+    "ann_ivfpq_topk", "bpe_merge_step", "brand_price_quartiles",
+    "compression_ratio_signal", "copurchase_association_rules",
+    "copurchase_triangle_stats", "csv_quarantine_audit",
+    "curation_pipeline_report", "decimal_revenue_exact",
+    "doc_bigram_perplexity", "doc_perplexity_filter",
+    "doc_stride_spans", "embedding_covariance_probe",
+    "embedding_pca_audit", "events_selfjoin_cardinality",
+    "fb_campaign_roas", "feature_hash_audit", "gopher_quality_filter",
+    "incremental_dedup_new_docs", "jl_projection_audit",
+    "lang_quality_geomean", "latest_order_per_customer",
+    "longest_order_gap", "masked_customer_extract",
+    "nation_revenue_share_of_parent", "nation_trade_pagerank",
+    "nullsafe_segment_match", "orc_roundtrip_audit",
+    "order_rank_in_customer_history", "orders_key_skew_audit",
+    "pq_quantization_audit", "quantity_price_skyline",
+    "revenue_ewma_by_nation", "scd2_pointintime_join",
+    "schema_evolution_audit",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to

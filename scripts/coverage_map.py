@@ -223,7 +223,14 @@ def build() -> str:
             return f"infra ({infra})"
         marks = []
         for q in qs:
-            if q in green:
+            if q in external:
+                # deliberately-unregistered bench-only alias: its
+                # registered twin is the oracle-checked form, so it
+                # can never have a driver row — label it, don't count
+                # it against the component (advisor r9: this read as
+                # "1 awaiting a window slot" forever).
+                marks.append(f"`{q}` bench-only alias (no driver row by design)")
+            elif q in green:
                 marks.append(f"`{q}` pass(r{green[q]})")
             elif q in seen:
                 marks.append(f"`{q}` **RED r{seen[q]}**")
@@ -233,7 +240,10 @@ def build() -> str:
 
     n_total = len(components)
     comp_green = sum(
-        1 for _s, _o, qs, _i in components if qs and all(q in green for q in qs)
+        1
+        for _s, _o, qs, _i in components
+        if any(q not in external for q in qs)
+        and all(q in green for q in qs if q not in external)
     )
     comp_infra = sum(1 for _s, _o, qs, _i in components if not qs)
     comp_pending = n_total - comp_green - comp_infra
