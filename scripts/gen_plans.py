@@ -625,16 +625,22 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         "task. The plan's remaining SinglePartition exchanges are the "
         "1-ROW scalar aggregates (n_customers/total and the final summary "
         "row) — bounded aggregate state after map-side partials, which is "
-        "the correct shape for a scalar output, not a data sort",
-        ["Window", "partial_", "hashpartitioning(__bucket"],
+        "the correct shape for a scalar output, not a data sort. The "
+        "float-derived per-customer frame is persisted (advisor r9) so "
+        "every operator action reads one pinned materialization",
+        ["Window", "partial_", "hashpartitioning(__bucket",
+         "InMemoryTableScan"],
         ["CartesianProduct"],
     ),
     "perplexity_curriculum_mix": (
         "doc-grain fluency quartiles via range-bucketed parallel ntile "
         "(per-bucket windows, hashpartitioning on __bucket); the LM "
         "scoring joins stay broadcast. Remaining SinglePartition "
-        "exchanges are the 1-row corpus-total aggregates (bounded state)",
-        ["Window", "BroadcastHashJoin", "hashpartitioning(__bucket"],
+        "exchanges are the 1-row corpus-total aggregates (bounded state). "
+        "The float-derived per-doc frame is persisted (advisor r9) so "
+        "every operator action reads one pinned materialization",
+        ["Window", "BroadcastHashJoin", "hashpartitioning(__bucket",
+         "InMemoryTableScan"],
         ["CartesianProduct"],
     ),
 }
