@@ -921,16 +921,21 @@ def jl_projection_audit(
     pairs = a.join(b, "pair").select(
         "pair", d_orig.alias("d0"), d_proj.alias("d1")
     )
+    # SUM over zero pairs is NULL, which would make the floor compare
+    # NULL instead of the vacuous TRUE (0 ≥ 0) an empty pair set earns.
     return pairs.agg(
         F.count("*").alias("n_pairs"),
         F.round(F.avg("d0"), 6).alias("mean_orig_dist_sq"),
         (
-            F.sum(
-                F.when(
-                    (F.col("d1") >= lo * F.col("d0"))
-                    & (F.col("d1") <= hi * F.col("d0")),
-                    1,
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("d1") >= lo * F.col("d0"))
+                        & (F.col("d1") <= hi * F.col("d0")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             * 100
             >= F.lit(floor_pct) * F.count("*")

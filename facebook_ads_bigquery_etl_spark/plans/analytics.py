@@ -158,6 +158,11 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)      AS n_rows
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    -- HAVING COUNT(*) > 0: encode Spark's empty-input semantics —
+    -- Spark's Expand+aggregate emits NO grouping-set rows (not even
+    -- the grand total) over an empty relation, while ANSI emits the
+    -- () row; no-op on non-empty input (r10 empty sweep)
+    HAVING COUNT(*) > 0
     """,
 )
 def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +190,11 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value), 2)                                AS total_value
     FROM events
     GROUP BY CUBE(event_type, CAST(date_part('day', ts) AS INTEGER))
+    -- HAVING COUNT(*) > 0: encode Spark's empty-input semantics —
+    -- Spark's Expand+aggregate emits NO grouping-set rows (not even
+    -- the grand total) over an empty relation, while ANSI emits the
+    -- () row; no-op on non-empty input (r10 empty sweep)
+    HAVING COUNT(*) > 0
     """,
 )
 def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -888,6 +898,11 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation   ON c_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    -- HAVING COUNT(*) > 0: encode Spark's empty-input semantics —
+    -- Spark's Expand+aggregate emits NO grouping-set rows (not even
+    -- the grand total) over an empty relation, while ANSI emits the
+    -- () row; no-op on non-empty input (r10 empty sweep)
+    HAVING COUNT(*) > 0
     """,
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3200,11 +3215,15 @@ def events_selfjoin_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(a.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2"))
         .agg(F.count("*").alias("actual_rows"))
     )
+    # empty input: SUM over no keys is NULL and NULL==0 is NULL, while
+    # the oracle pins TRUE — an estimate of 0 for an empty join is
+    # correct, so compare through a zero-coalesce (r10 empty sweep).
     return predicted.join(F.broadcast(actual)).select(
         "predicted_rows",
-        (F.col("predicted_rows") == F.col("actual_rows")).alias(
-            "estimate_matches_actual"
-        ),
+        (
+            F.coalesce(F.col("predicted_rows"), F.lit(0))
+            == F.col("actual_rows")
+        ).alias("estimate_matches_actual"),
     )
 
 
@@ -3887,6 +3906,11 @@ def qualify_nation_top_years(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation   ON c_nationkey = n_nationkey
     )
     GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr), ())
+    -- HAVING COUNT(*) > 0: encode Spark's empty-input semantics —
+    -- Spark's Expand+aggregate emits NO grouping-set rows (not even
+    -- the grand total) over an empty relation, while ANSI emits the
+    -- () row; no-op on non-empty input (r10 empty sweep)
+    HAVING COUNT(*) > 0
     """,
 )
 def grouping_id_revenue_routing(spark: SparkSession, sf_dir: str) -> DataFrame:

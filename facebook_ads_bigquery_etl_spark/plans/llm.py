@@ -391,7 +391,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("fingerprint") == F.countDistinct("text")).alias(
             "fingerprints_injective"
         ),
-        (F.sum(F.col("fingerprint").isNull().cast("int")) == 0).alias("all_nonnull"),
+        # coalesce: SUM over zero docs is NULL, not the vacuous 0 an
+        # empty corpus earns (oracle pins TRUE; r10 empty sweep)
+        (
+            F.coalesce(
+                F.sum(F.col("fingerprint").isNull().cast("int")), F.lit(0)
+            )
+            == 0
+        ).alias("all_nonnull"),
     )
 
 
@@ -1597,7 +1604,9 @@ def dedup_keep_best_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a_id", "b_id")
     exact = _keep_best_over_edges(docs, exact_edges)
     n_clusters = scale.count()
-    docs_covered = scale.agg(F.sum("cluster_size")).first()[0]
+    # SUM over zero clusters reads back None; the oracle counts 0 over
+    # its empty reps frame (r10 empty sweep)
+    docs_covered = scale.agg(F.sum("cluster_size")).first()[0] or 0
     n_scale_only = scale.exceptAll(exact).count()
     n_exact_only = exact.exceptAll(scale).count()
     return spark.createDataFrame(
@@ -4414,14 +4423,14 @@ def domain_router_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     raw AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS d,
-             CAST(SUM(len(tk)) AS BIGINT) AS t
+             CAST(COALESCE(SUM(len(tk)), 0) AS BIGINT) AS t
       FROM tok
     ),
     keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
     ex AS (SELECT tok.doc_id, tk FROM tok JOIN keep USING (doc_id)),
     exagg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS d,
-             CAST(SUM(len(tk)) AS BIGINT) AS t
+             CAST(COALESCE(SUM(len(tk)), 0) AS BIGINT) AS t
       FROM ex
     ),
     seg AS (
@@ -4445,16 +4454,19 @@ def domain_router_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked GROUP BY doc_id
     ),
     ld AS (
-      SELECT CAST(SUM(CASE WHEN kept > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
-             CAST(SUM(kept) AS BIGINT) AS t
+      SELECT CAST(COALESCE(SUM(CASE WHEN kept > 0 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS d,
+             CAST(COALESCE(SUM(kept), 0) AS BIGINT) AS t
       FROM surv
     ),
     pk AS (
-      SELECT CAST(SUM(CASE WHEN kept > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
-             CAST(SUM(kept) AS BIGINT) AS t,
-             CAST(SUM(CAST(ceil(kept / 128.0) AS BIGINT)) AS BIGINT) AS sq,
-             CAST(SUM(CAST(ceil(kept / 128.0) AS BIGINT) * 128 - kept)
-                  AS BIGINT) AS pad
+      SELECT CAST(COALESCE(SUM(CASE WHEN kept > 0 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS d,
+             CAST(COALESCE(SUM(kept), 0) AS BIGINT) AS t,
+             CAST(COALESCE(SUM(CAST(ceil(kept / 128.0) AS BIGINT)), 0)
+                  AS BIGINT) AS sq,
+             CAST(COALESCE(SUM(CAST(ceil(kept / 128.0) AS BIGINT) * 128
+                               - kept), 0) AS BIGINT) AS pad
       FROM surv WHERE kept > 0
     )
     SELECT 'a_raw' AS stage, d AS n_docs, t AS n_tokens,
@@ -4537,16 +4549,16 @@ def dedup_corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
     zero = F.lit(0).cast("long")
 
     def stage(df, name, with_pack=False):
-        cols = [
-            F.lit(name).alias("stage"),
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-        ]
+        # coalesce: a stage whose input frame is empty (empty corpus,
+        # or every doc fully line-deduped away) reads SUM as NULL —
+        # the ledger reports 0 tokens, not NULL (r10 empty sweep; the
+        # oracle coalesces identically)
+        def z(c):
+            return F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+
+        cols = [F.lit(name).alias("stage"), z("n_docs"), z("n_tokens")]
         if with_pack:
-            cols += [
-                F.col("n_sequences").cast("long").alias("n_sequences"),
-                F.col("pad_tokens").cast("long").alias("pad_tokens"),
-            ]
+            cols += [z("n_sequences"), z("pad_tokens")]
         else:
             cols += [zero.alias("n_sequences"), zero.alias("pad_tokens")]
         return df.select(*cols)
@@ -4698,16 +4710,25 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(bench_grams), "g", "left")
         .withColumn("exact_hit", F.coalesce("exact_hit", F.lit(False)))
-        .withColumn("n_bench_bits", F.size("bits"))
     )
+    # n_bench_bits reads from the 1-row bench_bits frame itself, like
+    # the oracle's scalar subquery — a MAX over `probed` would be NULL
+    # whenever the probe side is empty even though the bench filter
+    # has bits (the orders_pareto empty-readout shape; r10 empty
+    # sweep)
     agg = probed.agg(
-        F.max("n_bench_bits").cast("long").alias("n_bench_bits"),
         F.count("*").alias("n_corpus_grams"),
         F.sum(F.col("exact_hit").cast("long")).alias("n_exact_shared"),
         F.sum((F.col("bloom_hit") & ~F.col("exact_hit")).cast("long"))
         .alias("n_false_positives"),
         F.sum((F.col("exact_hit") & ~F.col("bloom_hit")).cast("long"))
         .alias("n_false_negatives"),
+    ).crossJoin(
+        F.broadcast(
+            bench_bits.select(
+                F.size("bits").cast("long").alias("n_bench_bits")
+            )
+        )
     )
     fill = F.col("n_bench_bits") / F.lit(8192.0)
     clean = F.greatest(

@@ -927,17 +927,21 @@ def stream_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     st AS (SELECT slice, COUNT(*) AS n, MAX(ts) AS mx FROM b GROUP BY 1)
+    -- COALESCE: an empty slice contributes 0 input rows, and with no
+    -- rows before batch i the watermark never advances past 0
+    -- (r10 empty sweep)
     SELECT CAST(i AS BIGINT) AS batch_id,
            CAST(CASE WHEN i = 0 THEN 0
                 WHEN i <= 4 THEN
                   -- Spark tracks watermarks at MILLISECOND precision:
                   -- floor the max event time to ms before the delay
-                  (SELECT epoch_us(MAX(mx)) // 1000 * 1000
+                  COALESCE((SELECT epoch_us(MAX(mx)) // 1000 * 1000
                    FROM st WHERE slice < i)
-                  - 1800000000
+                  - 1800000000, 0)
                 ELSE epoch_us(TIMESTAMP '2099-01-01') - 1800000000 END
                 AS BIGINT) AS watermark_us,
-           CAST(CASE WHEN i <= 3 THEN (SELECT n FROM st WHERE slice = i)
+           CAST(CASE WHEN i <= 3 THEN
+                       COALESCE((SELECT n FROM st WHERE slice = i), 0)
                      WHEN i = 4 THEN 2 ELSE 0 END AS BIGINT)
              AS n_input_rows
     FROM unnest([0, 1, 2, 3, 4, 5]) AS t(i)
@@ -1717,10 +1721,12 @@ def stream_bloom_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
       FROM events
     ),
     wm AS (
+      -- COALESCE: with no rows before slice i the engine's watermark
+      -- never advances past 0 (r10 empty sweep)
       SELECT i,
              CASE WHEN i = 0 THEN 0
-                  ELSE (SELECT epoch_us(MAX(ts)) // 1000 * 1000
-                        FROM b WHERE slice < i) - 1800000000 END AS wm_us
+                  ELSE COALESCE((SELECT epoch_us(MAX(ts)) // 1000 * 1000
+                        FROM b WHERE slice < i) - 1800000000, 0) END AS wm_us
       FROM unnest([0, 1, 2, 3, 4]) AS t(i)
     ),
     keys AS (SELECT DISTINCT slice, d, event_type FROM b),

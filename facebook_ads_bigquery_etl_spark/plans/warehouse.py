@@ -320,41 +320,48 @@ def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# COALESCE(SUM(...), 0): an EMPTY table trivially passes every
+# constraint (0 violations, passed=TRUE — what the Spark operator
+# reports); bare SUM over no rows would read NULL/NULL (r10 sweep).
 _AUDIT_ORACLE = """
 SELECT 'not_null:o_custkey' AS constraint_name,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_violations,
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+       CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violations,
+       COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0
+         AS passed
 FROM orders
 UNION ALL
 SELECT 'range:o_totalprice', CAST(COUNT(*) AS BIGINT),
-       CAST(SUM(CASE WHEN o_totalprice IS NULL
+       CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NULL
                        OR o_totalprice < 0 OR o_totalprice > 450000
-                     THEN 1 ELSE 0 END) AS BIGINT),
-       SUM(CASE WHEN o_totalprice IS NULL
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
+       COALESCE(SUM(CASE WHEN o_totalprice IS NULL
                   OR o_totalprice < 0 OR o_totalprice > 450000
-                THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END), 0) = 0
 FROM orders
 UNION ALL
 SELECT 'in_set:o_orderstatus', CAST(COUNT(*) AS BIGINT),
-       CAST(SUM(CASE WHEN o_orderstatus IS NULL
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NULL
                        OR o_orderstatus NOT IN ('O', 'F', 'P')
-                     THEN 1 ELSE 0 END) AS BIGINT),
-       SUM(CASE WHEN o_orderstatus IS NULL
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
+       COALESCE(SUM(CASE WHEN o_orderstatus IS NULL
                   OR o_orderstatus NOT IN ('O', 'F', 'P')
-                THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END), 0) = 0
 FROM orders
 UNION ALL
-SELECT 'unique:o_orderkey', CAST(SUM(cnt) AS BIGINT),
-       CAST(SUM(cnt - 1) AS BIGINT), SUM(cnt - 1) = 0
+SELECT 'unique:o_orderkey', CAST(COALESCE(SUM(cnt), 0) AS BIGINT),
+       CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT),
+       COALESCE(SUM(cnt - 1), 0) = 0
 FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
 UNION ALL
 SELECT 'fk:o_custkey->c_custkey', CAST(COUNT(*) AS BIGINT),
-       CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
-                     THEN 1 ELSE 0 END) AS BIGINT),
-       SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
-                THEN 1 ELSE 0 END) = 0
+       CAST(COALESCE(SUM(CASE WHEN o.o_custkey IS NOT NULL
+                               AND c.c_custkey IS NULL
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
+       COALESCE(SUM(CASE WHEN o.o_custkey IS NOT NULL
+                      AND c.c_custkey IS NULL
+                THEN 1 ELSE 0 END), 0) = 0
 FROM orders o
 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
   ON o.o_custkey = c.c_custkey
@@ -1979,10 +1986,18 @@ def _final_plan(df: DataFrame) -> str:
 
 
 _AQE_SKEW_ORACLE = """
+    -- the plan booleans are DATA-CONDITIONED: with either join side
+    -- empty, AQE's empty-relation propagation replaces the join
+    -- entirely, so no skew split exists to observe (r10 empty sweep)
+    WITH has_data AS (
+      SELECT (SELECT COUNT(*) FROM lineitem) > 0
+             AND (SELECT COUNT(*) FROM part) > 0 AS b
+    )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            ROUND(SUM(l_extendedprice + p_retailprice), 2) AS total_value,
-           CAST(1 AS BIGINT) AS n_skewed_joins,
-           TRUE AS skew_split_in_plan,
+           CAST(CASE WHEN (SELECT b FROM has_data) THEN 1 ELSE 0 END
+                AS BIGINT) AS n_skewed_joins,
+           (SELECT b FROM has_data) AS skew_split_in_plan,
            TRUE AS matches_unsplit
     FROM (SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 1
                       ELSE (l_partkey % 2000) + 1 END AS sk,
@@ -2067,6 +2082,9 @@ def aqe_skew_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AQE_DEMOTE_ORACLE = """
+    -- the plan booleans are DATA-CONDITIONED: with either join side
+    -- empty, AQE's empty-relation propagation removes the join, so
+    -- there is no promotion/demotion to observe (r10 empty sweep)
     WITH s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS sparse_n,
              ROUND(SUM(o_totalprice), 2) AS sparse_value
@@ -2080,8 +2098,12 @@ _AQE_DEMOTE_ORACLE = """
         ON o_custkey = c_custkey AND c_custkey % 2 = 0
     )
     SELECT sparse_n, sparse_value, dense_n, dense_value,
-           TRUE AS sparse_demoted_to_smj,
-           TRUE AS dense_promoted_to_bhj
+           (SELECT COUNT(*) FROM orders) > 0
+             AND (SELECT COUNT(*) FROM customer WHERE c_custkey % 500 = 0) > 0
+             AS sparse_demoted_to_smj,
+           (SELECT COUNT(*) FROM orders) > 0
+             AND (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0) > 0
+             AS dense_promoted_to_bhj
     FROM s, d
 """
 

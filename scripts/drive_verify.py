@@ -37,6 +37,19 @@ for t in ("region nation customer supplier part orders lineitem "
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 SAMPLE = [
+    # round-10 diff: the empty-input parity sweep touched these (most
+    # already below from earlier rounds; listed here for the record):
+    # events_selfjoin_cardinality, jl_projection_audit,
+    # doc_fingerprints, state_store_metrics_audit,
+    # watermark_lag_observability, cube_events, rollup_returns,
+    # grouping_sets_revenue, grouping_id_revenue_routing,
+    # constraint_audit_orders + dedup_keep_best_equivalence,
+    # aqe_* and bloom_fpr_audit (already present)
+    "events_selfjoin_cardinality", "jl_projection_audit",
+    "doc_fingerprints", "state_store_metrics_audit",
+    "watermark_lag_observability", "cube_events", "rollup_returns",
+    "grouping_sets_revenue", "grouping_id_revenue_routing",
+    "constraint_audit_orders",
     # round-9 diff: the global-rank/cumsum rewires (parallel forms in
     # all four registered queries; customer_rfm_segments also below)
     "order_value_quartiles", "orders_pareto",
