@@ -582,9 +582,12 @@ def zorder_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMPACTION_ORACLE = """
+    -- fragmented_before is DATA-CONDITIONED: an empty source writes
+    -- zero day dirs, so there is no fragmentation to observe; the
+    -- other two booleans hold vacuously (0 == 0) on empty input
     SELECT CAST(COUNT(*) AS BIGINT)                       AS n_rows,
            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-           TRUE AS fragmented_before,
+           COUNT(*) > 0 AS fragmented_before,
            TRUE AS one_file_per_day,
            TRUE AS rows_preserved
     FROM events
@@ -623,8 +626,12 @@ def compaction_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         files_after = len(_glob.glob(f"{path}/date=*/part-*.parquet"))
         # eager re-read: the temp table is gone after the finally, so
-        # the preservation check happens now, not at driver collect time
-        n_back = spark.read.parquet(path).count()
+        # the preservation check happens now, not at driver collect
+        # time; the schema-carrying reader tolerates an empty source
+        # (zero day dirs written — r10 empty sweep)
+        from ..sinks import read_published_or_empty
+
+        n_back = read_published_or_empty(spark, path, like=ev).count()
         src_rows = ev.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -761,7 +768,9 @@ _DPP_ORACLE = """
     r AS (SELECT date, row_number() OVER (ORDER BY date) AS rn FROM d)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(e.value), 2)   AS total_value,
-           TRUE AS dpp_in_plan,
+           -- DATA-CONDITIONED: an empty fact writes zero partitions,
+           -- AQE replaces the join, and no pruning subquery exists
+           (SELECT COUNT(*) FROM events) > 0 AS dpp_in_plan,
            TRUE AS dpp_result_matches
     FROM events e JOIN r ON CAST(e.ts AS DATE) = r.date
     WHERE r.rn % 7 = 1
@@ -799,7 +808,11 @@ def dpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="dpp_audit_")
     try:
         ev.write.partitionBy("date").mode("overwrite").parquet(tmp)
-        fact = spark.read.parquet(tmp)
+        # schema-carrying read-back: an empty source writes zero day
+        # dirs (r10 empty sweep)
+        from ..sinks import read_published_or_empty
+
+        fact = read_published_or_empty(spark, tmp, like=ev)
         j = fact.join(F.broadcast(picked), "date").agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
@@ -1349,9 +1362,13 @@ def merge_upsert_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "commit_protocol_audit",
     oracle="""
+    -- the crash/roll-forward booleans are DATA-CONDITIONED: on an
+    -- empty source compaction is a no-op (nothing to stage), so the
+    -- injected crash never fires and recovery has nothing to roll
     SELECT CAST(COUNT(*) AS BIGINT)                       AS n_rows,
            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_partitions,
-           TRUE AS stable_under_crash, TRUE AS rolled_forward,
+           COUNT(*) > 0 AS stable_under_crash,
+           COUNT(*) > 0 AS rolled_forward,
            TRUE AS no_debris, TRUE AS compacted_single_file
     FROM events
     """,
@@ -1388,7 +1405,9 @@ def commit_protocol_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sinks.write_day_partitioned(df, table)
         sinks.write_day_partitioned(df.limit(0), table, mode="append")
-        n_before = spark.read.parquet(table).count()
+        # schema-carrying read-backs: an empty source writes zero day
+        # dirs (r10 empty sweep)
+        n_before = sinks.read_published_or_empty(spark, table, like=df).count()
 
         def crash(point: str) -> None:
             if point == "journaled":
@@ -1401,9 +1420,9 @@ def commit_protocol_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         except RuntimeError:
             crashed = True
         sinks._CRASH_HOOK = old_hook
-        n_crashed = spark.read.parquet(table).count()
+        n_crashed = sinks.read_published_or_empty(spark, table, like=df).count()
         report = sinks.recover_compaction(table, stale_after_s=0.0)
-        n_after = spark.read.parquet(table).count()
+        n_after = sinks.read_published_or_empty(spark, table, like=df).count()
         import os
 
         parts = [d for d in os.listdir(table) if d.startswith("date=")]
@@ -1746,10 +1765,10 @@ def parquet_codec_matrix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
       FROM events GROUP BY 1
     )
-    SELECT CAST(SUM(n) AS BIGINT)                        AS n_rows,
+    SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT)           AS n_rows,
            CAST(COUNT(*) AS BIGINT)                      AS n_partitions,
-           CAST(SUM(CAST(CEIL(n / 150.0) AS BIGINT)) AS BIGINT)
-                                                         AS expected_files,
+           CAST(COALESCE(SUM(CAST(CEIL(n / 150.0) AS BIGINT)), 0)
+                AS BIGINT)                               AS expected_files,
            TRUE AS file_counts_match, TRUE AS rows_stable,
            TRUE AS no_debris
     FROM per_day
@@ -1781,12 +1800,14 @@ def compaction_binpack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="binpack_audit_")
     table = f"{tmp}/t"
     try:
-        # two fragmented loads → multiple small files per partition
+        # two fragmented loads → multiple small files per partition;
+        # schema-carrying read-backs tolerate an empty source (zero
+        # day dirs written — r10 empty sweep)
         sinks.write_day_partitioned(df, table)
         sinks.write_day_partitioned(df.limit(0), table, mode="append")
-        n_before = spark.read.parquet(table).count()
+        n_before = sinks.read_published_or_empty(spark, table, like=df).count()
         sinks.compact_partitions(spark, table, max_records_per_file=150)
-        n_after = spark.read.parquet(table).count()
+        n_after = sinks.read_published_or_empty(spark, table, like=df).count()
         per_day = {
             r["date"]: r["n"]
             for r in df.groupBy("date").agg(F.count("*").alias("n")).collect()
@@ -1831,7 +1852,10 @@ def compaction_binpack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                            AS day_partitions,
            CAST(COUNT(DISTINCT strftime(CAST(ts AS DATE), '%Y-%m'))
                 AS BIGINT)                                 AS month_partitions,
-           TRUE AS rows_stable, TRUE AS layout_is_monthly
+           TRUE AS rows_stable,
+           -- DATA-CONDITIONED: an empty source evolves to zero month
+           -- dirs, so there is no monthly layout to observe
+           COUNT(*) > 0 AS layout_is_monthly
     FROM events
     """,
 )
@@ -1863,9 +1887,11 @@ def partition_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_parts = len(
             [d for d in os.listdir(f"{tmp}/by_day") if d.startswith("date=")]
         )
-        evolved = spark.read.parquet(f"{tmp}/by_day").withColumn(
-            "month", F.date_format("date", "yyyy-MM")
-        )
+        # schema-carrying read-backs: an empty source writes zero
+        # partition dirs at either grain (r10 empty sweep)
+        evolved = sinks.read_published_or_empty(
+            spark, f"{tmp}/by_day", like=day
+        ).withColumn("month", F.date_format("date", "yyyy-MM"))
         sinks.write_day_partitioned(
             evolved, f"{tmp}/by_month", partition_field="month"
         )
@@ -1873,7 +1899,9 @@ def partition_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             d for d in os.listdir(f"{tmp}/by_month")
             if d.startswith("month=")
         ]
-        n_after = spark.read.parquet(f"{tmp}/by_month").count()
+        n_after = sinks.read_published_or_empty(
+            spark, f"{tmp}/by_month", like=evolved, partition_field="month"
+        ).count()
         n_src = day.count()
         return spark.createDataFrame(
             [
@@ -2246,7 +2274,7 @@ def aqe_coalesce_partitions_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 _MULTI_SWAP_ORACLE = """
     SELECT CAST(COUNT(*) AS BIGINT)                         AS n_fact_rows,
            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-           ROUND(SUM(value * 2), 2)                         AS total_value,
+           ROUND(COALESCE(SUM(value * 2), 0), 2)            AS total_value,
            TRUE AS crash_left_tables_mixed,
            TRUE AS recovery_converged,
            TRUE AS rollup_matches_fact,
@@ -2298,9 +2326,13 @@ def multi_table_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         f1, r1 = gen(1)
         sinks.publish_tables_atomic(spark, [(f1, fact_t), (r1, roll_t)])
+        # schema-carrying read-backs throughout: an empty source
+        # publishes zero day partitions (r10 empty sweep)
         v1_rollup = {
             r["date"]: r["day_value"]
-            for r in spark.read.parquet(roll_t).collect()
+            for r in sinks.read_published_or_empty(
+                spark, roll_t, like=r1
+            ).collect()
         }
 
         f2, r2 = gen(2)
@@ -2317,25 +2349,27 @@ def multi_table_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             crashed = True
         sinks._CRASH_HOOK = old_hook
 
-        mixed_fact_total = spark.read.parquet(fact_t).agg(
-            F.round(F.sum("value"), 2)
-        ).first()[0]
+        mixed_fact_total = sinks.read_published_or_empty(
+            spark, fact_t, like=f2
+        ).agg(F.round(F.sum("value"), 2)).first()[0] or 0.0
         mixed_rollup = {
             r["date"]: r["day_value"]
-            for r in spark.read.parquet(roll_t).collect()
+            for r in sinks.read_published_or_empty(
+                spark, roll_t, like=r2
+            ).collect()
         }
         report = sinks.recover_multi_swap(fact_t, stale_after_s=0.0)
 
-        fact_df = spark.read.parquet(fact_t)
+        fact_df = sinks.read_published_or_empty(spark, fact_t, like=f2)
         n_fact = fact_df.count()
-        total = fact_df.agg(F.round(F.sum("value"), 2)).first()[0]
+        total = fact_df.agg(F.round(F.sum("value"), 2)).first()[0] or 0.0
         refreshed = fact_df.groupBy("date").agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("day_value"),
         )
-        stored = spark.read.parquet(roll_t).select(
-            "date", "n_events", "day_value"
-        )
+        stored = sinks.read_published_or_empty(
+            spark, roll_t, like=r2
+        ).select("date", "n_events", "day_value")
         n_days = stored.count()
         diff = (
             refreshed.exceptAll(stored).count()

@@ -781,6 +781,14 @@ def _compact_under_lease(
     )
     recover_compaction(path, partition_field, stale_after_s=0.0)
 
+    # A table with NO committed partitions (first publish not landed,
+    # or every partition retention-purged / an empty upstream day) has
+    # nothing to compact — return instead of crashing on schema
+    # inference over zero parquet footers. Recovery above still ran,
+    # so crashed-run debris is resolved either way (r10 empty sweep).
+    if not _partition_dirs(path, partition_field, ops):
+        return
+
     run_id = uuid.uuid4().hex[:12]
     run_dir = ops.join(ops.join(path, "_compact"), run_id)
     data_dir = ops.join(run_dir, "data")
@@ -1269,6 +1277,25 @@ def has_published_data(path: str, partition_field: str = "date") -> bool:
     directory existing does not mean data does."""
     ops, p = _path_ops(path)
     return bool(_partition_dirs(p, partition_field, ops))
+
+
+def read_published_or_empty(
+    spark: SparkSession,
+    path: str,
+    like: DataFrame,
+    fmt: str = "parquet",
+    partition_field: str = "date",
+) -> DataFrame:
+    """Read-your-writes for a day-partitioned table that may hold ZERO
+    published partitions (an empty upstream day, a not-yet-first-
+    published table, a fully retention-purged one): Spark's reader
+    fails schema inference over zero parquet footers, so fall back to
+    an empty frame with ``like``'s schema — the schema the caller just
+    wrote (or would write). Partition pruning and pushdown on the
+    non-empty arm are the plain reader's (r10 empty sweep)."""
+    if has_published_data(path, partition_field):
+        return spark.read.format(fmt).load(path)
+    return spark.createDataFrame([], like.schema)
 
 
 def publish_tables_atomic_once(

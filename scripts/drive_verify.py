@@ -50,6 +50,10 @@ SAMPLE = [
     "watermark_lag_observability", "cube_events", "rollup_returns",
     "grouping_sets_revenue", "grouping_id_revenue_routing",
     "constraint_audit_orders",
+    # round-10 diff: write-path empty-input hardening (schema-carrying
+    # read-backs + empty-table compaction no-op)
+    "compaction_file_audit", "commit_protocol_audit", "dpp_audit",
+    "partition_evolution_audit", "stream_atomic_sink_ingest",
     # round-9 diff: the global-rank/cumsum rewires (parallel forms in
     # all four registered queries; customer_rfm_segments also below)
     "order_value_quartiles", "orders_pareto",

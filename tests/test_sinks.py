@@ -1400,3 +1400,48 @@ class TestAdvisorR9RestoreRaceGuard:
                 self._drive(sinks, tmp_path, backend, trash_vanishes)
         finally:
             sinks._FORCE_HADOOP_FS = False
+
+
+class TestEmptyTableProtocol:
+    """Round-10 (degenerate-input sweep): compaction of a table with
+    ZERO published partitions must be a clean no-op (an empty upstream
+    day, first publish not landed, or full retention purge), and
+    read-your-writes over such a table must fall back to a
+    schema-carrying empty frame instead of failing parquet schema
+    inference."""
+
+    def test_compact_empty_table_is_noop(self, spark, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        df = spark.createDataFrame(
+            [], "event_id long, value double, date date"
+        )
+        table = str(tmp_path / "t")
+        sinks.write_day_partitioned(df, table)
+        assert not sinks.has_published_data(table)
+        # must not raise UNABLE_TO_INFER_SCHEMA, must leave no debris
+        sinks.compact_partitions(spark, table)
+        assert not sinks.has_published_data(table)
+
+    def test_read_published_or_empty_both_arms(self, spark, tmp_path):
+        import facebook_ads_bigquery_etl_spark.sinks as sinks
+
+        like = spark.createDataFrame(
+            [(1, 2.0, None)], "event_id long, value double, date date"
+        ).limit(0)
+        table = str(tmp_path / "t")
+        # empty arm: no table at all → schema-carrying empty frame
+        out = sinks.read_published_or_empty(spark, table, like=like)
+        assert out.count() == 0
+        assert out.schema == like.schema
+        # published arm: behaves as the plain reader
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(1, 2.0, dt.date(2025, 1, 1)), (2, 3.0, dt.date(2025, 1, 2))],
+            "event_id long, value double, date date",
+        )
+        sinks.write_day_partitioned(df, table)
+        back = sinks.read_published_or_empty(spark, table, like=like)
+        assert back.count() == 2
+        assert {r["event_id"] for r in back.collect()} == {1, 2}
