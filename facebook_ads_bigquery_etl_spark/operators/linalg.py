@@ -153,6 +153,16 @@ def pca_audit(
     spark = df.sparkSession
     counts, sums, grams = moment_sums(df, col)
     n = counts.collect()[0]["n"]
+    schema = (
+        "n_vectors long, total_variance double,"
+        " topk_share_in_unit_range boolean,"
+        " eigh_residual_ok boolean, recon_matches_tail boolean"
+    )
+    if not n:
+        # an empty corpus has no covariance to decompose: the audit
+        # booleans hold vacuously and the variance is NULL, matching
+        # the oracle's SUM over zero dims (r10 empty sweep)
+        return spark.createDataFrame([(0, None, True, True, True)], schema)
     s = np.zeros(dim)
     for r in sums.collect():
         s[r["i"]] = r["s"]
@@ -192,7 +202,5 @@ def pca_audit(
     recon_ok = bool(abs(mean_sq_resid - tail) <= 1e-6 * max(trace, 1.0))
 
     return spark.createDataFrame(
-        [(int(n), round(trace, 6), share_ok, eigh_ok, recon_ok)],
-        "n_vectors long, total_variance double, topk_share_in_unit_range boolean,"
-        " eigh_residual_ok boolean, recon_matches_tail boolean",
+        [(int(n), round(trace, 6), share_ok, eigh_ok, recon_ok)], schema
     )

@@ -431,6 +431,12 @@ def train_ivf_centroids(
         lambda v: let(_norm(v), lambda n: F.transform(v, lambda x: x / n)),
     )
     train = embeddings.select(array_to_vector(unit).alias("features"))
+    if train.isEmpty():
+        # an empty corpus has no quantizer to train — k-means would
+        # hard-error; zero centroids make every IVF consumer a clean
+        # empty-in/empty-out pass (the cell-assign UDF never runs on
+        # zero rows — r10 empty sweep)
+        return []
     model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
@@ -645,6 +651,16 @@ def pq_audit(
         r[vec_col]
         for r in df.select(vec_col, "vec_id").orderBy("vec_id").limit(train_n).collect()
     ]
+    if not sample:
+        # an empty corpus trains no codebooks; the audit booleans hold
+        # vacuously and the energy is NULL, matching the oracle's AVG
+        # over zero components (r10 empty sweep)
+        return df.sparkSession.createDataFrame(
+            [(0, None, True, True, True)],
+            "n_vectors long, mean_component_energy double,"
+            " distortion_positive boolean, distortion_below_energy"
+            " boolean, codes_in_range boolean",
+        )
     S = np.asarray(sample, dtype=np.float64)
     books = []
     for j in range(m):
@@ -778,6 +794,12 @@ def ivfpq_cosine_topk(
         .limit(train_n)
         .collect()
     ]
+    if not sample:
+        # empty corpus: no index to build, no neighbors to serve —
+        # empty-in/empty-out with the contract schema (r10 empty sweep)
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     S = np.asarray(sample, dtype=np.float64)
     S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     cb = _train_pq_codebooks(S, m, pq_k)

@@ -2488,13 +2488,23 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("long").alias("n_exact")
     ).select(F.lit("__all__").alias("event_type"), "n_exact")
     exact = exact_g.unionByName(exact_all)
+    # n_exact = 0 (the '__all__' row of an empty table): the relative-
+    # error gate would divide by zero under ANSI — a zero-cardinality
+    # segment is "within bound" iff the sketch also reads 0
+    # (r10 empty sweep)
     return sk.join(exact, "event_type").select(
         F.col("event_type").alias("segment"),
         "n_exact",
-        (
-            F.abs(F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact")
+        F.when(
+            F.col("n_exact") == 0,
+            F.coalesce(F.col("kmv_estimate"), F.lit(0)) == 0,
+        )
+        .otherwise(
+            F.abs(F.col("kmv_estimate") - F.col("n_exact"))
+            / F.col("n_exact")
             <= 0.20
-        ).alias("kmv_within_20pct"),
+        )
+        .alias("kmv_within_20pct"),
     )
 
 
@@ -2526,7 +2536,27 @@ def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir, "events")["events"]
     sk = kmv_sketch_frame(ev, "event_type", "user_id", k=512)
-    est = kmv_pair_stats(sk, "click", "purchase", k=512)
+    # kmv_pair_stats deliberately RAISES on absent groups (a typo'd
+    # segment must fail loudly); an EMPTY corpus is not a typo, so the
+    # audit emits the exact zero-overlap row instead (the operator's
+    # raise contract is pinned in tests/test_operators.py; r10 empty
+    # sweep). The presence probe is the same 2-row bounded readout the
+    # operator itself performs.
+    present = {
+        r["g"]
+        for r in sk.filter(F.col("g").isin("click", "purchase"))
+        .select("g")
+        .distinct()
+        .collect()
+    }
+    if {"click", "purchase"} <= present:
+        est = kmv_pair_stats(sk, "click", "purchase", k=512)
+    else:
+        est = spark.createDataFrame(
+            [("click", "purchase", 0.0, 0.0, 0.0)],
+            "group_a string, group_b string, jaccard_est double,"
+            " union_est double, intersection_est double",
+        )
     a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     n_intersect = a.join(b, "user_id").count()

@@ -1720,8 +1720,11 @@ def _semantic_keep_best_audit(
                 n_clusters_multi,
                 n_dropped,
                 scale_only_edges == 0,
-                inter * 100.0 / n_kept_exact >= 90.0,
-                inter * 100.0 / union >= 85.0,
+                # vacuously true on an empty corpus (no kept set to
+                # recall — r10 empty sweep)
+                n_kept_exact == 0
+                or inter * 100.0 / n_kept_exact >= 90.0,
+                union == 0 or inter * 100.0 / union >= 85.0,
             )
         ],
         "n_vecs long, n_clusters_multi long, n_dropped long,"

@@ -1250,8 +1250,17 @@ def stream_two_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             return  # replayed epoch: already atomically published
         # reader-side consistency probe: the published rollup must be
         # derivable from the published fact at EVERY epoch boundary
-        pf = ss.read.parquet(fact_t)
-        pr = ss.read.parquet(roll_t).select(
+        # (schema-carrying reads: all-empty epochs publish zero
+        # partitions — r10 empty sweep)
+        pf = sinks.read_published_or_empty(ss, fact_t, like=inc)
+        pr = sinks.read_published_or_empty(
+            ss,
+            roll_t,
+            like=inc.groupBy("date", "event_type").agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            ),
+        ).select(
             "date", "event_type", "n_events",
             F.round("sum_value", 4).alias("sum_value"),
         )
@@ -1271,8 +1280,18 @@ def stream_two_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        n_fact = spark.read.parquet(fact_t).count()
-        roll = spark.read.parquet(roll_t)
+        fact_like = spark.createDataFrame([], schema).select(
+            "event_id", "user_id", "event_type", "value",
+            F.col("ts").cast("date").alias("date"),
+        )
+        roll_like = fact_like.groupBy("date", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        n_fact = sinks.read_published_or_empty(
+            spark, fact_t, like=fact_like
+        ).count()
+        roll = sinks.read_published_or_empty(spark, roll_t, like=roll_like)
         n_roll = roll.count()
         total = roll.agg(
             F.round(F.sum("sum_value"), 2).alias("t")
@@ -1287,7 +1306,7 @@ def stream_two_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     int(n_fact),
                     int(n_roll),
-                    float(total),
+                    None if total is None else float(total),
                     audit["epochs"] >= 3,
                     bool(audit["consistent"]),
                     not debris,
@@ -1669,6 +1688,17 @@ def stream_bloom_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         q.awaitTermination(300)
+        if state["version"] < 0:
+            # every batch was empty: no fact dir, no index versions —
+            # the ledger is all zeros and the incremental ≡ rebuild
+            # claim holds vacuously (r10 empty sweep)
+            return spark.createDataFrame(
+                [(0, 0, 0, 0, 0, 0, 0, 0, True)],
+                "n_fact_rows long, n_parts_total long, n_index_rows long,"
+                " n_refresh_part_scans long, n_rebuild_part_scans long,"
+                " n_parts_probed long, n_parts_true long,"
+                " n_events_found long, incr_equals_rebuild boolean",
+            )
         fact = spark.read.parquet(fact_dir)
         index = spark.read.parquet(f"{work}/idx_v{state['version']}").persist()
         rebuild = fact.select("d", bit("user_id").alias("bit")).distinct()

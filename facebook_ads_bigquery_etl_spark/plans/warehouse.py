@@ -531,6 +531,16 @@ def zorder_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey"), F.max("l_partkey"),
         F.min("l_suppkey"), F.max("l_suppkey"),
     ).first()
+    if mm[0] is None:
+        # empty source: no key range to band, no files to lay out —
+        # the oracle's SUMs read NULL and its layout claims hold
+        # vacuously (r10 empty sweep)
+        return spark.createDataFrame(
+            [(None, None, True, True, True)],
+            "n_band_pk long, n_band_sk long, linear_skips_own_dim"
+            " boolean, linear_blind_other_dim boolean,"
+            " zorder_skips_both_dims boolean",
+        )
     pk_lo, pk_hi = (mm[0] + f * (mm[1] - mm[0]) for f in (0.45, 0.55))
     sk_lo, sk_hi = (mm[2] + f * (mm[3] - mm[2]) for f in (0.45, 0.55))
 
@@ -937,6 +947,15 @@ def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation
 
     ev = load_tables(spark, sf_dir, "events")["events"]
+    if ev.isEmpty():
+        # no task ever runs over an empty source, so the observation
+        # side channel never populates and obs.get would hang/fail —
+        # the rollup is simply empty (r10 empty sweep)
+        return spark.createDataFrame(
+            [],
+            "event_date date, n_events long, day_value double,"
+            " observed_rows_match boolean, observed_sum_matches boolean",
+        )
     obs = Observation("load_metrics")
     observed = ev.observe(
         obs,
@@ -1007,7 +1026,9 @@ def orc_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 int(back_row["n"]),
-                float(back_row["r"]),
+                # empty slice: SUM is NULL on both sides — keep it NULL
+                # like the oracle, don't float() it (r10 empty sweep)
+                None if back_row["r"] is None else float(back_row["r"]),
                 bool(back_row["n"] == src_row["n"]),
                 bool(back_row["r"] == src_row["r"]),
             )
@@ -1067,11 +1088,14 @@ def schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).collect()[0]
         n1, n2 = v1.count(), v2.count()
-        nulls_match = bool(row["nulls_new"] == n1 and row["notnull_new"] == n2)
+        # SUM over an empty read-back is NULL, not 0 (r10 empty sweep)
+        nulls_new = int(row["nulls_new"] or 0)
+        notnull_new = int(row["notnull_new"] or 0)
+        nulls_match = bool(nulls_new == n1 and notnull_new == n2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
-        [(n1, n2, int(row["nulls_new"]), bool(has_col), nulls_match)],
+        [(n1, n2, nulls_new, bool(has_col), nulls_match)],
         "rows_v1 long, rows_v2 long, nulls_in_new_col long,"
         " merged_schema_has_new_col boolean, old_rows_null_in_new_col boolean",
     )
@@ -1240,14 +1264,17 @@ def csv_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    # empty source: the aggregates read NULL (counts coalesce to 0,
+    # the total stays NULL like the oracle's SUM) and the MIN-over-
+    # WHEN booleans are vacuously true (r10 empty sweep)
     return spark.createDataFrame(
         [
             (
-                int(row["good"]),
-                int(row["bad"]),
-                float(row["total"]),
-                bool(row["quarantined_whole"]),
-                bool(row["good_parsed"]),
+                int(row["good"] or 0),
+                int(row["bad"] or 0),
+                None if row["total"] is None else float(row["total"]),
+                row["quarantined_whole"] is not False,
+                row["good_parsed"] is not False,
             )
         ],
         "n_good long, n_corrupt long, good_total double,"
@@ -1655,8 +1682,12 @@ def bloom_index_merge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg((F.min("user_id") + 1000000).alias("u"))
         .first()["u"]
     )
-    probe_bit = (probe_u * 2654435761 % 1000000007) % 1024
-    n_probed = incr.filter(F.col("bit") == probe_bit).count()
+    if probe_u is None:
+        # empty window: no inserted user exists to probe (r10 sweep)
+        n_probed = 0
+    else:
+        probe_bit = (probe_u * 2654435761 % 1000000007) % 1024
+        n_probed = incr.filter(F.col("bit") == probe_bit).count()
     truth = (
         merged.filter(F.col("user_id") == probe_u)
         .groupBy("d")
@@ -1744,7 +1775,8 @@ def parquet_codec_matrix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     codec,
                     int(b["n"]),
-                    float(b["r"]),
+                    # empty slice: SUM stays NULL like the oracle's
+                    None if b["r"] is None else float(b["r"]),
                     bool(b["n"] == src["n"] and b["r"] == src["r"]),
                     bool(nbytes > 0),
                 )
@@ -2613,6 +2645,10 @@ def zstd_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x for x in os.listdir(d) if x.endswith(".parquet")
             )
             md = pq.ParquetFile(os.path.join(d, f)).metadata
+            if md.num_row_groups == 0:
+                # footer-only file from an empty write: no pages, so
+                # no encodings/sizes to inspect (r10 empty sweep)
+                return None
             out = {}
             for i in range(md.num_columns):
                 col = md.row_group(0).column(i)
@@ -2626,14 +2662,19 @@ def zstd_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         fa, fb = footer(a_dir), footer(b_dir)
         dict_encs = {"PLAIN_DICTIONARY", "RLE_DICTIONARY"}
-        both_zstd = all(
-            v[0] == "ZSTD" for v in list(fa.values()) + list(fb.values())
-        )
-        default_dict = bool(fa["l_returnflag"][1] & dict_encs)
-        nodict_plain = not any(
-            v[1] & dict_encs for v in fb.values()
-        )
-        dict_smaller = fa["l_returnflag"][2] < fb["l_returnflag"][2]
+        if fa is None or fb is None:
+            # empty source: every encoding claim holds vacuously,
+            # matching the oracle's literal TRUEs (r10 empty sweep)
+            both_zstd = default_dict = nodict_plain = dict_smaller = True
+        else:
+            both_zstd = all(
+                v[0] == "ZSTD" for v in list(fa.values()) + list(fb.values())
+            )
+            default_dict = bool(fa["l_returnflag"][1] & dict_encs)
+            nodict_plain = not any(
+                v[1] & dict_encs for v in fb.values()
+            )
+            dict_smaller = fa["l_returnflag"][2] < fb["l_returnflag"][2]
 
         ra = spark.read.parquet(a_dir)
         rb = spark.read.parquet(b_dir)
@@ -2876,6 +2917,10 @@ def parquet_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 infile
             )
             try:
+                if reader.getFooter().getBlocks().size() == 0:
+                    # footer-only file from an empty write: no row
+                    # group, no bloom headers (r10 empty sweep)
+                    return None
                 rg = reader.getFooter().getBlocks().get(0)
                 out = {}
                 for i in range(rg.getColumns().size()):
@@ -2894,24 +2939,35 @@ def parquet_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         back = spark.read.parquet(f"{tmp}/bloomed")
         n_rows = back.count()
-        total_value = round(
-            float(back.agg(F.round(F.sum("value"), 2)).first()[0]), 2
-        )
+        tv = back.agg(F.round(F.sum("value"), 2)).first()[0]
+        # empty source: SUM stays NULL like the oracle's, the point
+        # probe finds nothing, and the footer claims hold vacuously
+        # (r10 empty sweep)
+        total_value = None if tv is None else round(float(tv), 2)
         point_key = back.agg(F.min("event_id")).first()[0]
         n_point = back.filter(F.col("event_id") == point_key).count()
         src = ev.agg(
             F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
         ).first()
+        if offs is None or ctl_offs is None:
+            bloom_written = dict_suppressed = size_increased = True
+        else:
+            bloom_written = bool(
+                offs["event_id"] > 0 and ctl_offs["event_id"] == -1
+            )
+            dict_suppressed = bool(offs["user_id"] == -1)
+            size_increased = bool(size_b > size_c)
+        sv = None if src["v"] is None else float(src["v"])
         return spark.createDataFrame(
             [
                 (
                     n_rows,
                     total_value,
                     n_point,
-                    offs["event_id"] > 0 and ctl_offs["event_id"] == -1,
-                    offs["user_id"] == -1,
-                    size_b > size_c,
-                    n_rows == src["n"] and total_value == float(src["v"]),
+                    bloom_written,
+                    dict_suppressed,
+                    size_increased,
+                    n_rows == src["n"] and total_value == sv,
                 )
             ],
             "n_rows long, total_value double, n_point_rows long,"

@@ -54,6 +54,14 @@ SAMPLE = [
     # read-backs + empty-table compaction no-op)
     "compaction_file_audit", "commit_protocol_audit", "dpp_audit",
     "partition_evolution_audit", "stream_atomic_sink_ingest",
+    # round-10 diff: crash-class empty-input guards (operator
+    # early-outs + None-safe readouts)
+    "ann_ivf_topk", "kmv_distinct_users", "kmv_overlap_audit",
+    "zorder_skip_audit", "observe_metrics_audit", "orc_roundtrip_audit",
+    "schema_evolution_audit", "csv_quarantine_audit",
+    "parquet_codec_matrix_audit", "zstd_encoding_audit",
+    "parquet_bloom_filter_audit", "embedding_pca_audit",
+    "pq_quantization_audit", "stream_bloom_index_maintenance",
     # round-9 diff: the global-rank/cumsum rewires (parallel forms in
     # all four registered queries; customer_rfm_segments also below)
     "order_value_quartiles", "orders_pareto",
