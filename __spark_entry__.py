@@ -48,47 +48,43 @@ _PRIORITY = [
     #    for the FIRST 50 only — round 7 proved that by starving the
     #    10-name tail, so this list is kept at the window size and
     #    tests/test_oracle.py enforces the invariant mechanically).
-    #    All 250 registered queries are driver-green at latest check,
-    #    so this is proof-debt window #3 (VERDICT r9 item 1): (1) the
-    #    2 queries whose PHYSICAL PLAN changed this round (advisor r9
-    #    medium: the frames feeding with_global_cumsum/ntile are now
-    #    persisted, so the committed plans gained InMemoryRelation
-    #    scans — a changed plan re-proves through a driver row even
-    #    though both were green r9); (2) the 13 names whose last
-    #    driver row is r3 — the stalest cohort; (3) the first 35
-    #    (alphabetical) of the 43 names whose last row is r4. The
-    #    remaining 8 r4 names (session_window_rollup
-    #    source_drift_audit stratified_doc_sample
-    #    stream_dedup_then_rollup stream_quality_gate
-    #    temperature_mix_weights vocab_coverage_stats
-    #    weekly_revenue_iso) ride in round 11.
-    # (1) plan changed this round (persist pin, advisor r9) —
-    #     re-prove first.
+    #    Round-7 formula: CHANGED queries first, then the stalest
+    #    cohort. This round changed 43 queries — the 2 persist pins
+    #    (advisor r9 medium) plus the 41 empty-input-parity fixes
+    #    (oracle text and/or plan changed; every one re-proven
+    #    locally Spark-vs-DuckDB at sf0.01 AND on the all-empty
+    #    fixture, 250/250 sweep-clean) — so they take 43 slots and
+    #    the 7 remaining go to the stalest unchanged names (r3
+    #    cohort, alphabetical). Unchanged stale names that ride in
+    #    round 11: 5 r3 (top_revenue_supplier user_event_bigrams
+    #    value_outliers wav_header_stats weighted_doc_sample) + the
+    #    unchanged r4 remainder.
+    # (1) plan changed (persist pin) — re-prove first.
     "orders_pareto", "perplexity_curriculum_mix",
-    # (2) the 13 r3-stale names.
+    # (2) the 41 empty-input-parity fixes (r10 sweep).
+    "ann_ivf_topk", "ann_ivfpq_topk", "aqe_broadcast_demotion_audit",
+    "aqe_skew_split_audit", "bloom_fpr_audit",
+    "bloom_index_merge_maintenance", "commit_protocol_audit",
+    "compaction_binpack_audit", "compaction_file_audit",
+    "constraint_audit_orders", "csv_quarantine_audit", "cube_events",
+    "dedup_corpus_token_accounting", "dedup_keep_best_equivalence",
+    "doc_fingerprints", "dpp_audit", "embedding_pca_audit",
+    "events_selfjoin_cardinality", "grouping_id_revenue_routing",
+    "grouping_sets_revenue", "jl_projection_audit",
+    "kmv_distinct_users", "kmv_overlap_audit",
+    "multi_table_swap_audit", "observe_metrics_audit",
+    "orc_roundtrip_audit", "parquet_bloom_filter_audit",
+    "parquet_codec_matrix_audit", "partition_evolution_audit",
+    "pq_quantization_audit", "rollup_returns",
+    "schema_evolution_audit", "semantic_dedup_ivf_keep_best",
+    "semantic_dedup_keep_best", "state_store_metrics_audit",
+    "stream_atomic_sink_ingest", "stream_bloom_index_maintenance",
+    "stream_two_table_publish", "watermark_lag_observability",
+    "zorder_skip_audit", "zstd_encoding_audit",
+    # (3) the 7 stalest unchanged names (r3 cohort, alphabetical).
     "rolling_users_hll", "shipmode_priority_counts",
     "simhash_near_dups", "small_qty_revenue", "supplier_part_counts",
     "supplier_revenue_share", "token_budget_mix",
-    "top_revenue_supplier", "user_event_bigrams", "value_outliers",
-    "wav_header_stats", "weighted_doc_sample", "zorder_skip_audit",
-    # (3) the 35 oldest r4-stale names (alphabetical prefix).
-    "ann_ivfpq_topk", "bpe_merge_step", "brand_price_quartiles",
-    "compression_ratio_signal", "copurchase_association_rules",
-    "copurchase_triangle_stats", "csv_quarantine_audit",
-    "curation_pipeline_report", "decimal_revenue_exact",
-    "doc_bigram_perplexity", "doc_perplexity_filter",
-    "doc_stride_spans", "embedding_covariance_probe",
-    "embedding_pca_audit", "events_selfjoin_cardinality",
-    "fb_campaign_roas", "feature_hash_audit", "gopher_quality_filter",
-    "incremental_dedup_new_docs", "jl_projection_audit",
-    "lang_quality_geomean", "latest_order_per_customer",
-    "longest_order_gap", "masked_customer_extract",
-    "nation_revenue_share_of_parent", "nation_trade_pagerank",
-    "nullsafe_segment_match", "orc_roundtrip_audit",
-    "order_rank_in_customer_history", "orders_key_skew_audit",
-    "pq_quantization_audit", "quantity_price_skyline",
-    "revenue_ewma_by_nation", "scd2_pointintime_join",
-    "schema_evolution_audit",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to
