@@ -53,15 +53,20 @@ _PRIORITY = [
     #    (advisor r9 medium) plus the 41 empty-input-parity fixes
     #    (oracle text and/or plan changed; every one re-proven
     #    locally Spark-vs-DuckDB at sf0.01 AND on the all-empty
-    #    fixture, 250/250 sweep-clean) — so they take 43 slots and
-    #    the 7 remaining go to the stalest unchanged names (r3
-    #    cohort, alphabetical). Unchanged stale names that ride in
-    #    round 11: 5 r3 (top_revenue_supplier user_event_bigrams
-    #    value_outliers wav_header_stats weighted_doc_sample) + the
-    #    unchanged r4 remainder.
+    #    fixture, 250/250 sweep-clean) plus 2 more from the ONE-ROW
+    #    sweep (price_histogram zero-width-range fix, ann_lsh_topk
+    #    recall-frame fix) — 45 changed take 45 slots and the 5
+    #    remaining go to the stalest unchanged names (r3 cohort,
+    #    alphabetical). Unchanged stale names that ride in round 11:
+    #    7 r3 (supplier_revenue_share token_budget_mix
+    #    top_revenue_supplier user_event_bigrams value_outliers
+    #    wav_header_stats weighted_doc_sample) + the unchanged r4
+    #    remainder.
     # (1) plan changed (persist pin) — re-prove first.
     "orders_pareto", "perplexity_curriculum_mix",
-    # (2) the 41 empty-input-parity fixes (r10 sweep).
+    # (2) the 43 degenerate-input-parity fixes (r10 empty + one-row
+    #     sweeps).
+    "price_histogram", "ann_lsh_topk",
     "ann_ivf_topk", "ann_ivfpq_topk", "aqe_broadcast_demotion_audit",
     "aqe_skew_split_audit", "bloom_fpr_audit",
     "bloom_index_merge_maintenance", "commit_protocol_audit",
@@ -81,10 +86,9 @@ _PRIORITY = [
     "stream_atomic_sink_ingest", "stream_bloom_index_maintenance",
     "stream_two_table_publish", "watermark_lag_observability",
     "zorder_skip_audit", "zstd_encoding_audit",
-    # (3) the 7 stalest unchanged names (r3 cohort, alphabetical).
+    # (3) the 5 stalest unchanged names (r3 cohort, alphabetical).
     "rolling_users_hll", "shipmode_priority_counts",
     "simhash_near_dups", "small_qty_revenue", "supplier_part_counts",
-    "supplier_revenue_share", "token_budget_mix",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to

@@ -176,9 +176,14 @@ def pca_audit(
     trace = float(np.trace(cov))
     top = float(evals[:k].sum())
     tail = float(evals[k:].sum())
-    share_ok = bool(0.0 < top / trace <= 1.0 + 1e-12) and bool(
-        (evals >= -1e-9).all()
-    )
+    # trace == 0 (a single vector, or all-identical vectors): the
+    # covariance is the zero matrix — the spectrum claims hold
+    # vacuously instead of dividing by zero (r10 one-row sweep)
+    share_ok = (
+        bool(abs(top) <= 1e-12)
+        if trace == 0.0
+        else bool(0.0 < top / trace <= 1.0 + 1e-12)
+    ) and bool((evals >= -1e-9).all())
     resid = np.abs(cov @ evecs[:, :k] - evecs[:, :k] * evals[:k]).max()
     eigh_ok = bool(resid <= 1e-8 * trace)
 

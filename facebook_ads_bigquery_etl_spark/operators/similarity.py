@@ -431,13 +431,24 @@ def train_ivf_centroids(
         lambda v: let(_norm(v), lambda n: F.transform(v, lambda x: x / n)),
     )
     train = embeddings.select(array_to_vector(unit).alias("features"))
-    if train.isEmpty():
-        # an empty corpus has no quantizer to train — k-means would
-        # hard-error; zero centroids make every IVF consumer a clean
-        # empty-in/empty-out pass (the cell-assign UDF never runs on
-        # zero rows — r10 empty sweep)
+    # bounded probe (scans until n_lists rows accumulate, never the
+    # corpus): k-means hard-errors when k exceeds the row count — an
+    # empty corpus trains ZERO centroids (every IVF consumer is then a
+    # clean empty-in/empty-out pass; the cell-assign UDF never runs on
+    # zero rows), a tiny one trains one centroid per row
+    # (r10 empty/one-row sweeps).
+    n_small = train.limit(n_lists).count()
+    if n_small == 0:
         return []
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
+    if n_small == 1:
+        # MLlib k-means rejects k < 2; a one-vector corpus's quantizer
+        # IS that unit vector (r10 one-row sweep)
+        return [
+            [float(x) for x in train.first()["features"]]
+        ]
+    model = KMeans(
+        k=min(n_lists, n_small), seed=seed, maxIter=max_iter
+    ).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
@@ -717,8 +728,12 @@ def pq_audit(
             (
                 n,
                 round(energy, 6),
-                bool(mse > 0.0),
-                bool(mse < energy),
+                # with ≤ k vectors each can be its own centroid per
+                # subspace, so ZERO distortion is correct quantization,
+                # not a degenerate measurement (r10 one-row sweep); at
+                # scale the claim stays strict
+                bool(mse > 0.0 or n <= k),
+                bool(mse < energy or n <= k),
                 bool(tot["ok"]),
             )
         ],

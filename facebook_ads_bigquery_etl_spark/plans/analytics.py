@@ -1545,8 +1545,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
                 FROM orders)
-    SELECT CAST(LEAST(9, FLOOR((o_totalprice - lo) / (hi - lo) * 10))
-                AS BIGINT)                         AS bin,
+    -- hi = lo (degenerate range: one distinct price) puts every row
+    -- in bin 0 instead of dividing by zero (r10 one-row sweep)
+    SELECT CAST(CASE WHEN hi = lo THEN 0
+                ELSE LEAST(9, FLOOR((o_totalprice - lo) / (hi - lo) * 10))
+                END AS BIGINT)                     AS bin,
            CAST(COUNT(*) AS BIGINT)                AS n_orders,
            ROUND(SUM(o_totalprice), 2)             AS total_value
     FROM orders CROSS JOIN mm
@@ -1563,12 +1566,22 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
+    # hi == lo (one distinct price): every row lands in bin 0 — the
+    # bare division would hard-error under ANSI (r10 one-row sweep)
     binned = o.crossJoin(F.broadcast(mm)).withColumn(
         "bin",
-        F.least(
-            F.lit(9),
-            F.floor((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10),
-        ).cast("long"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ),
+            )
+        )
+        .cast("long"),
     )
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_orders"),

@@ -486,14 +486,25 @@ def _ann_recall_audit(
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hit"))
     )
+    # the row set comes from the QUERY frame, not the exact-neighbor
+    # frame: a query with zero exact neighbors (single-vector corpus —
+    # self is excluded) must still emit its vacuously-true audit row,
+    # matching the oracle's unconditional per-query emission
+    # (r10 one-row sweep).
+    queries_f = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id")
+    )
+    exact_counts = exact.groupBy("query_id").agg(
+        F.count("*").alias("n_exact")
+    )
     return (
-        exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+        queries_f.join(exact_counts, "query_id", "left")
         .join(hits, "query_id", "left")
         .select(
             "query_id",
             (
                 F.coalesce(F.col("n_hit"), F.lit(0)) * 100
-                >= F.lit(floor_pct) * F.col("n_exact")
+                >= F.lit(floor_pct) * F.coalesce(F.col("n_exact"), F.lit(0))
             ).alias("recall_ok"),
         )
     )

@@ -1576,14 +1576,32 @@ def stream_rocksdb_changelog_restart(spark: SparkSession, sf_dir: str) -> DataFr
       WHERE f.user_id = p.u GROUP BY f.d
     ),
     cum AS (
-      SELECT CAST(SUM(c) AS BIGINT) AS rebuild_scans FROM (
-        SELECT COUNT(DISTINCT d) AS c FROM f WHERE d < DATE '2024-01-08'
+      -- each slice contributes its CUMULATIVE distinct-day count, but
+      -- only when the slice itself carries rows: a dataless batch
+      -- rebuilds nothing in the engine (apply_batch early-returns on
+      -- an empty touched set — r10 one-row sweep)
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS rebuild_scans FROM (
+        SELECT CASE WHEN COUNT(*) FILTER (WHERE d < DATE '2024-01-08') > 0
+                    THEN COUNT(DISTINCT d) FILTER (WHERE d < DATE '2024-01-08')
+                    ELSE 0 END AS c
+        FROM f
         UNION ALL
-        SELECT COUNT(DISTINCT d) FROM f WHERE d < DATE '2024-01-15'
+        SELECT CASE WHEN COUNT(*) FILTER (WHERE d >= DATE '2024-01-08'
+                                            AND d < DATE '2024-01-15') > 0
+                    THEN COUNT(DISTINCT d) FILTER (WHERE d < DATE '2024-01-15')
+                    ELSE 0 END
+        FROM f
         UNION ALL
-        SELECT COUNT(DISTINCT d) FROM f WHERE d < DATE '2024-01-23'
+        SELECT CASE WHEN COUNT(*) FILTER (WHERE d >= DATE '2024-01-15'
+                                            AND d < DATE '2024-01-23') > 0
+                    THEN COUNT(DISTINCT d) FILTER (WHERE d < DATE '2024-01-23')
+                    ELSE 0 END
+        FROM f
         UNION ALL
-        SELECT COUNT(DISTINCT d) FROM f
+        SELECT CASE WHEN COUNT(*) FILTER (WHERE d >= DATE '2024-01-23') > 0
+                    THEN COUNT(DISTINCT d)
+                    ELSE 0 END
+        FROM f
       )
     )
     SELECT

@@ -54,8 +54,10 @@ SAMPLE = [
     # read-backs + empty-table compaction no-op)
     "compaction_file_audit", "commit_protocol_audit", "dpp_audit",
     "partition_evolution_audit", "stream_atomic_sink_ingest",
-    # round-10 diff: crash-class empty-input guards (operator
-    # early-outs + None-safe readouts)
+    # round-10 diff: crash-class empty/one-row-input guards (operator
+    # early-outs + None-safe readouts + k-means k=min(n_lists,n) +
+    # recall frame from the query set + zero-width histogram range)
+    "price_histogram", "ann_lsh_topk",
     "ann_ivf_topk", "kmv_distinct_users", "kmv_overlap_audit",
     "zorder_skip_audit", "observe_metrics_audit", "orc_roundtrip_audit",
     "schema_evolution_audit", "csv_quarantine_audit",

@@ -11,13 +11,28 @@ readouts, UNABLE_TO_INFER_SCHEMA on empty write read-backs, ANSI
 divide-by-zero, k-means fit on zero rows, CUBE/ROLLUP grouping-set
 semantics). All fixed in round 10; this script keeps the board clean.
 
+A second pass at K=1 (one row per table) found 8 more: 5 genuine
+crashes/logic gaps (k-means k>n, PCA zero-trace, histogram
+divide-by-zero on a zero-width range, a recall frame dropping
+zero-neighbor queries, a rebuild ledger charging dataless slices) —
+fixed — and the SCALE-FLOOR class below, which is exempt by design.
+
 Usage:  python scripts/empty_sweep.py [query ...]
+        K=1 python scripts/empty_sweep.py     (one-row fixture)
         (no args = all queries with oracles; exit 1 on any finding)
 
 Known, deliberate empty-input semantics encoded in the ORACLES (not
 divergences): Spark emits NO grouping-set rows over an empty relation
 (HAVING COUNT(*) > 0 mirrors it); AQE empty-relation propagation
 removes joins, so plan-shape booleans are data-conditioned.
+
+SCALE-FLOOR EXEMPT at K>=1 (booleans pinning engine heuristics that
+mathematically cannot manifest below a minimum input scale — AQE's
+non-empty-partition-ratio demotes every 1-row dim, a 1-row table is
+1 file = 1 dir (no fragmentation), parquet skips dictionaries/blooms
+on tiny pages, a 1-file layout cannot show selective file skipping):
+modeling those per-version heuristics in SQL would be brittle
+over-fitting; every check SF sits far above the floor.
 """
 
 from __future__ import annotations
@@ -32,8 +47,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
-EMPTY = os.environ.get("SPARK_GRAFT_EMPTY_DIR", "/tmp/spark_graft_empty_fixture")
+K = int(os.environ.get("K", "0"))  # rows per table (0 = empty fixture)
+EMPTY = os.environ.get(
+    "SPARK_GRAFT_EMPTY_DIR", f"/tmp/spark_graft_empty_fixture_k{K}"
+)
 SRC = os.environ.get("SPARK_GRAFT_SCHEMA_SRC", "/root/testdata/sf0.001")
+
+# exempt at K>=1 only (see module docstring); K=0 exempts nothing
+SCALE_FLOOR_EXEMPT = {
+    "aqe_broadcast_demotion_audit",
+    "aqe_skew_split_audit",
+    "compaction_file_audit",
+    "parquet_bloom_filter_audit",
+    "zorder_skip_audit",
+    "zstd_encoding_audit",
+}
 TABLES = (
     "region nation customer supplier part orders lineitem events"
     " documents embeddings"
@@ -46,7 +74,7 @@ def ensure_fixture() -> None:
         dst = f"{EMPTY}/{t}.parquet"
         if not os.path.exists(dst):
             src = pq.read_table(f"{SRC}/{t}.parquet")
-            pq.write_table(src.slice(0, 0), dst)
+            pq.write_table(src.slice(0, K), dst)
 
 
 def _norm(rows, cols):
@@ -83,6 +111,9 @@ def main() -> int:
     bad = {}
     for name in sorted(oracles):
         if only and name not in only:
+            continue
+        if K >= 1 and name in SCALE_FLOOR_EXEMPT:
+            print(name, "EXEMPT (scale-floor heuristic booleans)")
             continue
         row = {}
         try:
