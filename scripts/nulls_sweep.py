@@ -1,0 +1,117 @@
+"""Null-injection sweep (round-10 RECON, round-11 work item): sf0.001
+tables with ~10% NULLs in non-key value/text columns (deterministic by
+key: key % 10 == 0), every oracle-backed query Spark vs DuckDB.
+
+First run (round 10): 228/250 clean, 22 findings in four classes —
+none fixed yet (each requires a per-query NULL-semantics decision, not
+a mechanical guard):
+
+1. NULL ORDERING in windows/rank: Spark orders NULLS FIRST ascending,
+   DuckDB NULLS LAST — order_value_quartiles' tiles shift wholesale,
+   order_rank_in_customer_history, latest_order_per_customer. Fix
+   shape: explicit NULLS FIRST/LAST on BOTH sides, or null-filter the
+   rank input where the semantics say "rank priced orders".
+2. NULL GROUPS: a nulled group key adds a NULL group whose treatment
+   differs between the query and the oracle formulation —
+   feature_hash_audit, lang_quality_geomean, price_percentiles_approx,
+   kmv_distinct_users, manifest_repair_diff.
+3. Dirty data legitimately flips pinned audit booleans:
+   doc_fingerprints all_nonnull (xxhash64(NULL) IS NULL),
+   csv_quarantine_audit good_rows_parse_exactly (a NULL price
+   serializes empty and parses NULL — arguably correct behavior the
+   oracle should data-condition), stats_staleness_audit,
+   incremental/retractable value drift from NULL-sum semantics,
+   source_priority_dedup, stream_fx_enrich.
+4. CRASHES — Python UDFs/readouts on NULL payloads (the genuine
+   100 TB robustness gaps, fix-first next round):
+   compression_ratio_signal (zlib on None), audio_level_stats /
+   multimodal_features / video_frame_sample (decoders on NULL binary),
+   stream_dimension_merge / stream_rocksdb_changelog_restart
+   (float(None) readouts).
+
+Usage: python scripts/nulls_sweep.py  (writes /tmp/nulls_sweep_r10.json)
+"""
+import sys, os, math, json
+sys.path.insert(0, "/root/repo")
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+FIX = "/tmp/nulls_fixture_r10"
+SRC = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+# (table, key_col, cols_to_null)
+NULL_PLAN = {
+    "documents": ("doc_id", ["text", "lang", "source"]),
+    "events": ("event_id", ["value", "props", "event_type"]),
+    "customer": ("c_custkey", ["c_acctbal", "c_mktsegment", "c_name"]),
+    "orders": ("o_orderkey", ["o_totalprice", "o_orderpriority"]),
+    "lineitem": ("l_orderkey", ["l_discount", "l_returnflag", "l_shipdate"]),
+    "part": ("p_partkey", ["p_retailprice", "p_type"]),
+}
+os.makedirs(FIX, exist_ok=True)
+for t in TABLES:
+    dst = f"{FIX}/{t}.parquet"
+    if os.path.exists(dst):
+        continue
+    tab = pq.read_table(f"{SRC}/{t}.parquet")
+    if t in NULL_PLAN:
+        key, cols = NULL_PLAN[t]
+        import numpy as np
+        keys = tab[key].to_numpy(zero_copy_only=False)
+        mask = pa.array(keys % 10 == 0)  # 10% of rows
+        for c in cols:
+            if c not in tab.column_names:
+                continue
+            arr = tab[c]
+            nulled = pc.if_else(mask, pa.nulls(len(tab), arr.type), arr)
+            tab = tab.set_column(tab.column_names.index(c), c, nulled)
+    pq.write_table(tab, dst)
+
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+Q, O = e.queries(), e.oracle_sql()
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    def nv(v):
+        if v is None: return (2,)
+        if isinstance(v, float): return (1,) if math.isnan(v) else (0, round(v, 9))
+        if hasattr(v, "isoformat"):
+            iso = v.isoformat(); return (0, iso[:10] if iso.endswith("T00:00:00") else iso)
+        return (0, v)
+    return sorted(tuple(nv(r[i]) for i in order) for r in rows)
+
+out = {}
+for name in sorted(O):
+    row = {}
+    try:
+        sdf = Q[name](spark, FIX)
+        srows = norm([tuple(r) for r in sdf.collect()], sdf.columns)
+    except Exception as ex:
+        row["spark_err"] = f"{type(ex).__name__}: {str(ex)[:150]}"
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{FIX}/{t}.parquet'")
+        res = con.sql(O[name])
+        drows = norm(res.fetchall(), list(res.columns))
+        con.close()
+    except Exception as ex:
+        row["duck_err"] = f"{type(ex).__name__}: {str(ex)[:150]}"
+    if not row:
+        row["match"] = srows == drows
+        if not row["match"]:
+            row["spark_rows"] = srows[:2]; row["duck_rows"] = drows[:2]
+            row["n"] = (len(srows), len(drows))
+    status = "MATCH" if row.get("match") else ("MISMATCH" if "match" in row else "ERR")
+    print(name, status, flush=True)
+    out[name] = row
+bad = {k: v for k, v in out.items() if not v.get("match")}
+print(f"\nTOTAL {len(out)}, clean {len(out)-len(bad)}, needs-triage {len(bad)}")
+json.dump(out, open("/tmp/nulls_sweep_r10.json", "w"), indent=1, default=str)
