@@ -471,6 +471,14 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             n_bytes, widths, heights, digests = [], [], [], []
             for modality, p in zip(pdf["modality"], pdf["payload"]):
+                if p is None:
+                    # NULL payload (corrupt/absent blob — routine dirty
+                    # data at scale): NULL features, never a crash.
+                    digests.append(None)
+                    n_bytes.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    continue
                 digests.append(_hl.sha256(p).hexdigest()[:16])
                 if modality == "image":
                     decoded = dec(p)
@@ -492,7 +500,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": n_bytes,
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
                     "digest": digests,
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
@@ -654,6 +662,11 @@ def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 16) -> D
         for pdf in batches:
             ids, idxs, payloads, offs = [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    # NULL payload → zero frames (quarantine posture):
+                    # an undecodable video contributes no training
+                    # frames, and the drop stays map-only.
+                    continue
                 duration_s = max(1.0, len(p) / 1000.0)
                 n = min(max_frames, max(1, int(duration_s * fps)))
                 seed = hashlib.sha256(p).digest()
@@ -681,9 +694,11 @@ def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 16) -> D
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("duration_s", T.DoubleType(), False),
-        T.StructField("mean_level", T.DoubleType(), False),
-        T.StructField("rms_level", T.DoubleType(), False),
+        # nullable: a NULL payload keeps its row (the media exists)
+        # with NULL stats — COUNT(*) stays honest, AVG skips NULLs
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("mean_level", T.DoubleType(), True),
+        T.StructField("rms_level", T.DoubleType(), True),
     ]
 )
 
@@ -699,6 +714,12 @@ def audio_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             means, rmss, durs = [], [], []
             for p in pdf["payload"]:
+                if p is None:
+                    # NULL payload → NULL stats, row retained
+                    means.append(None)
+                    rmss.append(None)
+                    durs.append(None)
+                    continue
                 x = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
                 means.append(round(float(x.mean()), 6) if len(x) else 0.0)
                 rmss.append(round(float(np.sqrt((x**2).mean())), 6) if len(x) else 0.0)
@@ -706,9 +727,9 @@ def audio_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "duration_s": durs,
-                    "mean_level": means,
-                    "rms_level": rmss,
+                    "duration_s": pd.array(durs, dtype="Float64"),
+                    "mean_level": pd.array(means, dtype="Float64"),
+                    "rms_level": pd.array(rmss, dtype="Float64"),
                 }
             )
 

@@ -689,10 +689,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "video_frame_sample",
     oracle="""
     WITH v AS (
+      -- NULL text → NULL payload → zero sampled frames (quarantine):
+      -- those media drop out of the per-video grouping on both sides
       SELECT doc_id AS media_id,
              LEAST(16, GREATEST(1, CAST(FLOOR(GREATEST(1.0,
                  strlen(text) / 1000.0)) AS BIGINT))) AS n_frames
-      FROM documents WHERE doc_id % 3 = 2
+      FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
     )
     SELECT media_id,
            CAST(n_frames AS BIGINT)                   AS n_frames,
@@ -2413,7 +2415,9 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compression_ratio_signal",
     oracle="""
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-           TRUE AS ratio_in_bounds, TRUE AS ratio_consistent
+           CASE WHEN text IS NOT NULL THEN TRUE
+                WHEN n_chars < 64 THEN TRUE END AS ratio_in_bounds,
+           CASE WHEN text IS NOT NULL THEN TRUE END AS ratio_consistent
     FROM documents
     """,
 )
@@ -2437,9 +2441,15 @@ def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same constraint as lang_quality_geomean's GROUPED_AGG)
     @pandas_udf("double")
     def ratio(s):
-        return s.map(
-            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t), 1)
-        )
+        # NULL payload → NULL ratio (never crash): corrupt/absent text
+        # is routine dirty data at 100 TB scale. Nullable Float64 so
+        # Arrow carries a true null back, not NaN.
+        def f(t):
+            if t is None or not isinstance(t, str):
+                return None
+            return len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t), 1)
+
+        return s.map(f).astype("Float64")
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     out = docs.select(

@@ -871,12 +871,20 @@ def stream_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
+        # last_value = latest NON-NULL observation: NULLing the order
+        # key for NULL values makes max_by skip them (a NULL reading
+        # never clobbers a known dimension value — and it matches
+        # DuckDB's max_by, which ignores NULL args, where Spark's
+        # would return the newest row's NULL).
         delta = (
             batch_df.filter(F.col("user_id") >= 0)
             .groupBy("user_id")
             .agg(
                 F.count("*").alias("n_events"),
-                F.max_by("value", ordkey).alias("last_value"),
+                F.max_by(
+                    "value",
+                    F.when(F.col("value").isNotNull(), ordkey),
+                ).alias("last_value"),
             )
         )
         if state["version"] >= 0:
@@ -889,7 +897,11 @@ def stream_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keys=["user_id"],
                 update_set={
                     "n_events": F.col("t.n_events") + F.col("s.n_events"),
-                    "last_value": F.col("s.last_value"),
+                    # newest non-null wins; an all-NULL batch for the
+                    # key keeps the previously known value
+                    "last_value": F.coalesce(
+                        F.col("s.last_value"), F.col("t.last_value")
+                    ),
                 },
             ).drop("op")
         else:
@@ -911,7 +923,8 @@ def stream_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [
                 (int(r["user_id"]), int(r["n_events"]),
-                 round(float(r["last_value"]), 2))
+                 None if r["last_value"] is None
+                 else round(float(r["last_value"]), 2))
                 for r in final.collect()
             ],
             "user_id long, n_events long, last_value double",
@@ -1528,7 +1541,9 @@ def stream_rocksdb_changelog_restart(spark: SparkSession, sf_dir: str) -> DataFr
             [
                 (
                     r["date"], r["event_type"], int(r["n_events"]),
-                    round(float(r["total_value"]), 2),
+                    # an all-NULL-value group sums to NULL — keep it
+                    None if r["total_value"] is None
+                    else round(float(r["total_value"]), 2),
                     changelog_engaged, resumed,
                 )
                 for r in final.collect()

@@ -57,6 +57,10 @@ SAMPLE = [
     # round-10 diff: crash-class empty/one-row-input guards (operator
     # early-outs + None-safe readouts + k-means k=min(n_lists,n) +
     # recall frame from the query set + zero-width histogram range)
+    # round-11 diff: null-injection hardening — NULL payload/text →
+    # NULL features (decoders, zlib ratio), latest-non-null dimension
+    # merge, None-safe streaming readouts
+    "multimodal_features", "video_frame_sample", "audio_level_stats",
     "price_histogram", "ann_lsh_topk",
     "ann_ivf_topk", "kmv_distinct_users", "kmv_overlap_audit",
     "zorder_skip_audit", "observe_metrics_audit", "orc_roundtrip_audit",
