@@ -81,6 +81,19 @@ def _barrier(df: DataFrame) -> DataFrame:
     return out
 
 
+# Public face of the registry for plan modules pinning float-derived
+# rank inputs (orders_pareto / customer_rfm_segments /
+# perplexity_curriculum_mix): a bare .persist() there leaked a
+# CacheManager entry per run (advisor r10). Determinism note: those
+# pins must stay live until the caller collects the returned frame;
+# the LRU cap (8) far exceeds the barriers registered between one
+# query's construction and its collection in any driver/bench flow
+# (queries run construct→collect serially), so eviction-in-flight is
+# a non-issue there — and even then the recompute is merely the same
+# double-rounding risk the pin narrows, never a crash.
+tracked_persist = _barrier
+
+
 def release_caches() -> int:
     """Unpersist every live barrier this module has registered; returns
     how many were released. Call after a query sweep (or rely on the

@@ -2184,15 +2184,20 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev value straddling a rounding/bucket boundary could otherwise
     change buckets between the counts action and the window action
     (advisor r9 finding). All actions now read one pinned
-    materialization, matching customer_rfm_segments."""
+    materialization, matching customer_rfm_segments; the pin rides
+    the tracked barrier registry (advisor r10: a bare persist() here
+    leaked a CacheManager entry per run)."""
+    from ..operators.dedup import tracked_persist
     from ..operators.rank import with_global_cumsum
 
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2)
-        .cast("decimal(18,2)")
-        .alias("rev")
-    ).persist()
+    per_cust = tracked_persist(
+        orders.groupBy("o_custkey").agg(
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
     scalars = per_cust.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("rev").alias("total"),
@@ -2550,20 +2555,35 @@ def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, "events")["events"]
     sk = kmv_sketch_frame(ev, "event_type", "user_id", k=512)
     # kmv_pair_stats deliberately RAISES on absent groups (a typo'd
-    # segment must fail loudly); an EMPTY corpus is not a typo, so the
-    # audit emits the exact zero-overlap row instead (the operator's
-    # raise contract is pinned in tests/test_operators.py; r10 empty
-    # sweep). The presence probe is the same 2-row bounded readout the
-    # operator itself performs.
-    present = {
-        r["g"]
-        for r in sk.filter(F.col("g").isin("click", "purchase"))
-        .select("g")
-        .distinct()
+    # segment must fail loudly); an EMPTY/degenerate corpus is not a
+    # typo, so the audit emits the exact zero-overlap row there. The
+    # r10 probe allowed the fallback for ANY absent segment, which
+    # silently swallowed a typo'd literal on a healthy corpus
+    # (advisor r10) — so the fallback is now gated on volume: if a
+    # queried segment is absent while OTHER segments carry >= 100
+    # events, that is the typo case and the operator's fail-loudly
+    # contract applies. The probe is a bounded readout (one row per
+    # event_type — a small bounded domain).
+    counts = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
         .collect()
     }
-    if {"click", "purchase"} <= present:
+    other_volume = sum(
+        n for g, n in counts.items() if g not in ("click", "purchase")
+    )
+    if {"click", "purchase"} <= counts.keys():
         est = kmv_pair_stats(sk, "click", "purchase", k=512)
+    elif other_volume >= 100:
+        missing = sorted({"click", "purchase"} - counts.keys())
+        raise ValueError(
+            f"kmv_overlap_audit: segment(s) {missing} absent from a"
+            f" corpus with {other_volume} events in other segments —"
+            " likely a typo'd segment literal (kmv_pair_stats"
+            " fail-loudly contract)"
+        )
     else:
         est = spark.createDataFrame(
             [("click", "purchase", 0.0, 0.0, 0.0)],
@@ -3618,18 +3638,24 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the (metric DESC, custkey ASC) mixed-direction tie-break of
     the oracle exact. ``base`` is persisted because each score runs
     count + quantile + offset actions over it; the skinny
-    (custkey, score) frames join back on the unique customer key."""
+    (custkey, score) frames join back on the unique customer key. The
+    pin rides the tracked barrier registry (advisor r10: bare
+    persist() leaked a CacheManager entry per run)."""
+    from ..operators.dedup import tracked_persist
+
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    base = orders.groupBy("o_custkey").agg(
-        F.datediff(
-            F.lit("1998-12-31").cast("date"),
-            F.max(F.col("o_orderdate").cast("date")),
+    base = tracked_persist(
+        orders.groupBy("o_custkey").agg(
+            F.datediff(
+                F.lit("1998-12-31").cast("date"),
+                F.max(F.col("o_orderdate").cast("date")),
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
-        .cast("bigint")
-        .alias("recency_days"),
-        F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    ).persist()
+    )
 
     def score(value_col: str, out_col: str, negate: bool) -> DataFrame:
         src = base

@@ -3322,14 +3322,16 @@ def perplexity_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = wc.join(F.broadcast(tot)).select(
         "w", F.log(F.col("c") / F.col("t")).alias("logp")
     )
-    pd_ = (
+    # pin rides the tracked barrier registry (advisor r10: bare
+    # persist() leaked a CacheManager entry per run)
+    pd_ = dd.tracked_persist(
         tok.join(F.broadcast(lp), "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(-F.avg("logp"), 4).alias("ce"),
         )
-    ).persist()
+    )
     from ..operators.rank import with_global_ntile
 
     bucketed = with_global_ntile(

@@ -407,6 +407,16 @@ class _HadoopPathOps:
                 ) from e
             raise
         if not ok:
+            # Hadoop FileSystem.rename commonly reports a missing src
+            # by RETURNING FALSE rather than raising (HDFS contract);
+            # probe src so this arm matches os.rename's
+            # FileNotFoundError for that case too (advisor r10 — the
+            # raised-exception translation above only covered the
+            # raising implementations).
+            if not self._fs.exists(self._p(src)):
+                raise FileNotFoundError(
+                    f"rename source missing: {src} -> {dst}"
+                )
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def unlink(self, p: str, missing_ok: bool = False) -> None:

@@ -70,11 +70,13 @@ TABLES = (
 
 def ensure_fixture() -> None:
     os.makedirs(EMPTY, exist_ok=True)
+    # Always rewrite: the slices are tiny at K<=1, and reusing a file
+    # left by an earlier run against a different SPARK_GRAFT_SCHEMA_SRC
+    # (or a since-changed source schema) would validate stale schemas.
     for t in TABLES:
         dst = f"{EMPTY}/{t}.parquet"
-        if not os.path.exists(dst):
-            src = pq.read_table(f"{SRC}/{t}.parquet")
-            pq.write_table(src.slice(0, K), dst)
+        src = pq.read_table(f"{SRC}/{t}.parquet")
+        pq.write_table(src.slice(0, K), dst)
 
 
 def _norm(rows, cols):

@@ -3,9 +3,9 @@
 
     python scripts/nulls_subset.py name1 name2 ...
 
-Reuses /tmp/nulls_fixture_r10 if present, else builds it the same way
-the full sweep does (importing the builder block would run the whole
-sweep, so the fixture build is duplicated small here).
+Rebuilds the /tmp fixture every run (tiny at sf0.001; importing the
+builder block from the full sweep would run the whole sweep, so the
+fixture build is duplicated small here).
 """
 import sys, os, math, json
 
@@ -27,10 +27,10 @@ NULL_PLAN = {
     "part": ("p_partkey", ["p_retailprice", "p_type"]),
 }
 os.makedirs(FIX, exist_ok=True)
+# Always rewrite (tiny at sf0.001) — same staleness rationale as the
+# full sweep; see scripts/nulls_sweep.py.
 for t in TABLES:
     dst = f"{FIX}/{t}.parquet"
-    if os.path.exists(dst):
-        continue
     tab = pq.read_table(f"{SRC}/{t}.parquet")
     if t in NULL_PLAN:
         key, cols = NULL_PLAN[t]

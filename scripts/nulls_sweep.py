@@ -51,10 +51,10 @@ NULL_PLAN = {
     "part": ("p_partkey", ["p_retailprice", "p_type"]),
 }
 os.makedirs(FIX, exist_ok=True)
+# Always rewrite (tiny at sf0.001): a fixture left by an earlier run
+# against a since-changed source schema must not be silently reused.
 for t in TABLES:
     dst = f"{FIX}/{t}.parquet"
-    if os.path.exists(dst):
-        continue
     tab = pq.read_table(f"{SRC}/{t}.parquet")
     if t in NULL_PLAN:
         key, cols = NULL_PLAN[t]
