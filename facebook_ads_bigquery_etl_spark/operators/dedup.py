@@ -141,10 +141,18 @@ def _spread(df: DataFrame) -> DataFrame:
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of each exact-duplicate group.
-    Groups on the 64-bit fingerprint (8-byte shuffle key)."""
+    Groups on the 64-bit fingerprint (8-byte shuffle key). Rows with a
+    NULL text carry a NULL fingerprint and PASS THROUGH untouched —
+    they are not duplicates of each other (and the equality semi-join
+    would otherwise silently drop every one of them); the quarantine
+    path owns unreadable payloads, not the dedup (r11 nulls sweep)."""
     fp = with_fingerprint(df, text_col)
-    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    return fp.join(keep, [id_col, "fingerprint"], "left_semi").drop("fingerprint")
+    keyed = fp.filter(F.col("fingerprint").isNotNull())
+    keep = keyed.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    kept = keyed.join(keep, [id_col, "fingerprint"], "left_semi")
+    return kept.unionByName(
+        fp.filter(F.col("fingerprint").isNull())
+    ).drop("fingerprint")
 
 
 # -- shingles / exact Jaccard ----------------------------------------------

@@ -88,7 +88,15 @@ def finalize(
         *keys,
         F.round("state_sum", round_to).alias("total"),
         F.col("state_n").alias("n"),
-        F.round(F.col("state_sum") / F.col("state_n"), round_to).alias("avg"),
+        # avg divides in DOUBLE even when the state is DECIMAL: both
+        # engines then round the SAME binary double, whereas Spark's
+        # exact decimal division vs DuckDB's double division can split
+        # a .xx5 half-way case two ways (r11 nulls sweep — callers
+        # wanting exact money should pass a DECIMAL value column, which
+        # makes state_sum/total exact; avg is a derived display metric)
+        F.round(
+            F.col("state_sum").cast("double") / F.col("state_n"), round_to
+        ).alias("avg"),
         F.round("state_min", round_to).alias("min"),
         F.round("state_max", round_to).alias("max"),
     )

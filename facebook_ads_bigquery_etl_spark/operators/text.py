@@ -132,9 +132,18 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pre
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """64-bit document fingerprint: xxhash64 over the
     whitespace-normalized, lowercased text. Used as the join/dedup key
-    at scale — group on the 8-byte fingerprint, never the document body."""
+    at scale — group on the 8-byte fingerprint, never the document body.
+
+    NULL text → NULL fingerprint (NULL payload → NULL feature): bare
+    xxhash64 maps NULL to its non-null seed constant, which would give
+    every unreadable document the SAME key and let a fingerprint-keyed
+    dedup silently collapse them all into one kept row (r11 nulls
+    sweep — the same data-loss class as a '' blocking key)."""
     normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    return df.withColumn(out_col, F.xxhash64(normalized))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNotNull(), F.xxhash64(normalized)),
+    )
 
 
 def tf_idf_top_terms(

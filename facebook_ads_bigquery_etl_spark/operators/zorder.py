@@ -69,11 +69,26 @@ def write_zordered(
         _bin_expr(c, df.approxQuantile(c, probs, 0.001)) for c in zcols
     ]
     zv = z_value_binned(bins, bits)
+    zdf = df.withColumn("__z", zv)
+    # File assignment is computed from SKETCHED equi-depth cuts of the
+    # z-value itself (same _bin_expr trick as the per-column bins),
+    # NOT left to repartitionByRange's reservoir sampling over the raw
+    # __z distribution: that sampling is seeded by the RDD id, so the
+    # file boundaries — and with them each file's hyper-rectangle —
+    # shifted run-to-run with session history (observed: the skipping
+    # audit's worst-dim fraction swung 0.69 → 0.81 purely from
+    # preceding queries in the session). Range-partitioning on the
+    # precomputed 16-value __file column only has to separate n_files
+    # equal-mass integers — sampling error there is ~16·(15/16)^320,
+    # i.e. deterministic in practice — and the curve-segment layout is
+    # pinned by the deterministic quantile sketch instead.
+    file_probs = [i / n_files for i in range(1, n_files)]
+    file_cuts = zdf.approxQuantile("__z", file_probs, 1.0 / (1 << 16))
     (
-        df.withColumn("__z", zv)
-        .repartitionByRange(n_files, "__z")
+        zdf.withColumn("__file", _bin_expr("__z", file_cuts))
+        .repartitionByRange(n_files, "__file", "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__file")
         .write.mode("overwrite")
         .format(fmt)
         .save(path)

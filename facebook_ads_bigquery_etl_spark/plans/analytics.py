@@ -823,7 +823,7 @@ def nation_footprint_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT o_totalprice,
              NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT quartile,
            CAST(COUNT(*) AS BIGINT)       AS n_orders,
@@ -841,8 +841,14 @@ def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket windows and the plan never contains an ``Exchange
     SinglePartition`` (forced via ``small_input_rows=0`` so the
     committed plan IS the 100 TB plan; equality to ``F.ntile`` is
-    pinned in tests/test_operators.py)."""
-    o = load_tables(spark, sf_dir, "orders")["orders"]
+    pinned in tests/test_operators.py). NULL semantics: quartiles of
+    order VALUE are defined over PRICED orders — a NULL price has no
+    rank position, and Spark (NULLS FIRST) and ANSI engines (NULLS
+    LAST) disagree on where to park it, so both sides filter it out
+    of the rank input (r11 nulls sweep)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"].filter(
+        F.col("o_totalprice").isNotNull()
+    )
     t = with_global_ntile(
         o,
         "o_totalprice",
@@ -928,11 +934,15 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "price_percentiles_approx",
     oracle="""
+    -- a NULL priority is not a class: the engine's join-on-group-key
+    -- shape inherently drops the NULL key (SQL equality), so both
+    -- sides filter it explicitly (r11 nulls sweep)
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            TRUE AS p25_rank_ok, TRUE AS p50_rank_ok,
            TRUE AS p75_rank_ok, TRUE AS p90_rank_ok
-    FROM orders GROUP BY o_orderpriority
+    FROM orders WHERE o_orderpriority IS NOT NULL
+    GROUP BY o_orderpriority
     """,
 )
 def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,8 +955,13 @@ def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     below each one, and asserts the realized rank is within 2% (+1/n
     granularity) of the target quantile; DuckDB recomputes the exact
     group counts and emits TRUE. Sketch-vs-exact value error is
-    additionally asserted in tests/test_operators.py."""
-    o = load_tables(spark, sf_dir, "orders")["orders"]
+    additionally asserted in tests/test_operators.py. A NULL priority
+    is filtered on both sides — the engine's broadcast join back on
+    the group key drops the NULL group silently (SQL equality) while
+    a plain GROUP BY keeps it (r11 nulls sweep)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"].filter(
+        F.col("o_orderpriority").isNotNull()
+    )
     pct = F.percentile_approx(
         "o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]), 10000
     )
@@ -2477,13 +2492,16 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kmv_distinct_users",
     oracle="""
+    -- unlabeled (NULL event_type) events are not a segment: filtered
+    -- on BOTH branches and both engines, so '__all__' is exactly the
+    -- merge of the per-segment sketches (r11 nulls sweep)
     SELECT event_type AS segment,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
            TRUE AS kmv_within_20pct
-    FROM events GROUP BY event_type
+    FROM events WHERE event_type IS NOT NULL GROUP BY event_type
     UNION ALL
     SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
-    FROM events
+    FROM events WHERE event_type IS NOT NULL
     """,
 )
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2497,7 +2515,13 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shuffle for the exact count)."""
     from ..operators.sketches import kmv_group_distinct
 
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # unlabeled events are not a segment; filtering at the source
+    # keeps '__all__' ≡ merge of the per-segment sketches (the NULL
+    # group would otherwise silently drop in the equality join below
+    # while the oracle's GROUP BY keeps it; r11 nulls sweep)
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("event_type").isNotNull()
+    )
     sk = kmv_group_distinct(ev, "event_type", "user_id", k=512)
     exact_g = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("n_exact")
@@ -3361,6 +3385,8 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'type=' || p_type FROM part
       UNION ALL SELECT 'name=' || p_name FROM part
     ),
+    -- a NULL attribute emits NO feature (feat IS NULL after concat);
+    -- both engines filter it before hashing (r11 nulls sweep)
     h AS (
       SELECT feat,
              split_part(feat, '=', 1) AS kind,
@@ -3368,7 +3394,7 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_prepend(0, list_transform(range(1, len(feat) + 1),
                                               i -> ascii(feat[i]))),
                (acc, c) -> (acc * 31 + c) % 1021) AS bucket
-      FROM f
+      FROM f WHERE feat IS NOT NULL
     ),
     d AS (SELECT DISTINCT kind, feat, bucket FROM h),
     load AS (
@@ -3409,7 +3435,13 @@ def feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> ascii(substring(feat, i, 1))),"
         " 0L, (acc, c) -> (acc * 31 + c) % 1021)"
     )
-    d = feats.select("kind", "feat", bucket.alias("bucket")).distinct()
+    # NULL attribute → NULL feat after concat → emits NO feature
+    # (mirrors the oracle's WHERE feat IS NOT NULL; r11 nulls sweep)
+    d = (
+        feats.filter(F.col("feat").isNotNull())
+        .select("kind", "feat", bucket.alias("bucket"))
+        .distinct()
+    )
     load = d.groupBy("kind", "bucket").agg(F.count("*").alias("n_feats"))
     return load.groupBy("kind").agg(
         F.sum("n_feats").alias("n_distinct_features"),
@@ -3426,7 +3458,8 @@ def feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CUME_DIST() OVER w, 6)    AS cd,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def order_rank_in_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3440,9 +3473,14 @@ def order_rank_in_customer_history(spark: SparkSession, sf_dir: str) -> DataFram
     percent_rank would be the single-partition anti-pattern; the
     global analog here is the approx-percentile family). Ties broken
     by (value, orderkey) so ntile assignment is deterministic on both
-    engines."""
+    engines. NULL placement is EXPLICIT on both sides (NULLS FIRST —
+    Spark's ascending default vs DuckDB's NULLS LAST silently shifted
+    every rank in a customer history containing an unpriced order;
+    r11 nulls sweep)."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc_nulls_first(), "o_orderkey"
+    )
     return orders.select(
         "o_orderkey",
         "o_custkey",
@@ -3455,16 +3493,19 @@ def order_rank_in_customer_history(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "latest_order_per_customer",
     oracle="""
-    SELECT o_custkey,
-           arg_max(o_orderkey,
-                   (CAST(o_orderdate AS DATE) - DATE '1970-01-01') * 10000000000
-                   + o_orderkey)                       AS latest_orderkey,
-           ROUND(arg_max(o_totalprice,
-                   (CAST(o_orderdate AS DATE) - DATE '1970-01-01') * 10000000000
-                   + o_orderkey), 2)                   AS latest_totalprice,
-           CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS latest_date,
-           CAST(COUNT(*) AS BIGINT)                   AS n_orders
-    FROM orders GROUP BY o_custkey
+    WITH k AS (
+      SELECT o_custkey,
+             arg_max(o_orderkey,
+                     (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                     * 10000000000 + o_orderkey)        AS latest_orderkey,
+             CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS latest_date,
+             CAST(COUNT(*) AS BIGINT)                   AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT k.o_custkey, k.latest_orderkey,
+           ROUND(o.o_totalprice, 2) AS latest_totalprice,
+           k.latest_date, k.n_orders
+    FROM k JOIN orders o ON o.o_orderkey = k.latest_orderkey
     """,
 )
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3474,7 +3515,12 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan for top-1-per-group and the API-surface row for Spark's
     ordered-selection aggregates; the deterministic ordering key is a
     single scalar (epoch-days ⊕ orderkey) so ties cannot exist and
-    both engines pick the identical row."""
+    both engines pick the identical row. NULL semantics: the latest
+    order's price is reported AS IS — NULL when unrecorded. Spark's
+    ``max_by(x, ord)`` happily returns a NULL x, but DuckDB's
+    ``arg_max(arg, val)`` SKIPS NULL args (it would silently
+    substitute the newest PRICED order's price), so the oracle picks
+    the row by key and joins back for its price (r11 nulls sweep)."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     key = (
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))

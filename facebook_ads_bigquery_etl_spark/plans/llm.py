@@ -256,8 +256,11 @@ _LANG_SCORES = ",\n           ".join(
     + f"], t))) AS s_{lang}"
     for lang in _LANGS
 )
+# best IS NULL: a NULL text scores NULL in every language — zero
+# evidence, so 'und', matching the engine's best["score"] > 0 guard
+# (the bare `= 0` fell through to the ELSE language; r11 nulls sweep)
 _LANG_CASE = (
-    "CASE WHEN best = 0 THEN 'und' "
+    "CASE WHEN best IS NULL OR best = 0 THEN 'und' "
     + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in reversed(_LANGS[1:]))
     + f" ELSE '{_LANGS[0]}' END"
 )
@@ -388,14 +391,32 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("text").cast("long").alias("n_distinct_texts"),
-        (F.countDistinct("fingerprint") == F.countDistinct("text")).alias(
-            "fingerprints_injective"
-        ),
+        # injectivity is asserted over REAL texts only: xxhash64 maps a
+        # NULL input to the (non-null) seed constant, so NULL docs
+        # would add a phantom 451st fingerprint against 450 distinct
+        # texts (r11 nulls sweep — NULL docs carry no fingerprint
+        # claim either way)
+        (
+            F.countDistinct(
+                F.when(F.col("text").isNotNull(), F.col("fingerprint"))
+            )
+            == F.countDistinct("text")
+        ).alias("fingerprints_injective"),
         # coalesce: SUM over zero docs is NULL, not the vacuous 0 an
-        # empty corpus earns (oracle pins TRUE; r10 empty sweep)
+        # empty corpus earns (oracle pins TRUE; r10 empty sweep).
+        # text IS NOT NULL guard: a NULL document makes no fingerprint
+        # claim (xxhash64 maps NULL to the seed constant, shared by
+        # every NULL doc), so the audit asserts non-null fingerprints
+        # for REAL texts only (r11 nulls sweep).
         (
             F.coalesce(
-                F.sum(F.col("fingerprint").isNull().cast("int")), F.lit(0)
+                F.sum(
+                    (
+                        F.col("fingerprint").isNull()
+                        & F.col("text").isNotNull()
+                    ).cast("int")
+                ),
+                F.lit(0),
             )
             == 0
         ).alias("all_nonnull"),
@@ -2135,10 +2156,13 @@ def embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lang_quality_geomean",
     oracle="""
+    -- an untagged (NULL lang) doc is not a language group: the
+    -- engine's join-on-group-key shape drops the NULL key (SQL
+    -- equality), so both sides filter it explicitly (r11 nulls sweep)
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(EXP(AVG(LN(n_chars))), 4) AS geomean_chars
-    FROM documents GROUP BY lang
+    FROM documents WHERE lang IS NOT NULL GROUP BY lang
     """,
 )
 def lang_quality_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2161,7 +2185,11 @@ def lang_quality_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     def log_mean(v):
         return float(np.log(v.to_numpy(dtype=np.float64)).mean())
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # NULL lang is not a language group (and the broadcast join back
+    # on the group key would drop it silently anyway; r11 nulls sweep)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("lang").isNotNull()
+    )
     # Spark disallows mixing a grouped-agg pandas UDF with built-in
     # aggregates in one Aggregate; the count rides a separate (tiny,
     # lang-sized) agg joined back broadcast.
@@ -3542,12 +3570,16 @@ def doc_pack_with_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_priority_dedup",
     oracle="""
+    -- a NULL text has NO blocking key: it must not join a cluster
+    -- (all unreadable docs would otherwise collapse into ONE cluster
+    -- and 'dedup' away all but one — a data-loss bug at scale), so
+    -- both sides exclude it from the dedup (r11 nulls sweep)
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
              CAST(substr(source, 4) AS BIGINT) AS src_rank,
              array_to_string(list_filter(string_split_regex(text, '\\s+'),
                                          t -> t <> '')[1:6], ' ') AS pref
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY pref
@@ -3570,10 +3602,17 @@ def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break. The losers are journaled per cluster (n_dropped), the
     audit trail a curation pipeline owes its provenance report. One
     window over one shuffle on the blocking key; at 100 TB the key is
-    an 8-byte digest and the rule ladder is the same ORDER BY."""
+    an 8-byte digest and the rule ladder is the same ORDER BY.
+
+    NULL text → NO blocking key → excluded from the dedup entirely
+    (Spark's concat_ws would silently key every unreadable doc to ''
+    and drop all but one — the quarantine path owns those rows, not
+    the dedup; r11 nulls sweep)."""
     from pyspark.sql.window import Window as W
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("text").isNotNull()
+    )
     keyed = docs.select(
         "doc_id",
         "source",

@@ -191,7 +191,13 @@ def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (SELECT CAST(ts AS DATE) AS date, value FROM events)
     SELECT e.date,
            CAST(COUNT(*) AS BIGINT)                         AS n_events,
-           ROUND(SUM(e.value * fx.rate), 2)                 AS total_value_local
+           -- per-row cast of the IDENTICAL double product to
+           -- DECIMAL(18,6), then an associative decimal sum: a bare
+           -- double SUM's last ulps depend on partition order and
+           -- flipped a .xx5 rounding boundary between engines
+           -- (r11 nulls sweep)
+           ROUND(CAST(SUM(CAST(e.value * fx.rate AS DECIMAL(18,6)))
+                      AS DOUBLE), 2)                        AS total_value_local
     FROM e JOIN fx USING (date)
     GROUP BY e.date
     """,
@@ -220,9 +226,16 @@ def stream_fx_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream(spark, f"{sf_dir}/events.parquet"), fx
     ).select("date", "value_local")
     tbl = _drain(stream, _qname("s_fx", sf_dir), "append")
+    # decimal-sum at the aggregation boundary: both engines cast the
+    # same per-row double product to DECIMAL(18,6) and sum
+    # associatively — a double sum's partition-order ulps flipped a
+    # .xx5 cent boundary between engines (r11 nulls sweep)
     return tbl.groupBy("date").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value_local"), 2).alias("total_value_local"),
+        F.round(
+            F.sum(F.col("value_local").cast("decimal(18,6)")).cast("double"),
+            2,
+        ).alias("total_value_local"),
     )
 
 

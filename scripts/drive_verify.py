@@ -59,8 +59,13 @@ SAMPLE = [
     # recall frame from the query set + zero-width histogram range)
     # round-11 diff: null-injection hardening — NULL payload/text →
     # NULL features (decoders, zlib ratio), latest-non-null dimension
-    # merge, None-safe streaming readouts
+    # merge, None-safe streaming readouts, explicit NULL window
+    # placement, NULL-group filtering on both sides, decimal sums,
+    # scale-gated layout booleans
     "multimodal_features", "video_frame_sample", "audio_level_stats",
+    "manifest_repair_diff", "lang_id_heuristic",
+    "price_percentiles_approx", "incremental_monthly_revenue",
+    "stream_fx_enrich", "exact_dedup_docs",
     "price_histogram", "ann_lsh_topk",
     "ann_ivf_topk", "kmv_distinct_users", "kmv_overlap_audit",
     "zorder_skip_audit", "observe_metrics_audit", "orc_roundtrip_audit",

@@ -1,33 +1,40 @@
-"""Null-injection sweep (round-10 RECON, round-11 work item): sf0.001
-tables with ~10% NULLs in non-key value/text columns (deterministic by
-key: key % 10 == 0), every oracle-backed query Spark vs DuckDB.
+"""Null-injection sweep: sf0.001 tables with ~10% NULLs in non-key
+value/text columns (deterministic by key: key % 10 == 0), every
+oracle-backed query Spark vs DuckDB.
 
-First run (round 10): 228/250 clean, 22 findings in four classes —
-none fixed yet (each requires a per-query NULL-semantics decision, not
-a mechanical guard):
+History: round-10 RECON found 22 findings in four classes (228/250
+clean); the 6 class-4 CRASHES (zlib/decoders/float(None) on NULL
+payloads) were fixed at the end of r10, and round 11 fixed the rest —
+250/250 clean. The fix classes, now conventions for new queries:
 
-1. NULL ORDERING in windows/rank: Spark orders NULLS FIRST ascending,
-   DuckDB NULLS LAST — order_value_quartiles' tiles shift wholesale,
-   order_rank_in_customer_history, latest_order_per_customer. Fix
-   shape: explicit NULLS FIRST/LAST on BOTH sides, or null-filter the
-   rank input where the semantics say "rank priced orders".
-2. NULL GROUPS: a nulled group key adds a NULL group whose treatment
-   differs between the query and the oracle formulation —
-   feature_hash_audit, lang_quality_geomean, price_percentiles_approx,
-   kmv_distinct_users, manifest_repair_diff.
-3. Dirty data legitimately flips pinned audit booleans:
-   doc_fingerprints all_nonnull (xxhash64(NULL) IS NULL),
-   csv_quarantine_audit good_rows_parse_exactly (a NULL price
-   serializes empty and parses NULL — arguably correct behavior the
-   oracle should data-condition), stats_staleness_audit,
-   incremental/retractable value drift from NULL-sum semantics,
-   source_priority_dedup, stream_fx_enrich.
-4. CRASHES — Python UDFs/readouts on NULL payloads (the genuine
-   100 TB robustness gaps, fix-first next round):
-   compression_ratio_signal (zlib on None), audio_level_stats /
-   multimodal_features / video_frame_sample (decoders on NULL binary),
-   stream_dimension_merge / stream_rocksdb_changelog_restart
-   (float(None) readouts).
+1. NULL ORDERING in windows/rank: Spark sorts NULLS FIRST ascending,
+   DuckDB NULLS LAST. Either make placement EXPLICIT on both sides
+   (order_rank_in_customer_history) or filter NULL metrics out of the
+   rank input where the semantics say "rank priced rows"
+   (order_value_quartiles). max_by/arg_max differ too: Spark max_by
+   returns a NULL payload, DuckDB arg_max SKIPS NULL args — pick the
+   row by key and join back for the payload in the oracle
+   (latest_order_per_customer).
+2. NULL GROUPS are not segments: filter the NULL group key on BOTH
+   sides — the engine's join-back-on-group-key shape drops it
+   silently anyway (feature_hash_audit, lang_quality_geomean,
+   price_percentiles_approx, kmv_distinct_users,
+   manifest_repair_diff, source_priority_dedup — where a NULL
+   blocking key would have COLLAPSED all unreadable docs into one).
+3. Audit booleans and value drift: NULL payload → NULL feature, and
+   audits assert over REAL payloads only (doc_fingerprints,
+   csv_quarantine_audit serializes NULL as an explicit empty field);
+   money sums ride DECIMAL so partial-merge order cannot flip a cent
+   (incremental_monthly_revenue, stream_fx_enrich); plan-shape /
+   layout booleans are scale-gated where the fixture sits below the
+   physical floor (stats_staleness_audit, zorder_skip_audit — both
+   were scale floors surfaced by this fixture, not nulls effects).
+4. CRASHES: every Python UDF/readout yields NULL features for NULL
+   payloads, map-only (compression_ratio_signal, audio_level_stats,
+   multimodal_features, video_frame_sample, stream_dimension_merge,
+   stream_rocksdb_changelog_restart).
+
+Fast regression subset: tests/test_nulls_inputs.py (permanent gate).
 
 Usage: python scripts/nulls_sweep.py  (writes /tmp/nulls_sweep_r10.json)
 """
