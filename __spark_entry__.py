@@ -44,51 +44,58 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining round-1-green variants (stable, re-verified on a
 #      rotating basis as window budget allows).
 _PRIORITY = [
-    # -- round-10 window (exactly 50 names: the driver records a row
+    # -- round-11 window (exactly 50 names: the driver records a row
     #    for the FIRST 50 only — round 7 proved that by starving the
     #    10-name tail, so this list is kept at the window size and
     #    tests/test_oracle.py enforces the invariant mechanically).
     #    Round-7 formula: CHANGED queries first, then the stalest
-    #    cohort. This round changed 43 queries — the 2 persist pins
-    #    (advisor r9 medium) plus the 41 empty-input-parity fixes
-    #    (oracle text and/or plan changed; every one re-proven
-    #    locally Spark-vs-DuckDB at sf0.01 AND on the all-empty
-    #    fixture, 250/250 sweep-clean) plus 2 more from the ONE-ROW
-    #    sweep (price_histogram zero-width-range fix, ann_lsh_topk
-    #    recall-frame fix) — 45 changed take 45 slots and the 5
-    #    remaining go to the stalest unchanged names (r3 cohort,
-    #    alphabetical). Unchanged stale names that ride in round 11:
-    #    7 r3 (supplier_revenue_share token_budget_mix
-    #    top_revenue_supplier user_event_bigrams value_outliers
-    #    wav_header_stats weighted_doc_sample) + the unchanged r4
-    #    remainder.
-    # (1) plan changed (persist pin) — re-prove first.
-    "orders_pareto", "perplexity_curriculum_mix",
-    # (2) the 43 degenerate-input-parity fixes (r10 empty + one-row
-    #     sweeps).
-    "price_histogram", "ann_lsh_topk",
-    "ann_ivf_topk", "ann_ivfpq_topk", "aqe_broadcast_demotion_audit",
-    "aqe_skew_split_audit", "bloom_fpr_audit",
-    "bloom_index_merge_maintenance", "commit_protocol_audit",
-    "compaction_binpack_audit", "compaction_file_audit",
-    "constraint_audit_orders", "csv_quarantine_audit", "cube_events",
-    "dedup_corpus_token_accounting", "dedup_keep_best_equivalence",
-    "doc_fingerprints", "dpp_audit", "embedding_pca_audit",
-    "events_selfjoin_cardinality", "grouping_id_revenue_routing",
-    "grouping_sets_revenue", "jl_projection_audit",
-    "kmv_distinct_users", "kmv_overlap_audit",
-    "multi_table_swap_audit", "observe_metrics_audit",
-    "orc_roundtrip_audit", "parquet_bloom_filter_audit",
-    "parquet_codec_matrix_audit", "partition_evolution_audit",
-    "pq_quantization_audit", "rollup_returns",
-    "schema_evolution_audit", "semantic_dedup_ivf_keep_best",
-    "semantic_dedup_keep_best", "state_store_metrics_audit",
-    "stream_atomic_sink_ingest", "stream_bloom_index_maintenance",
-    "stream_two_table_publish", "watermark_lag_observability",
-    "zorder_skip_audit", "zstd_encoding_audit",
-    # (3) the 5 stalest unchanged names (r3 cohort, alphabetical).
-    "rolling_users_hll", "shipmode_priority_counts",
-    "simhash_near_dups", "small_qty_revenue", "supplier_part_counts",
+    #    cohort. This round changed 27 queries — the 6 r10-tail
+    #    NULL-crash fixes (landed after the r10 artifact, so still
+    #    driver-unwitnessed), the 4 advisory-fix queries, and the 17
+    #    nulls-sweep parity fixes (oracle text and/or plan changed;
+    #    every one re-proven locally Spark-vs-DuckDB at sf0.01 AND on
+    #    the nulls fixture, 250/250 sweep-clean, plus empty K=0/K=1
+    #    re-runs). 27 changed take 27 slots; the remaining 23 go to
+    #    the stalest unchanged names: all 7 r3 + the 16 alphabetically
+    #    first of the 30 unchanged r4 names. Unchanged r4 names that
+    #    ride in round 12 (14): nation_trade_pagerank
+    #    nullsafe_segment_match orders_key_skew_audit
+    #    quantity_price_skyline revenue_ewma_by_nation
+    #    scd2_pointintime_join session_window_rollup
+    #    source_drift_audit stratified_doc_sample
+    #    stream_dedup_then_rollup stream_quality_gate
+    #    temperature_mix_weights vocab_coverage_stats
+    #    weekly_revenue_iso.
+    # (1) the 6 r10-tail NULL-payload crash fixes.
+    "compression_ratio_signal", "audio_level_stats",
+    "multimodal_features", "video_frame_sample",
+    "stream_dimension_merge", "stream_rocksdb_changelog_restart",
+    # (2) the 4 advisory-fix queries (tracked persist pins, volume-
+    #     gated kmv presence probe).
+    "orders_pareto", "customer_rfm_segments",
+    "perplexity_curriculum_mix", "kmv_overlap_audit",
+    # (3) the 17 nulls-sweep parity fixes.
+    "order_value_quartiles", "order_rank_in_customer_history",
+    "latest_order_per_customer", "feature_hash_audit",
+    "kmv_distinct_users", "price_percentiles_approx",
+    "lang_quality_geomean", "manifest_repair_diff",
+    "lang_id_heuristic", "doc_fingerprints", "source_priority_dedup",
+    "csv_quarantine_audit", "stats_staleness_audit",
+    "incremental_monthly_revenue", "retractable_view_maintenance",
+    "stream_fx_enrich", "zorder_skip_audit",
+    # (4) the full r3-stale cohort (7).
+    "supplier_revenue_share", "token_budget_mix",
+    "top_revenue_supplier", "user_event_bigrams", "value_outliers",
+    "wav_header_stats", "weighted_doc_sample",
+    # (5) the 16 alphabetically-first unchanged r4-stale names.
+    "bpe_merge_step", "brand_price_quartiles",
+    "copurchase_association_rules", "copurchase_triangle_stats",
+    "curation_pipeline_report", "decimal_revenue_exact",
+    "doc_bigram_perplexity", "doc_perplexity_filter",
+    "doc_stride_spans", "embedding_covariance_probe",
+    "fb_campaign_roas", "gopher_quality_filter",
+    "incremental_dedup_new_docs", "longest_order_gap",
+    "masked_customer_extract", "nation_revenue_share_of_parent",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to
