@@ -35,6 +35,19 @@ def _cast_to(col: Column, dtype: T.DataType) -> Column:
     return col.try_cast(dtype)
 
 
+def finite_or_null(col: Column) -> Column:
+    """NULL out non-finite doubles (NaN, ±Inf) — the validity boundary
+    for measurements arriving from dirty inputs at 100 TB, where an
+    upstream division or corrupt encode routinely produces them.
+
+    NULL-safe: a NULL input stays NULL, so the NULL conventions from
+    the round-11 nulls sweep apply downstream unchanged. Map-only,
+    whole-stage-codegen'd. DuckDB oracle equivalent:
+    ``CASE WHEN isfinite(x) THEN x END``.
+    """
+    return F.when(~F.isnan(col) & (col != float("inf")) & (col != float("-inf")), col)
+
+
 def apply_schema(df: DataFrame, target: T.StructType, rename: dict[str, str] | None = None) -> DataFrame:
     """Project ``df`` onto ``target``: rename, cast, order columns.
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 _STATE_COLS = ("state_sum", "state_n", "state_min", "state_max")
@@ -76,6 +77,20 @@ def merge_states(*states: DataFrame, keys: list[str] | None = None) -> DataFrame
     )
 
 
+def _decimal_half_up_avg(round_to: int):
+    """round-half-up(state_sum / state_n, round_to) in exact integer
+    arithmetic: (2·sum·10^k + n) DIV (2·n) on longs. The final
+    division is of an exactly-divisible long (remainder subtracted
+    via pmod), so the double quotient is exact for any scaled total
+    below 2^53 — ~9·10^13 currency units at cents precision, beyond
+    any real rollup cell. NULL sum (no measurable rows) → NULL."""
+    scale = 10**round_to
+    num = (F.col("state_sum") * scale).cast("long") * 2 + F.col("state_n")
+    den = F.col("state_n") * 2
+    q = (num - F.pmod(num, den)) / den
+    return F.when(F.col("state_n") > 0, q.cast("double") / scale)
+
+
 def finalize(
     state: DataFrame, *, round_to: int = 2, keys: list[str] | None = None
 ) -> DataFrame:
@@ -88,15 +103,23 @@ def finalize(
         *keys,
         F.round("state_sum", round_to).alias("total"),
         F.col("state_n").alias("n"),
-        # avg divides in DOUBLE even when the state is DECIMAL: both
-        # engines then round the SAME binary double, whereas Spark's
-        # exact decimal division vs DuckDB's double division can split
-        # a .xx5 half-way case two ways (r11 nulls sweep — callers
-        # wanting exact money should pass a DECIMAL value column, which
-        # makes state_sum/total exact; avg is a derived display metric)
-        F.round(
-            F.col("state_sum").cast("double") / F.col("state_n"), round_to
-        ).alias("avg"),
+        # avg on a DECIMAL state is derived in EXACT INTEGER arithmetic:
+        # round-half-up(total/n, k) = (2·total·10^k + n) DIV (2·n),
+        # computed on longs — no double ever enters, so no engine can
+        # round a different binary. The r11-nulls-sweep double-division
+        # form still split a true .xx5 tie (total=3937776.15, n=14):
+        # Spark's round(double) goes through the shortest decimal
+        # string (".725" → half-up → .73) while DuckDB rounds the
+        # actual binary (just under .725 → .72) — r11 extremes sweep.
+        # Double states keep the double path (their totals are not
+        # exact to begin with).
+        (
+            _decimal_half_up_avg(round_to).alias("avg")
+            if isinstance(state.schema["state_sum"].dataType, T.DecimalType)
+            else F.round(
+                F.col("state_sum").cast("double") / F.col("state_n"), round_to
+            ).alias("avg")
+        ),
         F.round("state_min", round_to).alias("min"),
         F.round("state_max", round_to).alias("max"),
     )

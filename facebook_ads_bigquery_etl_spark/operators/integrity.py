@@ -31,6 +31,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def render_scaled_int(col: Column, scale: int = 1) -> Column:
+    """Engine-portable integer rendering of a double for checksum
+    input: finite values as ``ROUND(x·scale)`` longs, non-finite
+    values as the literal IEEE class token (``nan``/``inf``/``-inf``)
+    — the checksum must stay TOTAL over corrupt rows (an Inf price is
+    exactly the corruption a manifest exists to catch; aborting the
+    manifest job on it would be self-defeating), and Inf cannot round
+    into a BIGINT under ANSI (r11 extremes sweep). NULL stays NULL
+    (concat_ws skips it identically on both engines). DuckDB twin:
+    ``CASE WHEN isfinite(x) THEN CAST(ROUND(x*s) AS BIGINT)::VARCHAR
+    WHEN isnan(x) THEN 'nan' WHEN x > 0 THEN 'inf' ELSE '-inf' END``."""
+    x = col.cast("double")
+    scaled = x * scale if scale != 1 else x
+    return (
+        F.when(
+            ~F.isnan(x) & (x != float("inf")) & (x != float("-inf")),
+            F.round(scaled).cast("long").cast("string"),
+        )
+        .when(F.isnan(x), F.lit("nan"))
+        .when(x > 0, F.lit("inf"))
+        .when(x < 0, F.lit("-inf"))
+    )
+
+
 def row_checksum(cols: list[Column]) -> Column:
     """28-bit per-row hash over pre-rendered integer/string columns."""
     joined = F.concat_ws("|", *[c.cast("string") for c in cols])

@@ -37,7 +37,15 @@ def gram_partials(df: DataFrame, col: str = "embedding") -> DataFrame:
     (length d²), all in float64. Rows with NULL vectors are skipped.
     The output is a mergeable monoid: summing partials elementwise
     yields the exact full-data moments (modulo float addition order,
-    which every consumer rounds away at readout)."""
+    which every consumer rounds away at readout).
+
+    Non-finite vectors are quarantined before the reduction: one
+    NaN/Inf element would poison every moment it touches, and at
+    100 TB a corrupt embedding is routine dirty data (round-11
+    extremes sweep)."""
+    from .similarity import finite_vectors
+
+    df = df.filter(finite_vectors(col))
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -201,7 +209,13 @@ def pca_audit(
                 {"n": [int(m.shape[0])], "sq": [float((res**2).sum())]}
             )
 
-    parts = df.select(col).mapInPandas(recon, "n long, sq double")
+    # same quarantine as gram_partials: the residual pass must see
+    # exactly the moment population (round-11 extremes sweep)
+    from .similarity import finite_vectors
+
+    parts = (
+        df.filter(finite_vectors(col)).select(col).mapInPandas(recon, "n long, sq double")
+    )
     tot = parts.agg(F.sum("n").alias("n"), F.sum("sq").alias("sq")).collect()[0]
     mean_sq_resid = tot["sq"] / (tot["n"] * 1.0)
     recon_ok = bool(abs(mean_sq_resid - tail) <= 1e-6 * max(trace, 1.0))

@@ -36,6 +36,34 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def finite_vectors(vcol: Column | str) -> Column:
+    """TRUE only for a non-NULL vector whose every element is non-NULL
+    and finite — the 'measurable point in feature space' predicate
+    (Mahalanobis/moment consumers). Map-only, codegen'd."""
+    v = F.col(vcol) if isinstance(vcol, str) else vcol
+    bad_elem = F.exists(
+        v,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (x.cast("double") == float("inf"))
+        | (x.cast("double") == float("-inf")),
+    )
+    return v.isNotNull() & ~bad_elem
+
+
+def valid_vectors(vcol: Column | str) -> Column:
+    """Quarantine predicate for dirty embeddings entering COSINE-space
+    operators: :func:`finite_vectors` plus norm > 0. Zero-norm and
+    NaN/Inf vectors cannot be cosine-normalized (and pyspark.ml's
+    vector conversion hard-errors on them); at 100 TB a corrupt
+    embedding is routine dirty data, so every similarity/ANN operator
+    EXCLUDES such vectors from candidate generation instead of
+    aborting the job (round-11 extremes sweep). Map-only, codegen'd.
+    DuckDB oracle equivalent: plans/llm.py `_VALID_VEC_SQL`."""
+    v = F.col(vcol) if isinstance(vcol, str) else vcol
+    return finite_vectors(v) & (_norm(_as_double(v)) > 0)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -50,12 +78,16 @@ def cosine_topk(
     Scale: queries broadcast (small side), corpus streams — a map-only
     stage plus the per-query top-k window (WindowGroupLimit pushes the
     k-filter below the shuffle)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
+    q = (
+        queries.filter(valid_vectors(vec_col))
+        .select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("qn", _norm(F.col("qv")))
+    )
+    c = (
+        embeddings.filter(valid_vectors(vec_col))
+        .select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        .withColumn("cn", _norm(F.col("cv")))
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to))
@@ -98,8 +130,10 @@ def embedding_dup_pairs(
     The scale path's candidate→verify tail is :func:`_bucketed_dup_pairs`
     (BLAS per-bucket candidate matmul, int-only dedup exchange,
     HOF-exact re-verify) — shared with the IVF algebra."""
-    base = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "n", _norm(F.col("v"))
+    base = (
+        embeddings.filter(valid_vectors(vec_col))
+        .select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .withColumn("n", _norm(F.col("v")))
     )
     if exact:
         a = base.select(
@@ -313,8 +347,10 @@ def embedding_dup_pairs_ivf(
     offline on a sample at 100 TB)."""
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, vec_col, n_lists=n_lists)
-    base = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "n", _norm(F.col("v"))
+    base = (
+        embeddings.filter(valid_vectors(vec_col))
+        .select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .withColumn("n", _norm(F.col("v")))
     )
     cells = base.withColumn(
         "__cell", F.explode(_ivf_cells("v", centroids, assign))
@@ -430,7 +466,12 @@ def train_ivf_centroids(
         _as_double(vec_col),
         lambda v: let(_norm(v), lambda n: F.transform(v, lambda x: x / n)),
     )
-    train = embeddings.select(array_to_vector(unit).alias("features"))
+    # quarantine before array_to_vector: pyspark.ml hard-errors on
+    # NaN/Inf elements, and a zero-norm vector would train a NaN
+    # centroid (round-11 extremes sweep)
+    train = embeddings.filter(valid_vectors(vec_col)).select(
+        array_to_vector(unit).alias("features")
+    )
     # bounded probe (scans until n_lists rows accumulate, never the
     # corpus): k-means hard-errors when k exceeds the row count — an
     # empty corpus trains ZERO centroids (every IVF consumer is then a
@@ -515,6 +556,8 @@ def ivf_cosine_topk(
 
     Pass a precomputed ``centroids`` matrix to skip training (the
     production flow: train once offline, reuse per query batch)."""
+    embeddings = embeddings.filter(valid_vectors(vec_col))
+    queries = queries.filter(valid_vectors(vec_col))
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, vec_col, n_lists=n_lists)
     eb = embeddings.withColumn("__cell", F.explode(_ivf_cells(vec_col, centroids, assign)))
@@ -561,10 +604,10 @@ def lsh_cosine_topk(
     each query touches L·(1+H) buckets of ~n/2^H vectors, so per-query
     work stays sublinear in n. Tune (H up, L up) together to hold
     recall while shrinking buckets at larger corpus sizes."""
-    eb = embeddings.withColumn(
+    eb = embeddings.filter(valid_vectors(vec_col)).withColumn(
         "__cell", F.explode(_table_buckets(vec_col, n_planes, dim, n_tables, multiprobe=False))
     )
-    qb = queries.withColumn(
+    qb = queries.filter(valid_vectors(vec_col)).withColumn(
         "__cell", F.explode(_table_buckets(vec_col, n_planes, dim, n_tables, multiprobe))
     )
     q = qb.select(
@@ -604,6 +647,7 @@ def quantize_audit(
     widening is exact, and it pins every subsequent op to double
     precision so the result is bit-identical to any other engine
     doing the same (the oracle casts the same way)."""
+    df = df.filter(valid_vectors(vec_col))
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     scale = F.array_max(F.transform(x, lambda v: F.abs(v))) / F.lit(127.0)
     d = df.select(
@@ -657,6 +701,7 @@ def pq_audit(
     import numpy as np
     import pandas as pd
 
+    df = df.filter(valid_vectors(vec_col))
     sub = dim // m
     sample = [
         r[vec_col]
@@ -800,6 +845,8 @@ def ivfpq_cosine_topk(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window as W
 
+    embeddings = embeddings.filter(valid_vectors(vec_col))
+    queries = queries.filter(valid_vectors(vec_col))
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, vec_col, n_lists=n_lists)
     sample = [

@@ -67,13 +67,23 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_tokens", F.col("_tok_stats.n_tokens"))
         .withColumn("n_chars", n_chars)
         .withColumn("n_alpha", n_alpha)
+        # a zero-token document (empty / whitespace-only — routine
+        # dirty data at 100 TB) has UNDEFINED ratios, not a
+        # divide-by-zero abort: NULL here, and with_quality_score
+        # scores such docs 0.0 (round-11 extremes sweep)
         .withColumn(
             "avg_token_len",
-            F.round(F.col("n_alpha") * F.lit(1.0) / F.col("n_tokens"), 6),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_alpha") * F.lit(1.0) / F.col("n_tokens"), 6),
+            ),
         )
         .withColumn(
             "stopword_ratio",
-            F.round(F.col("_tok_stats.n_stop") * F.lit(1.0) / F.col("n_tokens"), 6),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("_tok_stats.n_stop") * F.lit(1.0) / F.col("n_tokens"), 6),
+            ),
         )
         .drop("_tok_stats")
     )
@@ -95,7 +105,12 @@ def with_quality_score(
         F.when(F.col("avg_token_len").between(3.0, 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
     )
     score = F.lit(0.4) * length_term + F.lit(0.3) * stop_term + F.lit(0.3) * shape_term
-    return df.withColumn(out_col, F.round(score, 7))
+    # zero-token doc: ratios are NULL (undefined), but its QUALITY is
+    # a definite 0.0 — keeping the score total means downstream gates,
+    # buckets, and mixes never have to reason about a NULL score
+    return df.withColumn(
+        out_col, F.when(F.col("n_tokens") > 0, F.round(score, 7)).otherwise(F.lit(0.0))
+    )
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:

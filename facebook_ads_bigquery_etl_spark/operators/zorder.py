@@ -82,11 +82,17 @@ def write_zordered(
     # equal-mass integers — sampling error there is ~16·(15/16)^320,
     # i.e. deterministic in practice — and the curve-segment layout is
     # pinned by the deterministic quantile sketch instead.
+    # __file ALONE is the range key: with __z as a secondary key the
+    # sampled boundaries are (file, z) pairs, so a boundary could
+    # still land mid-file-id and split one file's hyper-rectangle
+    # run-to-run (observed as a once-in-several-drives audit flake).
+    # On the coarse 16-value key, boundaries can only land on id
+    # granularity, and sortWithinPartitions supplies the z-order.
     file_probs = [i / n_files for i in range(1, n_files)]
     file_cuts = zdf.approxQuantile("__z", file_probs, 1.0 / (1 << 16))
     (
         zdf.withColumn("__file", _bin_expr("__z", file_cuts))
-        .repartitionByRange(n_files, "__file", "__z")
+        .repartitionByRange(n_files, "__file")
         .sortWithinPartitions("__z")
         .drop("__z", "__file")
         .write.mode("overwrite")

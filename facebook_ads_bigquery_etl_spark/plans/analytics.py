@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..operators import casting as cst
 from ..operators.asof import asof_join
 from ..operators.exprs import knuth_bucket
 from ..operators.rank import with_global_ntile
@@ -723,12 +724,23 @@ def part_type_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_json_stats",
     oracle="""
+    -- malformed/empty JSON yields NULL fields, never an abort: that is
+    -- get_json_object's (and BigQuery's) contract, and at 100 TB a
+    -- truncated props blob is routine — the oracle gates extraction on
+    -- json_valid to match (r11 extremes sweep)
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
-           CAST(COUNT(*) AS BIGINT)                                    AS n_events,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
-           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-    FROM events GROUP BY event_type
+           CAST(COUNT(*) AS BIGINT)      AS n_events,
+           ROUND(AVG(k), 6)              AS avg_k,
+           CAST(MIN(k) AS BIGINT)        AS min_k,
+           CAST(MAX(k) AS BIGINT)        AS max_k
+    FROM ev GROUP BY event_type
     """,
 )
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -868,12 +880,21 @@ def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "price_percentiles",
     oracle="""
+    -- a non-finite price is not a measurement: NaN/Inf have no place
+    -- on a quantile interpolation (the two engines order and
+    -- interpolate them differently) — NULLed at input on both sides,
+    -- quantiles ignore NULL (r11 extremes sweep)
+    WITH o_fin AS (
+      SELECT * REPLACE (CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS o_totalprice)
+      FROM orders
+    )
     SELECT o_orderpriority,
            ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
            ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
            ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
            ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
-    FROM orders GROUP BY o_orderpriority
+    FROM o_fin GROUP BY o_orderpriority
     """,
 )
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,8 +902,11 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` ≡ DuckDB ``quantile_cont``: linear interpolation).
     The exact form sorts each group's values; at 100 TB swap in
     ``percentile_approx`` (t-digest sketch, mergeable map-side) —
-    registered separately as approx_distinct-style rows-only."""
-    o = load_tables(spark, sf_dir, "orders")["orders"]
+    registered separately as approx_distinct-style rows-only.
+    Non-finite prices are NULLed at input (r11 extremes sweep)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"].withColumn(
+        "o_totalprice", cst.finite_or_null(F.col("o_totalprice"))
+    )
     pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]))
     return o.groupBy("o_orderpriority").agg(
         F.round(pct[0], 4).alias("p25"),
@@ -1558,8 +1582,17 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "price_histogram",
     oracle="""
-    WITH mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
-                FROM orders)
+    -- a non-finite price is not a measurement: NaN poisons MIN/MAX
+    -- differently per engine and Inf stretches the range to nothing —
+    -- NULLed at input on both sides; NULL prices land in the NULL bin
+    -- (r11 extremes sweep)
+    WITH o_fin AS (
+      SELECT * REPLACE (CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS o_totalprice)
+      FROM orders
+    ),
+    mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+                FROM o_fin)
     -- hi = lo (degenerate range: one distinct price) puts every row
     -- in bin 0 instead of dividing by zero (r10 one-row sweep)
     SELECT CAST(CASE WHEN hi = lo THEN 0
@@ -1567,7 +1600,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END AS BIGINT)                     AS bin,
            CAST(COUNT(*) AS BIGINT)                AS n_orders,
            ROUND(SUM(o_totalprice), 2)             AS total_value
-    FROM orders CROSS JOIN mm
+    FROM o_fin CROSS JOIN mm
     GROUP BY 1
     """,
 )
@@ -1577,7 +1610,10 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass with a literal), then a hash aggregate on the bin id.
     The distribution profile every data-quality dashboard starts
     with."""
-    o = load_tables(spark, sf_dir, "orders")["orders"]
+    # non-finite prices NULLed at input (r11 extremes sweep)
+    o = load_tables(spark, sf_dir, "orders")["orders"].withColumn(
+        "o_totalprice", cst.finite_or_null(F.col("o_totalprice"))
+    )
     mm = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
@@ -1608,10 +1644,13 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_map_stats",
     oracle="""
     WITH kv AS (
+      -- malformed/empty props parse to a NULL map in Spark and fan
+      -- out to zero rows; json_valid is the same row drop (r11
+      -- extremes sweep)
       SELECT event_type,
              unnest(json_keys(props)) AS k,
              CAST(props ->> '$.k' AS BIGINT) AS v
-      FROM events
+      FROM events WHERE json_valid(props)
     )
     SELECT event_type, k,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -1993,17 +2032,24 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_outliers",
     oracle="""
-    WITH stats AS (
+    -- a non-finite value is not a measurement: a single NaN/Inf would
+    -- poison the type's mean/σ (and DuckDB's STDDEV aborts on Inf),
+    -- so both engines NULL it at the query input (r11 extremes sweep)
+    WITH ev AS (
+      SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value)
+      FROM events
+    ),
+    stats AS (
       SELECT event_type,
              ROUND(AVG(value), 6)         AS m,
              ROUND(STDDEV_SAMP(value), 6) AS s
-      FROM events GROUP BY event_type
+      FROM ev GROUP BY event_type
     )
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CASE WHEN ABS(e.value - st.m) > 3 * st.s
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM events e JOIN stats st ON e.event_type = st.event_type
+    FROM ev e JOIN stats st ON e.event_type = st.event_type
     WHERE e.value IS NOT NULL
     GROUP BY e.event_type
     """,
@@ -2019,7 +2065,11 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison: parallel summation order differs between engines, and
     an unrounded boundary would let a value sitting exactly at 3σ
     classify differently."""
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # non-finite values are not measurements (r11 extremes sweep):
+    # NULL them at the query input so the NULL conventions apply
+    ev = load_tables(spark, sf_dir, "events")["events"].withColumn(
+        "value", cst.finite_or_null(F.col("value"))
+    )
     stats = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 6).alias("m"),
         F.round(F.stddev_samp("value"), 6).alias("s"),
@@ -2160,10 +2210,20 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_pareto",
     oracle="""
-    WITH c AS (
+    -- non-finite money has no DECIMAL representation: NULLed at input
+    -- on both engines (r11 extremes sweep)
+    WITH o_fin AS (
+      SELECT * REPLACE (CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS o_totalprice)
+      FROM orders
+    ),
+    c AS (
+      -- a customer with NO measurable revenue (every price NULL or
+      -- non-finite) has no place in a revenue ranking
       SELECT o_custkey,
              CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
-      FROM orders GROUP BY o_custkey
+      FROM o_fin GROUP BY o_custkey
+      HAVING SUM(o_totalprice) IS NOT NULL
     ),
     r AS (
       SELECT o_custkey, rev,
@@ -2205,13 +2265,21 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import tracked_persist
     from ..operators.rank import with_global_cumsum
 
-    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    orders = load_tables(spark, sf_dir, "orders")["orders"].withColumn(
+        # non-finite money has no DECIMAL representation: NULL at
+        # input (r11 extremes sweep)
+        "o_totalprice", cst.finite_or_null(F.col("o_totalprice"))
+    )
     per_cust = tracked_persist(
-        orders.groupBy("o_custkey").agg(
+        orders.groupBy("o_custkey")
+        .agg(
             F.round(F.sum("o_totalprice"), 2)
             .cast("decimal(18,2)")
             .alias("rev")
         )
+        # a customer with NO measurable revenue has no place in a
+        # revenue ranking (and NULL would hit the cumsum bucketing)
+        .filter(F.col("rev").isNotNull())
     )
     scalars = per_cust.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -2645,12 +2713,20 @@ def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _TREND_ORACLE = """
-    WITH monthly AS (
+    -- non-finite prices are not measurements: one NaN/Inf month would
+    -- poison the whole nation's fit (and DuckDB's regr_* abort on
+    -- Inf), so both engines NULL them at input (r11 extremes sweep)
+    WITH o_fin AS (
+      SELECT * REPLACE (CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS o_totalprice)
+      FROM orders
+    ),
+    monthly AS (
       SELECT n.n_name,
              (EXTRACT(year FROM o.o_orderdate) - 1992) * 12
                + EXTRACT(month FROM o.o_orderdate) - 1 AS month_idx,
              ROUND(SUM(o.o_totalprice), 2) AS rev
-      FROM orders o
+      FROM o_fin o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n   ON c.c_nationkey = n.n_nationkey
       GROUP BY 1, 2
@@ -2675,9 +2751,13 @@ def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines regress identical inputs; fit outputs are rounded at the
     precision the summation-order ulp noise sits far below."""
     t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    # non-finite prices NULLed at input (r11 extremes sweep)
+    orders = t["orders"].withColumn(
+        "o_totalprice", cst.finite_or_null(F.col("o_totalprice"))
+    )
     monthly = (
-        t["orders"]
-        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        orders
+        .join(t["customer"], orders.o_custkey == t["customer"].c_custkey)
         .join(F.broadcast(t["nation"]),
               F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -2699,11 +2779,19 @@ def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PIVOT_ORACLE = """
+    -- a non-finite quantity is not a measurement: Inf cannot round to
+    -- a BIGINT (ANSI cast aborts) — NULLed at input on both engines,
+    -- so the sums simply skip it (r11 extremes sweep)
+    WITH li AS (
+      SELECT * REPLACE (CASE WHEN isfinite(l_quantity)
+                             THEN l_quantity END AS l_quantity)
+      FROM lineitem
+    )
     SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
            CAST(SUM(CASE WHEN l_returnflag = 'A' THEN ROUND(l_quantity) ELSE 0 END) AS BIGINT) AS qty_a,
            CAST(SUM(CASE WHEN l_returnflag = 'N' THEN ROUND(l_quantity) ELSE 0 END) AS BIGINT) AS qty_n,
            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN ROUND(l_quantity) ELSE 0 END) AS BIGINT) AS qty_r
-    FROM lineitem GROUP BY 1
+    FROM li GROUP BY 1
 """
 
 
@@ -2720,7 +2808,9 @@ def returns_pivot_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             F.year("l_shipdate").alias("ship_year"),
             "l_returnflag",
-            F.round("l_quantity").cast("long").alias("qty"),
+            # non-finite quantity → NULL, the sums skip it (r11
+            # extremes sweep; Inf cannot round into a BIGINT)
+            F.round(cst.finite_or_null(F.col("l_quantity"))).cast("long").alias("qty"),
         )
         .groupBy("ship_year")
         .pivot("l_returnflag", ["A", "N", "R"])
@@ -2777,10 +2867,16 @@ def user_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quantity_price_skyline",
     oracle="""
+    -- only measurable points enter the skyline: a non-finite quantity
+    -- cannot be a BIGINT group key (ANSI cast aborts) and a NaN/-Inf
+    -- price would poison the dominance test differently per engine
+    -- (r11 extremes sweep)
     WITH g AS (
       SELECT CAST(l_quantity AS BIGINT) AS quantity,
              MIN(l_extendedprice)       AS min_price
-      FROM lineitem GROUP BY CAST(l_quantity AS BIGINT)
+      FROM lineitem
+      WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
+      GROUP BY CAST(l_quantity AS BIGINT)
     )
     SELECT a.quantity, ROUND(a.min_price, 2) AS frontier_price
     FROM g a
@@ -2805,6 +2901,12 @@ def quantity_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition step operates on the post-reduction rows, never
     the fact table, so the plan is one fact shuffle at 100 TB."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # only measurable (finite quantity AND price) points enter the
+    # skyline (r11 extremes sweep)
+    li = li.filter(
+        cst.finite_or_null(F.col("l_quantity")).isNotNull()
+        & cst.finite_or_null(F.col("l_extendedprice")).isNotNull()
+    )
     g = li.groupBy(F.col("l_quantity").cast("bigint").alias("quantity")).agg(
         F.min("l_extendedprice").alias("min_price")
     )
@@ -3140,13 +3242,22 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "revenue_ewma_by_nation",
     oracle="""
-    WITH daily AS (
+    -- non-finite prices are NULLed at input and a day with no
+    -- measurable revenue is dropped from the fold — one NaN would
+    -- otherwise poison the whole nation's EWMA (r11 extremes sweep)
+    WITH o_fin AS (
+      SELECT * REPLACE (CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS o_totalprice)
+      FROM orders
+    ),
+    daily AS (
       SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
              ROUND(SUM(o.o_totalprice), 2) AS rev
-      FROM orders o
+      FROM o_fin o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n   ON c.c_nationkey = n.n_nationkey
       GROUP BY 1, 2
+      HAVING SUM(o.o_totalprice) IS NOT NULL
     )
     SELECT nation,
            CAST(COUNT(*) AS BIGINT) AS n_days,
@@ -3174,8 +3285,13 @@ def revenue_ewma_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    # non-finite prices NULLed at input; days with no measurable
+    # revenue are dropped from the fold (r11 extremes sweep)
+    orders = t["orders"].withColumn(
+        "o_totalprice", cst.finite_or_null(F.col("o_totalprice"))
+    )
     daily = (
-        t["orders"]
+        orders
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -3183,6 +3299,7 @@ def revenue_ewma_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("day"),
         )
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .filter(F.col("rev").isNotNull())
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -3206,12 +3323,19 @@ def revenue_ewma_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "brand_price_quartiles",
     oracle="""
+    -- non-finite prices NULLed at input; quantiles ignore NULL
+    -- (r11 extremes sweep)
+    WITH p_fin AS (
+      SELECT * REPLACE (CASE WHEN isfinite(p_retailprice)
+                             THEN p_retailprice END AS p_retailprice)
+      FROM part
+    )
     SELECT p_brand,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
            ROUND(quantile_cont(p_retailprice::DOUBLE, 0.25), 4) AS q1,
            ROUND(quantile_cont(p_retailprice::DOUBLE, 0.50), 4) AS median,
            ROUND(quantile_cont(p_retailprice::DOUBLE, 0.75), 4) AS q3
-    FROM part GROUP BY p_brand
+    FROM p_fin GROUP BY p_brand
     """,
 )
 def brand_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3223,7 +3347,10 @@ def brand_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile is a proper aggregate with partial merge — no window,
     no global sort; memory is per-(group ✕ distinct-value), which is
     the documented reason the sketch variant exists for 100 TB."""
-    part = load_tables(spark, sf_dir, "part")["part"]
+    # non-finite prices NULLed at input (r11 extremes sweep)
+    part = load_tables(spark, sf_dir, "part")["part"].withColumn(
+        "p_retailprice", cst.finite_or_null(F.col("p_retailprice"))
+    )
     return part.groupBy("p_brand").agg(
         F.count("*").alias("n_parts"),
         F.round(F.percentile("p_retailprice", F.lit(0.25)), 4).alias("q1"),
@@ -3539,6 +3666,16 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "decimal_revenue_exact",
     oracle="""
+    -- a non-finite price/discount is not money: it has no DECIMAL
+    -- representation at all (the cast aborts) — NULLed at input on
+    -- both engines, the sums skip it (r11 extremes sweep)
+    WITH li AS (
+      SELECT * REPLACE (
+        CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END
+          AS l_extendedprice,
+        CASE WHEN isfinite(l_discount) THEN l_discount END AS l_discount)
+      FROM lineitem
+    )
     SELECT l_returnflag,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
              AS gross_revenue,
@@ -3546,7 +3683,7 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * CAST(l_discount AS DECIMAL(18, 4))) AS DOUBLE)
              AS discount_amount,
            CAST(COUNT(*) AS BIGINT) AS n_items
-    FROM lineitem GROUP BY l_returnflag
+    FROM li GROUP BY l_returnflag
     """,
 )
 def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3559,8 +3696,10 @@ def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     checking vs DuckDB's DECIMAL, same scales both sides. No ROUND()
     needed — exactness, not rounding, makes the hash match."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,4)")
+    # non-finite money has no DECIMAL representation: NULL at input
+    # (r11 extremes sweep)
+    price = cst.finite_or_null(F.col("l_extendedprice")).cast("decimal(18,2)")
+    disc = cst.finite_or_null(F.col("l_discount")).cast("decimal(18,4)")
     return li.groupBy("l_returnflag").agg(
         F.sum(price).cast("double").alias("gross_revenue"),
         F.sum(price * disc).cast("double").alias("discount_amount"),
@@ -4106,7 +4245,11 @@ def orders_tablesample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
                 AS BIGINT)          AS max_val
     FROM (
-      SELECT event_type, props, unnest(json_keys(props)) AS k FROM events
+      -- malformed/empty props parse to a NULL map in Spark and fan
+      -- out to zero rows; the oracle's json_valid gate is the same
+      -- row drop (r11 extremes sweep)
+      SELECT event_type, props, unnest(json_keys(props)) AS k
+      FROM events WHERE json_valid(props)
     )
     GROUP BY 1, 2
     """,
@@ -4136,13 +4279,20 @@ def events_props_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "brand_price_disc_stats",
     oracle="""
+    -- non-finite prices NULLed at input; quantiles ignore NULL
+    -- (r11 extremes sweep)
+    WITH p_fin AS (
+      SELECT * REPLACE (CASE WHEN isfinite(p_retailprice)
+                             THEN p_retailprice END AS p_retailprice)
+      FROM part
+    )
     SELECT p_brand,
            ROUND(quantile_disc(p_retailprice, 0.25e0), 2) AS p25_disc,
            ROUND(quantile_disc(p_retailprice, 0.5e0),  2) AS p50_disc,
            ROUND(quantile_disc(p_retailprice, 0.75e0), 2) AS p75_disc,
            ROUND(quantile_cont(p_retailprice::DOUBLE, 0.5e0), 6) AS p50_cont,
            CAST(COUNT(*) AS BIGINT) AS n_parts
-    FROM part GROUP BY p_brand
+    FROM p_fin GROUP BY p_brand
     """,
 )
 def brand_price_disc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4155,7 +4305,12 @@ def brand_price_disc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices/latencies where an interpolated phantom value is
     meaningless. Spark plans these as sorted single-pass aggregates
     per group — one shuffle on p_brand."""
-    load_tables(spark, sf_dir, "part")
+    # non-finite prices NULLed at input, via a conditioned temp view
+    # (this query is the SQL-string form; r11 extremes sweep)
+    t = load_tables(spark, sf_dir, "part")
+    t["part"].withColumn(
+        "p_retailprice", cst.finite_or_null(F.col("p_retailprice"))
+    ).createOrReplaceTempView("part_fin")
     return spark.sql(
         """
         SELECT p_brand,
@@ -4168,7 +4323,7 @@ def brand_price_disc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY p_retailprice), 6)
                  AS p50_cont,
                COUNT(*) AS n_parts
-        FROM part GROUP BY p_brand
+        FROM part_fin GROUP BY p_brand
         """
     )
 

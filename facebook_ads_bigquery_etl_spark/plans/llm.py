@@ -50,7 +50,8 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jaccard_dup_pairs",
     oracle="""
-    WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    WITH w AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                         t -> t <> '')) AS word FROM documents),
     c AS (SELECT doc_id, COUNT(*) AS set_size FROM w GROUP BY doc_id),
     i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
           FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
@@ -204,16 +205,23 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_token_stats",
     oracle="""
-    SELECT doc_id,
-           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT)                          AS n_chars,
-           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_alpha,
-           ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                 / len(string_split_regex(text, '\\s+')), 6)     AS avg_token_len,
-           ROUND(len(list_filter(string_split_regex(text, '\\s+'),
-                                 w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
-                 / len(string_split_regex(text, '\\s+')), 6)     AS stopword_ratio
-    FROM documents
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT)                   AS n_chars,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                      w -> w IN ('the','a','of','and','to','in','is','it')))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars, n_alpha,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(n_alpha * 1.0 / n_tokens, 6) END AS avg_token_len,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(n_stop * 1.0 / n_tokens, 6) END  AS stopword_ratio
+    FROM feat
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +239,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(COUNT(*) AS BIGINT)                              AS n_docs,
            ROUND(AVG(n_chars), 6)                                AS avg_chars,
-           ROUND(AVG(len(string_split_regex(text, '\\s+'))), 6)  AS avg_tokens
+           ROUND(AVG(len(list_filter(string_split_regex(text, '\\s+'),
+                                     t -> t <> ''))), 6)         AS avg_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -303,19 +312,28 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH feat AS (
       SELECT doc_id, lang,
-             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
-             ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                   / len(string_split_regex(text, '\\s+')), 6)     AS avg_token_len,
-             ROUND(len(list_filter(string_split_regex(text, '\\s+'),
-                                   w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
-                   / len(string_split_regex(text, '\\s+')), 6)     AS stopword_ratio
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')) > 0 THEN
+               ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                     / len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')), 6) END AS avg_token_len,
+             CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')) > 0 THEN
+               ROUND(len(list_filter(string_split_regex(text, '\\s+'),
+                         w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                     / len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')), 6) END AS stopword_ratio
       FROM documents
     ), scored AS (
       SELECT doc_id, lang,
-             ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
-                 + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
-                 + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
-                              THEN 1.0 ELSE 0.0 END, 7) AS quality_score
+             CASE WHEN n_tokens > 0 THEN
+               ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
+                   + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
+                   + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
+                                THEN 1.0 ELSE 0.0 END, 7)
+             ELSE 0.0 END AS quality_score
       FROM feat
     )
     SELECT doc_id, lang, quality_score
@@ -429,19 +447,28 @@ _BPE_SQL = tx.BPE_ISH_PATTERN.replace("'", "''")  # SQL-literal escaping
 @register(
     "bpe_token_counts",
     oracle=f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
-               AS n_bpe_tokens,
-           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
-           ROUND(len(regexp_extract_all(text, '{_BPE_SQL}')) * 1.0
-                 / len(string_split_regex(text, '\\s+')), 6)     AS bpe_per_word
-    FROM documents
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+                 AS n_bpe_tokens,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_ws_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+           CASE WHEN n_ws_tokens > 0
+                THEN ROUND(n_bpe_tokens * 1.0 / n_ws_tokens, 6) END
+               AS bpe_per_word
+    FROM toks
     """,
 )
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-token budgeting: BPE-ish pre-token counts vs whitespace
     words, per document — the SAME regex runs in both engines, so the
-    oracle is exact."""
+    oracle is exact. A word count of zero (empty / whitespace-only
+    doc — routine dirty data at 100 TB) yields a NULL ratio rather
+    than an ANSI divide-by-zero abort; the oracle filters empty split
+    fragments to match tokens()'s empty-string filter."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     n_bpe = F.size(tx.bpe_ish_tokens("text")).cast("long")
     n_ws = F.size(tx.tokens("text")).cast("long")
@@ -449,14 +476,25 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_bpe.alias("n_bpe_tokens"),
         n_ws.alias("n_ws_tokens"),
-        F.round(n_bpe * F.lit(1.0) / n_ws, 6).alias("bpe_per_word"),
+        F.when(n_ws > 0, F.round(n_bpe * F.lit(1.0) / n_ws, 6)).alias("bpe_per_word"),
     )
 
 
 # -- similarity search -------------------------------------------------------
 
-_COS_ORACLE = """
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+# DuckDB twins of operators.similarity.finite_vectors /
+# valid_vectors: quarantine non-finite (and, for cosine consumers,
+# zero-norm/empty) embeddings (round-11 extremes sweep convention).
+_FINITE_VEC_SQL = """(embedding IS NOT NULL
+      AND len(list_filter(embedding,
+              x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)"""
+_VALID_VEC_SQL = f"""({_FINITE_VEC_SQL} AND len(embedding) > 0
+      AND list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0)"""
+
+_COS_ORACLE = f"""
+    WITH v AS (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM v WHERE vec_id < 5),
     s AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
              ROUND(
@@ -465,7 +503,7 @@ _COS_ORACLE = """
                / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
              6) AS cosine
-      FROM q, embeddings e
+      FROM q, v e
       WHERE e.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
@@ -484,9 +522,9 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-_ANN_RECALL_ORACLE = """
+_ANN_RECALL_ORACLE = f"""
     SELECT vec_id AS query_id, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+    FROM embeddings WHERE vec_id < 5 AND {_VALID_VEC_SQL} ORDER BY vec_id
 """
 
 
@@ -512,8 +550,12 @@ def _ann_recall_audit(
     # self is excluded) must still emit its vacuously-true audit row,
     # matching the oracle's unconditional per-query emission
     # (r10 one-row sweep).
-    queries_f = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id")
+    # quarantined (NaN/Inf/zero-norm) query vectors emit no audit row
+    # on either engine (round-11 extremes sweep)
+    queries_f = (
+        emb.filter(F.col("vec_id") < 5)
+        .filter(sim.valid_vectors("embedding"))
+        .select(F.col("vec_id").alias("query_id"))
     )
     exact_counts = exact.groupBy("query_id").agg(
         F.count("*").alias("n_exact")
@@ -566,13 +608,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_audit(spark, sf_dir, ann, k=10, floor_pct=90)
 
 
-_EMB_DUP_ORACLE = """
+_EMB_DUP_ORACLE = f"""
     WITH n AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE {_VALID_VEC_SQL}
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            ROUND(list_sum(list_transform(generate_series(1, len(a.v)),
@@ -592,13 +634,13 @@ def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_dup_pairs(emb, threshold=0.4, exact=True)
 
 
-_EMB_DUP_AUDIT_ORACLE = """
+_EMB_DUP_AUDIT_ORACLE = f"""
     WITH n AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE {_VALID_VEC_SQL}
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
            TRUE AS precision_ok, TRUE AS recall_ok
@@ -881,7 +923,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dup_clusters",
     oracle="""
     WITH RECURSIVE
-    w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+    w AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                         t -> t <> '')) AS word
           FROM documents),
     c AS (SELECT doc_id, COUNT(*) AS set_size FROM w GROUP BY doc_id),
     i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
@@ -1236,11 +1279,14 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_quantize_error",
-    oracle="""
+    oracle=f"""
+    -- non-finite vectors are quarantined before quantization (a NaN
+    -- element has no int8 code and would poison the error stats) —
+    -- same predicate as the operator (r11 extremes sweep)
     WITH w AS (
       SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
-      FROM embeddings
+      FROM embeddings WHERE {_VALID_VEC_SQL}
     ),
     q AS (
       SELECT vec_id, xd AS x, len(xd) AS dim,
@@ -1318,19 +1364,28 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH feat AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
-             ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                   / len(string_split_regex(text, '\\s+')), 6)     AS avg_token_len,
-             ROUND(len(list_filter(string_split_regex(text, '\\s+'),
-                                   w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
-                   / len(string_split_regex(text, '\\s+')), 6)     AS stopword_ratio
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')) > 0 THEN
+               ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                     / len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')), 6) END AS avg_token_len,
+             CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')) > 0 THEN
+               ROUND(len(list_filter(string_split_regex(text, '\\s+'),
+                         w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                     / len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')), 6) END AS stopword_ratio
       FROM documents
     ), scored AS (
       SELECT doc_id, n_tokens,
-             ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
-                 + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
-                 + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
-                              THEN 1.0 ELSE 0.0 END, 7) AS quality_score
+             CASE WHEN n_tokens > 0 THEN
+               ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
+                   + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
+                   + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
+                                THEN 1.0 ELSE 0.0 END, 7)
+             ELSE 0.0 END AS quality_score
       FROM feat
     ), cuts AS (
       SELECT ROUND(quantile_cont(quality_score, 0.25), 6) AS q1,
@@ -1356,11 +1411,12 @@ def doc_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership by comparison. Cutpoints are rounded to 6dp on both
     engines so interpolation ulp differences can't move a boundary."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # tokens() (split + empty-fragment filter), NOT strip-then-split:
+    # the two agree on clean text but diverge on leading/trailing
+    # whitespace and empty docs (round-11 extremes sweep)
     scored = tx.with_quality_score(docs).select(
         "doc_id",
-        F.size(F.split(F.regexp_replace("text", r"\s+$", ""), r"\s+"))
-        .cast("long")
-        .alias("n_tokens"),
+        F.size(tx.tokens("text")).cast("long").alias("n_tokens"),
         "quality_score",
     )
     cuts = scored.agg(
@@ -1452,7 +1508,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_best",
     oracle="""
     WITH RECURSIVE
-    w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+    w AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                         t -> t <> '')) AS word
           FROM documents),
     c AS (SELECT doc_id, COUNT(*) AS set_size FROM w GROUP BY doc_id),
     i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
@@ -1478,20 +1535,29 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT cluster_rep, COUNT(*) AS n FROM reps GROUP BY 1),
     feat AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
-             ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                   / len(string_split_regex(text, '\\s+')), 6)     AS avg_token_len,
-             ROUND(len(list_filter(string_split_regex(text, '\\s+'),
-                                   w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
-                   / len(string_split_regex(text, '\\s+')), 6)     AS stopword_ratio
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')) > 0 THEN
+               ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                     / len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')), 6) END AS avg_token_len,
+             CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')) > 0 THEN
+               ROUND(len(list_filter(string_split_regex(text, '\\s+'),
+                         w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                     / len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> '')), 6) END AS stopword_ratio
       FROM documents
     ),
     scored AS (
       SELECT doc_id,
-             ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
-                 + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
-                 + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
-                              THEN 1.0 ELSE 0.0 END, 7) AS quality_score
+             CASE WHEN n_tokens > 0 THEN
+               ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
+                   + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
+                   + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
+                                THEN 1.0 ELSE 0.0 END, 7)
+             ELSE 0.0 END AS quality_score
       FROM feat
     ),
     ranked AS (
@@ -1767,14 +1833,14 @@ def _semantic_keep_best_audit(
     )
 
 
-_SEMANTIC_KEEP_BEST_ORACLE = """
+_SEMANTIC_KEEP_BEST_ORACLE = f"""
     WITH RECURSIVE
     n AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE {_VALID_VEC_SQL}
     ),
     e AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id
@@ -1870,7 +1936,10 @@ def semantic_dedup_ivf_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_feature_corr",
-    oracle="""
+    oracle=f"""
+    -- a non-finite vector has no measurable norm: one NaN/Inf row
+    -- would poison the label's corr/covar (and DuckDB's STDDEV
+    -- aborts on Inf) — quarantined on both sides (r11 extremes sweep)
     WITH feat AS (
       SELECT d.doc_id,
              e.label,
@@ -1879,6 +1948,7 @@ def semantic_dedup_ivf_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
              sqrt(list_sum(list_transform(e.embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
       FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE {_FINITE_VEC_SQL}
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT)                 AS n,
@@ -1905,7 +1975,12 @@ def label_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    emb = t["embeddings"].select("vec_id", "label", norm.alias("norm"))
+    # non-finite vectors have no measurable norm (r11 extremes sweep)
+    emb = (
+        t["embeddings"]
+        .filter(sim.finite_vectors("embedding"))
+        .select("vec_id", "label", norm.alias("norm"))
+    )
     docs = t["documents"].select(
         "doc_id", F.size(tx.tokens("text")).cast("long").alias("n_tokens")
     )
@@ -2070,12 +2145,12 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_covariance_probe",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id,
              unnest(embedding)::DOUBLE AS x,
              unnest(range(0, len(embedding))) AS i
-      FROM embeddings
+      FROM embeddings WHERE {_FINITE_VEC_SQL}
     ),
     s AS (SELECT i, SUM(x) AS s, COUNT(*) AS n FROM v GROUP BY i),
     diag AS (SELECT i, SUM(x * x) AS gii FROM v GROUP BY i),
@@ -2112,11 +2187,12 @@ def embedding_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pca_audit",
-    oracle="""
-    WITH v AS (
+    oracle=f"""
+    WITH fin AS (SELECT embedding FROM embeddings WHERE {_FINITE_VEC_SQL}),
+    v AS (
       SELECT unnest(embedding)::DOUBLE AS x,
              unnest(range(0, len(embedding))) AS i
-      FROM embeddings
+      FROM fin
     ),
     d AS (
       SELECT i,
@@ -2124,7 +2200,7 @@ def embedding_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
              - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)) AS var
       FROM v GROUP BY i
     )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS n_vectors,
            ROUND(SUM(var), 6) AS total_variance,
            TRUE AS topk_share_in_unit_range,
            TRUE AS eigh_residual_ok,
@@ -2159,10 +2235,13 @@ def embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- an untagged (NULL lang) doc is not a language group: the
     -- engine's join-on-group-key shape drops the NULL key (SQL
     -- equality), so both sides filter it explicitly (r11 nulls sweep)
+    -- and a zero-length doc has no log-length: ln(0) is undefined
+    -- (DuckDB aborts, numpy saturates to -inf → geomean 0), so the
+    -- geomean is over measurable docs only (r11 extremes sweep)
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(EXP(AVG(LN(n_chars))), 4) AS geomean_chars
-    FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    FROM documents WHERE lang IS NOT NULL AND n_chars > 0 GROUP BY lang
     """,
 )
 def lang_quality_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2187,8 +2266,10 @@ def lang_quality_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL lang is not a language group (and the broadcast join back
     # on the group key would drop it silently anyway; r11 nulls sweep)
+    # ... and a zero-length doc has no log-length (ln(0) undefined):
+    # the geomean is over measurable docs only (r11 extremes sweep)
     docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
-        F.col("lang").isNotNull()
+        F.col("lang").isNotNull() & (F.col("n_chars") > 0)
     )
     # Spark disallows mixing a grouped-agg pandas UDF with built-in
     # aggregates in one Aggregate; the count rides a separate (tiny,
@@ -2505,9 +2586,10 @@ def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pq_quantization_audit",
-    oracle="""
-    WITH v AS (SELECT unnest(embedding)::DOUBLE AS x FROM embeddings)
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+    oracle=f"""
+    WITH val AS (SELECT embedding FROM embeddings WHERE {_VALID_VEC_SQL}),
+    v AS (SELECT unnest(embedding)::DOUBLE AS x FROM val)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM val) AS n_vectors,
            ROUND(AVG(x * x), 6) AS mean_component_energy,
            TRUE AS distortion_positive,
            TRUE AS distortion_below_energy,
@@ -2928,23 +3010,31 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     ws = F.expr("filter(split(text, '\\\\s+'), w -> w <> '')")
-    m = docs.select(
+    # the ratios are GUARDED, not merely filtered: Catalyst hoists the
+    # division into combined filter predicates as a common
+    # subexpression, so a zero-word (empty/whitespace-only) doc would
+    # still hit the ANSI divide-by-zero even below a size(ws) > 0
+    # filter (round-11 extremes sweep)
+    m = docs.where(F.size(ws) > 0).select(
         "doc_id",
         "source",
         "text",
         F.size(ws).cast("bigint").alias("n_words"),
-        F.round(F.length("text") / F.size(ws), 4).alias("mwl"),
-        F.round(
-            F.size(
-                F.expr(
-                    "filter(filter(split(text, '\\\\s+'), w -> w <> ''),"
-                    " w -> w RLIKE '^[0-9]+$')"
+        F.when(F.size(ws) > 0, F.round(F.length("text") / F.size(ws), 4)).alias("mwl"),
+        F.when(
+            F.size(ws) > 0,
+            F.round(
+                F.size(
+                    F.expr(
+                        "filter(filter(split(text, '\\\\s+'), w -> w <> ''),"
+                        " w -> w RLIKE '^[0-9]+$')"
+                    )
                 )
-            )
-            / F.size(ws),
-            4,
+                / F.size(ws),
+                4,
+            ),
         ).alias("digit_ratio"),
-    ).where(F.col("n_words") > 0)
+    )
     q = m.where(
         F.col("n_words").between(50, 100000)
         & F.col("mwl").between(2.0, 10.0)
@@ -3042,10 +3132,14 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # a zero-token doc has no segments and emits no row (Spark's
+    # sequence(0, -1) would otherwise fabricate a descending [0, -1]
+    # pair where DuckDB's range(0, 0) is empty — r11 extremes sweep)
     seg = (
         docs.withColumn(
             "tk", F.expr(r"filter(split(text, '\\s+'), t -> t <> '')")
         )
+        .filter(F.size("tk") > 0)
         .select(
             "doc_id",
             F.explode(
@@ -3227,9 +3321,9 @@ def bloom_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(tk)                                            AS n_tokens,
              ROUND(len(list_filter(tk, t -> list_contains(
                ['the','a','of','and','to','in','is','it'], t)))
-               * 1e0 / len(tk), 6)                              AS stop_ratio,
+               * 1e0 / NULLIF(len(tk), 0), 6)                   AS stop_ratio,
              ROUND(list_sum(list_transform(tk, t -> len(t)))
-               * 1e0 / len(tk), 6)                              AS avg_tok_len
+               * 1e0 / NULLIF(len(tk), 0), 6)                   AS avg_tok_len
       FROM (SELECT doc_id, source,
                    list_filter(string_split_regex(lower(text), '\\s+'),
                                t -> t <> '') AS tk
@@ -3237,9 +3331,11 @@ def bloom_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT doc_id, source,
-             ROUND(1e0 / (1e0 + exp(-(
-               0.35e0 * ln(1 + n_tokens) + 2.0e0 * stop_ratio
-               - 0.15e0 * avg_tok_len - 0.6e0))), 6) AS score
+             CASE WHEN n_tokens > 0 THEN
+               ROUND(1e0 / (1e0 + exp(-(
+                 0.35e0 * ln(1 + n_tokens) + 2.0e0 * stop_ratio
+                 - 0.15e0 * avg_tok_len - 0.6e0))), 6)
+             ELSE 0.0 END AS score
       FROM feats
     )
     SELECT doc_id, source, score, score >= 0.5e0 AS keep
@@ -3264,18 +3360,24 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size("tk").alias("n_tokens"),
-        F.round(
-            F.expr(
-                "size(filter(tk, t -> t IN"
-                " ('the','a','of','and','to','in','is','it')))"
-            )
-            / F.size("tk"),
-            6,
+        F.when(
+            F.size("tk") > 0,
+            F.round(
+                F.expr(
+                    "size(filter(tk, t -> t IN"
+                    " ('the','a','of','and','to','in','is','it')))"
+                )
+                / F.size("tk"),
+                6,
+            ),
         ).alias("stop_ratio"),
-        F.round(
-            F.expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))")
-            / F.size("tk"),
-            6,
+        F.when(
+            F.size("tk") > 0,
+            F.round(
+                F.expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))")
+                / F.size("tk"),
+                6,
+            ),
         ).alias("avg_tok_len"),
     )
     z = (
@@ -3284,10 +3386,17 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.15) * F.col("avg_tok_len")
         - F.lit(0.6)
     )
+    # a zero-token document has no features to classify: definite
+    # score 0.0 / keep FALSE, not NULL (round-11 extremes sweep)
     scored = feats.select(
         "doc_id",
         "source",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
     return scored.select(
         "doc_id", "source", "score", (F.col("score") >= 0.5).alias("keep")
@@ -3579,7 +3688,13 @@ def doc_pack_with_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(substr(source, 4) AS BIGINT) AS src_rank,
              array_to_string(list_filter(string_split_regex(text, '\\s+'),
                                          t -> t <> '')[1:6], ' ') AS pref
-      FROM documents WHERE text IS NOT NULL
+      -- ...and so does a zero-token (empty/whitespace-only) doc: an
+      -- empty prefix is not a blocking key either (r11 extremes
+      -- sweep; the engines also disagree on '' vs NULL for it)
+      FROM documents
+      WHERE text IS NOT NULL
+        AND len(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) > 0
     ),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY pref
@@ -3610,8 +3725,11 @@ def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup; r11 nulls sweep)."""
     from pyspark.sql.window import Window as W
 
+    # NULL text and zero-token text alike have NO blocking key
+    # (r11 nulls + extremes sweeps)
     docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
         F.col("text").isNotNull()
+        & (F.size(F.expr(r"filter(split(text, '\\s+'), t -> t <> '')")) > 0)
     )
     keyed = docs.select(
         "doc_id",
@@ -4011,12 +4129,16 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_outlier_quarantine",
-    oracle="""
+    oracle=f"""
+    -- a non-finite vector is not a measurable point: it cannot carry
+    -- a Mahalanobis distance (and would poison its label's moments),
+    -- but it IS exactly what this gate exists to catch — quarantined
+    -- unconditionally with a NULL distance (r11 extremes sweep)
     WITH ev AS (
       SELECT vec_id, label,
              generate_subscripts(embedding, 1) AS i,
              unnest(embedding)::DOUBLE AS v
-      FROM embeddings
+      FROM embeddings WHERE {_FINITE_VEC_SQL}
     ),
     stats AS (
       SELECT label, i, AVG(v) AS c,
@@ -4036,6 +4158,9 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.vec_id, d.label, d.mdist, d.mdist > t.cut AS quarantined
     FROM dist d JOIN thr t ON t.label = d.label
+    UNION ALL
+    SELECT vec_id, label, NULL::DOUBLE AS mdist, TRUE AS quarantined
+    FROM embeddings WHERE NOT {_FINITE_VEC_SQL}
     """,
 )
 def embedding_outlier_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4053,6 +4178,17 @@ def embedding_outlier_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W  # noqa: F401
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # a non-finite vector cannot carry a Mahalanobis distance (and
+    # would poison its label's moments) — but it IS what this gate
+    # exists to catch: quarantined unconditionally, NULL distance
+    # (r11 extremes sweep)
+    corrupt = emb.filter(~sim.finite_vectors("embedding")).select(
+        "vec_id",
+        "label",
+        F.lit(None).cast("double").alias("mdist"),
+        F.lit(True).alias("quarantined"),
+    )
+    emb = emb.filter(sim.finite_vectors("embedding"))
     ev = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("i", "v")
     ).withColumn("v", F.col("v").cast("double"))
@@ -4080,10 +4216,15 @@ def embedding_outlier_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = dist.groupBy("label").agg(
         F.round(F.avg("mdist") + 2 * F.stddev_pop("mdist"), 4).alias("cut")
     )
-    return dist.join(F.broadcast(thr), "label").select(
-        "vec_id", "label", "mdist", (F.col("mdist") > F.col("cut")).alias(
-            "quarantined"
-        ),
+    return (
+        dist.join(F.broadcast(thr), "label")
+        .select(
+            "vec_id",
+            "label",
+            "mdist",
+            (F.col("mdist") > F.col("cut")).alias("quarantined"),
+        )
+        .unionByName(corrupt)
     )
 
 
@@ -4377,6 +4518,7 @@ def cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_filter(string_split_regex(lower(text), '\\s+'),
                                t -> t <> '') AS tk
             FROM documents)
+      WHERE len(tk) > 0
     ),
     scored AS (
       SELECT doc_id, source,
@@ -4416,9 +4558,11 @@ def domain_router_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a K-head learned router at scan speed, the pattern that scales to
     100 TB exactly like the single gate."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # a zero-token document has no routing features: unroutable,
+    # excluded on both engines (round-11 extremes sweep)
     feats = docs.withColumn(
         "tk", F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
-    ).select(
+    ).filter(F.size("tk") > 0).select(
         "doc_id",
         "source",
         F.log(F.lit(1) + F.size("tk")).alias("f_len"),
@@ -4579,7 +4723,10 @@ def dedup_corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
     exagg = ex.agg(
         F.count("*").alias("n_docs"), F.sum(F.size("tk")).alias("n_tokens")
     )
-    seg = ex.select(
+    # a zero-token doc has no segments (Spark's sequence(0, -1) would
+    # fabricate a descending [0, -1] pair where DuckDB's range(0, 0)
+    # is empty — r11 extremes sweep, same guard as line_dedup_stats)
+    seg = ex.filter(F.size("tk") > 0).select(
         "doc_id",
         F.explode(
             F.expr(

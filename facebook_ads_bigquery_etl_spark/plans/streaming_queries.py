@@ -110,9 +110,14 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_running_totals",
     oracle="""
+    -- a non-finite value contributes 0, exactly like NULL: one NaN
+    -- would otherwise poison the user's running state forever, and
+    -- the pandas-side state sum (skipna) and SQL SUM disagree on NaN
+    -- (r11 extremes sweep)
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT)                    AS n_events,
-           ROUND(SUM(COALESCE(value, 0.0)), 2)         AS total_value
+           ROUND(SUM(CASE WHEN isfinite(value) THEN value ELSE 0.0 END), 2)
+             AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -120,7 +125,16 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom arbitrary-state operator (``applyInPandasWithState``):
     the LAST update emitted per user (max_by on the monotonically
     growing event count) must equal the batch per-user totals."""
-    stream = user_running_totals(read_event_stream(spark, f"{sf_dir}/events.parquet"))
+    from ..operators import casting as cst
+
+    # non-finite values are NULLed at the stream boundary (the state
+    # op already treats NULL as 0; a NaN would poison the running sum
+    # forever — r11 extremes sweep)
+    stream = user_running_totals(
+        read_event_stream(spark, f"{sf_dir}/events.parquet").withColumn(
+            "value", cst.finite_or_null(F.col("value"))
+        )
+    )
     tbl = _drain(stream, _qname("s_run", sf_dir), "update")
     return tbl.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -131,11 +145,15 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_user_profile",
     oracle="""
+    -- non-finite values contribute 0, exactly like NULL (r11
+    -- extremes sweep; see stream_running_totals)
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT)                     AS n_events,
-           ROUND(SUM(COALESCE(value, 0.0)), 2)          AS total_value,
+           ROUND(SUM(CASE WHEN isfinite(value) THEN value ELSE 0.0 END), 2)
+             AS total_value,
            CAST(COUNT(DISTINCT event_type) AS BIGINT)   AS n_types,
-           ROUND(MAX(COALESCE(value, 0.0)), 2)          AS max_value
+           ROUND(MAX(CASE WHEN isfinite(value) THEN value ELSE 0.0 END), 2)
+             AS max_value
     FROM events GROUP BY user_id
     """,
 )
@@ -160,8 +178,14 @@ def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
     try:
+        from ..operators import casting as cst
+
+        # non-finite values NULLed at the stream boundary (r11
+        # extremes sweep; see stream_running_totals)
         stream = user_profile_stateful(
-            read_event_stream(spark, f"{sf_dir}/events.parquet")
+            read_event_stream(spark, f"{sf_dir}/events.parquet").withColumn(
+                "value", cst.finite_or_null(F.col("value"))
+            )
         )
         tbl = _drain(stream, _qname("s_prof", sf_dir), "update")
     finally:
@@ -188,7 +212,12 @@ def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(1.0 + (dayofyear(d) % 50) / 100.0, 2) AS rate
       FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
     ),
-    e AS (SELECT CAST(ts AS DATE) AS date, value FROM events)
+    -- a non-finite value is not money: no DECIMAL representation —
+    -- NULLed at input on both engines, the sum skips it while
+    -- n_events still counts the row (r11 extremes sweep)
+    e AS (SELECT CAST(ts AS DATE) AS date,
+                 CASE WHEN isfinite(value) THEN value END AS value
+          FROM events)
     SELECT e.date,
            CAST(COUNT(*) AS BIGINT)                         AS n_events,
            -- per-row cast of the IDENTICAL double product to
@@ -230,10 +259,17 @@ def stream_fx_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same per-row double product to DECIMAL(18,6) and sum
     # associatively — a double sum's partition-order ulps flipped a
     # .xx5 cent boundary between engines (r11 nulls sweep)
+    from ..operators import casting as cst
+
+    # non-finite products are NULLed before the decimal cast (NULL at
+    # input convention, r11 extremes sweep) — the sum skips them while
+    # n_events still counts the row
     return tbl.groupBy("date").agg(
         F.count("*").alias("n_events"),
         F.round(
-            F.sum(F.col("value_local").cast("decimal(18,6)")).cast("double"),
+            F.sum(
+                cst.finite_or_null(F.col("value_local")).cast("decimal(18,6)")
+            ).cast("double"),
             2,
         ).alias("total_value_local"),
     )
@@ -1039,7 +1075,10 @@ def watermark_lag_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_partial_session_eviction",
     oracle="""
     WITH ev AS (
-      SELECT user_id, COALESCE(value, 0) AS value,
+      -- non-finite values contribute 0, exactly like NULL (r11
+      -- extremes sweep)
+      SELECT user_id,
+             CASE WHEN isfinite(value) THEN value ELSE 0 END AS value,
              CAST(event_id % 4 AS INT) AS b
       FROM events
     ),
@@ -1098,8 +1137,14 @@ def stream_partial_session_eviction(
 
     from ..streaming import partial_session_flush
 
+    from ..operators import casting as cst
+
+    # non-finite values contribute 0, exactly like NULL (r11 extremes
+    # sweep)
     ev = load_tables(spark, sf_dir, "events")["events"].select(
-        "event_id", "user_id", F.coalesce("value", F.lit(0.0)).alias("value"),
+        "event_id",
+        "user_id",
+        F.coalesce(cst.finite_or_null(F.col("value")), F.lit(0.0)).alias("value"),
         "ts",
     )
     ev = ev.withColumn("b", (F.col("event_id") % 4).cast("int"))

@@ -10,9 +10,12 @@ that drive physical-layout and join-strategy decisions.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import casting as cst
 from ..operators.expectations import constraint_audit
 from ..operators.exprs import knuth_bucket
 from ..operators.incremental import finalize, merge_states, partial_state
@@ -395,14 +398,28 @@ _INCR_ORACLE = """
 -- full sum regardless of grouping (double partials drifted a cent on
 -- a .575 avg boundary; r11 nulls sweep). avg divides the exact total
 -- in DOUBLE on both sides so both engines round the same binary.
+-- and a non-finite price is not money: no DECIMAL representation,
+-- NULLed at input on both engines (r11 extremes sweep)
+WITH o_fin AS (
+  SELECT * REPLACE (CASE WHEN isfinite(o_totalprice)
+                         THEN o_totalprice END AS o_totalprice)
+  FROM orders
+)
 SELECT strftime(o_orderdate, '%Y-%m')          AS month,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        CAST(COUNT(o_totalprice) AS BIGINT)     AS n,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-             / COUNT(o_totalprice), 2)         AS avg,
+       -- round-half-up(total/n, 2) in EXACT integer arithmetic —
+       -- (2·cents + n) // (2·n) — matching finalize(): the double
+       -- division form still split a true .xx5 tie (r11 extremes
+       -- sweep: Spark rounds the shortest decimal string, DuckDB the
+       -- actual binary)
+       CASE WHEN COUNT(o_totalprice) > 0 THEN
+         CAST((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               + COUNT(o_totalprice)) // (2 * COUNT(o_totalprice)) AS DOUBLE) / 100
+       END                                     AS avg,
        ROUND(MIN(o_totalprice), 2)             AS min,
        ROUND(MAX(o_totalprice), 2)             AS max
-FROM orders
+FROM o_fin
 GROUP BY 1
 """
 
@@ -424,8 +441,11 @@ def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         load_tables(spark, sf_dir, "orders")["orders"]
         .withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        # non-finite money has no DECIMAL representation: NULL at
+        # input (r11 extremes sweep)
         .withColumn(
-            "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+            "o_totalprice",
+            cst.finite_or_null(F.col("o_totalprice")).cast("decimal(18,2)"),
         )
     )
     cut = F.to_date(F.lit("1999-01-01"))
@@ -449,14 +469,23 @@ def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MANIFEST_ORACLE = """
+-- non-finite money/quantity renders as its IEEE class token so the
+-- checksum stays TOTAL over corrupt rows (r11 extremes sweep; see
+-- operators/integrity.render_scaled_int)
 WITH h AS (
   SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
          CAST(('0x' || substr(sha256(concat_ws('|',
              l_orderkey::VARCHAR, l_linenumber::VARCHAR,
              l_partkey::VARCHAR, l_suppkey::VARCHAR,
-             CAST(ROUND(l_quantity) AS BIGINT)::VARCHAR,
-             CAST(ROUND(l_extendedprice * 100) AS BIGINT)::VARCHAR,
-             CAST(ROUND(l_discount * 100) AS BIGINT)::VARCHAR,
+             CASE WHEN isfinite(l_quantity) THEN CAST(ROUND(l_quantity) AS BIGINT)::VARCHAR
+                  WHEN isnan(l_quantity) THEN 'nan'
+                  WHEN l_quantity > 0 THEN 'inf' ELSE '-inf' END,
+             CASE WHEN isfinite(l_extendedprice) THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)::VARCHAR
+                  WHEN isnan(l_extendedprice) THEN 'nan'
+                  WHEN l_extendedprice > 0 THEN 'inf' ELSE '-inf' END,
+             CASE WHEN isfinite(l_discount) THEN CAST(ROUND(l_discount * 100) AS BIGINT)::VARCHAR
+                  WHEN isnan(l_discount) THEN 'nan'
+                  WHEN l_discount > 0 THEN 'inf' ELSE '-inf' END,
              l_returnflag, l_linestatus)), 1, 7)) AS BIGINT) AS rh
   FROM lineitem
 )
@@ -477,7 +506,7 @@ def lineitem_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     match here IS that cross-engine guarantee. One aggregate pass;
     manifests re-aggregate to coarser grains because the checksum is
     a sum."""
-    from ..operators.integrity import partition_manifest
+    from ..operators.integrity import partition_manifest, render_scaled_int
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"].withColumn(
         "ship_month", F.date_format("l_shipdate", "yyyy-MM")
@@ -487,9 +516,9 @@ def lineitem_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber"),
         F.col("l_partkey"),
         F.col("l_suppkey"),
-        F.round("l_quantity").cast("long"),
-        F.round(F.col("l_extendedprice") * 100).cast("long"),
-        F.round(F.col("l_discount") * 100).cast("long"),
+        render_scaled_int(F.col("l_quantity")),
+        render_scaled_int(F.col("l_extendedprice"), 100),
+        render_scaled_int(F.col("l_discount"), 100),
         F.col("l_returnflag"),
         F.col("l_linestatus"),
     ]
@@ -879,10 +908,17 @@ def dpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     plain_row = plain.first()
-    matches = (
-        dpp_row["n_events"] == plain_row["n_events"]
-        and dpp_row["total_value"] == plain_row["total_value"]
+    # NaN-safe: a NaN total (non-finite value in the source) is the
+    # same through both plans, but NaN != NaN would read as a DPP
+    # result divergence (r11 extremes sweep)
+    dv, pv = dpp_row["total_value"], plain_row["total_value"]
+    totals_equal = dv == pv or (
+        isinstance(dv, float)
+        and isinstance(pv, float)
+        and math.isnan(dv)
+        and math.isnan(pv)
     )
+    matches = dpp_row["n_events"] == plain_row["n_events"] and totals_equal
     return plain.select(
         "n_events",
         "total_value",
@@ -902,9 +938,15 @@ WITH h AS (
          CAST(('0x' || substr(sha256(concat_ws('|',
              l_orderkey::VARCHAR, l_linenumber::VARCHAR,
              l_partkey::VARCHAR, l_suppkey::VARCHAR,
-             CAST(ROUND(l_quantity) AS BIGINT)::VARCHAR,
-             CAST(ROUND(l_extendedprice * 100) AS BIGINT)::VARCHAR,
-             CAST(ROUND(l_discount * 100) AS BIGINT)::VARCHAR,
+             CASE WHEN isfinite(l_quantity) THEN CAST(ROUND(l_quantity) AS BIGINT)::VARCHAR
+                  WHEN isnan(l_quantity) THEN 'nan'
+                  WHEN l_quantity > 0 THEN 'inf' ELSE '-inf' END,
+             CASE WHEN isfinite(l_extendedprice) THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)::VARCHAR
+                  WHEN isnan(l_extendedprice) THEN 'nan'
+                  WHEN l_extendedprice > 0 THEN 'inf' ELSE '-inf' END,
+             CASE WHEN isfinite(l_discount) THEN CAST(ROUND(l_discount * 100) AS BIGINT)::VARCHAR
+                  WHEN isnan(l_discount) THEN 'nan'
+                  WHEN l_discount > 0 THEN 'inf' ELSE '-inf' END,
              l_returnflag, l_linestatus)), 1, 7)) AS BIGINT) AS rh
   FROM lineitem WHERE l_shipdate IS NOT NULL
 ),
@@ -939,7 +981,7 @@ def manifest_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves the checksum algebra, not just the row counts. At
     100 TB: the comparison moves two manifest frames (one row per
     partition), never the tables."""
-    from ..operators.integrity import manifest_diff, partition_manifest
+    from ..operators.integrity import manifest_diff, partition_manifest, render_scaled_int
 
     # NULL ship dates belong to no partition — excluded from both
     # manifests, mirroring the oracle (r11 nulls sweep; see the
@@ -958,9 +1000,9 @@ def manifest_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber"),
         F.col("l_partkey"),
         F.col("l_suppkey"),
-        F.round("l_quantity").cast("long"),
-        F.round(F.col("l_extendedprice") * 100).cast("long"),
-        F.round(F.col("l_discount") * 100).cast("long"),
+        render_scaled_int(F.col("l_quantity")),
+        render_scaled_int(F.col("l_extendedprice"), 100),
+        render_scaled_int(F.col("l_discount"), 100),
         F.col("l_returnflag"),
         F.col("l_linestatus"),
     ]
@@ -972,12 +1014,19 @@ def manifest_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OBSERVE_ORACLE = """
+    -- non-finite values are NULLed at input: one NaN makes every
+    -- total NaN, and NaN != NaN turns the engine's observed-vs-
+    -- recomputed equality check False (r11 extremes sweep)
+    WITH ev AS (
+      SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value)
+      FROM events
+    )
     SELECT CAST(ts AS DATE) AS event_date,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(value), 2) AS day_value,
            TRUE AS observed_rows_match,
            TRUE AS observed_sum_matches
-    FROM events GROUP BY 1
+    FROM ev GROUP BY 1
 """
 
 
@@ -994,7 +1043,12 @@ def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     looks like when it's free."""
     from pyspark.sql import Observation
 
-    ev = load_tables(spark, sf_dir, "events")["events"]
+    # non-finite values NULLed at input: a NaN total would fail the
+    # observed-vs-recomputed equality vacuously (NaN != NaN) — r11
+    # extremes sweep
+    ev = load_tables(spark, sf_dir, "events")["events"].withColumn(
+        "value", cst.finite_or_null(F.col("value"))
+    )
     if ev.isEmpty():
         # no task ever runs over an empty source, so the observation
         # side channel never populates and obs.get would hang/fail —
@@ -1248,8 +1302,13 @@ def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_good,
            CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS BIGINT)
              AS n_corrupt,
+           -- a non-finite price has no DECIMAL/CSV rendering: it
+           -- serializes as an explicit empty field exactly like NULL
+           -- and reads back NULL (r11 extremes sweep)
            CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
-                         THEN CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))
+                         THEN CASE WHEN isfinite(o_totalprice)
+                                   THEN CAST(ROUND(o_totalprice, 2)
+                                             AS DECIMAL(18,2)) END
                          ELSE 0 END) AS DOUBLE)              AS good_total,
            TRUE AS corrupt_rows_quarantined,
            TRUE AS good_rows_parse_exactly
@@ -1290,8 +1349,12 @@ def csv_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # NULL *or non-finite* prices serialize as the explicit empty
+    # field and must read back as exactly-as-many NULLs (a NaN/Inf
+    # price has no DECIMAL/CSV rendering; r11 extremes sweep)
     n_src_null_good = orders.filter(
-        (F.col("o_orderkey") % 97 != 0) & F.col("o_totalprice").isNull()
+        (F.col("o_orderkey") % 97 != 0)
+        & cst.finite_or_null(F.col("o_totalprice")).isNull()
     ).count()
     tmp = tempfile.mkdtemp(prefix="csv_quar_")
     try:
@@ -1356,7 +1419,9 @@ def csv_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(regexp_replace(regexp_replace(
              c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
              '[0-9]', 'n', 'g')                          AS name_masked,
-           CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+           CASE WHEN isfinite(c_acctbal)
+                THEN CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT)
+           END AS acctbal_band,
            c_mktsegment
     FROM customer
     WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
@@ -1379,7 +1444,9 @@ def masked_customer_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_custkey",
         F.mask("c_name").alias("name_masked"),
-        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        # a non-finite balance has no band: NULL, not a long-overflow
+        # abort (r11 extremes sweep)
+        (F.floor(cst.finite_or_null(F.col("c_acctbal")) / 1000) * 1000)
         .cast("bigint")
         .alias("acctbal_band"),
         "c_mktsegment",
@@ -2199,6 +2266,16 @@ def aqe_skew_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             plain_row, plain_plan = run()
 
     n_skewed = split_plan.count("skew=true")
+    # NaN-safe: a NaN total (non-finite price in the source) is the
+    # same with and without skew splitting, but NaN != NaN would read
+    # as a split-changed-the-result failure (r11 extremes sweep)
+    sv, pv = split_row["total_value"], plain_row["total_value"]
+    totals_equal = sv == pv or (
+        isinstance(sv, float)
+        and isinstance(pv, float)
+        and math.isnan(sv)
+        and math.isnan(pv)
+    )
     return spark.createDataFrame(
         [
             (
@@ -2206,8 +2283,7 @@ def aqe_skew_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 split_row["total_value"],
                 n_skewed,
                 n_skewed >= 1 and "skew=true" not in plain_plan,
-                split_row["n_rows"] == plain_row["n_rows"]
-                and split_row["total_value"] == plain_row["total_value"],
+                split_row["n_rows"] == plain_row["n_rows"] and totals_equal,
             )
         ],
         "n_rows long, total_value double, n_skewed_joins long,"
@@ -2365,7 +2441,20 @@ def aqe_coalesce_partitions_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 
     coalesced = "coalesced" in co_plan and "coalesced" not in ctl_plan
     reduced = co_parts < ctl_parts and ctl_parts == 64
-    matches = sorted(map(tuple, co_rows)) == sorted(map(tuple, ctl_rows))
+
+    # NaN-safe: a NaN group total (non-finite price in the source) is
+    # the same with and without coalescing, but NaN != NaN would read
+    # as a coalesce-changed-the-result failure (r11 extremes sweep)
+    def _canon(rows):
+        return sorted(
+            tuple(
+                "NaN" if isinstance(v, float) and math.isnan(v) else v
+                for v in r
+            )
+            for r in rows
+        )
+
+    matches = _canon(co_rows) == _canon(ctl_rows)
     return spark.createDataFrame(
         [
             (r["g"], r["n_orders"], r["total_value"], coalesced, reduced, matches)
@@ -2491,8 +2580,29 @@ def multi_table_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     float(total),
                     bool(
                         crashed
-                        and mixed_rollup == v1_rollup  # rollup still gen 1
-                        and abs(mixed_fact_total - total) < 0.02  # fact gen 2
+                        # rollup still gen 1 / fact gen 2 — NaN-safe:
+                        # a NaN day total (non-finite value in the
+                        # source) is the same NaN in both generations'
+                        # readbacks, but NaN != NaN would read as
+                        # "not mixed" (r11 extremes sweep)
+                        and set(mixed_rollup) == set(v1_rollup)
+                        and all(
+                            mixed_rollup[k] == v1_rollup[k]
+                            or (
+                                isinstance(mixed_rollup[k], float)
+                                and isinstance(v1_rollup[k], float)
+                                and math.isnan(mixed_rollup[k])
+                                and math.isnan(v1_rollup[k])
+                            )
+                            for k in v1_rollup
+                        )
+                        and (
+                            abs(mixed_fact_total - total) < 0.02
+                            or (
+                                math.isnan(mixed_fact_total)
+                                and math.isnan(total)
+                            )
+                        )
                     ),
                     bool(report["rolled_forward"] == 1),
                     bool(diff == 0),
@@ -2579,8 +2689,21 @@ def join_order_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # NaN-safe row canonicalization: a NaN revenue (non-finite price
+    # in the source) is the same through both strategies, but
+    # NaN != NaN would read as a strategy divergence (r11 extremes
+    # sweep)
+    def _canon_rows(rows):
+        return {
+            tuple(
+                "NaN" if isinstance(v, float) and math.isnan(v) else v
+                for v in r
+            )
+            for r in rows
+        }
+
     bcast = star()
-    bcast_rows = {tuple(r) for r in bcast.collect()}
+    bcast_rows = _canon_rows(bcast.collect())
     bcast_plan = _final_plan(bcast)
     with _with_conf(
         spark,
@@ -2590,7 +2713,7 @@ def join_order_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ):
         smj = star()
-        smj_rows = {tuple(r) for r in smj.collect()}
+        smj_rows = _canon_rows(smj.collect())
         smj_plan = _final_plan(smj)
 
     db_tables = {
@@ -2758,6 +2881,15 @@ def zstd_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         ).first()
         va, vb = agg(ra), agg(rb)
+
+        # NaN-safe: a NaN total (non-finite price in the source) still
+        # round-trips identically, but NaN != NaN would read as a
+        # failed round-trip (r11 extremes sweep)
+        def _eq(x, y):
+            if isinstance(x, float) and isinstance(y, float):
+                return x == y or (math.isnan(x) and math.isnan(y))
+            return x == y
+
         return spark.createDataFrame(
             [
                 (
@@ -2768,7 +2900,7 @@ def zstd_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bool(default_dict),
                     bool(nodict_plain),
                     bool(dict_smaller),
-                    bool(tuple(va) == tuple(vb)),
+                    bool(all(_eq(x, y) for x, y in zip(tuple(va), tuple(vb)))),
                 )
             ],
             "n_rows long, n_flags long, total_price double,"
@@ -2864,8 +2996,23 @@ def stats_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"n_name STRING) USING parquet LOCATION '{loc}'"
             )
             spark.sql(f"ANALYZE TABLE {dim_name} COMPUTE STATISTICS")
+            # NaN-safe row canonicalization: a NaN total (non-finite
+            # price in the source) is stable across the three runs,
+            # but NaN != NaN would read as instability (r11 extremes
+            # sweep)
+            def _canon(rows):
+                return {
+                    tuple(
+                        "NaN"
+                        if isinstance(v, float) and math.isnan(v)
+                        else v
+                        for v in r
+                    )
+                    for r in rows
+                }
+
             fresh = static_plan()
-            fresh_rows = {tuple(r) for r in q().collect()}
+            fresh_rows = _canon(q().collect())
 
             # bulk-append ~60k NON-MATCHING rows OUT OF BAND: straight
             # to the location, never through the catalog — REFRESH makes
@@ -2877,11 +3024,11 @@ def stats_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).write.mode("append").parquet(loc)
             spark.sql(f"REFRESH TABLE {dim_name}")
             stale = static_plan()
-            stale_rows = {tuple(r) for r in q().collect()}
+            stale_rows = _canon(q().collect())
 
             spark.sql(f"ANALYZE TABLE {dim_name} COMPUTE STATISTICS")
             refreshed = static_plan()
-            refreshed_rows = {tuple(r) for r in q().collect()}
+            refreshed_rows = _canon(q().collect())
             # data-condition the plan-shape claim: the re-analyzed
             # plan is only REQUIRED to shuffle when the refreshed
             # catalog size actually exceeds the broadcast threshold —
@@ -3052,6 +3199,15 @@ def parquet_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             dict_suppressed = bool(offs["user_id"] == -1)
             size_increased = bool(size_b > size_c)
         sv = None if src["v"] is None else float(src["v"])
+        # NaN-safe: a NaN total (non-finite value in the source) still
+        # round-trips exactly, but NaN != NaN would read as a failed
+        # round-trip (r11 extremes sweep)
+        totals_equal = total_value == sv or (
+            isinstance(total_value, float)
+            and isinstance(sv, float)
+            and math.isnan(total_value)
+            and math.isnan(sv)
+        )
         return spark.createDataFrame(
             [
                 (
@@ -3061,7 +3217,7 @@ def parquet_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bloom_written,
                     dict_suppressed,
                     size_increased,
-                    n_rows == src["n"] and total_value == sv,
+                    n_rows == src["n"] and totals_equal,
                 )
             ],
             "n_rows long, total_value double, n_point_rows long,"

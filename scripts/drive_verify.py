@@ -62,6 +62,22 @@ SAMPLE = [
     # merge, None-safe streaming readouts, explicit NULL window
     # placement, NULL-group filtering on both sides, decimal sums,
     # scale-gated layout booleans
+    # round-11 diff: extreme-value hardening (NaN/Inf quarantine in the
+    # similarity/ANN family, zero-token text ratio guards, filtered-
+    # token oracle parity in the jaccard family)
+    "bpe_token_counts", "doc_token_stats", "doc_quality_filter",
+    "doc_difficulty_buckets", "quality_classifier_scores",
+    "curation_pipeline_report", "lang_stats", "dedup_keep_best",
+    "ann_ivfpq_topk", "cosine_topk", "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh", "jaccard_dup_pairs", "dup_clusters",
+    "price_percentiles", "brand_price_quartiles", "brand_price_disc_stats",
+    "line_dedup_stats", "source_priority_dedup", "stream_running_totals",
+    "stream_user_profile", "events_json_stats", "events_props_lateral",
+    "props_map_stats", "revenue_ewma_by_nation",
+    "value_outliers", "revenue_trend_by_nation", "label_feature_corr",
+    "embedding_outlier_quarantine", "returns_pivot_by_year",
+    "quantity_price_skyline", "lineitem_integrity_manifest",
+    "decimal_revenue_exact", "lang_quality_geomean",
     "multimodal_features", "video_frame_sample", "audio_level_stats",
     "manifest_repair_diff", "lang_id_heuristic",
     "price_percentiles_approx", "incremental_monthly_revenue",
