@@ -48,33 +48,36 @@ _PRIORITY = [
     #    for the FIRST 50 only — round 7 proved that by starving the
     #    10-name tail, so this list is kept at the window size and
     #    tests/test_oracle.py enforces the invariant mechanically).
-    #    Round-7 formula: CHANGED queries first, then the stalest
-    #    cohort. This round changed 27 queries — the 6 r10-tail
-    #    NULL-crash fixes (landed after the r10 artifact, so still
-    #    driver-unwitnessed), the 4 advisory-fix queries, and the 17
-    #    nulls-sweep parity fixes (oracle text and/or plan changed;
-    #    every one re-proven locally Spark-vs-DuckDB at sf0.01 AND on
-    #    the nulls fixture, 250/250 sweep-clean, plus empty K=0/K=1
-    #    re-runs). 27 changed take 27 slots; the remaining 23 go to
-    #    the stalest unchanged names: all 7 r3 + the 16 alphabetically
-    #    first of the 30 unchanged r4 names. Unchanged r4 names that
-    #    ride in round 12 (14): nation_trade_pagerank
-    #    nullsafe_segment_match orders_key_skew_audit
-    #    quantity_price_skyline revenue_ewma_by_nation
-    #    scd2_pointintime_join session_window_rollup
-    #    source_drift_audit stratified_doc_sample
-    #    stream_dedup_then_rollup stream_quality_gate
-    #    temperature_mix_weights vocab_coverage_stats
-    #    weekly_revenue_iso.
+    #    Round-7 formula: CHANGED queries first, then the stalest.
+    #    Round 11 changed TWO waves of queries: (a) the 27 from the
+    #    nulls/advisory wave (6 r10-tail NULL-crash fixes + 4 advisory
+    #    + 17 nulls-parity — driver-unwitnessed, landed after the r10
+    #    artifact), and (b) the 63 extreme-value-sweep parity fixes
+    #    (NaN/Inf, zero vectors, hostile text, malformed JSON —
+    #    scripts/extremes_sweep.py, 250/250 clean; 9 overlap wave a).
+    #    81 distinct changed names exceed the window, so the 50 slots
+    #    go to all 27 of wave (a) plus the 23 wave-(b) names with the
+    #    OLDEST driver rows (1 r3 + 7 r4 + 5 r6 + 10 r7). Riding to
+    #    round 12: the 31 remaining wave-(b) names (all with r8–r10
+    #    rows, each re-proven locally at sf0.01 by scripts/
+    #    drive_verify.py ALL GREEN and on all four degenerate
+    #    fixtures) and the unchanged stale cohort (6 r3 + 30 r4 — all
+    #    42 of those were independently re-proven green by the r10
+    #    judge, so their staleness is cosmetic).
     # (1) the 6 r10-tail NULL-payload crash fixes.
     "compression_ratio_signal", "audio_level_stats",
     "multimodal_features", "video_frame_sample",
     "stream_dimension_merge", "stream_rocksdb_changelog_restart",
     # (2) the 4 advisory-fix queries (tracked persist pins, volume-
-    #     gated kmv presence probe).
+    #     gated kmv presence probe). orders_pareto also carries this
+    #     round's extremes fixes (finite money + exact half-up avg).
     "orders_pareto", "customer_rfm_segments",
     "perplexity_curriculum_mix", "kmv_overlap_audit",
-    # (3) the 17 nulls-sweep parity fixes.
+    # (3) the 17 nulls-sweep parity fixes (9 of them also carry
+    #     extremes fixes: lang_quality_geomean, manifest_repair_diff,
+    #     source_priority_dedup, csv_quarantine_audit,
+    #     stats_staleness_audit, incremental_monthly_revenue,
+    #     stream_fx_enrich, zorder_skip_audit).
     "order_value_quartiles", "order_rank_in_customer_history",
     "latest_order_per_customer", "feature_hash_audit",
     "kmv_distinct_users", "price_percentiles_approx",
@@ -83,19 +86,20 @@ _PRIORITY = [
     "csv_quarantine_audit", "stats_staleness_audit",
     "incremental_monthly_revenue", "retractable_view_maintenance",
     "stream_fx_enrich", "zorder_skip_audit",
-    # (4) the full r3-stale cohort (7).
-    "supplier_revenue_share", "token_budget_mix",
-    "top_revenue_supplier", "user_event_bigrams", "value_outliers",
-    "wav_header_stats", "weighted_doc_sample",
-    # (5) the 16 alphabetically-first unchanged r4-stale names.
-    "bpe_merge_step", "brand_price_quartiles",
-    "copurchase_association_rules", "copurchase_triangle_stats",
-    "curation_pipeline_report", "decimal_revenue_exact",
-    "doc_bigram_perplexity", "doc_perplexity_filter",
-    "doc_stride_spans", "embedding_covariance_probe",
-    "fb_campaign_roas", "gopher_quality_filter",
-    "incremental_dedup_new_docs", "longest_order_gap",
-    "masked_customer_extract", "nation_revenue_share_of_parent",
+    # (4) the 23 stalest extremes-wave names: r3 (1), r4 (7), r6 (5),
+    #     r7 (10).
+    "value_outliers",
+    "brand_price_quartiles", "curation_pipeline_report",
+    "decimal_revenue_exact", "embedding_covariance_probe",
+    "masked_customer_extract", "quantity_price_skyline",
+    "revenue_ewma_by_nation",
+    "brand_price_disc_stats", "embedding_outlier_quarantine",
+    "events_props_lateral", "line_dedup_stats",
+    "quality_classifier_scores",
+    "bpe_token_counts", "cosine_topk", "doc_quality_filter",
+    "doc_token_stats", "events_json_stats", "jaccard_dup_pairs",
+    "join_order_cost_audit", "lang_stats", "price_percentiles",
+    "stream_partial_session_eviction",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to

@@ -78,15 +78,21 @@ def cosine_topk(
     Scale: queries broadcast (small side), corpus streams — a map-only
     stage plus the per-query top-k window (WindowGroupLimit pushes the
     k-filter below the shuffle)."""
+    # quarantine = finite-elements predicate + a filter on the norm
+    # ALREADY computed for scoring (not valid_vectors, which would
+    # recompute the O(d) norm a second time per row — r11 extremes
+    # sweep; same exclusion semantics)
     q = (
-        queries.filter(valid_vectors(vec_col))
+        queries.filter(finite_vectors(vec_col))
         .select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
         .withColumn("qn", _norm(F.col("qv")))
+        .filter(F.col("qn") > 0)
     )
     c = (
-        embeddings.filter(valid_vectors(vec_col))
+        embeddings.filter(finite_vectors(vec_col))
         .select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
         .withColumn("cn", _norm(F.col("cv")))
+        .filter(F.col("cn") > 0)
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -131,9 +137,10 @@ def embedding_dup_pairs(
     (BLAS per-bucket candidate matmul, int-only dedup exchange,
     HOF-exact re-verify) — shared with the IVF algebra."""
     base = (
-        embeddings.filter(valid_vectors(vec_col))
+        embeddings.filter(finite_vectors(vec_col))
         .select(F.col(id_col), _as_double(vec_col).alias("v"))
         .withColumn("n", _norm(F.col("v")))
+        .filter(F.col("n") > 0)
     )
     if exact:
         a = base.select(
@@ -348,9 +355,10 @@ def embedding_dup_pairs_ivf(
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, vec_col, n_lists=n_lists)
     base = (
-        embeddings.filter(valid_vectors(vec_col))
+        embeddings.filter(finite_vectors(vec_col))
         .select(F.col(id_col), _as_double(vec_col).alias("v"))
         .withColumn("n", _norm(F.col("v")))
+        .filter(F.col("n") > 0)
     )
     cells = base.withColumn(
         "__cell", F.explode(_ivf_cells("v", centroids, assign))
@@ -562,12 +570,24 @@ def ivf_cosine_topk(
         centroids = train_ivf_centroids(embeddings, vec_col, n_lists=n_lists)
     eb = embeddings.withColumn("__cell", F.explode(_ivf_cells(vec_col, centroids, assign)))
     qb = queries.withColumn("__cell", F.explode(_ivf_cells(vec_col, centroids, nprobe)))
-    q = qb.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"), F.col("__cell")
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = eb.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"), F.col("__cell")
-    ).withColumn("cn", _norm(F.col("cv")))
+    q = (
+        qb.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("qv"),
+            F.col("__cell"),
+        )
+        .withColumn("qn", _norm(F.col("qv")))
+        .filter(F.col("qn") > 0)
+    )
+    c = (
+        eb.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("cv"),
+            F.col("__cell"),
+        )
+        .withColumn("cn", _norm(F.col("cv")))
+        .filter(F.col("cn") > 0)
+    )
     scored = (
         c.join(F.broadcast(q), ["__cell"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -610,12 +630,24 @@ def lsh_cosine_topk(
     qb = queries.filter(valid_vectors(vec_col)).withColumn(
         "__cell", F.explode(_table_buckets(vec_col, n_planes, dim, n_tables, multiprobe))
     )
-    q = qb.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"), F.col("__cell")
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = eb.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"), F.col("__cell")
-    ).withColumn("cn", _norm(F.col("cv")))
+    q = (
+        qb.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("qv"),
+            F.col("__cell"),
+        )
+        .withColumn("qn", _norm(F.col("qv")))
+        .filter(F.col("qn") > 0)
+    )
+    c = (
+        eb.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("cv"),
+            F.col("__cell"),
+        )
+        .withColumn("cn", _norm(F.col("cv")))
+        .filter(F.col("cn") > 0)
+    )
     scored = (
         c.join(F.broadcast(q), ["__cell"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -479,13 +479,13 @@ WITH h AS (
              l_partkey::VARCHAR, l_suppkey::VARCHAR,
              CASE WHEN isfinite(l_quantity) THEN CAST(ROUND(l_quantity) AS BIGINT)::VARCHAR
                   WHEN isnan(l_quantity) THEN 'nan'
-                  WHEN l_quantity > 0 THEN 'inf' ELSE '-inf' END,
+                  WHEN l_quantity > 0 THEN 'inf' WHEN l_quantity < 0 THEN '-inf' END,
              CASE WHEN isfinite(l_extendedprice) THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)::VARCHAR
                   WHEN isnan(l_extendedprice) THEN 'nan'
-                  WHEN l_extendedprice > 0 THEN 'inf' ELSE '-inf' END,
+                  WHEN l_extendedprice > 0 THEN 'inf' WHEN l_extendedprice < 0 THEN '-inf' END,
              CASE WHEN isfinite(l_discount) THEN CAST(ROUND(l_discount * 100) AS BIGINT)::VARCHAR
                   WHEN isnan(l_discount) THEN 'nan'
-                  WHEN l_discount > 0 THEN 'inf' ELSE '-inf' END,
+                  WHEN l_discount > 0 THEN 'inf' WHEN l_discount < 0 THEN '-inf' END,
              l_returnflag, l_linestatus)), 1, 7)) AS BIGINT) AS rh
   FROM lineitem
 )
@@ -940,13 +940,13 @@ WITH h AS (
              l_partkey::VARCHAR, l_suppkey::VARCHAR,
              CASE WHEN isfinite(l_quantity) THEN CAST(ROUND(l_quantity) AS BIGINT)::VARCHAR
                   WHEN isnan(l_quantity) THEN 'nan'
-                  WHEN l_quantity > 0 THEN 'inf' ELSE '-inf' END,
+                  WHEN l_quantity > 0 THEN 'inf' WHEN l_quantity < 0 THEN '-inf' END,
              CASE WHEN isfinite(l_extendedprice) THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)::VARCHAR
                   WHEN isnan(l_extendedprice) THEN 'nan'
-                  WHEN l_extendedprice > 0 THEN 'inf' ELSE '-inf' END,
+                  WHEN l_extendedprice > 0 THEN 'inf' WHEN l_extendedprice < 0 THEN '-inf' END,
              CASE WHEN isfinite(l_discount) THEN CAST(ROUND(l_discount * 100) AS BIGINT)::VARCHAR
                   WHEN isnan(l_discount) THEN 'nan'
-                  WHEN l_discount > 0 THEN 'inf' ELSE '-inf' END,
+                  WHEN l_discount > 0 THEN 'inf' WHEN l_discount < 0 THEN '-inf' END,
              l_returnflag, l_linestatus)), 1, 7)) AS BIGINT) AS rh
   FROM lineitem WHERE l_shipdate IS NOT NULL
 ),
