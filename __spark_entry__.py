@@ -57,13 +57,19 @@ _PRIORITY = [
     #    scripts/extremes_sweep.py, 250/250 clean; 9 overlap wave a).
     #    81 distinct changed names exceed the window, so the 50 slots
     #    go to all 27 of wave (a) plus the 23 wave-(b) names with the
-    #    OLDEST driver rows (1 r3 + 7 r4 + 5 r6 + 10 r7). Riding to
-    #    round 12: the 31 remaining wave-(b) names (all with r8–r10
-    #    rows, each re-proven locally at sf0.01 by scripts/
-    #    drive_verify.py ALL GREEN and on all four degenerate
-    #    fixtures) and the unchanged stale cohort (6 r3 + 30 r4 — all
-    #    42 of those were independently re-proven green by the r10
-    #    judge, so their staleness is cosmetic).
+    #    OLDEST driver rows (1 r3 + 7 r4 + 5 r6 + 10 r7). A third wave
+    #    (c) — the 12 hostile-timestamp fixes from scripts/
+    #    dates_sweep.py (watermark-poisoning guards + 128-bit order
+    #    keys) — landed after the window filled; 2 of its names
+    #    (stream_dimension_merge, stream_rocksdb_changelog_restart)
+    #    already hold wave-(a) slots. Riding to round 12: the 31
+    #    remaining wave-(b) names, the 10 unseated wave-(c) names, and
+    #    the unchanged stale cohort (6 r3 + 30 r4 — all 42 of those
+    #    were independently re-proven green by the r10 judge, so their
+    #    staleness is cosmetic); every riding name is re-proven
+    #    locally at sf0.01 by scripts/drive_verify.py ALL GREEN and on
+    #    all FIVE degenerate fixtures (empty, one-row, nulls,
+    #    extremes, dates).
     # (1) the 6 r10-tail NULL-payload crash fixes.
     "compression_ratio_signal", "audio_level_stats",
     "multimodal_features", "video_frame_sample",

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming import (
+    EVENT_TIME_BOUND_SQL,
+    bound_event_time,
     daily_rollup,
     enrich_with_rates,
     join_event_streams,
@@ -68,13 +70,17 @@ def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sessionize",
     oracle="""
+    -- watermark-poisoning guard (r11 dates sweep): the engine bounds
+    -- event time at the stream source, because one corrupt far-future
+    -- event would advance the watermark past the live corpus and drop
+    -- everything after it; the oracle mirrors the bound
     WITH g AS (
       SELECT user_id, value, ts,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
                        > CAST(30 AS BIGINT) * 60 * 1000000
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01'
     ),
     s AS (
       SELECT user_id, value,
@@ -97,7 +103,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap) — the oracle recomputes sessions as a gaps-and-islands SQL
     (LAG + running SUM), proving the stateful operator's semantics."""
     sess = sessionize_stream(
-        read_event_stream(spark, f"{sf_dir}/events.parquet"), gap="30 minutes"
+        bound_event_time(read_event_stream(spark, f"{sf_dir}/events.parquet")),
+        gap="30 minutes",
     )
     tbl = _drain(sess, _qname("s_sess", sf_dir), "complete")
     return tbl.groupBy("user_id").agg(
@@ -287,6 +294,9 @@ def stream_fx_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND b.ts >= a.ts
      AND b.ts <= a.ts + INTERVAL 1 HOUR
     WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+      -- watermark-poisoning guard, mirrored (r11 dates sweep)
+      AND a.ts >= TIMESTAMP '1990-01-01' AND a.ts < TIMESTAMP '2100-01-01'
+      AND b.ts >= TIMESTAMP '1990-01-01' AND b.ts < TIMESTAMP '2100-01-01'
     """,
 )
 def stream_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,7 +305,8 @@ def stream_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides live streams with watermarks bounding the join state. On
     finite input the result must equal the batch interval self-join —
     which is exactly what the oracle computes."""
-    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    # watermark-poisoning guard (r11 dates sweep)
+    ev = bound_event_time(read_event_stream(spark, f"{sf_dir}/events.parquet"))
     views = ev.filter(F.col("event_type") == "view")
     purchases = ev.filter(F.col("event_type") == "purchase")
     joined = join_event_streams(views, purchases, within="1 hour")
@@ -312,9 +323,10 @@ def stream_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_ingest",
     oracle="""
+    -- watermark-poisoning guard, mirrored (r11 dates sweep)
     SELECT CAST(ts AS DATE)         AS date,
            CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events GROUP BY 1
+    FROM events WHERE ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01' GROUP BY 1
     """,
 )
 def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,7 +339,10 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import dedup_events
 
     src = f"{sf_dir}/events.parquet"
-    doubled = read_event_stream(spark, src).union(read_event_stream(spark, src))
+    # watermark-poisoning guard (r11 dates sweep)
+    doubled = bound_event_time(
+        read_event_stream(spark, src).union(read_event_stream(spark, src))
+    )
     clean = dedup_events(doubled)
     tbl = _drain(
         clean.select(F.to_date("ts").alias("date"), "event_id"),
@@ -340,13 +355,16 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_then_rollup",
     oracle="""
+    -- watermark-poisoning guard, mirrored on BOTH the rows and the
+    -- MAX(ts) watermark source (r11 dates sweep)
     SELECT CAST(ts AS DATE)          AS date,
            event_type,
            CAST(COUNT(*) AS BIGINT)  AS n_events,
            ROUND(SUM(value), 2)      AS total_value
     FROM events
     WHERE CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)
-          <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+          <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events WHERE ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01')
+      AND ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01'
     GROUP BY 1, 2
     """,
 )
@@ -365,8 +383,9 @@ def stream_dedup_then_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-engine check covers both the dedup exactness and the
     watermark finalization contract. Both stateful stores are
     watermark-bounded; state never grows past one day per key."""
-    s1 = read_event_stream(spark, f"{sf_dir}/events.parquet")
-    s2 = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    # watermark-poisoning guard (r11 dates sweep)
+    s1 = bound_event_time(read_event_stream(spark, f"{sf_dir}/events.parquet"))
+    s2 = bound_event_time(read_event_stream(spark, f"{sf_dir}/events.parquet"))
     st = (
         s1.unionByName(s2)
         .withWatermark("ts", "1 day")
@@ -434,13 +453,18 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stream_left_outer",
     oracle="""
+    -- watermark-poisoning guard, mirrored on both sides (r11 dates
+    -- sweep); the engine bounds the stream read-back, sentinel rows
+    -- (2099) stay inside the window
     SELECT p.event_id AS purchase_id, p.user_id,
            CAST(COALESCE(v.event_id, -1) AS BIGINT) AS view_id
     FROM events p
     LEFT JOIN events v
       ON v.user_id = p.user_id AND v.event_type = 'view'
      AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+     AND v.ts >= TIMESTAMP '1990-01-01' AND v.ts < TIMESTAMP '2100-01-01'
     WHERE p.event_type = 'purchase'
+      AND p.ts >= TIMESTAMP '1990-01-01' AND p.ts < TIMESTAMP '2100-01-01'
     """,
 )
 def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,7 +524,9 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(os.path.join(tmp, "_DONE"), "w").close()
 
     schema = _event_schema(T.TimestampType())
-    src = (
+    # watermark-poisoning guard on the read-back — stage-content-proof
+    # (r11 dates sweep); the 2099 sentinels stay inside the bound
+    src = bound_event_time(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp)
@@ -565,8 +591,11 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS date, event_type,
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM events
+      -- watermark-poisoning guard, mirrored on BOTH the rows and the
+      -- MAX(ts) watermark source (r11 dates sweep)
       WHERE CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)
-            <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+            <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events WHERE ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01')
+        AND ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01'
       GROUP BY 1, 2
     )
     SELECT date, event_type, n_events,
@@ -587,7 +616,8 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window can change until the window finalizes. Ranking input is
     #windows × #types rows (tiny at any scale); ties break on
     event_type for a total order."""
-    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    # watermark-poisoning guard (r11 dates sweep)
+    ev = bound_event_time(read_event_stream(spark, f"{sf_dir}/events.parquet"))
     st = (
         ev.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -663,11 +693,12 @@ def stream_rate_limit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_ttl",
     oracle="""
+    -- watermark-poisoning guard, mirrored (r11 dates sweep)
     SELECT event_type, CAST(h AS DATE) AS date,
            CAST(COUNT(*) AS BIGINT)    AS n_kept
     FROM (SELECT DISTINCT event_type, user_id,
                  date_trunc('hour', ts) AS h
-          FROM events)
+          FROM events WHERE ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01')
     GROUP BY 1, 2
     """,
 )
@@ -684,8 +715,11 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. State: O(active keys × 1 h), independent of
     stream length."""
     src = f"{sf_dir}/events.parquet"
-    doubled = read_event_stream(spark, src).unionByName(
-        read_event_stream(spark, src)
+    # watermark-poisoning guard (r11 dates sweep)
+    doubled = bound_event_time(
+        read_event_stream(spark, src).unionByName(
+            read_event_stream(spark, src)
+        )
     )
     deduped = (
         doubled.withColumn("h", F.date_trunc("hour", F.col("ts")))
@@ -786,8 +820,12 @@ def stream_atomic_sink_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(p.event_id, -1) AS purchase_id,
            COALESCE(v.event_id, -1) AS view_id,
            COALESCE(p.user_id, v.user_id) AS user_id
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    -- watermark-poisoning guard, mirrored on both sides (r11 dates
+    -- sweep)
+    FROM (SELECT * FROM events WHERE event_type = 'purchase'
+            AND ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view'
+            AND ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01') v
       ON v.user_id = p.user_id
      AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
     """,
@@ -816,7 +854,9 @@ def stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # first run (same slices + sentinels)
         stream_stream_left_outer(spark, sf_dir)
     schema = _event_schema(T.TimestampType())
-    src = (
+    # watermark-poisoning guard on the read-back — stage-content-proof
+    # (r11 dates sweep); the 2099 sentinels stay inside the bound
+    src = bound_event_time(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp)
@@ -870,10 +910,14 @@ def stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dimension_merge",
     oracle="""
+    -- HUGEINT key: a corrupt far-future/pre-1900 ts would overflow
+    -- the ×1e5 in INT64 on either engine — the engine orders by the
+    -- matching DECIMAL(38,0) key (r11 dates sweep)
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(max_by(value,
-                        (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        (epoch_us(ts)::HUGEINT
+                         - epoch_us(TIMESTAMP '2024-01-01'))
                         * 100000 + event_id), 2) AS last_value
     FROM events GROUP BY user_id
     """,
@@ -911,10 +955,17 @@ def stream_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="s_dim_merge_")
     state = {"version": -1}
-    # rebased to the corpus epoch: raw epoch-µs × 1e5 overflows int64
-    # (ANSI mode throws); 30 days of µs × 1e5 + event_id fits easily
+    # DECIMAL(38,0) key: the r11 nulls round rebased the epoch so the
+    # ×1e5 fit a long for SANE timestamps, but a corrupt far-future/
+    # pre-1900 ts (routine dirty data — r11 dates sweep) still
+    # overflows int64 under ANSI. Decimal widening matches the
+    # oracle's implicit HUGEINT arithmetic exactly; max_by orders
+    # decimals natively on both engines.
     ordkey = (
-        (F.unix_micros("ts") - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
+        (
+            F.unix_micros("ts").cast("decimal(38,0)")
+            - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+        )
         * F.lit(100000)
         + F.col("event_id")
     )
@@ -993,7 +1044,13 @@ def stream_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              ts
       FROM events
     ),
-    st AS (SELECT slice, COUNT(*) AS n, MAX(ts) AS mx FROM b GROUP BY 1)
+    -- watermark-poisoning guard (r11 dates sweep): the OBSERVED
+    -- pipeline bounds event time inside the stream, so the watermark
+    -- ladder tracks only bounded rows — while numInputRows is a
+    -- SOURCE-level metric and still counts every row read
+    st AS (SELECT slice, COUNT(*) AS n,
+                  MAX(CASE WHEN ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01' THEN ts END) AS mx
+           FROM b GROUP BY 1)
     -- COALESCE: an empty slice contributes 0 input rows, and with no
     -- rows before batch i the watermark never advances past 0
     -- (r10 empty sweep)
@@ -1042,8 +1099,12 @@ def watermark_lag_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp)
     )
+    # watermark-poisoning guard INSIDE the stream (r11 dates sweep):
+    # the watermark tracks bounded rows; numInputRows stays a
+    # source-level metric and still counts everything read
     agg = (
-        src.withWatermark("ts", "30 minutes")
+        bound_event_time(src)
+        .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 day"))
         .count()
     )
@@ -1446,13 +1507,16 @@ def stream_rocksdb_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_rocksdb_changelog_restart",
     oracle="""
+    -- watermark-poisoning guard, mirrored (r11 dates sweep): a
+    -- pre-epoch event is late even against the INITIAL watermark (0 =
+    -- 1970) and a far-future one would poison everything after it
     SELECT CAST(ts AS DATE)          AS date,
            event_type,
            CAST(COUNT(*) AS BIGINT)  AS n_events,
            ROUND(SUM(value), 2)      AS total_value,
            TRUE                      AS changelog_engaged,
            TRUE                      AS resumed_from_checkpoint
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01' GROUP BY 1, 2
     """,
 )
 def stream_rocksdb_changelog_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,7 +1623,8 @@ def stream_rocksdb_changelog_restart(spark: SparkSession, sf_dir: str) -> DataFr
             .parquet(land)
         )
         rollup = (
-            src.filter(F.col("user_id") >= 0)
+            bound_event_time(src)
+            .filter(F.col("user_id") >= 0)
             .withWatermark("ts", "1 day")
             .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
             .agg(
@@ -1848,14 +1913,17 @@ def stream_bloom_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     ),
     wm AS (
       -- COALESCE: with no rows before slice i the engine's watermark
-      -- never advances past 0 (r10 empty sweep)
+      -- never advances past 0 (r10 empty sweep). Watermark and state
+      -- track only BOUNDED rows (watermark-poisoning guard, r11
+      -- dates sweep) while n_input stays the raw source-level count.
       SELECT i,
              CASE WHEN i = 0 THEN 0
                   ELSE COALESCE((SELECT epoch_us(MAX(ts)) // 1000 * 1000
-                        FROM b WHERE slice < i) - 1800000000, 0) END AS wm_us
+                        FROM b WHERE slice < i AND ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01')
+                        - 1800000000, 0) END AS wm_us
       FROM unnest([0, 1, 2, 3, 4]) AS t(i)
     ),
-    keys AS (SELECT DISTINCT slice, d, event_type FROM b),
+    keys AS (SELECT DISTINCT slice, d, event_type FROM b WHERE ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01'),
     met AS (
       SELECT w.i AS batch_id,
              CAST(COALESCE((SELECT COUNT(*) FROM b WHERE slice = w.i), 0)
@@ -1921,8 +1989,12 @@ def state_store_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
     )
+    # watermark-poisoning guard INSIDE the stream (r11 dates sweep):
+    # watermark and state track bounded rows; numInputRows stays a
+    # source-level metric and still counts everything read
     agg = (
-        src.withWatermark("ts", "30 minutes")
+        bound_event_time(src)
+        .withWatermark("ts", "30 minutes")
         .filter(F.col("user_id") >= 0)
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .count()

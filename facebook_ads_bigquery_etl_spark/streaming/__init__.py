@@ -15,6 +15,8 @@ maps that model onto real Structured Streaming (SURVEY §2.7):
 """
 
 from .pipeline import (
+    EVENT_TIME_BOUND_SQL,
+    bound_event_time,
     daily_rollup,
     dedup_events,
     enrich_with_rates,
@@ -30,6 +32,8 @@ from .pipeline import (
 )
 
 __all__ = [
+    "EVENT_TIME_BOUND_SQL",
+    "bound_event_time",
     "daily_rollup",
     "dedup_events",
     "join_event_streams",

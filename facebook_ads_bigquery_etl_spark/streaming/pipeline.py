@@ -100,6 +100,33 @@ def read_event_stream(spark: SparkSession, source: str) -> DataFrame:
     return spark.readStream.schema(_event_schema(T.TimestampType())).parquet(source)
 
 
+# Watermark-poisoning guard (r11 dates sweep): ONE corrupt far-future
+# event advances the watermark past the entire live corpus and every
+# event-time pipeline silently drops everything that arrives after it
+# — the classic production streaming hazard (zeroed epochs, sentinel
+# 9999s, unit-confused parses are routine dirty data at 100 TB). Every
+# WATERMARKED pipeline bounds event time at the source; out-of-range
+# rows belong to a quarantine path, never to watermarked state.
+# Event-time-agnostic pipelines (running totals, profiles) are not
+# bounded — they have no watermark to poison.
+EVENT_TIME_LO = "1990-01-01"
+EVENT_TIME_HI = "2100-01-01"
+# DuckDB twin for batch oracles of bounded pipelines:
+EVENT_TIME_BOUND_SQL = (
+    "ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01'"
+)
+
+
+def bound_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Filter to the sane event-time validity window (see module-level
+    rationale above). Map-only, applied BELOW withWatermark."""
+    c = F.col(ts_col)
+    return df.filter(
+        (c >= F.lit(EVENT_TIME_LO).cast("timestamp"))
+        & (c < F.lit(EVENT_TIME_HI).cast("timestamp"))
+    )
+
+
 def daily_rollup(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Tumbling 1-day windows per event_type — the streaming twin of
     the reference's day-grain ingest (``time_increment=1``,

@@ -70,6 +70,10 @@ SAMPLE = [
     "curation_pipeline_report", "lang_stats", "dedup_keep_best",
     "ann_ivfpq_topk", "cosine_topk", "embedding_dup_pairs",
     "embedding_dup_pairs_lsh", "jaccard_dup_pairs", "dup_clusters",
+    # round-11 diff: hostile-timestamp hardening (watermark-poisoning
+    # guards + 128-bit newest-wins keys)
+    "stream_sessionize", "stream_dedup_ingest",
+    "stream_view_purchase_funnel",
     "price_percentiles", "brand_price_quartiles", "brand_price_disc_stats",
     "line_dedup_stats", "source_priority_dedup", "stream_running_totals",
     "stream_user_profile", "events_json_stats", "events_props_lateral",
