@@ -106,8 +106,13 @@ def dedup_clusters(
     the canonical (min-id) representative — the dedup'd corpus is
     ``filter(keep)``."""
     comp = connected_components(edges)
+    # identity grain: a replayed id (at-least-once upstream, r11
+    # duplicates sweep) is the SAME document — one membership row per
+    # identity, and cluster_size counts identities, not delivery
+    # copies. distinct() is a no-op on clean input.
     labeled = (
         docs.select(F.col(id_col))
+        .distinct()
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .select(
             id_col, F.coalesce("comp", F.col(id_col)).alias("cluster_rep")

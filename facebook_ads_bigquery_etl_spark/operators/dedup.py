@@ -139,6 +139,41 @@ def _spread(df: DataFrame) -> DataFrame:
 
 # -- exact -----------------------------------------------------------------
 
+def resolve_replays(
+    df: DataFrame, key_cols: list[str], order_cols: list[str] | None = None
+) -> DataFrame:
+    """Deterministic replay resolution for a keyed table: keep exactly
+    ONE row per primary key, chosen by a CONTENT-TOTAL order.
+
+    At-least-once upstream delivery routinely re-emits a record whose
+    payload drifted between attempts (a late-updated metric, a
+    re-rendered body) — the reference's own ingest has exactly this
+    failure mode (no insertId; reference main.py:86-89). Every
+    operator that assumes key-ness (1:1 joins, MERGE, key-tie-broken
+    windows, identity-keyed dedup) must see RESOLVED input, and the
+    resolution must be deterministic across engines and layouts: the
+    winner is the row with the greatest (order_cols…) tuple, falling
+    back to ALL non-key columns (descending, NULLS LAST via the
+    ascending-on-negated trick being unavailable for arbitrary types,
+    we order descending so NULLs sort last in Spark's default
+    desc-nulls-last). Ties beyond that are bit-identical rows, where
+    any winner is the same row.
+
+    One row_number window over one shuffle on the key — the same cost
+    as the dedup it protects. r11 duplicates sweep."""
+    from pyspark.sql.window import Window as _W
+
+    order_cols = order_cols or [c for c in df.columns if c not in key_cols]
+    w = _W.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc_nulls_last() for c in order_cols]
+    )
+    return (
+        df.withColumn("__rr_rn", F.row_number().over(w))
+        .filter(F.col("__rr_rn") == 1)
+        .drop("__rr_rn")
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of each exact-duplicate group.
     Groups on the 64-bit fingerprint (8-byte shuffle key). Rows with a
@@ -214,8 +249,20 @@ def jaccard_pairs(
     base = _spread(df).select(
         F.col(id_col), _shingle_hashes(text_col, ngram).alias("hs")
     )
-    sh = base.select(
-        F.col(id_col), F.size("hs").alias("sz"), F.explode("hs").alias("h")
+    # PK-violation safety (r11 duplicates sweep): an id replayed with
+    # drifted text (at-least-once upstream) used to emit one posting
+    # row PER COPY — the intersection then over-counted past
+    # |A| + |B| − inter and the Jaccard denominator went ≤ 0 (ANSI
+    # divide-by-zero abort). Postings are deduplicated per (id, h), so
+    # a replayed document contributes the UNION of its copies' shingle
+    # sets — exactly the oracle's SELECT DISTINCT (id, word) algebra.
+    # Unique-id inputs take the same plan with a no-op distinct.
+    from pyspark.sql.window import Window as _W
+
+    sh = (
+        base.select(F.col(id_col), F.explode("hs").alias("h"))
+        .dropDuplicates([id_col, "h"])
+        .withColumn("sz", F.count("*").over(_W.partitionBy(id_col)))
     )
     inter = (
         sh.alias("a")

@@ -3620,19 +3620,34 @@ def order_rank_in_customer_history(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "latest_order_per_customer",
     oracle="""
-    WITH k AS (
+    -- replay resolution (r11 duplicates sweep): a replayed
+    -- o_orderkey would tie the scalar ordering key AND fan out the
+    -- price join-back; one row per key survives, chosen by the
+    -- deterministic content-total order (operators/dedup.
+    -- resolve_replays twin)
+    WITH o0 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                 ORDER BY o_custkey DESC NULLS LAST,
+                          o_orderstatus DESC NULLS LAST,
+                          o_totalprice DESC NULLS LAST,
+                          o_orderdate DESC NULLS LAST,
+                          o_orderpriority DESC NULLS LAST) AS rn
+      FROM orders
+    ),
+    o_res AS (SELECT * EXCLUDE (rn) FROM o0 WHERE rn = 1),
+    k AS (
       SELECT o_custkey,
              arg_max(o_orderkey,
                      (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
                      * 10000000000 + o_orderkey)        AS latest_orderkey,
              CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS latest_date,
              CAST(COUNT(*) AS BIGINT)                   AS n_orders
-      FROM orders GROUP BY o_custkey
+      FROM o_res GROUP BY o_custkey
     )
     SELECT k.o_custkey, k.latest_orderkey,
            ROUND(o.o_totalprice, 2) AS latest_totalprice,
            k.latest_date, k.n_orders
-    FROM k JOIN orders o ON o.o_orderkey = k.latest_orderkey
+    FROM k JOIN o_res o ON o.o_orderkey = k.latest_orderkey
     """,
 )
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3648,7 +3663,13 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``arg_max(arg, val)`` SKIPS NULL args (it would silently
     substitute the newest PRICED order's price), so the oracle picks
     the row by key and joins back for its price (r11 nulls sweep)."""
-    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    from ..operators.dedup import resolve_replays
+
+    # replay resolution at ingest (r11 duplicates sweep): a replayed
+    # o_orderkey would tie the 'ties cannot exist' scalar ordering key
+    orders = resolve_replays(
+        load_tables(spark, sf_dir, "orders")["orders"], ["o_orderkey"]
+    )
     key = (
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
         .cast("bigint")

@@ -323,9 +323,13 @@ def stream_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_ingest",
     oracle="""
-    -- watermark-poisoning guard, mirrored (r11 dates sweep)
-    SELECT CAST(ts AS DATE)         AS date,
-           CAST(COUNT(*) AS BIGINT) AS n_events
+    -- watermark-poisoning guard, mirrored (r11 dates sweep);
+    -- COUNT(DISTINCT event_id): the exactly-once repair collapses a
+    -- replayed key to ONE row even when the payload drifted between
+    -- deliveries, and replays share their ts so the day is
+    -- well-defined (r11 duplicates sweep)
+    SELECT CAST(ts AS DATE)                         AS date,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
     FROM events WHERE ts >= TIMESTAMP '1990-01-01' AND ts < TIMESTAMP '2100-01-01' GROUP BY 1
     """,
 )

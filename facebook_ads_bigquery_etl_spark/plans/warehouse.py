@@ -1704,15 +1704,27 @@ def bloom_partition_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bloom_index_merge_maintenance",
     oracle="""
-    WITH ins AS (
+    -- replay resolution (r11 duplicates sweep): MERGE requires a
+    -- key-unique target and source; a replayed event_id (at-least-
+    -- once upstream) is resolved first by the deterministic
+    -- content-total order (operators/dedup.resolve_replays)
+    WITH ev0 AS (
+      SELECT event_id, user_id, value, CAST(ts AS DATE) AS d,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                 ORDER BY user_id DESC NULLS LAST, value DESC NULLS LAST,
+                          d DESC NULLS LAST) AS rn
+      FROM events
+    ),
+    evr AS (SELECT event_id, user_id, value, d FROM ev0 WHERE rn = 1),
+    ins AS (
       SELECT -event_id - 1        AS event_id,
              user_id + 1000000    AS user_id,
-             CAST(ts AS DATE)     AS d
-      FROM events
-      WHERE event_id % 5 = 0 AND CAST(ts AS DATE) < DATE '2024-01-11'
+             d
+      FROM evr
+      WHERE event_id % 5 = 0 AND d < DATE '2024-01-11'
     ),
     merged AS (
-      SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events
+      SELECT event_id, user_id, d FROM evr
       UNION ALL
       SELECT event_id, user_id, d FROM ins
     ),
@@ -1723,14 +1735,14 @@ def bloom_partition_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     touched AS (
       SELECT DISTINCT d FROM (
-        SELECT CAST(ts AS DATE) AS d FROM events
-        WHERE event_id % 7 = 0 AND CAST(ts AS DATE) < DATE '2024-01-11'
+        SELECT d FROM evr
+        WHERE event_id % 7 = 0 AND d < DATE '2024-01-11'
         UNION ALL SELECT d FROM ins)
     ),
     probe AS (
       SELECT MIN(user_id) + 1000000 AS u
-      FROM events
-      WHERE event_id % 5 = 0 AND CAST(ts AS DATE) < DATE '2024-01-11'
+      FROM evr
+      WHERE event_id % 5 = 0 AND d < DATE '2024-01-11'
     ),
     cand AS (
       SELECT i.d FROM idx i, probe p
@@ -1772,9 +1784,17 @@ def bloom_index_merge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     bit-for-bit — nothing pinned except the equality boolean."""
     from ..operators.incremental import merge_apply
 
+    from ..operators.dedup import resolve_replays
+
     events = load_tables(spark, sf_dir, "events")["events"]
-    fact0 = events.select(
-        "event_id", "user_id", "value", F.col("ts").cast("date").alias("d")
+    # replay resolution before the MERGE seam (r11 duplicates sweep):
+    # a replayed event_id would trip merge_apply's duplicate-source
+    # guard — resolve by the deterministic content-total order first
+    fact0 = resolve_replays(
+        events.select(
+            "event_id", "user_id", "value", F.col("ts").cast("date").alias("d")
+        ),
+        ["event_id"],
     )
     in_window = F.col("d") < F.lit("2024-01-11").cast("date")
     updates = fact0.filter((F.col("event_id") % 7 == 0) & in_window).select(

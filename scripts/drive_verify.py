@@ -74,6 +74,11 @@ SAMPLE = [
     # guards + 128-bit newest-wins keys)
     "stream_sessionize", "stream_dedup_ingest",
     "stream_view_purchase_funnel",
+    # round-11 diff: PK-violation hardening (identity-grain clusters,
+    # union-algebra jaccard postings, replay resolution at ingest)
+    "jaccard_dup_pairs", "dup_clusters", "dedup_keep_best",
+    "bloom_index_merge_maintenance", "latest_order_per_customer",
+    "minhash_dup_pairs",
     "price_percentiles", "brand_price_quartiles", "brand_price_disc_stats",
     "line_dedup_stats", "source_priority_dedup", "stream_running_totals",
     "stream_user_profile", "events_json_stats", "events_props_lateral",
