@@ -442,10 +442,18 @@ def minhash_dup_pairs(
     # cold-path cost at sf0.1). Size is O(docs × distinct shingles ×
     # 8B) — the same order as the input text, safe at any scale that
     # fits the input.
+    # Identity grain via UNION algebra (r11 duplicates sweep): a
+    # replayed id (same key, drifted text) contributes the union of
+    # its copies' shingle sets — the SAME algebra jaccard_pairs and
+    # the oracles use, so the LSH path and its exact-verify see one
+    # set per document. On clean input the groupBy collapses nothing;
+    # its exchange rides the id key the band join shuffles anyway.
     sh_df = _barrier(
         _spread(df)
         .select(F.col(id_col), _shingle_hashes(text_col, ngram).alias("shh"))
         .filter(F.size("shh") > 0)
+        .groupBy(id_col)
+        .agg(F.array_distinct(F.flatten(F.collect_list("shh"))).alias("shh"))
     )
     # Band hashes come from a materialized signature frame, NOT from
     # one giant expression that re-derives each permutation-min inside

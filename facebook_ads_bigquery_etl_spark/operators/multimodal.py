@@ -371,6 +371,13 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
     audio/video rows carry the utf-8 text bytes (stand-in for encoded
     media — those codecs aren't modeled). Exercises the binary column
     path end-to-end without external data."""
+    # the media table is KEYED by media_id = doc_id: a replayed doc
+    # (same id, drifted payload — at-least-once upstream) must yield
+    # ONE media row, resolved by the deterministic content-total
+    # order (r11 duplicates sweep). No-op on clean input.
+    from .dedup import resolve_replays
+
+    docs = resolve_replays(docs, ["doc_id"])
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -1314,7 +1321,10 @@ BMP_STATS_SCHEMA = T.StructType(
 
 def bmp_header_table(docs: DataFrame) -> DataFrame:
     """Synthesize real padded-row BMPs from the deterministic pixel
-    model and parse them back from wire bytes in a separate pass."""
+    model and parse them back from wire bytes in a separate pass.
+    Identity-grain: one BMP per doc_id even under replayed ids (the
+    payload is a pure function of the id; r11 duplicates sweep)."""
+    docs = docs.select("doc_id").distinct()
     enc, par, dims, rgb = bmp_encode, bmp_parse, image_dims, image_rgb
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -38,7 +38,16 @@ def pack_documents(
     (= start_offset // budget) within each ``part_cols`` stratum.
 
     Deterministic (ordering by ``order_col``), so results are stable
-    across runs/engines — the property the DuckDB oracle checks."""
+    across runs/engines — the property the DuckDB oracle checks.
+
+    Identity grain: ``order_col`` is the packer's TOTAL order, so a
+    replayed id (same key, drifted payload — at-least-once upstream,
+    r11 duplicates sweep) would make the running offset
+    engine-arbitrary between the copies; replays are resolved first
+    by the deterministic content-total order. No-op on clean input."""
+    from .dedup import resolve_replays
+
+    df = resolve_replays(df, [order_col])
     part_cols = part_cols or ["lang"]
     w = (
         Window.partitionBy(*part_cols)

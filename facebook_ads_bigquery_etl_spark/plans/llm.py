@@ -357,11 +357,21 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_sequence_packing",
     oracle="""
-    WITH toks AS (
+    WITH docs_r AS (
+      -- identity grain + replay resolution (r11 duplicates sweep):
+      -- doc_id is the packer's TOTAL order, so replays must resolve
+      -- to one row first (content-total winner)
+      SELECT doc_id, lang, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY text DESC NULLS LAST, lang DESC NULLS LAST,
+                     source DESC NULLS LAST, n_chars DESC NULLS LAST) AS __rn
+        FROM documents) WHERE __rn = 1
+    ),
+    toks AS (
       SELECT doc_id, lang,
              CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                   t -> t <> '')) AS BIGINT) AS n_tokens
-      FROM documents
+      FROM docs_r
     ), offs AS (
       SELECT doc_id, lang, n_tokens,
              -- CAST: DuckDB widens SUM(BIGINT) OVER to HUGEINT, which
@@ -491,6 +501,13 @@ _FINITE_VEC_SQL = """(embedding IS NOT NULL
 _VALID_VEC_SQL = f"""({_FINITE_VEC_SQL} AND len(embedding) > 0
       AND list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0)"""
+# Identity-grain twin of operators.dedup.resolve_replays over the
+# embeddings table (r11 duplicates sweep): one row per vec_id, winner
+# = greatest (embedding, label) content tuple.
+_RESOLVED_EMB_SQL = """(SELECT vec_id, embedding, label FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY embedding DESC NULLS LAST, label DESC NULLS LAST) AS __rn
+      FROM embeddings) WHERE __rn = 1)"""
 
 _COS_ORACLE = f"""
     WITH v AS (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}),
@@ -636,11 +653,12 @@ def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_DUP_AUDIT_ORACLE = f"""
     WITH n AS (
+      -- identity grain: replays resolve first (r11 duplicates sweep)
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings WHERE {_VALID_VEC_SQL}
+      FROM {_RESOLVED_EMB_SQL} WHERE {_VALID_VEC_SQL}
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
            TRUE AS precision_ok, TRUE AS recall_ok
@@ -657,7 +675,11 @@ def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction). Emitted as the accuracy-bound audit row vs the
     exact all-pairs baseline (DuckDB recomputes the true pair count;
     recall floor 70%, also asserted in tests/test_llm_ops.py)."""
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # identity grain: vec_id replays resolve first (r11 duplicates
+    # sweep; deterministic content-total winner)
+    emb = dd.resolve_replays(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"], ["vec_id"]
+    )
     found = sim.embedding_dup_pairs(emb, threshold=0.4, exact=False).select(
         F.col("a_id"), F.col("b_id")
     )
@@ -697,12 +719,22 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     oracle="""
-    WITH av AS (
+    -- identity grain (r11 duplicates sweep): one media row per
+    -- doc_id, the audio/video payload from the replay-resolution
+    -- winner (greatest content tuple — operators/dedup.resolve_replays)
+    WITH docs_r AS (
+      SELECT doc_id, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY text DESC NULLS LAST, lang DESC NULLS LAST,
+                     source DESC NULLS LAST, n_chars DESC NULLS LAST) AS __rn
+        FROM documents) WHERE __rn = 1
+    ),
+    av AS (
       SELECT CASE doc_id % 3 WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
              strlen(text)                        AS n_bytes,
              substr(sha256(text), 1, 16)         AS payload_key,
              CAST(NULL AS INTEGER)               AS width
-      FROM documents WHERE doc_id % 3 <> 0
+      FROM docs_r WHERE doc_id % 3 <> 0
     ),
     img AS (
       -- the PNG payload is a pure function of (doc_id%9, doc_id%7,
@@ -714,7 +746,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(doc_id % 7 AS VARCHAR) || ':' ||
              CAST(doc_id % 256 AS VARCHAR)                   AS payload_key,
              CAST(8 + doc_id % 9 AS INTEGER)                 AS width
-      FROM documents WHERE doc_id % 3 = 0
+      FROM docs_r WHERE doc_id % 3 = 0
     ),
     m AS (SELECT * FROM av UNION ALL SELECT * FROM img)
     SELECT modality,
@@ -751,13 +783,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "video_frame_sample",
     oracle="""
-    WITH v AS (
+    WITH docs_r AS (
+      -- identity grain + replay resolution (r11 duplicates sweep)
+      SELECT doc_id, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY text DESC NULLS LAST, lang DESC NULLS LAST,
+                     source DESC NULLS LAST, n_chars DESC NULLS LAST) AS __rn
+        FROM documents) WHERE __rn = 1
+    ),
+    v AS (
       -- NULL text → NULL payload → zero sampled frames (quarantine):
       -- those media drop out of the per-video grouping on both sides
       SELECT doc_id AS media_id,
              LEAST(16, GREATEST(1, CAST(FLOOR(GREATEST(1.0,
                  strlen(text) / 1000.0)) AS BIGINT))) AS n_frames
-      FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
+      FROM docs_r WHERE doc_id % 3 = 2 AND text IS NOT NULL
     )
     SELECT media_id,
            CAST(n_frames AS BIGINT)                   AS n_frames,
@@ -786,9 +826,15 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "audio_level_stats",
     oracle="""
+    -- identity grain + replay resolution (r11 duplicates sweep)
     SELECT CAST(COUNT(*) AS BIGINT)      AS n_audio,
            ROUND(AVG(octet_length(encode(text)) / 8000.0), 4) AS avg_duration_s
-    FROM documents WHERE doc_id % 3 = 1
+    FROM (SELECT doc_id, text FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY text DESC NULLS LAST, lang DESC NULLS LAST,
+                         source DESC NULLS LAST, n_chars DESC NULLS LAST) AS __rn
+            FROM documents) WHERE __rn = 1)
+    WHERE doc_id % 3 = 1
     """,
 )
 def audio_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,11 +1143,21 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pack_stats",
     oracle="""
-    WITH toks AS (
+    WITH docs_r AS (
+      -- identity grain + replay resolution (r11 duplicates sweep):
+      -- doc_id is the packer's TOTAL order, so replays must resolve
+      -- to one row first (content-total winner)
+      SELECT doc_id, lang, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY text DESC NULLS LAST, lang DESC NULLS LAST,
+                     source DESC NULLS LAST, n_chars DESC NULLS LAST) AS __rn
+        FROM documents) WHERE __rn = 1
+    ),
+    toks AS (
       SELECT doc_id, lang,
              CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                   t -> t <> '')) AS BIGINT) AS n_tokens
-      FROM documents
+      FROM docs_r
     ), offs AS (
       SELECT doc_id, lang, n_tokens,
              CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
@@ -1130,7 +1186,9 @@ def pack_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_resize_stats",
     oracle="""
     WITH img AS (
-      SELECT doc_id AS d, 8 + doc_id % 9 AS sw, 8 + doc_id % 7 AS sh
+      -- identity grain (r11 duplicates sweep): the media table is
+      -- keyed by doc_id; a replayed id yields ONE media row
+      SELECT DISTINCT doc_id AS d, 8 + doc_id % 9 AS sw, 8 + doc_id % 7 AS sh
       FROM documents WHERE doc_id % 3 = 0
     ),
     px AS (
@@ -1187,7 +1245,8 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM((d.doc_id * 9 + 3 * x.x + 5 * y.y) % 256) AS BIGINT) AS sum_b
     -- generate_series can't take correlated bounds in DuckDB, so walk
     -- the maximal 16×14 grid and clip per-image (dims are 8..16 × 8..14)
-    FROM documents d,
+    -- identity grain (r11 duplicates sweep)
+    FROM (SELECT DISTINCT doc_id FROM documents) d,
          generate_series(0, 15) AS x(x),
          generate_series(0, 13) AS y(y)
     WHERE d.doc_id % 3 = 0
@@ -1836,11 +1895,13 @@ def _semantic_keep_best_audit(
 _SEMANTIC_KEEP_BEST_ORACLE = f"""
     WITH RECURSIVE
     n AS (
+      -- identity grain: replays resolve before the edge algebra
+      -- (r11 duplicates sweep)
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings WHERE {_VALID_VEC_SQL}
+      FROM {_RESOLVED_EMB_SQL} WHERE {_VALID_VEC_SQL}
     ),
     e AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id
@@ -1861,7 +1922,7 @@ _SEMANTIC_KEEP_BEST_ORACLE = f"""
       FROM members m JOIN closure cl ON cl.src = m.vec_id
       GROUP BY m.vec_id
     )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {_RESOLVED_EMB_SQL}) AS n_vecs,
            CAST(COUNT(DISTINCT rep) AS BIGINT)               AS n_clusters_multi,
            CAST(COUNT(*) - COUNT(DISTINCT rep) AS BIGINT)    AS n_dropped,
            TRUE AS precision_ok,
@@ -1895,7 +1956,11 @@ def semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     only SPLIT clusters, so the scale path keeps strict supersets,
     never drops a canonical vector). Readout is bounded (6 scalars);
     both forms stay fully distributed."""
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # identity grain: vec_id replays resolve first (r11 duplicates
+    # sweep; deterministic content-total winner)
+    emb = dd.resolve_replays(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"], ["vec_id"]
+    )
     scale_edges = sim.embedding_dup_pairs(
         emb, threshold=0.4, exact=False
     ).select("a_id", "b_id")
@@ -1927,7 +1992,11 @@ def semantic_dedup_ivf_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     and at 100 TB a corpus *written* partitioned by cell id turns edge
     generation into per-partition local joins with zero shuffle of
     vector bodies."""
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # identity grain: vec_id replays resolve first (r11 duplicates
+    # sweep; deterministic content-total winner)
+    emb = dd.resolve_replays(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"], ["vec_id"]
+    )
     scale_edges = sim.embedding_dup_pairs_ivf(emb, threshold=0.4).select(
         "a_id", "b_id"
     )
@@ -2147,10 +2216,11 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_covariance_probe",
     oracle=f"""
     WITH v AS (
+      -- identity grain: replays resolve first (r11 duplicates sweep)
       SELECT vec_id,
              unnest(embedding)::DOUBLE AS x,
              unnest(range(0, len(embedding))) AS i
-      FROM embeddings WHERE {_FINITE_VEC_SQL}
+      FROM {_RESOLVED_EMB_SQL} WHERE {_FINITE_VEC_SQL}
     ),
     s AS (SELECT i, SUM(x) AS s, COUNT(*) AS n FROM v GROUP BY i),
     diag AS (SELECT i, SUM(x * x) AS gii FROM v GROUP BY i),
@@ -2181,7 +2251,11 @@ def embedding_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     only #batches × O(d²) partial rows ever shuffle."""
     from ..operators import linalg as la
 
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # identity grain: vec_id replays resolve first (r11 duplicates
+    # sweep; deterministic content-total winner)
+    emb = dd.resolve_replays(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"], ["vec_id"]
+    )
     return la.covariance_probe(emb, "embedding", dim=64)
 
 
@@ -4077,7 +4151,9 @@ def jpeg_exif_orientation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_dhash_dedup",
     oracle="""
     WITH img AS (
-      SELECT doc_id AS d, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      -- identity grain (r11 duplicates sweep): the media table is
+      -- keyed by doc_id; a replayed id yields ONE media row
+      SELECT DISTINCT doc_id AS d, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
       FROM documents WHERE doc_id % 3 = 0
     ),
     bits AS (
@@ -4239,7 +4315,8 @@ def embedding_outlier_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (d.doc_id * 8 + 3 * x.x + 5 * y.y) % 256
                     + (d.doc_id * 9 + 3 * x.x + 5 * y.y) % 256) AS BIGINT)
                                              AS pixel_sum
-    FROM documents d,
+    -- identity grain (r11 duplicates sweep)
+    FROM (SELECT DISTINCT doc_id FROM documents) d,
          generate_series(0, 15) AS x(x),
          generate_series(0, 13) AS y(y)
     WHERE d.doc_id % 3 = 2

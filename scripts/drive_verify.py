@@ -78,7 +78,10 @@ SAMPLE = [
     # union-algebra jaccard postings, replay resolution at ingest)
     "jaccard_dup_pairs", "dup_clusters", "dedup_keep_best",
     "bloom_index_merge_maintenance", "latest_order_per_customer",
-    "minhash_dup_pairs",
+    "minhash_dup_pairs", "minhash_band_sweep_audit",
+    "doc_sequence_packing", "pack_stats", "png_pixel_stats",
+    "image_resize_stats", "image_dhash_dedup", "bmp_header_stats",
+    "wav_header_stats", "png_text_chunk_stats",
     "price_percentiles", "brand_price_quartiles", "brand_price_disc_stats",
     "line_dedup_stats", "source_priority_dedup", "stream_running_totals",
     "stream_user_profile", "events_json_stats", "events_props_lateral",

@@ -27,6 +27,19 @@ from their pre-duplicate results — that is not what this sweep
 measures; it measures whether the two engines AGREE on the same
 duplicated input.
 
+Status (round 11): recon found 21 findings; 20 fixed via the
+conventions in SURVEY §7h-quater (identity-grain operators, UNION
+shingle algebra, resolve_replays at keyed-query ingest with
+ROW_NUMBER oracle twins, COUNT(DISTINCT key) exactly-once counts).
+ONE DOCUMENTED EXEMPTION remains: stream_dedup_then_rollup — its
+dropDuplicatesWithinWatermark keeps the ARRIVAL-ORDER copy of a
+replayed key, so a payload-drifted replay makes the kept VALUE
+engine-arbitrary; deterministic resolution of drifted replays needs a
+version column (a MERGE-style upsert contract), which the
+exactly-once repair deliberately does not assume. Its counts are
+deterministic (covered by stream_dedup_ingest); only the value sum is
+not. Expected sweep result: 249/250 clean + this exemption.
+
 Usage: python scripts/duplicates_sweep.py [name ...]
        (writes /tmp/duplicates_sweep_r11.json)
 """
