@@ -37,7 +37,8 @@ TABLES = (
 ).split()
 
 # fixed members of the round-11 duplicates wave (fast ones; the
-# streaming member stream_dedup_ingest runs in the sweep script)
+# streaming member stream_dedup_ingest and the slow semantic/minhash
+# audits run in the sweep script)
 FIXED_FAST = [
     "jaccard_dup_pairs",
     "dup_clusters",
@@ -45,6 +46,14 @@ FIXED_FAST = [
     "dedup_keep_best_equivalence",
     "latest_order_per_customer",
     "bloom_index_merge_maintenance",
+    "doc_sequence_packing",
+    "pack_stats",
+    "png_pixel_stats",
+    "image_dhash_dedup",
+    "bmp_header_stats",
+    "video_frame_sample",
+    "audio_level_stats",
+    "embedding_covariance_probe",
 ]
 
 
@@ -77,6 +86,15 @@ def _with_replays(tab: pa.Table, t: str) -> pa.Table:
                 if extra["text"][-1] is not None:
                     extra["text"][-1] += " replay"
                     extra["n_chars"][-1] = len(extra["text"][-1])
+    elif t == "embeddings":
+        for i in range(n):
+            if df["vec_id"][i] % 20 == 7:
+                replay(i)
+                v = extra["embedding"][-1]
+                if v:
+                    v = list(v)
+                    v[0] = (v[0] or 0.0) + 0.001
+                    extra["embedding"][-1] = v
     if extra[tab.column_names[0]]:
         add = pa.table(
             {
