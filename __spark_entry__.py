@@ -44,68 +44,60 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining round-1-green variants (stable, re-verified on a
 #      rotating basis as window budget allows).
 _PRIORITY = [
-    # -- round-11 window (exactly 50 names: the driver records a row
-    #    for the FIRST 50 only — round 7 proved that by starving the
-    #    10-name tail, so this list is kept at the window size and
-    #    tests/test_oracle.py enforces the invariant mechanically).
-    #    Round-7 formula: CHANGED queries first, then the stalest.
-    #    Round 11 changed TWO waves of queries: (a) the 27 from the
-    #    nulls/advisory wave (6 r10-tail NULL-crash fixes + 4 advisory
-    #    + 17 nulls-parity — driver-unwitnessed, landed after the r10
-    #    artifact), and (b) the 63 extreme-value-sweep parity fixes
-    #    (NaN/Inf, zero vectors, hostile text, malformed JSON —
-    #    scripts/extremes_sweep.py, 250/250 clean; 9 overlap wave a).
-    #    81 distinct changed names exceed the window, so the 50 slots
-    #    go to all 27 of wave (a) plus the 23 wave-(b) names with the
-    #    OLDEST driver rows (1 r3 + 7 r4 + 5 r6 + 10 r7). A third wave
-    #    (c) — the 12 hostile-timestamp fixes from scripts/
-    #    dates_sweep.py (watermark-poisoning guards + 128-bit order
-    #    keys) — landed after the window filled; 2 of its names
-    #    (stream_dimension_merge, stream_rocksdb_changelog_restart)
-    #    already hold wave-(a) slots. Riding to round 12: the 31
-    #    remaining wave-(b) names, the 10 unseated wave-(c) names, and
-    #    the unchanged stale cohort (6 r3 + 30 r4 — all 42 of those
-    #    were independently re-proven green by the r10 judge, so their
-    #    staleness is cosmetic); every riding name is re-proven
-    #    locally at sf0.01 by scripts/drive_verify.py ALL GREEN and on
-    #    all FIVE degenerate fixtures (empty, one-row, nulls,
-    #    extremes, dates).
-    # (1) the 6 r10-tail NULL-payload crash fixes.
-    "compression_ratio_signal", "audio_level_stats",
-    "multimodal_features", "video_frame_sample",
-    "stream_dimension_merge", "stream_rocksdb_changelog_restart",
-    # (2) the 4 advisory-fix queries (tracked persist pins, volume-
-    #     gated kmv presence probe). orders_pareto also carries this
-    #     round's extremes fixes (finite money + exact half-up avg).
-    "orders_pareto", "customer_rfm_segments",
-    "perplexity_curriculum_mix", "kmv_overlap_audit",
-    # (3) the 17 nulls-sweep parity fixes (9 of them also carry
-    #     extremes fixes: lang_quality_geomean, manifest_repair_diff,
-    #     source_priority_dedup, csv_quarantine_audit,
-    #     stats_staleness_audit, incremental_monthly_revenue,
-    #     stream_fx_enrich, zorder_skip_audit).
-    "order_value_quartiles", "order_rank_in_customer_history",
-    "latest_order_per_customer", "feature_hash_audit",
-    "kmv_distinct_users", "price_percentiles_approx",
-    "lang_quality_geomean", "manifest_repair_diff",
-    "lang_id_heuristic", "doc_fingerprints", "source_priority_dedup",
-    "csv_quarantine_audit", "stats_staleness_audit",
-    "incremental_monthly_revenue", "retractable_view_maintenance",
-    "stream_fx_enrich", "zorder_skip_audit",
-    # (4) the 23 stalest extremes-wave names: r3 (1), r4 (7), r6 (5),
-    #     r7 (10).
-    "value_outliers",
-    "brand_price_quartiles", "curation_pipeline_report",
-    "decimal_revenue_exact", "embedding_covariance_probe",
-    "masked_customer_extract", "quantity_price_skyline",
-    "revenue_ewma_by_nation",
-    "brand_price_disc_stats", "embedding_outlier_quarantine",
-    "events_props_lateral", "line_dedup_stats",
-    "quality_classifier_scores",
-    "bpe_token_counts", "cosine_topk", "doc_quality_filter",
-    "doc_token_stats", "events_json_stats", "jaccard_dup_pairs",
-    "join_order_cost_audit", "lang_stats", "price_percentiles",
-    "stream_partial_session_eviction",
+    # -- round-12 window (exactly 50 names; tests/test_oracle.py
+    #    enforces the size invariant — the driver records a row for
+    #    the FIRST 50 only, proven in round 7). Round-7 formula:
+    #    CHANGED queries first, then the stalest.
+    #
+    #    The changed-but-driver-unwitnessed cohort was recomputed
+    #    MECHANICALLY this round (function-source + oracle-text diff
+    #    vs the r10-end tree, plus a changed-helper dependence scan
+    #    for rows-only sketch queries): 51 names changed in the r11
+    #    waves (extremes riders, unseated dates wave, the whole PK
+    #    wave) lack an r11 row. Round 12 itself changed 4 more
+    #    (advisory fixes: explicit-floor decimal-avg oracle,
+    #    out-of-range 'big' manifest token ×2, sampling-free z-order
+    #    placement). 4 + 51 = 55 > 50, so the slots go to the 4
+    #    r12-changed + the 46 stalest r11-changed; riding to r13:
+    #    the 4 NaN-canonicalization audit names whose r11 change was
+    #    +code-only comparison hardening (aqe_skew_split_audit,
+    #    dpp_audit, multi_table_swap_audit, zstd_encoding_audit —
+    #    r8/r10 rows) and the unchanged pre-r5 stale cohort (6 r3 +
+    #    22 r4; stream_dedup_then_rollup seats below) — 32 names,
+    #    clearable by ONE r13 window with 18 slots spare. Every
+    #    riding name is re-proven locally at sf0.01 by
+    #    scripts/drive_verify.py ALL GREEN this round.
+    # (1) the 4 r12 advisory-fix names (lineitem_integrity_manifest
+    #     is also an unwitnessed r11-wave name).
+    "incremental_monthly_revenue", "manifest_repair_diff",
+    "zorder_skip_audit", "lineitem_integrity_manifest",
+    # (2) the 46 stalest r11-changed names lacking an r11 row,
+    #     stalest-first. r4 (1):
+    "stream_dedup_then_rollup",
+    #     r6 (8):
+    "bmp_header_stats", "image_dhash_dedup", "minhash_band_sweep_audit",
+    "png_pixel_stats", "stream_dedup_ttl", "stream_full_outer_interval",
+    "stream_stream_left_outer", "stream_windowed_topk",
+    #     r8 (9):
+    "aqe_coalesce_partitions_audit", "doc_sequence_packing",
+    "domain_router_mix", "dup_clusters", "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh", "embedding_quantize_error",
+    "minhash_dup_pairs", "pack_stats",
+    #     r9 (12):
+    "dedup_keep_best", "doc_difficulty_buckets", "image_resize_stats",
+    "label_feature_corr", "props_map_stats", "returns_pivot_by_year",
+    "revenue_trend_by_nation", "stream_dedup_ingest",
+    "stream_running_totals", "stream_sessionize", "stream_user_profile",
+    "stream_view_purchase_funnel",
+    #     r10 (16):
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
+    "bloom_index_merge_maintenance", "dedup_corpus_token_accounting",
+    "dedup_keep_best_equivalence", "embedding_pca_audit",
+    "observe_metrics_audit", "parquet_bloom_filter_audit",
+    "pq_quantization_audit", "price_histogram",
+    "semantic_dedup_ivf_keep_best", "semantic_dedup_keep_best",
+    "state_store_metrics_audit", "stream_atomic_sink_ingest",
+    "watermark_lag_observability",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to

@@ -160,17 +160,50 @@ def resolve_replays(
     any winner is the same row.
 
     One row_number window over one shuffle on the key — the same cost
-    as the dedup it protects. r11 duplicates sweep."""
+    as the dedup it protects. r11 duplicates sweep.
+
+    Degenerate inputs (r12 advisory — none occur at current call
+    sites, guarded so a future caller fails soft, not at analysis):
+    when the key covers every column (or every non-key column is
+    UNORDERABLE — maps, or arrays/structs containing them — and an
+    order cannot be derived), replay copies cannot be ranked, so the
+    resolution degrades to ``dropDuplicates(key_cols)``: correct when
+    the copies are key-identical, and the only deterministic option
+    left when they are not (an unorderable payload column has no
+    content-total order on EITHER engine). Explicitly passed
+    ``order_cols`` are used as given — an unorderable column there is
+    the caller's analysis error, surfaced loudly. The rank temp name
+    is uniquified against the input schema."""
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window as _W
 
-    order_cols = order_cols or [c for c in df.columns if c not in key_cols]
+    def _orderable(dt: "T.DataType") -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    if order_cols is None:
+        order_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in key_cols and _orderable(f.dataType)
+        ]
+        if not order_cols:
+            return df.dropDuplicates(key_cols)
+    rn = "__rr_rn"
+    while rn in df.columns:
+        rn += "_"
     w = _W.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc_nulls_last() for c in order_cols]
     )
     return (
-        df.withColumn("__rr_rn", F.row_number().over(w))
-        .filter(F.col("__rr_rn") == 1)
-        .drop("__rr_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
 
 

@@ -79,11 +79,20 @@ def merge_states(*states: DataFrame, keys: list[str] | None = None) -> DataFrame
 
 def _decimal_half_up_avg(round_to: int):
     """round-half-up(state_sum / state_n, round_to) in exact integer
-    arithmetic: (2·sum·10^k + n) DIV (2·n) on longs. The final
+    arithmetic: FLOOR((2·sum·10^k + n) / (2·n)) on longs. The final
     division is of an exactly-divisible long (remainder subtracted
-    via pmod), so the double quotient is exact for any scaled total
+    via pmod, which is always non-negative — this IS a floor, not a
+    truncation), so the double quotient is exact for any scaled total
     below 2^53 — ~9·10^13 currency units at cents precision, beyond
-    any real rollup cell. NULL sum (no measurable rows) → NULL."""
+    any real rollup cell. NULL sum (no measurable rows) → NULL.
+
+    Convention (pinned, r12 advisory): ties round toward +inf — for
+    the non-negative money the callers sum that is exactly half-up;
+    for a NEGATIVE total (refund-heavy cell) the floor rounds a .xx5
+    tie toward zero (-0.725 → -0.72). The DuckDB oracle twin
+    (_INCR_ORACLE in plans/warehouse.py) floors EXPLICITLY with the
+    same positive-mod subtraction — DuckDB's bare ``//`` truncates
+    toward zero and would disagree on negative totals."""
     scale = 10**round_to
     num = (F.col("state_sum") * scale).cast("long") * 2 + F.col("state_n")
     den = F.col("state_n") * 2

@@ -31,27 +31,56 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Magnitude guard for the integer rendering: |x·scale| must fit a
+# BIGINT after ROUND. 2^62 is exactly representable as a double and
+# leaves a 2× margin below LONG_MAX, so round-up can never overflow.
+_SCALED_INT_BOUND = float(2**62)
+
+
 def render_scaled_int(col: Column, scale: int = 1) -> Column:
     """Engine-portable integer rendering of a double for checksum
-    input: finite values as ``ROUND(x·scale)`` longs, non-finite
-    values as the literal IEEE class token (``nan``/``inf``/``-inf``)
-    — the checksum must stay TOTAL over corrupt rows (an Inf price is
+    input: finite in-range values as ``ROUND(x·scale)`` longs,
+    non-finite values as the literal IEEE class token
+    (``nan``/``inf``/``-inf``), and finite values whose scaled
+    magnitude exceeds BIGINT range (|x·scale| ≥ 2^62 — including
+    x·scale overflowing to Inf AFTER the finiteness check, e.g.
+    x = 1e308 at cents scale) as a sign/``big`` token — the checksum
+    must stay TOTAL over corrupt rows (an Inf or absurd price is
     exactly the corruption a manifest exists to catch; aborting the
-    manifest job on it would be self-defeating), and Inf cannot round
-    into a BIGINT under ANSI (r11 extremes sweep). NULL stays NULL
+    manifest job on it would be self-defeating), and neither Inf nor
+    an out-of-range double can round into a BIGINT under ANSI (r11
+    extremes sweep; magnitude guard r12 advisory). NULL stays NULL
     (concat_ws skips it identically on both engines). DuckDB twin:
-    ``CASE WHEN isfinite(x) THEN CAST(ROUND(x*s) AS BIGINT)::VARCHAR
-    WHEN isnan(x) THEN 'nan' WHEN x > 0 THEN 'inf' ELSE '-inf' END``."""
+    ``render_scaled_int_sql`` — generated from the same ladder so the
+    two can never drift."""
     x = col.cast("double")
     scaled = x * scale if scale != 1 else x
+    finite = ~F.isnan(x) & (x != float("inf")) & (x != float("-inf"))
     return (
         F.when(
-            ~F.isnan(x) & (x != float("inf")) & (x != float("-inf")),
+            finite & (F.abs(scaled) < F.lit(_SCALED_INT_BOUND)),
             F.round(scaled).cast("long").cast("string"),
         )
+        .when(finite & (x > 0), F.lit("big"))
+        .when(finite, F.lit("-big"))
         .when(F.isnan(x), F.lit("nan"))
         .when(x > 0, F.lit("inf"))
         .when(x < 0, F.lit("-inf"))
+    )
+
+
+def render_scaled_int_sql(col: str, scale: int = 1) -> str:
+    """DuckDB twin of :func:`render_scaled_int`, generated so oracle
+    text and engine ladder share one definition (r12 advisory). The
+    bound literal is 2^62 as an exact double."""
+    s = f"{col} * {scale}" if scale != 1 else col
+    return (
+        f"CASE WHEN isfinite({col}) AND abs({s}) < 4611686018427387904.0"
+        f" THEN CAST(ROUND({s}) AS BIGINT)::VARCHAR"
+        f" WHEN isfinite({col}) AND {col} > 0 THEN 'big'"
+        f" WHEN isfinite({col}) THEN '-big'"
+        f" WHEN isnan({col}) THEN 'nan'"
+        f" WHEN {col} > 0 THEN 'inf' WHEN {col} < 0 THEN '-inf' END"
     )
 
 

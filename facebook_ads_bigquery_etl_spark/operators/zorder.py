@@ -50,6 +50,43 @@ def z_value_binned(bins: list[Column], bits: int = BITS) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
+# hash-scatter geometry for the file-id placement (see write_zordered):
+# ids land in a space 16× wider than the id count — collision-free per
+# salt with p ≈ exp(-n/32) (~61% at n_files = 16; the 64-salt search
+# fails with p < 1e-25). Width IS the shuffle's task count, so it is
+# kept at the smallest value the search comfortably absorbs: 256×
+# was measurably slower (4096 near-empty reduce tasks per rewrite at
+# n_files = 16), not safer.
+_SCATTER_WIDTH = 16
+_SALT_CACHE: dict[int, int] = {}
+
+
+def _scatter_salt(spark, n_files: int) -> int:
+    """Smallest salt k for which pmod(hash(id, k), 256·n_files) is
+    collision-free over ids 0..n_files-1 — evaluated with Spark's OWN
+    murmur3 (one tiny data-independent job, memoized per n_files), so
+    the searched mapping is exactly the one HashPartitioning applies.
+    Deterministic across sessions and layouts by construction."""
+    if n_files in _SALT_CACHE:
+        return _SALT_CACHE[n_files]
+    width = _SCATTER_WIDTH * n_files
+    row = (
+        spark.range(64)
+        .withColumnRenamed("id", "k")
+        .crossJoin(spark.range(n_files))
+        .select("k", F.pmod(F.hash(F.col("id"), F.col("k")), F.lit(width)).alias("p"))
+        .groupBy("k")
+        .agg(F.countDistinct("p").alias("d"))
+        .filter(F.col("d") == n_files)
+        .agg(F.min("k"))
+        .first()
+    )
+    if row[0] is None:  # p ≈ (1 - e^{-n/512})^64 — unreachable in practice
+        raise RuntimeError(f"no collision-free scatter salt for n_files={n_files}")
+    _SALT_CACHE[n_files] = int(row[0])
+    return _SALT_CACHE[n_files]
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -77,22 +114,31 @@ def write_zordered(
     # file boundaries — and with them each file's hyper-rectangle —
     # shifted run-to-run with session history (observed: the skipping
     # audit's worst-dim fraction swung 0.69 → 0.81 purely from
-    # preceding queries in the session). Range-partitioning on the
-    # precomputed 16-value __file column only has to separate n_files
-    # equal-mass integers — sampling error there is ~16·(15/16)^320,
-    # i.e. deterministic in practice — and the curve-segment layout is
-    # pinned by the deterministic quantile sketch instead.
-    # __file ALONE is the range key: with __z as a secondary key the
-    # sampled boundaries are (file, z) pairs, so a boundary could
-    # still land mid-file-id and split one file's hyper-rectangle
-    # run-to-run (observed as a once-in-several-drives audit flake).
-    # On the coarse 16-value key, boundaries can only land on id
-    # granularity, and sortWithinPartitions supplies the z-order.
+    # preceding queries in the session; r11).
+    #
+    # Placement of the n_files integer ids is HASH SCATTER, not range
+    # (r12 advisory): range-partitioning even the coarse 16-value
+    # __file key still samples its boundaries, and a reservoir miss on
+    # a LOW-MASS id (skewed __z makes the equi-depth bins unequal
+    # after cut quantization) merges two curve segments into one file
+    # — changing the file count the skipping audit divides by. The
+    # ids are instead scattered into a wide partition space (256 ×
+    # n_files) with a salt searched deterministically (one 64×n_files-
+    # row job, data-independent, memoized per n_files) so the ids
+    # occupy collision-free buckets; empty partitions write no file
+    # (except the zero-row schema file Spark always emits for an
+    # empty partition 0 — legal parquet every footer reader must
+    # skip), so exactly one DATA file per present id with no sampling
+    # anywhere in the layout path; sortWithinPartitions supplies the
+    # z-order.
     file_probs = [i / n_files for i in range(1, n_files)]
     file_cuts = zdf.approxQuantile("__z", file_probs, 1.0 / (1 << 16))
+    salt = _scatter_salt(df.sparkSession, n_files)
     (
         zdf.withColumn("__file", _bin_expr("__z", file_cuts))
-        .repartitionByRange(n_files, "__file")
+        # salt cast long: the searched mapping hashed (long, long) —
+        # murmur3 of (long, int) is a DIFFERENT value
+        .repartition(_SCATTER_WIDTH * n_files, F.col("__file"), F.lit(salt).cast("long"))
         .sortWithinPartitions("__z")
         .drop("__z", "__file")
         .write.mode("overwrite")

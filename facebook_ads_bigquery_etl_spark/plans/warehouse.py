@@ -19,6 +19,7 @@ from ..operators import casting as cst
 from ..operators.expectations import constraint_audit
 from ..operators.exprs import knuth_bucket
 from ..operators.incremental import finalize, merge_states, partial_state
+from ..operators.integrity import render_scaled_int_sql
 from ..operators.profile import column_profile
 from ..operators.scd import scd2_merge, snapshot_diff
 from ..operators.skew import salted_join
@@ -404,23 +405,39 @@ WITH o_fin AS (
   SELECT * REPLACE (CASE WHEN isfinite(o_totalprice)
                          THEN o_totalprice END AS o_totalprice)
   FROM orders
+),
+agg AS (
+  SELECT strftime(o_orderdate, '%Y-%m')               AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2)))     AS dtotal,
+         COUNT(o_totalprice)                          AS n,
+         MIN(o_totalprice)                            AS mn,
+         MAX(o_totalprice)                            AS mx
+  FROM o_fin
+  GROUP BY 1
+),
+-- avg = FLOOR((2·cents + n) / (2·n)) in EXACT integer arithmetic,
+-- matching finalize()'s (num - pmod(num,den))/den: subtracting the
+-- POSITIVE mod before '//' makes DuckDB's truncating division an
+-- explicit floor, so a NEGATIVE total (refund-heavy cell) floors on
+-- both engines instead of DuckDB truncating toward zero (-7//2 = -3)
+-- while Spark floors (-4) — r12 advisory. Ties round toward +inf on
+-- both sides (half-up for the non-negative money this query sums).
+-- n = 0 → den NULL → avg NULL (DuckDB x % NULL and x // NULL are
+-- NULL, no divide error).
+div AS (
+  SELECT month, dtotal, n, mn, mx,
+         2 * CAST(dtotal * 100 AS BIGINT) + n          AS num,
+         CASE WHEN n > 0 THEN 2 * n END                AS den
+  FROM agg
 )
-SELECT strftime(o_orderdate, '%Y-%m')          AS month,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-       CAST(COUNT(o_totalprice) AS BIGINT)     AS n,
-       -- round-half-up(total/n, 2) in EXACT integer arithmetic —
-       -- (2·cents + n) // (2·n) — matching finalize(): the double
-       -- division form still split a true .xx5 tie (r11 extremes
-       -- sweep: Spark rounds the shortest decimal string, DuckDB the
-       -- actual binary)
-       CASE WHEN COUNT(o_totalprice) > 0 THEN
-         CAST((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
-               + COUNT(o_totalprice)) // (2 * COUNT(o_totalprice)) AS DOUBLE) / 100
-       END                                     AS avg,
-       ROUND(MIN(o_totalprice), 2)             AS min,
-       ROUND(MAX(o_totalprice), 2)             AS max
-FROM o_fin
-GROUP BY 1
+SELECT month,
+       CAST(dtotal AS DOUBLE)                  AS total,
+       CAST(n AS BIGINT)                       AS n,
+       CAST((num - ((num % den + den) % den)) // den AS DOUBLE) / 100
+                                               AS avg,
+       ROUND(mn, 2)                            AS min,
+       ROUND(mx, 2)                            AS max
+FROM div
 """
 
 
@@ -468,24 +485,20 @@ def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MANIFEST_ORACLE = """
--- non-finite money/quantity renders as its IEEE class token so the
--- checksum stays TOTAL over corrupt rows (r11 extremes sweep; see
--- operators/integrity.render_scaled_int)
+_MANIFEST_ORACLE = f"""
+-- non-finite money/quantity renders as its IEEE class token and
+-- out-of-BIGINT-range values as a sign/'big' token so the checksum
+-- stays TOTAL over corrupt rows (r11 extremes sweep + r12 advisory;
+-- CASE text generated by integrity.render_scaled_int_sql so engine
+-- and oracle share one ladder)
 WITH h AS (
   SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
          CAST(('0x' || substr(sha256(concat_ws('|',
              l_orderkey::VARCHAR, l_linenumber::VARCHAR,
              l_partkey::VARCHAR, l_suppkey::VARCHAR,
-             CASE WHEN isfinite(l_quantity) THEN CAST(ROUND(l_quantity) AS BIGINT)::VARCHAR
-                  WHEN isnan(l_quantity) THEN 'nan'
-                  WHEN l_quantity > 0 THEN 'inf' WHEN l_quantity < 0 THEN '-inf' END,
-             CASE WHEN isfinite(l_extendedprice) THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)::VARCHAR
-                  WHEN isnan(l_extendedprice) THEN 'nan'
-                  WHEN l_extendedprice > 0 THEN 'inf' WHEN l_extendedprice < 0 THEN '-inf' END,
-             CASE WHEN isfinite(l_discount) THEN CAST(ROUND(l_discount * 100) AS BIGINT)::VARCHAR
-                  WHEN isnan(l_discount) THEN 'nan'
-                  WHEN l_discount > 0 THEN 'inf' WHEN l_discount < 0 THEN '-inf' END,
+             {render_scaled_int_sql("l_quantity")},
+             {render_scaled_int_sql("l_extendedprice", 100)},
+             {render_scaled_int_sql("l_discount", 100)},
              l_returnflag, l_linestatus)), 1, 7)) AS BIGINT) AS rh
   FROM lineitem
 )
@@ -608,18 +621,25 @@ def zorder_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def touch_fraction(path: str, col: str, lo: float, hi: float) -> float:
+            # zero-row part files are legal parquet (Spark's writer
+            # always emits a schema file for an empty partition 0) —
+            # they hold no row groups, are skipped by every reader,
+            # and must not crash or dilute the footer readout (r12)
             files = _glob.glob(f"{path}/part-*.parquet")
-            touched = 0
+            touched = n_data_files = 0
             for f in files:
                 pf = pq.ParquetFile(f)
-                idx = pf.schema_arrow.names.index(col)
                 md = pf.metadata
+                if md.num_row_groups == 0:
+                    continue
+                n_data_files += 1
+                idx = pf.schema_arrow.names.index(col)
                 fmin = min(md.row_group(i).column(idx).statistics.min
                            for i in range(md.num_row_groups))
                 fmax = max(md.row_group(i).column(idx).statistics.max
                            for i in range(md.num_row_groups))
                 touched += 1 if (fmax >= lo and fmin <= hi) else 0
-            return touched / len(files)
+            return touched / n_data_files
 
         z_pk = touch_fraction(zpath, "l_partkey", pk_lo, pk_hi)
         z_sk = touch_fraction(zpath, "l_suppkey", sk_lo, sk_hi)
@@ -927,26 +947,22 @@ def dpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REPAIR_DIFF_ORACLE = """
+_REPAIR_DIFF_ORACLE = f"""
 -- rows with a NULL partition key belong to NO partition and are
 -- excluded from both manifests on both engines: NULL months would
 -- otherwise hit three DIFFERENT null semantics at once (Spark's
 -- three-valued filter, the oracle's USING join dropping NULL keys,
--- manifest_diff's full outer keeping them) — r11 nulls sweep
+-- manifest_diff's full outer keeping them) — r11 nulls sweep.
+-- Integer rendering (incl. the r12 out-of-range 'big' token) is
+-- generated by integrity.render_scaled_int_sql.
 WITH h AS (
   SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_orderkey,
          CAST(('0x' || substr(sha256(concat_ws('|',
              l_orderkey::VARCHAR, l_linenumber::VARCHAR,
              l_partkey::VARCHAR, l_suppkey::VARCHAR,
-             CASE WHEN isfinite(l_quantity) THEN CAST(ROUND(l_quantity) AS BIGINT)::VARCHAR
-                  WHEN isnan(l_quantity) THEN 'nan'
-                  WHEN l_quantity > 0 THEN 'inf' WHEN l_quantity < 0 THEN '-inf' END,
-             CASE WHEN isfinite(l_extendedprice) THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)::VARCHAR
-                  WHEN isnan(l_extendedprice) THEN 'nan'
-                  WHEN l_extendedprice > 0 THEN 'inf' WHEN l_extendedprice < 0 THEN '-inf' END,
-             CASE WHEN isfinite(l_discount) THEN CAST(ROUND(l_discount * 100) AS BIGINT)::VARCHAR
-                  WHEN isnan(l_discount) THEN 'nan'
-                  WHEN l_discount > 0 THEN 'inf' WHEN l_discount < 0 THEN '-inf' END,
+             {render_scaled_int_sql("l_quantity")},
+             {render_scaled_int_sql("l_extendedprice", 100)},
+             {render_scaled_int_sql("l_discount", 100)},
              l_returnflag, l_linestatus)), 1, 7)) AS BIGINT) AS rh
   FROM lineitem WHERE l_shipdate IS NOT NULL
 ),

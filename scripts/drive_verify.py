@@ -74,6 +74,12 @@ SAMPLE = [
     # guards + 128-bit newest-wins keys)
     "stream_sessionize", "stream_dedup_ingest",
     "stream_view_purchase_funnel",
+    # round-12 diff: advisory fixes — explicit-floor decimal avg
+    # oracle (incremental_monthly_revenue), out-of-range 'big' token
+    # in the manifest checksum (lineitem_integrity_manifest,
+    # manifest_repair_diff), sampling-free z-order file placement +
+    # empty-schema-file-robust footer audit (zorder_skip_audit);
+    # all four names already ride the sample below.
     # round-11 diff: PK-violation hardening (identity-grain clusters,
     # union-algebra jaccard postings, replay resolution at ingest)
     "jaccard_dup_pairs", "dup_clusters", "dedup_keep_best",

@@ -301,3 +301,46 @@ def test_manifest_checksum_total_over_nonfinite(spark):
     got = {r["id"]: r["y"] for r in
            df.select("id", render_scaled_int(F.col("x"), 100).alias("y")).collect()}
     assert got == {1: "1235", 2: "nan", 3: "inf", 4: "-inf", 5: None}
+
+
+def test_manifest_checksum_total_over_out_of_range_finite(spark):
+    """r12 advisory: a FINITE corrupt double whose scaled value
+    exceeds BIGINT range — including one that overflows to Inf only
+    AFTER the ×100 scaling (1e308) — renders as a sign/'big' token
+    instead of aborting the ANSI ROUND/CAST, on the engine AND on the
+    generated DuckDB twin (render_scaled_int_sql)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from facebook_ads_bigquery_etl_spark.operators.integrity import (
+        render_scaled_int,
+        render_scaled_int_sql,
+    )
+
+    vals = [
+        (1, 12.345),          # sane → exact cents
+        (2, 1e308),           # ×100 overflows to Inf after isfinite(x)
+        (3, -1e308),
+        (4, 8.0e18),          # finite scaled=8e20 ≥ 2^62, no overflow
+        (5, -8.0e18),
+        (6, 4.0e16),          # scaled 4e18 < 2^62: still a long
+        (7, float("inf")),
+        (8, None),
+    ]
+    want = {1: "1235", 2: "big", 3: "-big", 4: "big", 5: "-big",
+            6: str(4 * 10**18), 7: "inf", 8: None}
+    df = spark.createDataFrame(vals, "id long, x double")
+    got = {r["id"]: r["y"] for r in
+           df.select("id", render_scaled_int(F.col("x"), 100).alias("y")).collect()}
+    assert got == want
+
+    con = duckdb.connect()
+    case = render_scaled_int_sql("x", 100)
+    rows = con.execute(
+        f"SELECT id, {case} AS y FROM (VALUES "
+        "(1, 12.345), (2, 1e308), (3, -1e308), (4, 8.0e18), (5, -8.0e18),"
+        "(6, 4.0e16), (7, CAST('inf' AS DOUBLE)), (8, CAST(NULL AS DOUBLE))"
+        ") t(id, x)"
+    ).fetchall()
+    assert {i: y for i, y in rows} == want

@@ -454,6 +454,43 @@ class TestIncrementalAgg:
         direct = finalize(partial_state(base, ["g"], "x"))
         assert sorted(map(repr, merged.collect())) == sorted(map(repr, direct.collect()))
 
+    def test_negative_decimal_total_floors_on_both_engines(self, spark):
+        """A NEGATIVE decimal total (refund-heavy cell) with an
+        inexact division: the engine's pmod-subtracted division is a
+        FLOOR, and the oracle twin (_INCR_ORACLE) floors explicitly
+        via the positive-mod subtraction — DuckDB's bare ``//``
+        truncates toward zero and would report a cent more (r12
+        advisory). total = -7.23, n = 14: floor form → -0.52 on both
+        engines; truncating form → -0.51."""
+        import duckdb
+
+        from facebook_ads_bigquery_etl_spark.operators.incremental import (
+            finalize,
+            partial_state,
+        )
+
+        df = spark.createDataFrame(
+            [(0, -7.23 / 14)] * 14, "g int, x double"
+        ).select("g", F.col("x").cast("decimal(18,6)").alias("x"))
+        # force the exact decimal total: overwrite via literal sum
+        state = partial_state(df, ["g"], "x").select(
+            "g",
+            F.lit("-7.23").cast("decimal(18,2)").alias("state_sum"),
+            "state_n",
+            "state_min",
+            "state_max",
+        )
+        got = finalize(state).collect()[0]
+        assert got["avg"] == -0.52, got
+
+        num, den = 2 * (-723) + 14, 2 * 14  # (2·cents + n), (2·n)
+        floor_sql, trunc_sql = duckdb.sql(
+            f"SELECT ({num} - (({num} % {den} + {den}) % {den})) // {den},"
+            f"       {num} // {den}"
+        ).fetchone()
+        assert floor_sql / 100 * 1.0 == -0.52  # oracle convention
+        assert trunc_sql / 100 * 1.0 == -0.51  # the divergence pinned away
+
     def test_reserved_key_name_raises(self, spark):
         """A grouping column named like a state column would be
         silently aggregated away by key inference — reject it."""

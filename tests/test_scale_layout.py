@@ -261,19 +261,24 @@ class TestZOrderLayout:
         import glob
 
         def touch_fraction(path, col, lo, hi):
+            # skip zero-row schema files (Spark writes one for an
+            # empty partition 0) — same convention as the audit query
             files = glob.glob(path + "/part-*.parquet")
-            touched = 0
+            touched = n_data_files = 0
             for f in files:
                 pf = pq.ParquetFile(f)
-                idx = pf.schema_arrow.names.index(col)
                 md = pf.metadata
+                if md.num_row_groups == 0:
+                    continue
+                n_data_files += 1
+                idx = pf.schema_arrow.names.index(col)
                 fmin = min(md.row_group(i).column(idx).statistics.min
                            for i in range(md.num_row_groups))
                 fmax = max(md.row_group(i).column(idx).statistics.max
                            for i in range(md.num_row_groups))
                 if fmax >= lo and fmin <= hi:
                     touched += 1
-            return touched / len(files)
+            return touched / n_data_files
 
         stats = li.agg(
             F.expr("percentile(l_partkey, array(0.45, 0.55))").alias("pk"),
