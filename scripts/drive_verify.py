@@ -209,6 +209,14 @@ if "--all" in sys.argv:
     # hostile-TZ session (the pytest gate runs the tuned session;
     # this catches conf-dependence it would mask)
     SAMPLE = list(O)
+elif len(sys.argv) > 1:
+    # positional names: run EXACTLY these (r12 fix — names used to be
+    # silently ignored and every "per-name" run was a full-sample run;
+    # harmless in the strong direction, but subset claims must mean
+    # what they say)
+    unknown = [n for n in sys.argv[1:] if n not in Q]
+    assert not unknown, f"unknown queries: {unknown}"
+    SAMPLE = list(sys.argv[1:])
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
