@@ -84,6 +84,39 @@ def render_scaled_int_sql(col: str, scale: int = 1) -> str:
     )
 
 
+def round_double_sql(expr: str, k: int) -> str:
+    """DuckDB twin of Spark's ``round(double, k)`` — the r12 ROUND-tie
+    recon (scripts/round_ties_probe.py) showed the engines' native
+    rounds DIVERGE on shortest-repr tie values (6.9% of 2-decimal
+    ties: Spark ``round(1.005, 2) = 1.01`` via BigDecimal.valueOf's
+    shortest decimal string + HALF_UP, DuckDB ``1.00`` via binary
+    multiply).
+
+    Twin construction: DuckDB's double→VARCHAR is the SAME shortest
+    repr BigDecimal.valueOf reads, and VARCHAR→DECIMAL parses it
+    exactly, so ``ROUND(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20)),
+    k)`` reproduces Spark's decimal-string HALF_UP (away from zero,
+    matching Java) — verified over the full 2·990-value tie corpus at
+    k ∈ {0,1,2,6} in tests/test_round_ties.py. Guards: non-finite and
+    |x| ≥ 1e15 fall back to native ROUND (DECIMAL(38,20) holds 18
+    integer digits; at ≥1e15 the double's ulp ≥ 0.125 so its shortest
+    repr cannot carry a tie digit past k=0, where exact .5 ties round
+    away-from-zero identically on both engines). NULL → NULL.
+
+    SCOPE (from the r12 triage): this twin closes the class ONLY
+    where the two engines compute the BIT-IDENTICAL double before
+    rounding (map-only deriveds, decimal-exact upstream). For
+    ``ROUND(SUM(double), k)`` the dominant cross-engine term is ulp
+    drift in the SUM itself (different addition orders) — there the
+    fix is DECIMAL sums (the r11 money convention), not rounding."""
+    return (
+        f"CASE WHEN isfinite({expr}) AND abs({expr}) < 1e15"
+        f" THEN CAST(ROUND(CAST(CAST({expr} AS VARCHAR)"
+        f" AS DECIMAL(38,20)), {k}) AS DOUBLE)"
+        f" ELSE ROUND({expr}, {k}) END"
+    )
+
+
 def row_checksum(cols: list[Column]) -> Column:
     """28-bit per-row hash over pre-rendered integer/string columns."""
     joined = F.concat_ws("|", *[c.cast("string") for c in cols])

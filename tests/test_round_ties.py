@@ -1,0 +1,92 @@
+"""Cross-engine ROUND equivalence gate (r12 recon follow-up).
+
+Spark's ``round(double, k)`` rounds the double's SHORTEST DECIMAL
+STRING (BigDecimal.valueOf) HALF_UP; DuckDB's native ``round``
+computes in binary — they split 6.9% of 2-decimal shortest-repr ties
+(``round(1.005, 2)``: 1.01 vs 1.00; scripts/round_ties_probe.py).
+
+``integrity.round_double_sql`` is the generated DuckDB twin (VARCHAR
+→ DECIMAL(38,20) → ROUND, magnitude/finiteness gated). This gate
+asserts exact agreement with Spark over the full tie corpus at every
+rounding scale the repo emits, plus the special values — so an engine
+upgrade that changes either side's rounding fails loudly here, and
+r13's mechanical oracle conversion can lean on the helper as proven.
+"""
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from facebook_ads_bigquery_etl_spark.operators.integrity import (
+    round_double_sql,
+)
+
+
+def tie_values(k: int, n_digits: int) -> list[float]:
+    """Doubles whose SHORTEST repr is a tie digit '5' at position
+    k+1 (same construction as scripts/round_ties_probe.py)."""
+    out = []
+    for m in range(10 ** (n_digits - 1), 10**n_digits):
+        if not str(m).endswith("5"):
+            continue
+        x = float(f"{m}e-{k + 1}")
+        want = f"{m / 10 ** (k + 1):.{k + 1}f}".rstrip("0")
+        if repr(x).rstrip("0") != want.rstrip("0") and repr(x) != want:
+            continue
+        out.append(x)
+    return out
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 6])
+def test_round_twin_matches_spark_on_tie_corpus(spark, k):
+    vals = tie_values(k, 3) + tie_values(k, 4)
+    vals += [-v for v in vals[: len(vals) // 2]]  # negatives: HALF_UP away from zero
+    assert len(vals) > 500
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r["y"] for r in df.select(F.round("x", k).alias("y")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {round_double_sql('x', k)} FROM "
+            "(SELECT unnest(?::DOUBLE[]) AS x)",
+            [vals],
+        ).fetchall()
+    ]
+    diffs = [
+        (v, s, d) for v, s, d in zip(vals, got_spark, got_duck) if s != d
+    ]
+    assert not diffs, diffs[:10]
+
+
+def test_round_twin_specials(spark):
+    """NULL stays NULL, NaN/±Inf pass through, big magnitudes take the
+    native-ROUND arm without a DECIMAL overflow."""
+    import math
+
+    vals = [None, float("nan"), float("inf"), float("-inf"),
+            1e15, -3.7e18, 1.5e20, 0.0, -0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [r["y"] for r in df.select(F.round("x", 2).alias("y")).collect()]
+    con = duckdb.connect()
+    # SQL literals, not bound parameters — duckdb's Python binding
+    # turns float('nan') in a list parameter into NULL
+    lits = ", ".join(
+        "(CAST(NULL AS DOUBLE))" if v is None else f"(CAST('{v!r}' AS DOUBLE))"
+        for v in vals
+    )
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {round_double_sql('x', 2)} FROM (VALUES {lits}) t(x)"
+        ).fetchall()
+    ]
+    for v, s, d in zip(vals, got_spark, got_duck):
+        if s is None or d is None:
+            assert s is None and d is None, (v, s, d)
+        elif math.isnan(s) or math.isnan(d):
+            assert math.isnan(s) and math.isnan(d), (v, s, d)
+        else:
+            assert s == d, (v, s, d)
