@@ -67,6 +67,12 @@ _PRIORITY = [
     #    clearable by ONE r13 window with 18 slots spare. Every
     #    riding name is re-proven locally at sf0.01 by
     #    scripts/drive_verify.py ALL GREEN this round.
+    #    A second r12 wave (ROUND-tie class-a conversion,
+    #    integrity.round_double_sql) changed 5 more oracles —
+    #    dedup_keep_best, doc_difficulty_buckets, domain_router_mix,
+    #    embedding_dup_pairs, embedding_quantize_error — ALL already
+    #    holding slots below, so the slot math is unchanged and the
+    #    round-end driver witnesses the converted versions.
     # (1) the 4 r12 advisory-fix names (lineitem_integrity_manifest
     #     is also an unwitnessed r11-wave name).
     "incremental_monthly_revenue", "manifest_repair_diff",

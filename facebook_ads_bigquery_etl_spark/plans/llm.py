@@ -634,8 +634,13 @@ _EMB_DUP_ORACLE = f"""
       FROM embeddings WHERE {_VALID_VEC_SQL}
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           ROUND(list_sum(list_transform(generate_series(1, len(a.v)),
-                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+           -- decimal-string rounding (r12 ROUND-tie convention):
+           -- cosine is a quarantined-finite sequential fold in [-1,1],
+           -- bit-identical to Spark's F.aggregate, so the lean
+           -- unguarded twin is exact
+           CAST(ROUND(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS VARCHAR)
+                AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_sum(list_transform(generate_series(1, len(a.v)),
           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.4
@@ -1357,10 +1362,18 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(x, v -> abs(round(v / scale) * scale - v)) AS err
       FROM q WHERE scale > 0
     )
+    -- rounding rides the decimal-string domain (r12 ROUND-tie
+    -- convention, integrity.round_double_sql): DuckDB's VARCHAR repr
+    -- is the same shortest repr Spark's round reads, so a tie value
+    -- rounds identically; args here are quarantined finite and ≪ 1e15
+    -- so the lean unguarded form is exact
     SELECT vec_id,
-           ROUND(scale, 9)              AS scale,
-           ROUND(list_max(err), 9)      AS max_abs_err,
-           ROUND(list_sum(err) / dim, 9) AS mean_abs_err
+           CAST(ROUND(CAST(CAST(scale AS VARCHAR)
+                AS DECIMAL(38,20)), 9) AS DOUBLE)  AS scale,
+           CAST(ROUND(CAST(CAST(list_max(err) AS VARCHAR)
+                AS DECIMAL(38,20)), 9) AS DOUBLE)  AS max_abs_err,
+           CAST(ROUND(CAST(CAST(list_sum(err) / dim AS VARCHAR)
+                AS DECIMAL(38,20)), 9) AS DOUBLE)  AS mean_abs_err
     FROM e
     """,
 )
@@ -1421,29 +1434,38 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_difficulty_buckets",
     oracle="""
+    -- per-row rounds ride the decimal-string domain (r12 ROUND-tie
+    -- convention, integrity.round_double_sql); the quantile/MIN/MAX
+    -- rounds stay native (aggregate args — class b of the r12 triage)
     WITH feat AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                   t -> t <> '')) AS BIGINT) AS n_tokens,
              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) > 0 THEN
-               ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+               CAST(ROUND(CAST(CAST(
+                 length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
                      / len(list_filter(string_split_regex(text, '\\s+'),
-                                       t -> t <> '')), 6) END AS avg_token_len,
+                                       t -> t <> '')) AS VARCHAR)
+                 AS DECIMAL(38,20)), 6) AS DOUBLE) END AS avg_token_len,
              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) > 0 THEN
-               ROUND(len(list_filter(string_split_regex(text, '\\s+'),
+               CAST(ROUND(CAST(CAST(
+                 len(list_filter(string_split_regex(text, '\\s+'),
                          w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
                      / len(list_filter(string_split_regex(text, '\\s+'),
-                                       t -> t <> '')), 6) END AS stopword_ratio
+                                       t -> t <> '')) AS VARCHAR)
+                 AS DECIMAL(38,20)), 6) AS DOUBLE) END AS stopword_ratio
       FROM documents
     ), scored AS (
       SELECT doc_id, n_tokens,
              CASE WHEN n_tokens > 0 THEN
-               ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
+               CAST(ROUND(CAST(CAST(
+                 0.4 * LEAST(n_tokens / 200.0, 1.0)
                    + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
                    + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
-                                THEN 1.0 ELSE 0.0 END, 7)
+                                THEN 1.0 ELSE 0.0 END AS VARCHAR)
+                 AS DECIMAL(38,20)), 7) AS DOUBLE)
              ELSE 0.0 END AS quality_score
       FROM feat
     ), cuts AS (
@@ -1592,30 +1614,39 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY d.doc_id
     ),
     sizes AS (SELECT cluster_rep, COUNT(*) AS n FROM reps GROUP BY 1),
+    -- per-row rounds ride the decimal-string domain (r12 ROUND-tie
+    -- convention, integrity.round_double_sql): token ratios and the
+    -- quality score are finite and bounded, lean unguarded twin
     feat AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                   t -> t <> '')) AS BIGINT) AS n_tokens,
              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) > 0 THEN
-               ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+               CAST(ROUND(CAST(CAST(
+                 length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
                      / len(list_filter(string_split_regex(text, '\\s+'),
-                                       t -> t <> '')), 6) END AS avg_token_len,
+                                       t -> t <> '')) AS VARCHAR)
+                 AS DECIMAL(38,20)), 6) AS DOUBLE) END AS avg_token_len,
              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) > 0 THEN
-               ROUND(len(list_filter(string_split_regex(text, '\\s+'),
+               CAST(ROUND(CAST(CAST(
+                 len(list_filter(string_split_regex(text, '\\s+'),
                          w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
                      / len(list_filter(string_split_regex(text, '\\s+'),
-                                       t -> t <> '')), 6) END AS stopword_ratio
+                                       t -> t <> '')) AS VARCHAR)
+                 AS DECIMAL(38,20)), 6) AS DOUBLE) END AS stopword_ratio
       FROM documents
     ),
     scored AS (
       SELECT doc_id,
              CASE WHEN n_tokens > 0 THEN
-               ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
+               CAST(ROUND(CAST(CAST(
+                 0.4 * LEAST(n_tokens / 200.0, 1.0)
                    + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
                    + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
-                                THEN 1.0 ELSE 0.0 END, 7)
+                                THEN 1.0 ELSE 0.0 END AS VARCHAR)
+                 AS DECIMAL(38,20)), 7) AS DOUBLE)
              ELSE 0.0 END AS quality_score
       FROM feat
     ),
@@ -4583,27 +4614,40 @@ def cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "domain_router_mix",
     oracle="""
+    -- per-row rounds ride the decimal-string domain (r12 ROUND-tie
+    -- convention, integrity.round_double_sql): ratios and sigmoids
+    -- are finite and ≤ ~20, so the lean unguarded twin is exact
     WITH feats AS (
       SELECT doc_id, source,
              ln(1 + len(tk))                                    AS f_len,
-             ROUND(len(list_filter(tk, t -> list_contains(
+             CAST(ROUND(CAST(CAST(len(list_filter(tk, t -> list_contains(
                ['the','a','of','and','to','in','is','it'], t)))
-               * 1e0 / len(tk), 6)                              AS f_stop,
-             ROUND(list_sum(list_transform(tk, t -> len(t)))
-               * 1e0 / len(tk), 6)                              AS f_alen
+               * 1e0 / len(tk) AS VARCHAR) AS DECIMAL(38,20)), 6)
+               AS DOUBLE)                                       AS f_stop,
+             CAST(ROUND(CAST(CAST(list_sum(list_transform(tk, t -> len(t)))
+               * 1e0 / len(tk) AS VARCHAR) AS DECIMAL(38,20)), 6)
+               AS DOUBLE)                                       AS f_alen
       FROM (SELECT doc_id, source,
                    list_filter(string_split_regex(lower(text), '\\s+'),
                                t -> t <> '') AS tk
             FROM documents)
       WHERE len(tk) > 0
     ),
+    raw_scores AS (
+      SELECT doc_id, source,
+             1e0/(1e0+exp(-( 0.40e0*f_len + 1.5e0*f_stop - 0.10e0*f_alen - 1.2e0))) AS r_web,
+             1e0/(1e0+exp(-( 0.10e0*f_len - 2.0e0*f_stop + 0.30e0*f_alen - 0.4e0))) AS r_code,
+             1e0/(1e0+exp(-( 0.55e0*f_len + 0.5e0*f_stop + 0.05e0*f_alen - 1.8e0))) AS r_books,
+             1e0/(1e0+exp(-(-0.20e0*f_len + 1.0e0*f_stop + 0.20e0*f_alen - 0.2e0))) AS r_news
+      FROM feats
+    ),
     scored AS (
       SELECT doc_id, source,
-             ROUND(1e0/(1e0+exp(-( 0.40e0*f_len + 1.5e0*f_stop - 0.10e0*f_alen - 1.2e0))), 6) AS s_web,
-             ROUND(1e0/(1e0+exp(-( 0.10e0*f_len - 2.0e0*f_stop + 0.30e0*f_alen - 0.4e0))), 6) AS s_code,
-             ROUND(1e0/(1e0+exp(-( 0.55e0*f_len + 0.5e0*f_stop + 0.05e0*f_alen - 1.8e0))), 6) AS s_books,
-             ROUND(1e0/(1e0+exp(-(-0.20e0*f_len + 1.0e0*f_stop + 0.20e0*f_alen - 0.2e0))), 6) AS s_news
-      FROM feats
+             CAST(ROUND(CAST(CAST(r_web AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)   AS s_web,
+             CAST(ROUND(CAST(CAST(r_code AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)  AS s_code,
+             CAST(ROUND(CAST(CAST(r_books AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS s_books,
+             CAST(ROUND(CAST(CAST(r_news AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)  AS s_news
+      FROM raw_scores
     ),
     routed AS (
       SELECT source,
