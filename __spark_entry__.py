@@ -68,11 +68,17 @@ _PRIORITY = [
     #    riding name is re-proven locally at sf0.01 by
     #    scripts/drive_verify.py ALL GREEN this round.
     #    A second r12 wave (ROUND-tie class-a conversion,
-    #    integrity.round_double_sql) changed 5 more oracles —
-    #    dedup_keep_best, doc_difficulty_buckets, domain_router_mix,
-    #    embedding_dup_pairs, embedding_quantize_error — ALL already
-    #    holding slots below, so the slot math is unchanged and the
-    #    round-end driver witnesses the converted versions.
+    #    integrity.round_double_sql) changed 11 more oracles — 5
+    #    ALREADY holding slots below (dedup_keep_best,
+    #    doc_difficulty_buckets, domain_router_mix,
+    #    embedding_dup_pairs, embedding_quantize_error) and 6 ALREADY
+    #    in the riding cohort (copurchase_association_rules,
+    #    copurchase_triangle_stats, gopher_quality_filter,
+    #    vocab_coverage_stats, weighted_doc_sample,
+    #    stratified_doc_sample) — so the slot math and the riding
+    #    count are both unchanged; the driver witnesses the converted
+    #    window versions and all seven local gates re-proved the six
+    #    riders.
     # (1) the 4 r12 advisory-fix names (lineitem_integrity_manifest
     #     is also an unwitnessed r11-wave name).
     "incremental_monthly_revenue", "manifest_repair_diff",

@@ -3059,9 +3059,13 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
     )
+    -- count ratios are bit-identical doubles on both engines, so the
+    -- rounds ride the decimal-string domain (r12 ROUND-tie convention)
     SELECT p.p_a, p.p_b, CAST(p.c_ab AS BIGINT) AS n_both,
-           ROUND(p.c_ab * 1e0 / ia.c, 6)                        AS confidence,
-           ROUND(p.c_ab * 1e0 * n_ord.n / (ia.c * ib.c), 6)     AS lift
+           CAST(ROUND(CAST(CAST(p.c_ab * 1e0 / ia.c AS VARCHAR)
+                AS DECIMAL(38,20)), 6) AS DOUBLE)               AS confidence,
+           CAST(ROUND(CAST(CAST(p.c_ab * 1e0 * n_ord.n / (ia.c * ib.c)
+                AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)   AS lift
     FROM pair p
     JOIN item ia ON ia.l_partkey = p.p_a
     JOIN item ib ON ib.l_partkey = p.p_b
@@ -3147,7 +3151,10 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)  AS n_nodes,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM e)    AS n_edges,
            (SELECT CAST(t AS BIGINT) FROM tri)         AS n_triangles,
-           ROUND((SELECT 3e0 * t FROM tri) / (SELECT w FROM wedge), 6)
+           -- integer-count ratio: decimal-string round (r12 convention)
+           CAST(ROUND(CAST(CAST(
+               (SELECT 3e0 * t FROM tri) / (SELECT w FROM wedge)
+             AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
              AS global_clustering
     """,
 )

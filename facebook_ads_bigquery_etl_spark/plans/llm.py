@@ -2110,7 +2110,10 @@ _PRIORITY_SAMPLE_ORACLE = """
       FROM documents
     )
     SELECT doc_id, weight,
-           ROUND(weight * 4294967297.0 / (h + 1), 4) AS priority
+           -- per-row int-derived ratio: decimal-string round (r12
+           -- ROUND-tie convention)
+           CAST(ROUND(CAST(CAST(weight * 4294967297.0 / (h + 1) AS VARCHAR)
+                AS DECIMAL(38,20)), 4) AS DOUBLE) AS priority
     FROM s
     ORDER BY weight * 4294967297.0 / (h + 1) DESC, doc_id
     LIMIT 100
@@ -2555,15 +2558,20 @@ def source_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(text) AS nc
       FROM documents
     ),
+    -- per-row integer-count ratios: decimal-string rounds (r12
+    -- ROUND-tie convention, integrity.round_double_sql)
     m AS (
       SELECT doc_id,
              CAST(len(ws) AS BIGINT) AS n_words,
-             ROUND(nc * 1e0 / len(ws), 4) AS mean_word_len,
-             ROUND(len(list_filter(ws, w -> w IN
+             CAST(ROUND(CAST(CAST(nc * 1e0 / len(ws) AS VARCHAR)
+               AS DECIMAL(38,20)), 4) AS DOUBLE) AS mean_word_len,
+             CAST(ROUND(CAST(CAST(len(list_filter(ws, w -> w IN
                ('the','a','of','to','and','in','is','that','for','it')))
-               * 1e0 / len(ws), 4) AS stopword_ratio,
-             ROUND(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$')))
-               * 1e0 / len(ws), 4) AS digit_word_ratio
+               * 1e0 / len(ws) AS VARCHAR)
+               AS DECIMAL(38,20)), 4) AS DOUBLE) AS stopword_ratio,
+             CAST(ROUND(CAST(CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$')))
+               * 1e0 / len(ws) AS VARCHAR)
+               AS DECIMAL(38,20)), 4) AS DOUBLE) AS digit_word_ratio
       FROM t WHERE len(ws) > 0
     )
     SELECT doc_id, n_words, mean_word_len, stopword_ratio, digit_word_ratio,
@@ -2785,11 +2793,15 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c DESC, w LIMIT 100
       )
     )
+    -- COUNT ratios are exact-integer-derived, bit-identical doubles:
+    -- decimal-string rounds (r12 ROUND-tie convention)
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT)                          AS n_tokens,
            CAST(COUNT(v.w) AS BIGINT)                        AS in_vocab,
-           ROUND(COUNT(v.w) * 1e0 / COUNT(*), 4)             AS coverage,
-           ROUND(1e0 - COUNT(v.w) * 1e0 / COUNT(*), 4)       AS oov_rate
+           CAST(ROUND(CAST(CAST(COUNT(v.w) * 1e0 / COUNT(*) AS VARCHAR)
+                AS DECIMAL(38,20)), 4) AS DOUBLE)            AS coverage,
+           CAST(ROUND(CAST(CAST(1e0 - COUNT(v.w) * 1e0 / COUNT(*) AS VARCHAR)
+                AS DECIMAL(38,20)), 4) AS DOUBLE)            AS oov_rate
     FROM tok t LEFT JOIN vocab v ON t.w = v.w
     GROUP BY t.doc_id
     """,
@@ -2915,7 +2927,10 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS rk
       FROM s
     )
-    SELECT lang, doc_id, weight, ROUND(q, 4) AS priority,
+    -- per-row int-derived ratio: decimal-string round (r12 convention)
+    SELECT lang, doc_id, weight,
+           CAST(ROUND(CAST(CAST(q AS VARCHAR)
+                AS DECIMAL(38,20)), 4) AS DOUBLE) AS priority,
            CAST(rk AS BIGINT) AS rk
     FROM r WHERE rk <= 20
     """,
