@@ -62,11 +62,12 @@ _SALT_CACHE: dict[int, int] = {}
 
 
 def _scatter_salt(spark, n_files: int) -> int:
-    """Smallest salt k for which pmod(hash(id, k), 256·n_files) is
-    collision-free over ids 0..n_files-1 — evaluated with Spark's OWN
-    murmur3 (one tiny data-independent job, memoized per n_files), so
-    the searched mapping is exactly the one HashPartitioning applies.
-    Deterministic across sessions and layouts by construction."""
+    """Smallest salt k for which pmod(hash(id, k), _SCATTER_WIDTH ·
+    n_files) is collision-free over ids 0..n_files-1 — evaluated with
+    Spark's OWN murmur3 (one tiny data-independent job, memoized per
+    n_files), so the searched mapping is exactly the one
+    HashPartitioning applies. Deterministic across sessions and
+    layouts by construction."""
     if n_files in _SALT_CACHE:
         return _SALT_CACHE[n_files]
     width = _SCATTER_WIDTH * n_files
@@ -81,7 +82,7 @@ def _scatter_salt(spark, n_files: int) -> int:
         .agg(F.min("k"))
         .first()
     )
-    if row[0] is None:  # p ≈ (1 - e^{-n/512})^64 — unreachable in practice
+    if row[0] is None:  # p ≈ (1 - e^{-n/32})^64 — unreachable in practice
         raise RuntimeError(f"no collision-free scatter salt for n_files={n_files}")
     _SALT_CACHE[n_files] = int(row[0])
     return _SALT_CACHE[n_files]
@@ -122,9 +123,10 @@ def write_zordered(
     # a LOW-MASS id (skewed __z makes the equi-depth bins unequal
     # after cut quantization) merges two curve segments into one file
     # — changing the file count the skipping audit divides by. The
-    # ids are instead scattered into a wide partition space (256 ×
-    # n_files) with a salt searched deterministically (one 64×n_files-
-    # row job, data-independent, memoized per n_files) so the ids
+    # ids are instead scattered into a wide partition space
+    # (_SCATTER_WIDTH × n_files) with a salt searched deterministically
+    # (one 64×n_files-row job, data-independent, memoized per n_files)
+    # so the ids
     # occupy collision-free buckets; empty partitions write no file
     # (except the zero-row schema file Spark always emits for an
     # empty partition 0 — legal parquet every footer reader must
