@@ -170,9 +170,19 @@ def resolve_replays(
     resolution degrades to ``dropDuplicates(key_cols)``: correct when
     the copies are key-identical, and the only deterministic option
     left when they are not (an unorderable payload column has no
-    content-total order on EITHER engine). Explicitly passed
-    ``order_cols`` are used as given — an unorderable column there is
-    the caller's analysis error, surfaced loudly. The rank temp name
+    content-total order on EITHER engine). The same caveat covers the
+    PARTIAL case (r13 advisory): when only some non-key columns are
+    unorderable, the derived order covers the orderable projection
+    only — copies that tie on every orderable column but differ in an
+    unorderable payload get a layout-dependent winner, exactly as the
+    dropDuplicates fallback does; callers needing a total order over
+    such payloads must resolve upstream (the repo convention: replays
+    are resolved BEFORE unorderable payloads are built). Explicitly
+    passed non-empty ``order_cols`` are used as given — an unorderable
+    column there is the caller's analysis error, surfaced loudly; an
+    explicit EMPTY list normalizes to the derived default (the pre-r12
+    ``order_cols or …`` semantic; zero-key Window.orderBy is an
+    analysis error, never what a caller means). The rank temp name
     is uniquified against the input schema."""
     from pyspark.sql import types as T
     from pyspark.sql.window import Window as _W
@@ -186,7 +196,7 @@ def resolve_replays(
             return all(_orderable(f.dataType) for f in dt.fields)
         return True
 
-    if order_cols is None:
+    if not order_cols:
         order_cols = [
             f.name
             for f in df.schema.fields

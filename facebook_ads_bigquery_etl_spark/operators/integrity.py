@@ -92,28 +92,51 @@ def round_double_sql(expr: str, k: int) -> str:
     shortest decimal string + HALF_UP, DuckDB ``1.00`` via binary
     multiply).
 
-    Twin construction: DuckDB's double→VARCHAR is the SAME shortest
-    repr BigDecimal.valueOf reads, and VARCHAR→DECIMAL parses it
-    exactly, so ``ROUND(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20)),
-    k)`` reproduces Spark's decimal-string HALF_UP (away from zero,
-    matching Java) — verified over the full 2·990-value tie corpus at
-    k ∈ {0,1,2,6} in tests/test_round_ties.py. Guards: non-finite and
-    |x| ≥ 1e15 fall back to native ROUND (DECIMAL(38,20) holds 18
-    integer digits; at ≥1e15 the double's ulp ≥ 0.125 so its shortest
-    repr cannot carry a tie digit past k=0, where exact .5 ties round
-    away-from-zero identically on both engines). NULL → NULL.
+    Twin construction (r13 revision): DuckDB's double→VARCHAR is the
+    SAME shortest repr BigDecimal.valueOf reads, and VARCHAR→DECIMAL
+    parses it exactly, so ``ROUND(…DECIMAL(38,20)…, k)`` reproduces
+    Spark's decimal-string HALF_UP (away from zero, matching Java).
+    The rounded DECIMAL then bounces through VARCHAR again before the
+    final DOUBLE cast: DuckDB's direct DECIMAL→DOUBLE readback is NOT
+    correctly rounded once the scaled int128 exceeds 2^53 (probed at
+    r13: ``999999999999999.5`` at k=1 — INSIDE the old 1e15 guard —
+    read back ``…999.6``; the old r12 twin was silently wrong there),
+    while exact-digits VARCHAR→DOUBLE is correctly rounded, exactly
+    Java's ``BigDecimal.doubleValue()``. Verified over the full
+    2·990-value tie corpus at k ∈ {0,1,2,6} plus magnitude-band
+    probes in tests/test_round_ties.py.
+
+    Guard: the twin arm runs for finite |x| < 2^52 (DECIMAL(38,20)
+    holds 18 integer digits; 2^52 ≈ 4.5e15 has 16). At |x| ≥ 2^52
+    every double is INTEGER-VALUED, and Spark's BigDecimal round is
+    the IDENTITY there for every k ≥ 0 (verified live) — so the
+    fallback arm is ``x`` itself, NOT DuckDB's native ROUND, whose
+    multiply/divide loses ulps at large magnitude (probed:
+    ``ROUND(1.0000000000000002e16, 9)`` returns ``…04e16``).
+    Non-finite and NULL pass through the identity arm unchanged,
+    matching Spark. Requires k ≥ 0 (all repo sites).
 
     SCOPE (from the r12 triage): this twin closes the class ONLY
     where the two engines compute the BIT-IDENTICAL double before
     rounding (map-only deriveds, decimal-exact upstream). For
     ``ROUND(SUM(double), k)`` the dominant cross-engine term is ulp
     drift in the SUM itself (different addition orders) — there the
-    fix is DECIMAL sums (the r11 money convention), not rounding."""
+    fix is DECIMAL sums (the r11 money convention), not rounding.
+
+    Converted oracle sites are GENERATED from this one function (r13
+    advisory — the r12 wave hand-inlined the lean unguarded form, so
+    the 'one definition, can never drift' property did not actually
+    hold, and an unexpected NaN/Inf/huge value would have crashed the
+    VARCHAR→DECIMAL cast there instead of producing a comparable
+    value). The guard CASE is cheap and always correct, so there is
+    deliberately NO unguarded variant."""
+    if k < 0:
+        raise ValueError("round_double_sql requires k >= 0")
     return (
-        f"CASE WHEN isfinite({expr}) AND abs({expr}) < 1e15"
-        f" THEN CAST(ROUND(CAST(CAST({expr} AS VARCHAR)"
-        f" AS DECIMAL(38,20)), {k}) AS DOUBLE)"
-        f" ELSE ROUND({expr}, {k}) END"
+        f"CASE WHEN isfinite({expr}) AND abs({expr}) < 4503599627370496.0"
+        f" THEN CAST(CAST(ROUND(CAST(CAST({expr} AS VARCHAR)"
+        f" AS DECIMAL(38,20)), {k}) AS VARCHAR) AS DOUBLE)"
+        f" ELSE {expr} END"
     )
 
 

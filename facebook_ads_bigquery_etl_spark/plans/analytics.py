@@ -27,6 +27,7 @@ from ..operators.rank import with_global_ntile
 from ..operators.bloom import bloom_pruned_join, ensure_runtime_bloom
 from ..operators.topk import top_k_per_group
 from .registry import load_tables, register
+from ..operators.integrity import round_double_sql
 
 
 # --------------------------------------------------------------------------
@@ -3049,7 +3050,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "copurchase_association_rules",
-    oracle="""
+    oracle=f"""
     WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     n_ord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
     item AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY l_partkey),
@@ -3062,10 +3063,8 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- count ratios are bit-identical doubles on both engines, so the
     -- rounds ride the decimal-string domain (r12 ROUND-tie convention)
     SELECT p.p_a, p.p_b, CAST(p.c_ab AS BIGINT) AS n_both,
-           CAST(ROUND(CAST(CAST(p.c_ab * 1e0 / ia.c AS VARCHAR)
-                AS DECIMAL(38,20)), 6) AS DOUBLE)               AS confidence,
-           CAST(ROUND(CAST(CAST(p.c_ab * 1e0 * n_ord.n / (ia.c * ib.c)
-                AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)   AS lift
+           {round_double_sql("p.c_ab * 1e0 / ia.c", 6)}               AS confidence,
+           {round_double_sql("p.c_ab * 1e0 * n_ord.n / (ia.c * ib.c)", 6)}   AS lift
     FROM pair p
     JOIN item ia ON ia.l_partkey = p.p_a
     JOIN item ib ON ib.l_partkey = p.p_b
@@ -3129,7 +3128,7 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "copurchase_triangle_stats",
-    oracle="""
+    oracle=f"""
     WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (
       SELECT a.l_partkey AS u, c.l_partkey AS v
@@ -3152,9 +3151,7 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM e)    AS n_edges,
            (SELECT CAST(t AS BIGINT) FROM tri)         AS n_triangles,
            -- integer-count ratio: decimal-string round (r12 convention)
-           CAST(ROUND(CAST(CAST(
-               (SELECT 3e0 * t FROM tri) / (SELECT w FROM wedge)
-             AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+           {round_double_sql("(SELECT 3e0 * t FROM tri) / (SELECT w FROM wedge)", 6)}
              AS global_clustering
     """,
 )

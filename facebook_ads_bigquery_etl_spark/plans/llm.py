@@ -25,6 +25,13 @@ from ..operators import packing as pk
 from ..operators import similarity as sim
 from ..operators import text as tx
 from .registry import load_tables, register
+from ..operators.integrity import round_double_sql
+
+# SQL fragments shared by the generated decimal-string ROUND oracle
+# sites below (hoisted because Python 3.11 f-string expressions
+# cannot carry the regex backslashes; single source per fragment):
+_STOPWORD_RATIO_SQL = ("len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))")
+_AVG_TOKLEN_SQL = ("length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))")
 
 
 # -- exact dedup -------------------------------------------------------------
@@ -636,11 +643,9 @@ _EMB_DUP_ORACLE = f"""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            -- decimal-string rounding (r12 ROUND-tie convention):
            -- cosine is a quarantined-finite sequential fold in [-1,1],
-           -- bit-identical to Spark's F.aggregate, so the lean
-           -- unguarded twin is exact
-           CAST(ROUND(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.v)),
-                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS VARCHAR)
-                AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+           -- bit-identical to Spark's F.aggregate; the twin is
+           -- GENERATED from integrity.round_double_sql (r13)
+           {round_double_sql("list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)", 6)} AS cosine
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_sum(list_transform(generate_series(1, len(a.v)),
           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.4
@@ -1366,14 +1371,11 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- convention, integrity.round_double_sql): DuckDB's VARCHAR repr
     -- is the same shortest repr Spark's round reads, so a tie value
     -- rounds identically; args here are quarantined finite and ≪ 1e15
-    -- so the lean unguarded form is exact
+    -- generated from integrity.round_double_sql (r13)
     SELECT vec_id,
-           CAST(ROUND(CAST(CAST(scale AS VARCHAR)
-                AS DECIMAL(38,20)), 9) AS DOUBLE)  AS scale,
-           CAST(ROUND(CAST(CAST(list_max(err) AS VARCHAR)
-                AS DECIMAL(38,20)), 9) AS DOUBLE)  AS max_abs_err,
-           CAST(ROUND(CAST(CAST(list_sum(err) / dim AS VARCHAR)
-                AS DECIMAL(38,20)), 9) AS DOUBLE)  AS mean_abs_err
+           {round_double_sql("scale", 9)}  AS scale,
+           {round_double_sql("list_max(err)", 9)}  AS max_abs_err,
+           {round_double_sql("list_sum(err) / dim", 9)}  AS mean_abs_err
     FROM e
     """,
 )
@@ -1433,7 +1435,7 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_difficulty_buckets",
-    oracle="""
+    oracle=f"""
     -- per-row rounds ride the decimal-string domain (r12 ROUND-tie
     -- convention, integrity.round_double_sql); the quantile/MIN/MAX
     -- rounds stay native (aggregate args — class b of the r12 triage)
@@ -1443,29 +1445,15 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   t -> t <> '')) AS BIGINT) AS n_tokens,
              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) > 0 THEN
-               CAST(ROUND(CAST(CAST(
-                 length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                     / len(list_filter(string_split_regex(text, '\\s+'),
-                                       t -> t <> '')) AS VARCHAR)
-                 AS DECIMAL(38,20)), 6) AS DOUBLE) END AS avg_token_len,
+               {round_double_sql(_AVG_TOKLEN_SQL, 6)} END AS avg_token_len,
              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) > 0 THEN
-               CAST(ROUND(CAST(CAST(
-                 len(list_filter(string_split_regex(text, '\\s+'),
-                         w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
-                     / len(list_filter(string_split_regex(text, '\\s+'),
-                                       t -> t <> '')) AS VARCHAR)
-                 AS DECIMAL(38,20)), 6) AS DOUBLE) END AS stopword_ratio
+               {round_double_sql(_STOPWORD_RATIO_SQL, 6)} END AS stopword_ratio
       FROM documents
     ), scored AS (
       SELECT doc_id, n_tokens,
              CASE WHEN n_tokens > 0 THEN
-               CAST(ROUND(CAST(CAST(
-                 0.4 * LEAST(n_tokens / 200.0, 1.0)
-                   + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
-                   + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
-                                THEN 1.0 ELSE 0.0 END AS VARCHAR)
-                 AS DECIMAL(38,20)), 7) AS DOUBLE)
+               {round_double_sql("0.4 * LEAST(n_tokens / 200.0, 1.0) + 0.3 * LEAST(stopword_ratio * 5.0, 1.0) + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END", 7)}
              ELSE 0.0 END AS quality_score
       FROM feat
     ), cuts AS (
@@ -1587,7 +1575,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_keep_best",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
     w AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
                                          t -> t <> '')) AS word
@@ -1616,37 +1604,24 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT cluster_rep, COUNT(*) AS n FROM reps GROUP BY 1),
     -- per-row rounds ride the decimal-string domain (r12 ROUND-tie
     -- convention, integrity.round_double_sql): token ratios and the
-    -- quality score are finite and bounded, lean unguarded twin
+    -- quality score are finite and bounded; twins generated from
+    -- integrity.round_double_sql (r13)
     feat AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                   t -> t <> '')) AS BIGINT) AS n_tokens,
              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) > 0 THEN
-               CAST(ROUND(CAST(CAST(
-                 length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                     / len(list_filter(string_split_regex(text, '\\s+'),
-                                       t -> t <> '')) AS VARCHAR)
-                 AS DECIMAL(38,20)), 6) AS DOUBLE) END AS avg_token_len,
+               {round_double_sql(_AVG_TOKLEN_SQL, 6)} END AS avg_token_len,
              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) > 0 THEN
-               CAST(ROUND(CAST(CAST(
-                 len(list_filter(string_split_regex(text, '\\s+'),
-                         w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
-                     / len(list_filter(string_split_regex(text, '\\s+'),
-                                       t -> t <> '')) AS VARCHAR)
-                 AS DECIMAL(38,20)), 6) AS DOUBLE) END AS stopword_ratio
+               {round_double_sql(_STOPWORD_RATIO_SQL, 6)} END AS stopword_ratio
       FROM documents
     ),
     scored AS (
       SELECT doc_id,
              CASE WHEN n_tokens > 0 THEN
-               CAST(ROUND(CAST(CAST(
-                 0.4 * LEAST(n_tokens / 200.0, 1.0)
-                   + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
-                   + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
-                                THEN 1.0 ELSE 0.0 END AS VARCHAR)
-                 AS DECIMAL(38,20)), 7) AS DOUBLE)
+               {round_double_sql("0.4 * LEAST(n_tokens / 200.0, 1.0) + 0.3 * LEAST(stopword_ratio * 5.0, 1.0) + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END", 7)}
              ELSE 0.0 END AS quality_score
       FROM feat
     ),
@@ -2103,7 +2078,7 @@ def label_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PRIORITY_SAMPLE_ORACLE = """
+_PRIORITY_SAMPLE_ORACLE = f"""
     WITH s AS (
       SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
              ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
@@ -2112,8 +2087,7 @@ _PRIORITY_SAMPLE_ORACLE = """
     SELECT doc_id, weight,
            -- per-row int-derived ratio: decimal-string round (r12
            -- ROUND-tie convention)
-           CAST(ROUND(CAST(CAST(weight * 4294967297.0 / (h + 1) AS VARCHAR)
-                AS DECIMAL(38,20)), 4) AS DOUBLE) AS priority
+           {round_double_sql("weight * 4294967297.0 / (h + 1)", 4)} AS priority
     FROM s
     ORDER BY weight * 4294967297.0 / (h + 1) DESC, doc_id
     LIMIT 100
@@ -2551,7 +2525,7 @@ def source_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gopher_quality_filter",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
@@ -2563,15 +2537,9 @@ def source_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT doc_id,
              CAST(len(ws) AS BIGINT) AS n_words,
-             CAST(ROUND(CAST(CAST(nc * 1e0 / len(ws) AS VARCHAR)
-               AS DECIMAL(38,20)), 4) AS DOUBLE) AS mean_word_len,
-             CAST(ROUND(CAST(CAST(len(list_filter(ws, w -> w IN
-               ('the','a','of','to','and','in','is','that','for','it')))
-               * 1e0 / len(ws) AS VARCHAR)
-               AS DECIMAL(38,20)), 4) AS DOUBLE) AS stopword_ratio,
-             CAST(ROUND(CAST(CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$')))
-               * 1e0 / len(ws) AS VARCHAR)
-               AS DECIMAL(38,20)), 4) AS DOUBLE) AS digit_word_ratio
+             {round_double_sql("nc * 1e0 / len(ws)", 4)} AS mean_word_len,
+             {round_double_sql("len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','that','for','it'))) * 1e0 / len(ws)", 4)} AS stopword_ratio,
+             {round_double_sql("len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$'))) * 1e0 / len(ws)", 4)} AS digit_word_ratio
       FROM t WHERE len(ws) > 0
     )
     SELECT doc_id, n_words, mean_word_len, stopword_ratio, digit_word_ratio,
@@ -2783,7 +2751,7 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_coverage_stats",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
@@ -2798,10 +2766,8 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT)                          AS n_tokens,
            CAST(COUNT(v.w) AS BIGINT)                        AS in_vocab,
-           CAST(ROUND(CAST(CAST(COUNT(v.w) * 1e0 / COUNT(*) AS VARCHAR)
-                AS DECIMAL(38,20)), 4) AS DOUBLE)            AS coverage,
-           CAST(ROUND(CAST(CAST(1e0 - COUNT(v.w) * 1e0 / COUNT(*) AS VARCHAR)
-                AS DECIMAL(38,20)), 4) AS DOUBLE)            AS oov_rate
+           {round_double_sql("COUNT(v.w) * 1e0 / COUNT(*)", 4)}            AS coverage,
+           {round_double_sql("1e0 - COUNT(v.w) * 1e0 / COUNT(*)", 4)}            AS oov_rate
     FROM tok t LEFT JOIN vocab v ON t.w = v.w
     GROUP BY t.doc_id
     """,
@@ -2914,7 +2880,7 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stratified_doc_sample",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
              n_chars * 4294967297.0 /
@@ -2929,8 +2895,7 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     -- per-row int-derived ratio: decimal-string round (r12 convention)
     SELECT lang, doc_id, weight,
-           CAST(ROUND(CAST(CAST(q AS VARCHAR)
-                AS DECIMAL(38,20)), 4) AS DOUBLE) AS priority,
+           {round_double_sql("q", 4)} AS priority,
            CAST(rk AS BIGINT) AS rk
     FROM r WHERE rk <= 20
     """,
@@ -4628,20 +4593,16 @@ def cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "domain_router_mix",
-    oracle="""
+    oracle=f"""
     -- per-row rounds ride the decimal-string domain (r12 ROUND-tie
     -- convention, integrity.round_double_sql): ratios and sigmoids
-    -- are finite and ≤ ~20, so the lean unguarded twin is exact
+    -- are finite and ≤ ~20; twins generated from
+    -- integrity.round_double_sql (r13)
     WITH feats AS (
       SELECT doc_id, source,
              ln(1 + len(tk))                                    AS f_len,
-             CAST(ROUND(CAST(CAST(len(list_filter(tk, t -> list_contains(
-               ['the','a','of','and','to','in','is','it'], t)))
-               * 1e0 / len(tk) AS VARCHAR) AS DECIMAL(38,20)), 6)
-               AS DOUBLE)                                       AS f_stop,
-             CAST(ROUND(CAST(CAST(list_sum(list_transform(tk, t -> len(t)))
-               * 1e0 / len(tk) AS VARCHAR) AS DECIMAL(38,20)), 6)
-               AS DOUBLE)                                       AS f_alen
+             {round_double_sql("len(list_filter(tk, t -> list_contains( ['the','a','of','and','to','in','is','it'], t))) * 1e0 / len(tk)", 6)}                                       AS f_stop,
+             {round_double_sql("list_sum(list_transform(tk, t -> len(t))) * 1e0 / len(tk)", 6)}                                       AS f_alen
       FROM (SELECT doc_id, source,
                    list_filter(string_split_regex(lower(text), '\\s+'),
                                t -> t <> '') AS tk
@@ -4658,10 +4619,10 @@ def cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT doc_id, source,
-             CAST(ROUND(CAST(CAST(r_web AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)   AS s_web,
-             CAST(ROUND(CAST(CAST(r_code AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)  AS s_code,
-             CAST(ROUND(CAST(CAST(r_books AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS s_books,
-             CAST(ROUND(CAST(CAST(r_news AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)  AS s_news
+             {round_double_sql("r_web", 6)}   AS s_web,
+             {round_double_sql("r_code", 6)}  AS s_code,
+             {round_double_sql("r_books", 6)} AS s_books,
+             {round_double_sql("r_news", 6)}  AS s_news
       FROM raw_scores
     ),
     routed AS (

@@ -639,7 +639,9 @@ def zorder_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fmax = max(md.row_group(i).column(idx).statistics.max
                            for i in range(md.num_row_groups))
                 touched += 1 if (fmax >= lo and fmin <= hi) else 0
-            return touched / n_data_files
+            # fully-empty input → every part file is a zero-row-group
+            # schema file → no data files to touch (r13 advisory)
+            return touched / n_data_files if n_data_files else 0.0
 
         z_pk = touch_fraction(zpath, "l_partkey", pk_lo, pk_hi)
         z_sk = touch_fraction(zpath, "l_suppkey", sk_lo, sk_hi)

@@ -90,3 +90,48 @@ def test_round_twin_specials(spark):
             assert math.isnan(s) and math.isnan(d), (v, s, d)
         else:
             assert s == d, (v, s, d)
+
+
+def test_round_twin_magnitude_bands(spark):
+    """r13 twin revision, both halves:
+
+    (1) the r12 twin's direct DECIMAL→DOUBLE readback was not
+    correctly rounded once the scaled int exceeded 2^53 — silently
+    wrong INSIDE its own 1e15 guard (999999999999999.5 at k=1 read
+    back .6). The VARCHAR bounce fixes it; these regression values
+    must agree with Spark bit-for-bit.
+
+    (2) the fallback arm at |x| ≥ 2^52 is the IDENTITY (every such
+    double is integer-valued and Spark's BigDecimal round returns it
+    unchanged at any k ≥ 0) — NOT native ROUND, whose multiply/divide
+    loses ulps there (ROUND(1.0000000000000002e16, 9) → …04e16)."""
+    vals = [
+        # (1) below the old guard — the r12 twin got these WRONG
+        999999999999999.5, 999999999999998.5, 987654321098765.5,
+        # twin arm, [1e15, 2^52)
+        1500000000000000.25, -1500000000000000.75,
+        1e15 + 0.125, 1.9999e15,
+        1125899906842623.5, 2251799813685247.5, 2251799813685248.5,
+        4503599627370494.5,  # last .5 below 2^52
+        # (2) identity arm, >= 2^52
+        4503599627370496.0, 4503599627370497.0,
+        1.0000000000000002e16, 9.1e15, -3.2e17, 1.23456789e17,
+        5e20, 1.7e308, -1.7e308,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    for k in (0, 1, 2, 9):
+        got_spark = [
+            r["y"] for r in df.select(F.round("x", k).alias("y")).collect()
+        ]
+        con = duckdb.connect()
+        lits = ", ".join(f"(CAST('{v!r}' AS DOUBLE))" for v in vals)
+        got_duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {round_double_sql('x', k)} FROM (VALUES {lits}) t(x)"
+            ).fetchall()
+        ]
+        diffs = [
+            (v, s, d) for v, s, d in zip(vals, got_spark, got_duck) if s != d
+        ]
+        assert not diffs, (k, diffs)
