@@ -44,72 +44,59 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining round-1-green variants (stable, re-verified on a
 #      rotating basis as window budget allows).
 _PRIORITY = [
-    # -- round-12 window (exactly 50 names; tests/test_oracle.py
-    #    enforces the size invariant — the driver records a row for
-    #    the FIRST 50 only, proven in round 7). Round-7 formula:
-    #    CHANGED queries first, then the stalest.
+    # -- round-13 window (exactly 50 names; tests/test_oracle.py
+    #    enforces the size invariant). Round-7 formula: CHANGED
+    #    queries first, then the stalest. Recomputed MECHANICALLY
+    #    this round from CORRECTNESS_r01-r12 + a function-source/
+    #    oracle-text diff vs the r12-end tree:
     #
-    #    The changed-but-driver-unwitnessed cohort was recomputed
-    #    MECHANICALLY this round (function-source + oracle-text diff
-    #    vs the r10-end tree, plus a changed-helper dependence scan
-    #    for rows-only sketch queries): 51 names changed in the r11
-    #    waves (extremes riders, unseated dates wave, the whole PK
-    #    wave) lack an r11 row. Round 12 itself changed 4 more
-    #    (advisory fixes: explicit-floor decimal-avg oracle,
-    #    out-of-range 'big' manifest token ×2, sampling-free z-order
-    #    placement). 4 + 51 = 55 > 50, so the slots go to the 4
-    #    r12-changed + the 46 stalest r11-changed; riding to r13:
-    #    the 4 NaN-canonicalization audit names whose r11 change was
-    #    +code-only comparison hardening (aqe_skew_split_audit,
-    #    dpp_audit, multi_table_swap_audit, zstd_encoding_audit —
-    #    r8/r10 rows) and the unchanged pre-r5 stale cohort (6 r3 +
-    #    22 r4; stream_dedup_then_rollup seats below) — 32 names,
-    #    clearable by ONE r13 window with 18 slots spare. Every
-    #    riding name is re-proven locally at sf0.01 by
-    #    scripts/drive_verify.py ALL GREEN this round.
-    #    A second r12 wave (ROUND-tie class-a conversion,
-    #    integrity.round_double_sql) changed 11 more oracles — 5
-    #    ALREADY holding slots below (dedup_keep_best,
-    #    doc_difficulty_buckets, domain_router_mix,
-    #    embedding_dup_pairs, embedding_quantize_error) and 6 ALREADY
-    #    in the riding cohort (copurchase_association_rules,
-    #    copurchase_triangle_stats, gopher_quality_filter,
-    #    vocab_coverage_stats, weighted_doc_sample,
-    #    stratified_doc_sample) — so the slot math and the riding
-    #    count are both unchanged; the driver witnesses the converted
-    #    window versions and all seven local gates re-proved the six
-    #    riders.
-    # (1) the 4 r12 advisory-fix names (lineitem_integrity_manifest
-    #     is also an unwitnessed r11-wave name).
-    "incremental_monthly_revenue", "manifest_repair_diff",
-    "zorder_skip_audit", "lineitem_integrity_manifest",
-    # (2) the 46 stalest r11-changed names lacking an r11 row,
-    #     stalest-first. r4 (1):
-    "stream_dedup_then_rollup",
-    #     r6 (8):
-    "bmp_header_stats", "image_dhash_dedup", "minhash_band_sweep_audit",
-    "png_pixel_stats", "stream_dedup_ttl", "stream_full_outer_interval",
-    "stream_stream_left_outer", "stream_windowed_topk",
-    #     r8 (9):
-    "aqe_coalesce_partitions_audit", "doc_sequence_packing",
-    "domain_router_mix", "dup_clusters", "embedding_dup_pairs",
-    "embedding_dup_pairs_lsh", "embedding_quantize_error",
-    "minhash_dup_pairs", "pack_stats",
-    #     r9 (12):
-    "dedup_keep_best", "doc_difficulty_buckets", "image_resize_stats",
-    "label_feature_corr", "props_map_stats", "returns_pivot_by_year",
-    "revenue_trend_by_nation", "stream_dedup_ingest",
-    "stream_running_totals", "stream_sessionize", "stream_user_profile",
-    "stream_view_purchase_funnel",
-    #     r10 (16):
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
-    "bloom_index_merge_maintenance", "dedup_corpus_token_accounting",
-    "dedup_keep_best_equivalence", "embedding_pca_audit",
-    "observe_metrics_audit", "parquet_bloom_filter_audit",
-    "pq_quantization_audit", "price_histogram",
-    "semantic_dedup_ivf_keep_best", "semantic_dedup_keep_best",
-    "state_store_metrics_audit", "stream_atomic_sink_ingest",
-    "watermark_lag_observability",
+    #    Changed this round (28): the 11 r12-converted queries whose
+    #    oracle sites were REGENERATED from integrity.round_double_sql
+    #    (r13 advisory - and the helper itself was fixed: VARCHAR-
+    #    bounce readback + identity fallback arm, so their oracle
+    #    text changed); the 16 new r13 class-a ROUND conversions;
+    #    and zorder_skip_audit (touch_fraction empty-input guard is
+    #    part of its function source). The resolve_replays edit is
+    #    behavior-identical at every call site (no caller passes
+    #    order_cols=[]; verified by grep + duplicates sweep), so its
+    #    dependents ride on local proof like the r12 NaN audits did.
+    #
+    #    Riding from r12 (seated here): the 4 NaN-canonicalization
+    #    audits (+code-only comparison hardening, r8/r10 rows) and
+    #    the pre-r5 stale cohort (6 r3 + 22 r4) minus the 6 names
+    #    already seated as r13-changed (copurchase x2, gopher, vocab,
+    #    weighted, stratified) minus 4 deferred to r14 below.
+    #    28 + 4 + 22 - 4 = 50.
+    #
+    #    Riding to r14 (4, all r4 rows, none touched since, all
+    #    re-proven by this round's full --all drive):
+    #    bpe_merge_step, longest_order_gap, nullsafe_segment_match,
+    #    session_window_rollup.
+    # (1) changed this round - regenerated r12 conversions (11),
+    #     new class-a conversions (16), touch_fraction guard (1):
+    "dedup_keep_best", "doc_difficulty_buckets", "domain_router_mix",
+    "embedding_dup_pairs", "embedding_quantize_error",
+    "gopher_quality_filter", "vocab_coverage_stats", "weighted_doc_sample",
+    "stratified_doc_sample", "copurchase_association_rules",
+    "copurchase_triangle_stats", "bpe_token_counts",
+    "curation_pipeline_report", "doc_quality_filter",
+    "doc_repetition_stats", "doc_token_stats", "jaccard_dup_pairs",
+    "tokenizer_fertility_by_lang", "bloom_fpr_audit", "cosine_topk",
+    "quality_classifier_scores", "tfidf_top_terms", "trigram_lm_train",
+    "asof_last_purchase", "stream_dimension_merge",
+    "order_rank_in_customer_history", "fb_spend_local",
+    "zorder_skip_audit",
+    # (2) the 4 riding NaN-canonicalization audits:
+    "aqe_skew_split_audit", "dpp_audit", "multi_table_swap_audit",
+    "zstd_encoding_audit",
+    # (3) the riding pre-r5 stale cohort, stalest-first:
+    "supplier_revenue_share", "token_budget_mix", "top_revenue_supplier",
+    "user_event_bigrams", "wav_header_stats", "doc_bigram_perplexity",
+    "doc_perplexity_filter", "doc_stride_spans", "fb_campaign_roas",
+    "incremental_dedup_new_docs", "nation_revenue_share_of_parent",
+    "nation_trade_pagerank", "orders_key_skew_audit",
+    "scd2_pointintime_join", "source_drift_audit", "stream_quality_gate",
+    "temperature_mix_weights", "weekly_revenue_iso",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to

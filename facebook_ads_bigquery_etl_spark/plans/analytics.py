@@ -12,6 +12,15 @@ are hash-aggregates with map-side partials; dimension joins broadcast;
 fact-fact joins shuffle on the join key with AQE handling skew; window
 queries over *aggregated* (bounded) inputs may use a global window —
 the input is already reduced to ~thousands of rows.
+
+ROUND convention (r12-r13 ROUND-tie triage): per-row rounds over
+bit-identical deriveds go through the decimal-string twin
+(integrity.round_double_sql, generated sites). ROUND over double
+AGGREGATES (class b) stays native by decision - the dominant
+cross-engine term is addition-order ulp drift in the aggregate, which
+rounding cannot close; DECIMAL sums are used where order-dependence
+amplifies the risk (global cumsums, incremental cents). Per-family
+rationale: scripts/round_sites_classified.json `r13_class_b_decisions`.
 """
 
 from __future__ import annotations
@@ -545,7 +554,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_last_purchase",
-    oracle="""
+    oracle=f"""
     WITH clicks AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ),
@@ -556,7 +565,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.event_id                           AS click_id,
            c.user_id,
            COALESCE(p.purchase_id, -1)          AS purchase_id,
-           ROUND(COALESCE(p.value, 0.0), 2)     AS purchase_value
+           -- raw per-row value, bit-identical: decimal-string round
+           -- (r13 class-a conversion, integrity.round_double_sql)
+           {round_double_sql("COALESCE(p.value, 0.0)", 2)}     AS purchase_value
     FROM clicks c
     ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
@@ -3583,10 +3594,13 @@ def feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "order_rank_in_customer_history",
-    oracle="""
+    oracle=f"""
+    -- percent_rank/cume_dist are small-integer ratios, bit-identical
+    -- per row: decimal-string rounds (r13 class-a conversion,
+    -- integrity.round_double_sql)
     SELECT o_orderkey, o_custkey,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-           ROUND(CUME_DIST() OVER w, 6)    AS cd,
+           {round_double_sql("PERCENT_RANK() OVER w", 6)} AS pr,
+           {round_double_sql("CUME_DIST() OVER w", 6)}    AS cd,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey

@@ -10,6 +10,11 @@ rejection) and missing-key → empty-array normalization.
 This is the canonical query the reference exists to serve (SURVEY §7
 step 3): day-grain spend joined to the day's fx rate, rolled up by
 campaign.
+
+
+ROUND-over-aggregate sites (class b) stay native by documented-
+tolerance decision; per-row sites ride integrity.round_double_sql.
+See scripts/round_sites_classified.json `r13_class_b_decisions`.
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ from ..fixtures import (
     fx_values_sql,
 )
 from ..operators.casting import split_required_violations
+from ..operators.integrity import round_double_sql
 from ..schemas import SCHEMA_EXCHANGE_RATE, SCHEMA_FACEBOOK_RAW, SCHEMA_FACEBOOK_STAT
 from .registry import register
 
@@ -126,7 +132,11 @@ def fb_actions_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT fb.date, fb.campaign_name, fx.currencies,
            ROUND(fb.spend_usd, 2)           AS spend_usd,
            ROUND(fx.rate, 6)                AS rate,
-           ROUND(fb.spend_usd * fx.rate, 2) AS spend_local
+           -- the PRODUCT is a per-row double over already-identical
+           -- inputs: decimal-string round (r13 class-a conversion);
+           -- the spend/rate rounds above are tie-unreachable (exact
+           -- 2-dec fixture money / 6-dec rates, k >= their digits)
+           {round_double_sql("fb.spend_usd * fx.rate", 2)} AS spend_local
     FROM fb JOIN fx ON fb.date = fx.date
     """,
 )

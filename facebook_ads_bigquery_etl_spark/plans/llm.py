@@ -10,6 +10,14 @@ pinned to TRUE on the oracle side — so sketch quality is a real driver
 hash check, not a rows-only count. Raw pair/neighbor lists remain
 available from the operators module; recall floors are additionally
 asserted in tests/test_llm_ops.py.
+
+ROUND convention (r12-r13 ROUND-tie triage): per-row rounds over
+bit-identical deriveds (token ratios, cosines, sigmoids, log-probs
+over integer counts) go through the decimal-string twin — every such
+oracle site is GENERATED from integrity.round_double_sql. ROUND over
+double aggregates (class b: perplexities, KL, vector stats) stays
+native by documented-tolerance decision: per-family rationale in
+scripts/round_sites_classified.json `r13_class_b_decisions`.
 """
 
 from __future__ import annotations
@@ -56,7 +64,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "jaccard_dup_pairs",
-    oracle="""
+    oracle=f"""
     WITH w AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
                                          t -> t <> '')) AS word FROM documents),
     c AS (SELECT doc_id, COUNT(*) AS set_size FROM w GROUP BY doc_id),
@@ -64,7 +72,9 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
     SELECT a_id, b_id,
-           ROUND(inter * 1.0 / (ca.set_size + cb.set_size - inter), 6) AS jaccard
+           -- integer-count ratio, bit-identical per row: decimal-string
+           -- round (r13 class-a conversion, integrity.round_double_sql)
+           {round_double_sql("inter * 1.0 / (ca.set_size + cb.set_size - inter)", 6)} AS jaccard
     FROM i
     JOIN c ca ON ca.doc_id = i.a_id
     JOIN c cb ON cb.doc_id = i.b_id
@@ -211,7 +221,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_token_stats",
-    oracle="""
+    oracle=f"""
     WITH feat AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split_regex(text, '\\s+'),
@@ -223,11 +233,13 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS n_stop
       FROM documents
     )
+    -- integer-count ratios, bit-identical per row: decimal-string
+    -- rounds (r13 class-a conversion, integrity.round_double_sql)
     SELECT doc_id, n_tokens, n_chars, n_alpha,
            CASE WHEN n_tokens > 0
-                THEN ROUND(n_alpha * 1.0 / n_tokens, 6) END AS avg_token_len,
+                THEN {round_double_sql("n_alpha * 1.0 / n_tokens", 6)} END AS avg_token_len,
            CASE WHEN n_tokens > 0
-                THEN ROUND(n_stop * 1.0 / n_tokens, 6) END  AS stopword_ratio
+                THEN {round_double_sql("n_stop * 1.0 / n_tokens", 6)} END  AS stopword_ratio
     FROM feat
     """,
 )
@@ -316,30 +328,24 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality_filter",
-    oracle="""
+    oracle=f"""
     WITH feat AS (
+      -- per-row token ratios + composite score: decimal-string rounds
+      -- (r13 class-a conversion, integrity.round_double_sql)
       SELECT doc_id, lang,
              CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                   t -> t <> '')) AS BIGINT) AS n_tokens,
              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) > 0 THEN
-               ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                     / len(list_filter(string_split_regex(text, '\\s+'),
-                                       t -> t <> '')), 6) END AS avg_token_len,
+               {round_double_sql(_AVG_TOKLEN_SQL, 6)} END AS avg_token_len,
              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
                                        t -> t <> '')) > 0 THEN
-               ROUND(len(list_filter(string_split_regex(text, '\\s+'),
-                         w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
-                     / len(list_filter(string_split_regex(text, '\\s+'),
-                                       t -> t <> '')), 6) END AS stopword_ratio
+               {round_double_sql(_STOPWORD_RATIO_SQL, 6)} END AS stopword_ratio
       FROM documents
     ), scored AS (
       SELECT doc_id, lang,
              CASE WHEN n_tokens > 0 THEN
-               ROUND(0.4 * LEAST(n_tokens / 200.0, 1.0)
-                   + 0.3 * LEAST(stopword_ratio * 5.0, 1.0)
-                   + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0
-                                THEN 1.0 ELSE 0.0 END, 7)
+               {round_double_sql("0.4 * LEAST(n_tokens / 200.0, 1.0) + 0.3 * LEAST(stopword_ratio * 5.0, 1.0) + 0.3 * CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END", 7)}
              ELSE 0.0 END AS quality_score
       FROM feat
     )
@@ -473,8 +479,10 @@ _BPE_SQL = tx.BPE_ISH_PATTERN.replace("'", "''")  # SQL-literal escaping
       FROM documents
     )
     SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+           -- integer-count ratio: decimal-string round (r13 class-a
+           -- conversion, integrity.round_double_sql)
            CASE WHEN n_ws_tokens > 0
-                THEN ROUND(n_bpe_tokens * 1.0 / n_ws_tokens, 6) END
+                THEN {round_double_sql("n_bpe_tokens * 1.0 / n_ws_tokens", 6)} END
                AS bpe_per_word
     FROM toks
     """,
@@ -520,13 +528,11 @@ _COS_ORACLE = f"""
     WITH v AS (SELECT * FROM embeddings WHERE {_VALID_VEC_SQL}),
     q AS (SELECT vec_id AS query_id, embedding AS qe FROM v WHERE vec_id < 5),
     s AS (
+      -- cosine is a quarantined-finite sequential fold, bit-identical
+      -- to Spark's zip_with dot product: decimal-string round (r13
+      -- class-a conversion, integrity.round_double_sql)
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(
-               list_sum(list_transform(generate_series(1, len(q.qe)),
-                        i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-             6) AS cosine
+             {round_double_sql("list_sum(list_transform(generate_series(1, len(q.qe)), i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))", 6)} AS cosine
       FROM q, v e
       WHERE e.vec_id <> q.query_id
     )
@@ -897,7 +903,7 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_top_terms",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -908,8 +914,11 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
+      -- per-row over integer counts; ln() is the same libm call on a
+      -- bit-identical arg on both engines (r12 router-sigmoid
+      -- precedent): decimal-string round (r13 class-a conversion)
       SELECT doc_id, token,
-             ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS tfidf
+             {round_double_sql("tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1)", 6)} AS tfidf
       FROM tf JOIN dfq USING (token) CROSS JOIN n
     )
     SELECT doc_id, token, tfidf, CAST(rnk AS INTEGER) AS rank
@@ -1281,7 +1290,7 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_repetition_stats",
-    oracle="""
+    oracle=f"""
     WITH words AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ),
@@ -1304,11 +1313,14 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       )
     )
+    -- integer-aggregate ratios (SUM/COUNT/MAX of ints are exact in any
+    -- order), bit-identical per row: decimal-string rounds (r13
+    -- class-a conversion, integrity.round_double_sql)
     SELECT u.doc_id, u.n_words, u.n_distinct_words,
-           ROUND(CAST(top_word_n AS DOUBLE) / n_words, 6)                 AS top_word_frac,
-           ROUND(CAST(n_words - n_distinct_words AS DOUBLE) / n_words, 6) AS dup_word_frac,
+           {round_double_sql("CAST(top_word_n AS DOUBLE) / n_words", 6)}                 AS top_word_frac,
+           {round_double_sql("CAST(n_words - n_distinct_words AS DOUBLE) / n_words", 6)} AS dup_word_frac,
            CASE WHEN n_bigrams > 0
-                THEN ROUND(CAST(dup_bigrams AS DOUBLE) / n_bigrams, 6)
+                THEN {round_double_sql("CAST(dup_bigrams AS DOUBLE) / n_bigrams", 6)}
                 ELSE 0.0 END                                              AS dup_bigram_frac
     FROM uni u JOIN bi USING (doc_id)
     """,
@@ -3039,7 +3051,7 @@ def jl_projection_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curation_pipeline_report",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, source, text,
              list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
@@ -3047,11 +3059,12 @@ def jl_projection_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     m AS (
+      -- per-row integer ratios feeding the quality-band FILTER:
+      -- decimal-string rounds (r13 class-a conversion)
       SELECT doc_id, source, text,
              CAST(len(ws) AS BIGINT) AS n_words,
-             ROUND(nc * 1e0 / len(ws), 4) AS mwl,
-             ROUND(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$')))
-                   * 1e0 / len(ws), 4) AS digit_ratio
+             {round_double_sql("nc * 1e0 / len(ws)", 4)} AS mwl,
+             {round_double_sql("len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$'))) * 1e0 / len(ws)", 4)} AS digit_ratio
       FROM t WHERE len(ws) > 0
     ),
     q AS (
@@ -3400,26 +3413,25 @@ def bloom_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_classifier_scores",
-    oracle="""
+    oracle=f"""
     WITH feats AS (
+      -- per-row integer ratios: decimal-string rounds (r13 class-a
+      -- conversion, integrity.round_double_sql)
       SELECT doc_id, source,
              len(tk)                                            AS n_tokens,
-             ROUND(len(list_filter(tk, t -> list_contains(
-               ['the','a','of','and','to','in','is','it'], t)))
-               * 1e0 / NULLIF(len(tk), 0), 6)                   AS stop_ratio,
-             ROUND(list_sum(list_transform(tk, t -> len(t)))
-               * 1e0 / NULLIF(len(tk), 0), 6)                   AS avg_tok_len
+             {round_double_sql("len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) * 1e0 / NULLIF(len(tk), 0)", 6)} AS stop_ratio,
+             {round_double_sql("list_sum(list_transform(tk, t -> len(t))) * 1e0 / NULLIF(len(tk), 0)", 6)} AS avg_tok_len
       FROM (SELECT doc_id, source,
                    list_filter(string_split_regex(lower(text), '\\s+'),
                                t -> t <> '') AS tk
             FROM documents)
     ),
     scored AS (
+      -- sigmoid over rounded (exact-decimal) features; exp/ln are the
+      -- same libm calls on bit-identical args (r12 router precedent)
       SELECT doc_id, source,
              CASE WHEN n_tokens > 0 THEN
-               ROUND(1e0 / (1e0 + exp(-(
-                 0.35e0 * ln(1 + n_tokens) + 2.0e0 * stop_ratio
-                 - 0.15e0 * avg_tok_len - 0.6e0))), 6)
+               {round_double_sql("1e0 / (1e0 + exp(-(0.35e0 * ln(1 + n_tokens) + 2.0e0 * stop_ratio - 0.15e0 * avg_tok_len - 0.6e0)))", 6)}
              ELSE 0.0 END AS score
       FROM feats
     )
@@ -3584,7 +3596,7 @@ def perplexity_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "trigram_lm_train",
-    oracle="""
+    oracle=f"""
     WITH w AS (
       SELECT list_filter(string_split_regex(lower(text), '\\s+'),
                          t -> t <> '') AS ws
@@ -3601,8 +3613,10 @@ def perplexity_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     v  AS (SELECT COUNT(DISTINCT x) AS vocab FROM (
              SELECT unnest(ws) AS x FROM w)),
     probs AS (
+      -- smoothed log-prob over integer counts; ln is the same libm
+      -- call on a bit-identical arg (r13 class-a conversion)
       SELECT tc.a, tc.b, tc.c, tc.c3,
-             ROUND(ln((tc.c3 + 0.5e0) / (bc.c2 + 0.5e0 * v.vocab)), 6)
+             {round_double_sql("ln((tc.c3 + 0.5e0) / (bc.c2 + 0.5e0 * v.vocab))", 6)}
                AS logp
       FROM tc JOIN bc USING (a, b), v
     )
@@ -4882,7 +4896,7 @@ def dedup_corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "bloom_fpr_audit",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
                                  t -> t <> '') AS tk
@@ -4934,14 +4948,15 @@ def dedup_corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
                   AS BIGINT)                                   AS n_false_negatives
       FROM corpus
     )
+    -- integer-count ratios: decimal-string rounds (r13 class-a
+    -- conversion, integrity.round_double_sql)
     SELECT CAST(8192 AS BIGINT) AS m_bits,
            n_bench_bits,
-           ROUND(n_bench_bits / 8192e0, 6) AS fill_frac,
+           {round_double_sql("n_bench_bits / 8192e0", 6)} AS fill_frac,
            n_corpus_grams,
            n_exact_shared,
            n_false_positives,
-           ROUND(n_false_positives * 1e0
-                 / greatest(1, n_corpus_grams - n_exact_shared), 6)
+           {round_double_sql("n_false_positives * 1e0 / greatest(1, n_corpus_grams - n_exact_shared)", 6)}
              AS measured_fpr,
            n_false_negatives = 0 AS no_false_negatives,
            n_false_positives * 1e0
@@ -5091,10 +5106,12 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(n_ws) AS BIGINT)     AS n_ws
       FROM toks GROUP BY lang
     )
+    -- integer-aggregate ratios, bit-identical per row: decimal-string
+    -- rounds (r13 class-a conversion, integrity.round_double_sql)
     SELECT b.lang, b.n_docs, b.n_bpe, b.n_ws,
-           ROUND(b.n_bpe * 1e0 / b.n_ws, 6)      AS bpe_per_word,
-           ROUND(o.n_chars * 1e0 / o.n_occ, 6)   AS chars_per_token,
-           ROUND(o.n_oov * 1e0 / o.n_occ, 6)     AS oov_rate
+           {round_double_sql("b.n_bpe * 1e0 / b.n_ws", 6)}      AS bpe_per_word,
+           {round_double_sql("o.n_chars * 1e0 / o.n_occ", 6)}   AS chars_per_token,
+           {round_double_sql("o.n_oov * 1e0 / o.n_occ", 6)}     AS oov_rate
     FROM base b JOIN oov o USING (lang)
     """,
 )

@@ -7,6 +7,11 @@ a memory sink, and returns the result table. On finite input the
 stream must equal the batch aggregation, so the DuckDB oracle is plain
 SQL over the same table — the strongest correctness statement a
 streaming operator can make.
+
+
+ROUND-over-aggregate sites (class b) stay native by documented-
+tolerance decision; per-row sites ride integrity.round_double_sql.
+See scripts/round_sites_classified.json `r13_class_b_decisions`.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ from ..streaming import (
     user_running_totals,
 )
 from ..operators.exprs import knuth_bucket
+from ..operators.integrity import round_double_sql
 from .registry import load_tables, register
 
 
@@ -913,16 +919,16 @@ def stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dimension_merge",
-    oracle="""
+    oracle=f"""
     -- HUGEINT key: a corrupt far-future/pre-1900 ts would overflow
     -- the ×1e5 in INT64 on either engine — the engine orders by the
-    -- matching DECIMAL(38,0) key (r11 dates sweep)
+    -- matching DECIMAL(38,0) key (r11 dates sweep).
+    -- max_by picks ONE raw value (key-unique), so the round is
+    -- per-row bit-identical: decimal-string round (r13 class-a
+    -- conversion, integrity.round_double_sql)
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(max_by(value,
-                        (epoch_us(ts)::HUGEINT
-                         - epoch_us(TIMESTAMP '2024-01-01'))
-                        * 100000 + event_id), 2) AS last_value
+           {round_double_sql("max_by(value, (epoch_us(ts)::HUGEINT - epoch_us(TIMESTAMP '2024-01-01')) * 100000 + event_id)", 2)} AS last_value
     FROM events GROUP BY user_id
     """,
 )

@@ -6,6 +6,11 @@ denormalized campaign attributes, reference main.py:22-40) needs
 exactly these to operate at scale: change capture over dimension
 snapshots, joins that survive hot keys, and the column statistics
 that drive physical-layout and join-strategy decisions.
+
+
+ROUND-over-aggregate sites (class b) stay native by documented-
+tolerance decision; per-row sites ride integrity.round_double_sql.
+See scripts/round_sites_classified.json `r13_class_b_decisions`.
 """
 
 from __future__ import annotations
