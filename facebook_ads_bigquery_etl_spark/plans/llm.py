@@ -1478,8 +1478,12 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CAST(quality_score > q3 AS INT)  AS bucket,
            CAST(COUNT(*) AS BIGINT)             AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT)        AS total_tokens,
-           ROUND(MIN(quality_score), 7)         AS min_score,
-           ROUND(MAX(quality_score), 7)         AS max_score
+           -- MIN/MAX pick one bit-identical rounded score per group
+           -- (order-independent aggregates are class a — r12 caveat);
+           -- re-rounding an already-7-dec double is exactly the r11
+           -- cent shape, so these ride the decimal-string twin (r13)
+           {round_double_sql("MIN(quality_score)", 7)}         AS min_score,
+           {round_double_sql("MAX(quality_score)", 7)}         AS max_score
     FROM scored, cuts
     GROUP BY 1
     """,
