@@ -106,15 +106,30 @@ def round_double_sql(expr: str, k: int) -> str:
     2·990-value tie corpus at k ∈ {0,1,2,6} plus magnitude-band
     probes in tests/test_round_ties.py.
 
-    Guard: the twin arm runs for finite |x| < 2^52 (DECIMAL(38,20)
-    holds 18 integer digits; 2^52 ≈ 4.5e15 has 16). At |x| ≥ 2^52
-    every double is INTEGER-VALUED, and Spark's BigDecimal round is
-    the IDENTITY there for every k ≥ 0 (verified live) — so the
-    fallback arm is ``x`` itself, NOT DuckDB's native ROUND, whose
-    multiply/divide loses ulps at large magnitude (probed:
-    ``ROUND(1.0000000000000002e16, 9)`` returns ``…04e16``).
-    Non-finite and NULL pass through the identity arm unchanged,
-    matching Spark. Requires k ≥ 0 (all repo sites).
+    Guard ladder (each arm chosen so the decimal parse is EXACT for
+    every shortest repr it can receive):
+
+    * finite |x| < 1e-4 → DECIMAL(38,34). A shortest repr carries up
+      to 17 significant digits; below 1e-4 the leading zeros push the
+      last digit past fraction position 20, so the (38,20) parse
+      SILENTLY ROUNDS the tail and double-rounds the result (r13
+      review find: 1.4999999999999998e-06 at k=6 — twin said 2e-06,
+      Spark says 1e-06). Scale 34 is exact down to |x| ≥ 1e-18; below
+      that the only inexact parses carry a rounding that cannot reach
+      digit k+1 for k ≤ 12 (it would need >17 consecutive significant
+      9s), and every such value rounds to 0.0 on both engines.
+    * finite |x| < 2^52 → DECIMAL(38,20) (18 integer digits; 2^52 ≈
+      4.5e15 has 16, and at ≥ 1e-4 the 20-digit fraction is exact).
+    * |x| ≥ 2^52 → IDENTITY: every such double is INTEGER-VALUED and
+      Spark's BigDecimal round returns it unchanged at any k ≥ 0
+      (verified live) — NOT DuckDB's native ROUND, whose
+      multiply/divide loses ulps at magnitude (probed:
+      ``ROUND(1.0000000000000002e16, 9)`` returns ``…04e16``).
+      Non-finite and NULL pass through this arm unchanged, matching
+      Spark.
+
+    Requires 0 ≤ k ≤ 12 (repo sites use k ≤ 9); k > 12 would need a
+    deeper tiny-arm carry analysis, so it raises.
 
     SCOPE (from the r12 triage): this twin closes the class ONLY
     where the two engines compute the BIT-IDENTICAL double before
@@ -130,12 +145,18 @@ def round_double_sql(expr: str, k: int) -> str:
     the 'one definition, can never drift' property did not actually
     hold, and an unexpected NaN/Inf/huge value would have crashed the
     VARCHAR→DECIMAL cast there instead of producing a comparable
-    value). The guard CASE is cheap and always correct, so there is
+    value). The guard CASE repeats ``expr`` in each arm's predicate —
+    measured immaterial at the oracle gate's scale even on the
+    heaviest generated sites (embedding_dup_pairs' per-pair cosine
+    fold: 0.24 s for the whole sf0.01 oracle), so there is
     deliberately NO unguarded variant."""
-    if k < 0:
-        raise ValueError("round_double_sql requires k >= 0")
+    if not 0 <= k <= 12:
+        raise ValueError("round_double_sql requires 0 <= k <= 12")
     return (
-        f"CASE WHEN isfinite({expr}) AND abs({expr}) < 4503599627370496.0"
+        f"CASE WHEN isfinite({expr}) AND abs({expr}) < 0.0001"
+        f" THEN CAST(CAST(ROUND(CAST(CAST({expr} AS VARCHAR)"
+        f" AS DECIMAL(38,34)), {k}) AS VARCHAR) AS DOUBLE)"
+        f" WHEN isfinite({expr}) AND abs({expr}) < 4503599627370496.0"
         f" THEN CAST(CAST(ROUND(CAST(CAST({expr} AS VARCHAR)"
         f" AS DECIMAL(38,20)), {k}) AS VARCHAR) AS DOUBLE)"
         f" ELSE {expr} END"

@@ -1448,9 +1448,11 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_difficulty_buckets",
     oracle=f"""
-    -- per-row rounds ride the decimal-string domain (r12 ROUND-tie
-    -- convention, integrity.round_double_sql); the quantile/MIN/MAX
-    -- rounds stay native (aggregate args — class b of the r12 triage)
+    -- per-row rounds AND the MIN/MAX readouts ride the decimal-string
+    -- domain (r12 convention + r13 MIN/MAX refinement — order-
+    -- independent selections of bit-identical scores are class a);
+    -- only the quantile_cont rounds stay native (interpolation
+    -- arithmetic is genuinely class b)
     WITH feat AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split_regex(text, '\\s+'),

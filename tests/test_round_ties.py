@@ -135,3 +135,45 @@ def test_round_twin_magnitude_bands(spark):
             (v, s, d) for v, s, d in zip(vals, got_spark, got_duck) if s != d
         ]
         assert not diffs, (k, diffs)
+
+
+def test_round_twin_small_magnitudes(spark):
+    """r13 review find: below 1e-4 a shortest repr's last significant
+    digit passes fraction position 20, so the DECIMAL(38,20) parse
+    silently rounded the tail and DOUBLE-ROUNDED the result
+    (1.4999999999999998e-06 at k=6: twin said 2e-06, Spark 1e-06).
+    The tiny arm now parses into DECIMAL(38,34), exact down to 1e-18;
+    below that both engines agree on 0.0 for every k <= 12."""
+    vals = [
+        1.4999999999999998e-06, -1.4999999999999998e-06,   # the find
+        1.4999999999999996e-09, 2.5000000000000004e-07,
+        5.5e-05, 1.5e-05, -3.4999999999999997e-08,
+        9.999999999999999e-05,                              # just below 1e-4
+        1.00000000000000005e-4, 1.0001e-4,                  # boundary + above
+        9.999999999999999e-19, 1e-18, -9.999999999999999e-19,  # scale-34 edge
+        1e-300, 5e-324, -5e-324, 0.0, -0.0,                 # deep tiny/denormal
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    for k in (4, 6, 7, 9, 12):
+        got_spark = [
+            r["y"] for r in df.select(F.round("x", k).alias("y")).collect()
+        ]
+        con = duckdb.connect()
+        lits = ", ".join(f"(CAST('{v!r}' AS DOUBLE))" for v in vals)
+        got_duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {round_double_sql('x', k)} FROM (VALUES {lits}) t(x)"
+            ).fetchall()
+        ]
+        diffs = [
+            (v, s, d) for v, s, d in zip(vals, got_spark, got_duck) if s != d
+        ]
+        assert not diffs, (k, diffs)
+
+
+def test_round_twin_k_bounds():
+    import pytest as _pt
+    for bad in (-1, 13, 20):
+        with _pt.raises(ValueError):
+            round_double_sql("x", bad)
