@@ -177,3 +177,57 @@ def test_round_twin_k_bounds():
     for bad in (-1, 13, 20):
         with _pt.raises(ValueError):
             round_double_sql("x", bad)
+
+
+def test_round_twin_random_corpus(spark):
+    """Blanket assurance over the systematic gates: 20k deterministic
+    pseudo-random doubles spanning every magnitude regime (denormal →
+    1e308, both signs, exact decimals, tie-adjacent perturbations),
+    compared Spark-vs-twin at every k the repo emits. Fixed seed —
+    the corpus is identical on every run."""
+    import random
+    import struct
+
+    rng = random.Random(13_13_13)
+    vals = []
+    # uniform over raw bit patterns → covers denormals/extremes evenly
+    for _ in range(6000):
+        bits = rng.getrandbits(63)  # positive finite-ish; mask exponent
+        x = struct.unpack("<d", struct.pack("<Q", bits))[0]
+        if x == x and abs(x) != float("inf"):
+            vals.append(x if rng.random() < 0.5 else -x)
+    # decimal-ish values around the rounding grids
+    for _ in range(8000):
+        mant = rng.randint(1, 10**rng.randint(1, 15))
+        exp = rng.randint(-12, 12)
+        x = float(f"{mant}e{exp}")
+        if abs(x) < 1e300:
+            vals.append(x if rng.random() < 0.5 else -x)
+    # tie-adjacent: exact grid values and 1-ulp perturbations
+    import math
+    for _ in range(6000):
+        k = rng.choice([0, 1, 2, 4, 6])
+        mant = rng.randint(1, 10**6) * 10 + 5
+        x = float(f"{mant}e-{k + 1}")
+        x = rng.choice([x, math.nextafter(x, 0), math.nextafter(x, math.inf)])
+        vals.append(x if rng.random() < 0.5 else -x)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    con = duckdb.connect()
+    for k in (0, 2, 4, 6, 9, 12):
+        got_spark = [
+            r["y"] for r in df.select(F.round("x", k).alias("y")).collect()
+        ]
+        got_duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {round_double_sql('x', k)} FROM "
+                "(SELECT unnest(?::DOUBLE[]) AS x)",
+                [vals],
+            ).fetchall()
+        ]
+        diffs = [
+            (v, s, d)
+            for v, s, d in zip(vals, got_spark, got_duck)
+            if s != d and not (s != s and d != d)
+        ]
+        assert not diffs, (k, len(diffs), diffs[:5])
