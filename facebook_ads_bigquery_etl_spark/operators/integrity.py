@@ -137,8 +137,10 @@ def round_double_sql(expr: str, k: int) -> str:
     ``ROUND(SUM(double), k)`` the dominant cross-engine term is ulp
     drift in the SUM itself (different addition orders) — there the
     fix is DECIMAL sums (the r11 money convention), not rounding;
-    the r13 per-family decisions for all 164 such sites are recorded
-    in scripts/round_sites_classified.json `r13_class_b_decisions`.
+    the r13 per-family decisions for the 162 remaining such sites
+    (164 census minus the two MIN/MAX sites reclassified a and
+    converted) are recorded in scripts/round_sites_classified.json
+    `r13_class_b_decisions`.
 
     Converted oracle sites are GENERATED from this one function (r13
     advisory — the r12 wave hand-inlined the lean unguarded form, so
