@@ -42,58 +42,100 @@ def asof_join(
     semantics).
 
     ``right_values``: right columns to carry (default: all non-key,
-    non-ts columns). ``how``: 'left' keeps unmatched left rows, 'inner'
-    drops them.
+    non-ts columns; must not collide with a left column name — the
+    output would hold two columns with one name and every downstream
+    by-name reference would die with AMBIGUOUS_REFERENCE, so the
+    collision fails loudly here instead). ``how``: 'left' keeps
+    unmatched left rows, 'inner' drops them (an out-of-tolerance match
+    counts as unmatched).
+
+    Row consistency: the winning right row is carried as ONE struct,
+    so every output value (including ``asof_{right_ts}``) comes from
+    the same physical right row. The per-column
+    ``last(..., ignorenulls=True)`` form this replaced could fabricate
+    a row that never existed: with purchases (id=10, value=5.0) then
+    (id=20, value=NULL), ignorenulls skipped the newer NULL and
+    emitted (id=20, value=5.0) — id from one purchase, value from
+    another (executed counterexample, r13 operator review).
+
+    Determinism: right rows tied on (key, ts) resolve by the struct's
+    own total order (max ``right_values`` tuple wins, field order =
+    ``right_values`` order) — layout-independent, run-to-run stable.
+    Oracles over non-unique (key, ts) right sides must break ties the
+    same way (native ASOF picks arbitrarily): pre-reduce the right
+    side to one row per (key, ts) with ``row_number() ... ORDER BY
+    <right_values> DESC`` — see asof_last_purchase.
+
+    Tolerance: a match farther than ``tolerance_expr`` is nulled
+    WHOLE — values and ``asof_{right_ts}`` together (the old form
+    nulled only the values, so 'inner' kept out-of-tolerance rows
+    whose asof_ts still reported the stale timestamp as a match).
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_values is None:
         right_values = [c for c in right.columns if c not in keys and c != right_ts]
+    clash = [c for c in right_values if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join: right_values {clash} collide with left column"
+            " names — alias one side before joining"
+        )
 
+    # one struct = one physical right row; __matched_ts LAST so the
+    # struct total order tiebreaks by content in right_values order
+    rrow = F.struct(
+        *[F.col(c).alias(c) for c in right_values],
+        F.col(right_ts).alias("__matched_ts"),
+    )
     lhs = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(
+            right.select(rrow.alias("r")).schema["r"].dataType
+        ).alias("__rrow"),
     )
     rhs = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_values],
-        F.col(right_ts).alias("__r_ts"),
+        rrow.alias("__rrow"),
     )
 
     # __side sorts right rows before left rows at equal ts → "at or
-    # before" is inclusive, matching ASOF semantics.
+    # before" is inclusive, matching ASOF semantics; __rrow makes the
+    # order among equal-ts right rows total (content tiebreak).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__rrow"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_values]
-    carried_ts = F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__matched_ts")
-
     joined = (
         lhs.unionByName(rhs)
-        .select(*keys, "__ts", "__side", "__lrow", *carried, carried_ts)
+        .select(
+            "__ts",
+            "__side",
+            "__lrow",
+            F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__rrow"),
+        )
         .filter(F.col("__side") == 1)
     )
     if tolerance_expr is not None:
         joined = joined.withColumn(
-            "__in_tol", F.expr(f"__ts - __matched_ts <= {tolerance_expr}")
+            "__rrow",
+            F.when(
+                F.expr(f"__ts - __rrow.__matched_ts <= {tolerance_expr}"),
+                F.col("__rrow"),
+            ),
         )
-        for c in right_values:
-            joined = joined.withColumn(f"__r_{c}", F.when(F.col("__in_tol"), F.col(f"__r_{c}")))
-        joined = joined.drop("__in_tol")
     if how == "inner":
-        joined = joined.filter(F.col("__matched_ts").isNotNull())
+        joined = joined.filter(F.col("__rrow").isNotNull())
 
     out_cols = [F.col("__lrow")[c].alias(c) for c in left.columns]
-    out_cols += [F.col(f"__r_{c}").alias(c) for c in right_values]
-    out_cols.append(F.col("__matched_ts").alias(f"asof_{right_ts}"))
+    out_cols += [F.col("__rrow")[c].alias(c) for c in right_values]
+    out_cols.append(F.col("__rrow")["__matched_ts"].alias(f"asof_{right_ts}"))
     return joined.select(*out_cols)
 
 

@@ -558,9 +558,25 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH clicks AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ),
-    purch AS (
+    purch_all AS (
       SELECT event_id AS purchase_id, user_id, ts, value FROM events
       WHERE event_type = 'purchase'
+    ),
+    -- native ASOF picks ARBITRARILY among right rows tied on
+    -- (user_id, ts); the Spark operator picks the max right_values
+    -- tuple — pre-reduce to one WHOLE row per (user_id, ts) with the
+    -- SAME total order so both engines pick the same physical row
+    -- (r13 operator review; value rides along, never mixed across
+    -- rows). value joins the sort because an at-least-once replay can
+    -- carry the same purchase_id twice with drifted payloads
+    -- (duplicates sweep): DESC NULLS LAST = Spark's max-struct order.
+    purch AS (
+      SELECT purchase_id, user_id, ts, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, ts
+          ORDER BY purchase_id DESC, value DESC NULLS LAST
+        ) AS rn FROM purch_all
+      ) WHERE rn = 1
     )
     SELECT c.event_id                           AS click_id,
            c.user_id,

@@ -149,6 +149,65 @@ class TestAsofJoin:
         assert out["t1"] is None  # matched qts=2 is 1 tick stale > tolerance 0
         assert out["t2"] == 11.0  # exact-ts match survives zero tolerance
 
+    def test_carry_is_row_consistent_under_null_values(self, spark):
+        # r13 operator review, executed counterexample: the old
+        # per-column last(ignorenulls) carry skipped the newer
+        # purchase's NULL value and emitted (id=20, value=5.0) — a row
+        # that never existed. The struct carry must keep the winning
+        # row whole: (id=20, value=NULL).
+        clicks = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+        purch = spark.createDataFrame(
+            [(1, 50, 10, 5.0), (1, 60, 20, None)],
+            "user_id long, ts long, pid long, value double",
+        )
+        r = asof_join(
+            clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+            right_values=["pid", "value"],
+        ).first()
+        assert (r["pid"], r["value"], r["asof_ts"]) == (20, None, 60)
+
+    def test_equal_ts_right_rows_resolve_to_max_tuple(self, spark):
+        # ties on (key, ts) resolve by the right_values tuple's total
+        # order — max wins, whole-row, layout-independent (native ASOF
+        # engines pick arbitrarily; oracles must pre-reduce the same way)
+        clicks = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+        purch = spark.createDataFrame(
+            [(1, 50, 10, 5.0), (1, 50, 20, 7.0), (1, 50, 15, 9.0)],
+            "user_id long, ts long, pid long, value double",
+        )
+        r = asof_join(
+            clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+            right_values=["pid", "value"],
+        ).first()
+        assert (r["pid"], r["value"]) == (20, 7.0)
+
+    def test_out_of_tolerance_is_unmatched(self, spark):
+        # the whole match nulls together — asof_ts must not keep
+        # reporting a stale timestamp the values were nulled for, and
+        # 'inner' must drop the row (old form kept it)
+        trades, quotes = self._frames(spark)
+        left = {
+            r["trade"]: r["asof_qts"]
+            for r in asof_join(
+                trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+                tolerance_expr="0",
+            ).collect()
+        }
+        assert left["t1"] is None  # stale match: ts nulled with the values
+        assert left["t2"] == 7
+        inner = asof_join(
+            trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+            tolerance_expr="0", how="inner",
+        )
+        assert {r["trade"] for r in inner.collect()} == {"t2"}
+
+    def test_right_value_collision_raises(self, spark):
+        trades, quotes = self._frames(spark)
+        clash = quotes.withColumnRenamed("px", "trade")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="collide"):
+            asof_join(trades, clash, on="sym", left_ts="ts", right_ts="qts")
+
 
 class TestTopK:
     def test_ties_broken_deterministically(self, spark):
