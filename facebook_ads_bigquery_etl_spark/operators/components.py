@@ -51,6 +51,7 @@ def connected_components(
         .localCheckpoint()
     )
     e.unpersist(blocking=False)
+    n_changed = 0
     for _ in range(max_rounds):
         # neighbor-min pass: comp[n] <- min(comp[n], min_{m~n} comp[m])
         neighbor_min = (
@@ -92,6 +93,19 @@ def connected_components(
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # fail LOUDLY: pointer jumping converges in O(log diameter),
+        # so 25 rounds cover diameters past 2^25 — exhausting them
+        # means an adversarial whale chain (or a bug), and returning
+        # the partial labels would silently split true clusters into
+        # several representatives downstream (r13 operator review).
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds}"
+            f" rounds ({n_changed} labels still moving) — graph"
+            " diameter exceeds the pointer-jumping budget; raise"
+            " max_rounds or pre-contract with large-star/small-star"
+        )
     sym.unpersist()
     return labels
 
@@ -103,8 +117,18 @@ def dedup_clusters(
 ) -> DataFrame:
     """Per document: (id, cluster_rep, cluster_size, keep). Documents
     not in any dup pair are their own singleton cluster. ``keep`` marks
-    the canonical (min-id) representative — the dedup'd corpus is
-    ``filter(keep)``."""
+    the canonical representative — the dedup'd corpus is
+    ``filter(keep)``.
+
+    ``cluster_rep`` is the minimum id among the component's rows IN
+    ``docs`` — not the component's raw min-label. The two coincide
+    whenever every edge endpoint appears in ``docs`` (true for every
+    in-repo caller: edges come from pair generators over the same
+    frame), but if an upstream filter ever drops a doc after pair
+    generation, a ghost min-label would make ``keep`` false for every
+    member and silently delete the whole cluster (r13 operator
+    review); deriving the rep from the doc rows keeps exactly one
+    representative regardless."""
     comp = connected_components(edges)
     # identity grain: a replayed id (at-least-once upstream, r11
     # duplicates sweep) is the SAME document — one membership row per
@@ -115,12 +139,17 @@ def dedup_clusters(
         .distinct()
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .select(
-            id_col, F.coalesce("comp", F.col(id_col)).alias("cluster_rep")
+            id_col, F.coalesce("comp", F.col(id_col)).alias("__comp")
         )
     )
-    sizes = labeled.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    # same shuffle count as the old groupBy(cluster_rep) form: one
+    # agg + one join, both keyed on the component label
+    per_comp = labeled.groupBy("__comp").agg(
+        F.min(id_col).alias("cluster_rep"),
+        F.count("*").alias("cluster_size"),
+    )
     return (
-        labeled.join(sizes, "cluster_rep")
+        labeled.join(per_comp, "__comp")
         .select(
             id_col,
             "cluster_rep",

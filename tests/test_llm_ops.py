@@ -419,6 +419,43 @@ class TestConnectedComponents:
             assert all(m["cluster_size"] == len(members) for m in members)
             assert rep == min(m["doc_id"] for m in members)
 
+    def test_dedup_clusters_survive_ghost_edge_endpoints(self, spark):
+        """An edge endpoint absent from docs (doc filtered upstream
+        AFTER pair generation) must not delete the cluster: the rep is
+        the min id among the component's DOC rows, so exactly one
+        member still carries keep=true (r13 operator review — the old
+        raw-min-label rep made keep false for every member when the
+        ghost was the component minimum)."""
+        from facebook_ads_bigquery_etl_spark.operators.components import (
+            dedup_clusters,
+        )
+
+        docs = spark.createDataFrame([(2,), (3,), (9,)], "doc_id long")
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "a_id long, b_id long"  # 1 is a ghost
+        )
+        out = {r["doc_id"]: r for r in dedup_clusters(docs, edges).collect()}
+        assert out[2]["cluster_rep"] == 2 and out[2]["keep"] is True
+        assert out[3]["cluster_rep"] == 2 and out[3]["keep"] is False
+        assert out[2]["cluster_size"] == 2 and out[3]["cluster_size"] == 2
+        assert out[9]["cluster_rep"] == 9 and out[9]["keep"] is True
+
+    def test_unconverged_budget_raises(self, spark):
+        """Exhausting max_rounds without an observed fixed point must
+        fail loudly, not return partial labels that would silently
+        split a true cluster into several representatives."""
+        import pytest as _pytest
+
+        from facebook_ads_bigquery_etl_spark.operators.components import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(200, 212)], "a_id long, b_id long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_rounds=1)
+
 
 class TestDeterministicMixing:
     def test_split_fractions_and_stability(self, spark):
