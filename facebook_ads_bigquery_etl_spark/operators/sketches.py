@@ -53,6 +53,12 @@ def count_min_topk_audit(
     disappears. Booleans are the CMS guarantee itself, so the DuckDB
     oracle recomputes (col, n_exact) and pins the booleans TRUE."""
     spark = df.sparkSession
+    # NULL is not a countable item here: the JVM count_min_sketch
+    # aggregate SKIPS null inputs, so a NULL-keyed candidate row would
+    # compare an exact count against a sketch that never saw it — and
+    # cms.estimateCount(None) NPEs at the Py4J boundary besides (r13
+    # operator review). Exclude NULLs from both passes symmetrically.
+    df = df.filter(F.col(col).isNotNull())
     # Both the sketch pass and the exact-baseline pass scan the same
     # narrow single-column frame — persist it once instead of running
     # the upstream tokenize+explode twice (~30% on the audit; in
@@ -147,9 +153,15 @@ def kmv_sketch_frame(
             if len(pdf) == 0:
                 continue
             yield (
+                # dropna=False: pandas silently DROPS null group keys
+                # by default, which would exclude null-group rows from
+                # their own sketch AND from the '__all__' merge while
+                # Spark-side grouping keeps them (r13 operator review;
+                # both in-repo callers pre-filter or never read the
+                # null group, but the operator must not lose rows)
                 pdf.drop_duplicates(["g", "u"])
                 .sort_values(["g", "u"])
-                .groupby("g", sort=False)
+                .groupby("g", sort=False, dropna=False)
                 .head(k)[["g", "u"]]
             )
 

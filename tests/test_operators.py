@@ -647,6 +647,30 @@ class TestKmvSketch:
             assert n > 512 or g == "__all__"
             assert abs(est[g] - n) / n <= 0.20, (g, est[g], n)
 
+    def test_null_group_rows_are_not_dropped(self, spark):
+        """pandas groupby drops null keys by default; the map-side
+        k-min stage must keep them (dropna=False) so the null group
+        gets its own sketch row and its hashes reach the '__all__'
+        merge — Spark-side grouping semantics, not pandas' (r13
+        operator review)."""
+        from facebook_ads_bigquery_etl_spark.operators.sketches import (
+            kmv_group_distinct,
+            kmv_sketch_frame,
+        )
+
+        df = spark.createDataFrame(
+            [("x", 1), ("x", 2), (None, 3), (None, 4), (None, 5)],
+            "g string, uid long",
+        )
+        frame = {r["g"]: len(r["mins"]) for r in
+                 kmv_sketch_frame(df, "g", "uid", k=16).collect()}
+        assert frame == {"x": 2, None: 3}  # null group sketched, not lost
+        est = {r["g"]: r["kmv_estimate"] for r in
+               kmv_group_distinct(df, "g", "uid", k=16).collect()}
+        # below k the sketch IS the set: exact per group, and the
+        # merged row counts the null group's distinct keys too
+        assert est["x"] == 2.0 and est[None] == 3.0 and est["__all__"] == 5.0
+
     def test_merged_sketch_equals_direct_global_sketch(self, spark):
         """Union of per-group k-min sets sliced to k IS the global
         k-min set, so the merged '__all__' estimate must equal the

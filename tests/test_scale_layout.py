@@ -200,6 +200,25 @@ class TestCountMinSketch:
             est = int(cms.estimateCount(r["token"]))
             assert r["n"] <= est <= r["n"] + bound, (r["token"], r["n"], est)
 
+    def test_topk_audit_excludes_nulls_symmetrically(self, spark):
+        """A NULL that would land in the exact top-k must not reach
+        the audit: the JVM count_min_sketch aggregate skips NULLs, so
+        a NULL candidate row would audit against a sketch that never
+        saw it — and estimateCount(None) NPEs at the Py4J boundary
+        (r13 operator review). NULLs are filtered from BOTH passes."""
+        from facebook_ads_bigquery_etl_spark.operators.sketches import (
+            count_min_topk_audit,
+        )
+
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [(None,)] * 9 + [("b",)] * 3 + [("c",)] * 1,
+            "token string",
+        )
+        out = count_min_topk_audit(df, col="token", k=3)
+        rows = {r["token"]: r["n_exact"] for r in out.collect()}
+        assert rows == {"a": 5, "b": 3, "c": 1}  # NULL (9 copies) excluded
+        assert all(r["cms_lower_ok"] and r["cms_upper_ok"] for r in out.collect())
+
 
 class TestPlanAudit:
     """Executable version of PLANS.md: the same (query, must-contain,
