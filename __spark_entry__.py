@@ -68,12 +68,20 @@ _PRIORITY = [
     #    weighted, stratified) minus 4 deferred to r14 below.
     #    28 + 4 + 22 - 4 = 50.
     #
-    #    Riding to r14 (4, all r4 rows, none touched since, all
-    #    re-proven by this round's full --all drive):
+    #    Riding to r14 (6: 4 untouched r4 rows + the 2 pre-r5 names
+    #    bumped for the post-seal operator-review wave; all re-proven
+    #    by this round's full --all drives):
     #    bpe_merge_step, longest_order_gap, nullsafe_segment_match,
-    #    session_window_rollup.
+    #    session_window_rollup, temperature_mix_weights,
+    #    weekly_revenue_iso.
     # (1) changed this round - regenerated r12 conversions (11),
-    #     new class-a conversions (16), touch_fraction guard (1):
+    #     new class-a conversions (16), touch_fraction guard (1);
+    #     the post-seal operator-review wave adds 3 more (asof struct
+    #     carry + deterministic-tie oracle; the two decorrelated-nulls
+    #     fixes with NULLS LAST / n_priced semantics) — seated by
+    #     bumping the two LEAST-stale pre-r5 names
+    #     (temperature_mix_weights, weekly_revenue_iso) to the r14
+    #     ride; asof_last_purchase was already seated above:
     "dedup_keep_best", "doc_difficulty_buckets", "domain_router_mix",
     "embedding_dup_pairs", "embedding_quantize_error",
     "gopher_quality_filter", "vocab_coverage_stats", "weighted_doc_sample",
@@ -96,7 +104,8 @@ _PRIORITY = [
     "incremental_dedup_new_docs", "nation_revenue_share_of_parent",
     "nation_trade_pagerank", "orders_key_skew_audit",
     "scd2_pointintime_join", "source_drift_audit", "stream_quality_gate",
-    "temperature_mix_weights", "weekly_revenue_iso",
+    # (4) post-seal operator-review wave (see note above):
+    "source_priority_dedup", "price_percentiles_approx",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to

@@ -1021,6 +1021,12 @@ def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = o.join(F.broadcast(sk), "o_orderpriority")
     ranked = joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
+        # the sketch only ever saw PRICED rows (percentile_approx
+        # skips NULLs), so the realized rank must be taken over the
+        # same population — dividing by n_orders would deflate every
+        # rank by the NULL-price fraction and fail the audit on rows
+        # that are fine (r13 decorrelated nulls sweep)
+        F.sum(F.col("o_totalprice").isNotNull().cast("long")).alias("n_priced"),
         *[
             F.sum(
                 (F.col("o_totalprice") <= F.col("pcts")[i]).cast("long")
@@ -1029,9 +1035,16 @@ def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     def rank_ok(tag: str, q: float):
-        tol = F.lit(0.02) + 1.0 / F.col("n_orders")
-        return (
-            F.abs(F.col(f"n_le_{tag}") / F.col("n_orders") - q) <= tol
+        tol = F.lit(0.02) + 1.0 / F.col("n_priced")
+        return F.coalesce(
+            # a group with zero priced rows has no percentiles to
+            # audit — vacuously in-bound (the division is NULL-guarded
+            # by the when, not ANSI-crashed)
+            F.when(
+                F.col("n_priced") > 0,
+                F.abs(F.col(f"n_le_{tag}") / F.col("n_priced") - q) <= tol,
+            ),
+            F.lit(True),
         ).alias(f"{tag}_rank_ok")
 
     return ranked.select(

@@ -3802,8 +3802,12 @@ def doc_pack_with_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
                             t -> t <> '')) > 0
     ),
     ranked AS (
+      -- NULL src_rank (unknown provenance) is the WORST priority:
+      -- explicit NULLS LAST on both sides — Spark default is NULLS
+      -- FIRST ascending, which would hand unknown-source docs the
+      -- win (r13 decorrelated nulls sweep)
       SELECT *, ROW_NUMBER() OVER (PARTITION BY pref
-                ORDER BY src_rank, n_chars DESC, doc_id) AS rn,
+                ORDER BY src_rank NULLS LAST, n_chars DESC, doc_id) AS rn,
              COUNT(*) OVER (PARTITION BY pref) AS n_candidates
       FROM keyed
     )
@@ -3846,8 +3850,11 @@ def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             r" t -> t <> ''), 1, 6))"
         ).alias("pref"),
     )
+    # NULL src_rank = unknown provenance = worst priority (explicit:
+    # Spark's ascending default is NULLS FIRST, DuckDB's is NULLS
+    # LAST — r13 decorrelated nulls sweep)
     w = W.partitionBy("pref").orderBy(
-        "src_rank", F.desc("n_chars"), "doc_id"
+        F.asc_nulls_last("src_rank"), F.desc("n_chars"), "doc_id"
     )
     ranked = keyed.withColumn("rn", F.row_number().over(w)).withColumn(
         "n_candidates", F.count("*").over(W.partitionBy("pref"))

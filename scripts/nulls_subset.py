@@ -36,10 +36,11 @@ for t in TABLES:
         key, cols = NULL_PLAN[t]
         import numpy as np
         keys = tab[key].to_numpy(zero_copy_only=False)
-        mask = pa.array(keys % 10 == 0)
-        for c in cols:
+        for i, c in enumerate(cols):
             if c not in tab.column_names:
                 continue
+            # disjoint residue per column — see scripts/nulls_sweep.py
+            mask = pa.array(keys % 10 == i)
             arr = tab[c]
             nulled = pc.if_else(mask, pa.nulls(len(tab), arr.type), arr)
             tab = tab.set_column(tab.column_names.index(c), c, nulled)

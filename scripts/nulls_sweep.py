@@ -1,6 +1,16 @@
 """Null-injection sweep: sf0.001 tables with ~10% NULLs in non-key
-value/text columns (deterministic by key: key % 10 == 0), every
-oracle-backed query Spark vs DuckDB.
+value/text columns (deterministic by key: column i of a table nulls
+residue class key % 10 == i), every oracle-backed query Spark vs
+DuckDB.
+
+DISJOINT residues per column (r13): the original plan nulled every
+listed column on the SAME rows (key % 10 == 0), which structurally
+masks cross-column hazards — a purchase row with NULL value but a
+live event_type could never exist, so the asof_join row-mixing bug
+(per-column ignorenulls carry fabricating a row from two purchases)
+was invisible to this gate for three rounds. With per-column residue
+classes every "one field NULL, the rest live" shape exists in the
+fixture.
 
 History: round-10 RECON found 22 findings in four classes (228/250
 clean); the 6 class-4 CRASHES (zlib/decoders/float(None) on NULL
@@ -67,10 +77,12 @@ for t in TABLES:
         key, cols = NULL_PLAN[t]
         import numpy as np
         keys = tab[key].to_numpy(zero_copy_only=False)
-        mask = pa.array(keys % 10 == 0)  # 10% of rows
-        for c in cols:
+        for i, c in enumerate(cols):
             if c not in tab.column_names:
                 continue
+            # residue class i: 10% of rows per column, DISJOINT
+            # across columns (see module docstring)
+            mask = pa.array(keys % 10 == i)
             arr = tab[c]
             nulled = pc.if_else(mask, pa.nulls(len(tab), arr.type), arr)
             tab = tab.set_column(tab.column_names.index(c), c, nulled)

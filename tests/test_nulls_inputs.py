@@ -75,10 +75,12 @@ def nulls_dir(tmp_path_factory):
         if t in NULL_PLAN:
             key, cols = NULL_PLAN[t]
             keys = tab[key].to_numpy(zero_copy_only=False)
-            mask = pa.array(keys % 10 == 0)  # deterministic 10%
-            for c in cols:
+            for i, c in enumerate(cols):
                 if c not in tab.column_names:
                     continue
+                # deterministic 10% per column, disjoint residues —
+                # see scripts/nulls_sweep.py (r13 decorrelation)
+                mask = pa.array(keys % 10 == i)
                 arr = tab[c]
                 nulled = pc.if_else(mask, pa.nulls(len(tab), arr.type), arr)
                 tab = tab.set_column(tab.column_names.index(c), c, nulled)
