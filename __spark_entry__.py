@@ -68,12 +68,12 @@ _PRIORITY = [
     #    weighted, stratified) minus 4 deferred to r14 below.
     #    28 + 4 + 22 - 4 = 50.
     #
-    #    Riding to r14 (6: 4 untouched r4 rows + the 2 pre-r5 names
-    #    bumped for the post-seal operator-review wave; all re-proven
+    #    Riding to r14 (8: 4 untouched r4 rows + the 4 pre-r5 names
+    #    bumped for the post-seal operator-review seats; all re-proven
     #    by this round's full --all drives):
     #    bpe_merge_step, longest_order_gap, nullsafe_segment_match,
     #    session_window_rollup, temperature_mix_weights,
-    #    weekly_revenue_iso.
+    #    weekly_revenue_iso, source_drift_audit, stream_quality_gate.
     # (1) changed this round - regenerated r12 conversions (11),
     #     new class-a conversions (16), touch_fraction guard (1);
     #     the post-seal operator-review wave adds 3 more (asof struct
@@ -103,9 +103,12 @@ _PRIORITY = [
     "doc_perplexity_filter", "doc_stride_spans", "fb_campaign_roas",
     "incremental_dedup_new_docs", "nation_revenue_share_of_parent",
     "nation_trade_pagerank", "orders_key_skew_audit",
-    "scd2_pointintime_join", "source_drift_audit", "stream_quality_gate",
-    # (4) post-seal operator-review wave (see note above):
+    "scd2_pointintime_join",
+    # (4) post-seal operator-review waves (see note above; the PII
+    #     case-insensitivity fix changed both PII oracles, seated by
+    #     bumping source_drift_audit + stream_quality_gate):
     "source_priority_dedup", "price_percentiles_approx",
+    "pii_redaction", "pii_cooccurrence_audit",
 ]
 
 # Queries added after the 50-slot window filled, consciously deferred to

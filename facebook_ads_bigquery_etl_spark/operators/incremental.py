@@ -77,7 +77,7 @@ def merge_states(*states: DataFrame, keys: list[str] | None = None) -> DataFrame
     )
 
 
-def _decimal_half_up_avg(round_to: int):
+def _decimal_half_up_avg(round_to: int, sum_type: T.DecimalType | None = None):
     """round-half-up(state_sum / state_n, round_to) in exact integer
     arithmetic: FLOOR((2·sum·10^k + n) / (2·n)) on longs. The final
     division is of an exactly-divisible long (remainder subtracted
@@ -93,6 +93,17 @@ def _decimal_half_up_avg(round_to: int):
     (_INCR_ORACLE in plans/warehouse.py) floors EXPLICITLY with the
     same positive-mod subtraction — DuckDB's bare ``//`` truncates
     toward zero and would disagree on negative totals."""
+    if sum_type is not None and sum_type.scale > round_to:
+        # (sum·10^k).cast(long) below would TRUNCATE the fraction the
+        # state carries beyond k digits BEFORE the half-up rounding
+        # (0.0299 at k=2 → 0.02, not 0.03) — the exact-arithmetic
+        # claim only holds when the decimal state's scale fits inside
+        # round_to, so a wider state fails loudly instead of silently
+        # mis-rounding (r13 operator review)
+        raise ValueError(
+            f"_decimal_half_up_avg: state_sum scale {sum_type.scale} exceeds"
+            f" round_to={round_to}; widen round_to or pre-round the state"
+        )
     scale = 10**round_to
     num = (F.col("state_sum") * scale).cast("long") * 2 + F.col("state_n")
     den = F.col("state_n") * 2
@@ -123,7 +134,8 @@ def finalize(
         # Double states keep the double path (their totals are not
         # exact to begin with).
         (
-            _decimal_half_up_avg(round_to).alias("avg")
+            _decimal_half_up_avg(round_to, state.schema["state_sum"].dataType)
+            .alias("avg")
             if isinstance(state.schema["state_sum"].dataType, T.DecimalType)
             else F.round(
                 F.col("state_sum").cast("double") / F.col("state_n"), round_to

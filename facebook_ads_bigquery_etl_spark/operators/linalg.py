@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 _PARTIAL_SCHEMA = "n long, s array<double>, g array<double>"
 
 
-def gram_partials(df: DataFrame, col: str = "embedding") -> DataFrame:
+def gram_partials(
+    df: DataFrame, col: str = "embedding", dim: int | None = None
+) -> DataFrame:
     """One row per Arrow batch: ``n`` rows seen, per-dimension sum
     vector ``s`` (length d) and row-major flattened Gram sum ``g``
     (length d²), all in float64. Rows with NULL vectors are skipped.
@@ -46,6 +48,12 @@ def gram_partials(df: DataFrame, col: str = "embedding") -> DataFrame:
     from .similarity import finite_vectors
 
     df = df.filter(finite_vectors(col))
+    if dim is not None:
+        # a truncated/overlong vector is dirty data like a NaN one —
+        # without this, one ragged row makes np.asarray raise on the
+        # inhomogeneous batch and aborts the job instead of
+        # quarantining (r13 operator review, executed counterexample)
+        df = df.filter(F.size(F.col(col)) == dim)
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -64,7 +72,9 @@ def gram_partials(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.select(col).mapInPandas(part, _PARTIAL_SCHEMA)
 
 
-def moment_sums(df: DataFrame, col: str = "embedding") -> tuple[DataFrame, DataFrame, DataFrame]:
+def moment_sums(
+    df: DataFrame, col: str = "embedding", dim: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Reduce the batch partials to global moments as three small
     DataFrames: ``counts`` (1 row: n), ``sums`` (d rows: i, s) and
     ``grams`` (d² rows: k, g) — ``k = i*d + j`` row-major. All three
@@ -76,7 +86,7 @@ def moment_sums(df: DataFrame, col: str = "embedding") -> tuple[DataFrame, DataF
     r3); with it the vectors are read exactly once per moment set."""
     from .dedup import _barrier
 
-    p = _barrier(gram_partials(df, col))
+    p = _barrier(gram_partials(df, col, dim))
     counts = p.agg(F.sum("n").alias("n"))
     sums = (
         p.select(F.posexplode("s").alias("i", "v"))
@@ -98,7 +108,7 @@ def covariance_probe(df: DataFrame, col: str = "embedding", dim: int = 64) -> Da
     mergeable-moment path is numerically exact without emitting all
     d² entries."""
     spark = df.sparkSession
-    counts, sums, grams = moment_sums(df, col)
+    counts, sums, grams = moment_sums(df, col, dim)
     dims = spark.range(dim).select(F.col("id").cast("int").alias("dim"))
     probe = dims.withColumn("j", (F.col("dim") + 1) % dim)
     s_i = sums.select(F.col("i").alias("dim"), F.col("s").alias("s_i"))
@@ -159,7 +169,7 @@ def pca_audit(
     ``total_variance`` (= trace) is recomputed exactly by the DuckDB
     oracle from the raw vectors, so the audit row hash-checks."""
     spark = df.sparkSession
-    counts, sums, grams = moment_sums(df, col)
+    counts, sums, grams = moment_sums(df, col, dim)
     n = counts.collect()[0]["n"]
     schema = (
         "n_vectors long, total_variance double,"
@@ -214,7 +224,9 @@ def pca_audit(
     from .similarity import finite_vectors
 
     parts = (
-        df.filter(finite_vectors(col)).select(col).mapInPandas(recon, "n long, sq double")
+        df.filter(finite_vectors(col) & (F.size(F.col(col)) == dim))
+        .select(col)
+        .mapInPandas(recon, "n long, sq double")
     )
     tot = parts.agg(F.sum("n").alias("n"), F.sum("sq").alias("sq")).collect()[0]
     mean_sq_resid = tot["sq"] / (tot["n"] * 1.0)

@@ -145,6 +145,13 @@ def _png_codec():
                     )
                     if bit != 8 or ctype != 2 or ilace != 0:
                         return None  # only 8-bit RGB non-interlaced
+                    if w == 0 or h == 0:
+                        # zero-dimension IHDR with an empty-deflate
+                        # IDAT passes every size check below and the
+                        # (0, 0, b'') result then crashes resize/dhash
+                        # mid-batch — malformed, quarantine (r13
+                        # operator review, executed counterexample)
+                        return None
                 elif tag == b"IDAT":
                     idat += body
                 elif tag == b"IEND":
@@ -861,7 +868,12 @@ def parse_wav_headers(media: DataFrame) -> DataFrame:
                 elif cid == b"data" and ch:
                     n = size // (ch * (bits // 8))
                 pos += 8 + size + (size % 2)  # chunks are word-aligned
-            if rate is None or n is None:
+            if not rate or n is None:
+                # `not rate` also rejects a declared sample_rate of 0:
+                # downstream duration_us divides by it, and the JVM
+                # double division would yield Inf → Long.MAX garbage
+                # instead of the promised NULL quarantine (r13
+                # operator review)
                 return None
             return rate, ch, bits, n
         except Exception:

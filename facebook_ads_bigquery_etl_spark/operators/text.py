@@ -200,7 +200,10 @@ def tf_idf_top_terms(
     ).select(id_col, "token", "tfidf", "rank")
 
 
-PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# (?i): PII doesn't care about case — 'John.Doe@Example.COM' must be
+# caught; both Java regex and DuckDB's RE2 honor the inline flag, so
+# the oracles carry the same prefix (r13 operator review)
+PII_EMAIL = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_PHONE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
 
 
@@ -288,17 +291,24 @@ def duplicated_ngrams(
     instead of the gram text and re-join the surviving hashes back for
     display — the plan shape is identical; the string form is kept
     here so the result is directly comparable against the oracle."""
-    w = F.split(F.col(text_col), " ")
+    # the word array is LET-BOUND so split() runs once per row —
+    # referencing it inside the transform lambda re-ran the full
+    # split once PER GRAM POSITION (no CSE across higher-order-lambda
+    # boundaries; same O(L²) pathology word_shingles documents, r13
+    # operator review)
     grams = df.select(
         F.col(id_col),
         F.explode(
-            F.when(
-                F.size(w) >= n,
-                F.expr(
-                    f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-                    f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
-                ),
-            ).otherwise(F.array())
+            let(
+                F.split(F.col(text_col), " "),
+                lambda wa: F.when(
+                    F.size(wa) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(wa) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(wa, i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
         ).alias("gram"),
     )
     return (

@@ -950,11 +950,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(t,
-                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+                '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INTEGER) AS n_emails,
            CAST(len(regexp_extract_all(t,
                 '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS INTEGER)          AS n_phones,
            CAST(length(regexp_replace(regexp_replace(t,
-                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
                 '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT)
                                                                        AS clean_len
     FROM seeded
@@ -4023,7 +4023,7 @@ def class_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc AS (
       SELECT doc_id, unnest(list_filter([
         CASE WHEN regexp_matches(t,
-          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}') THEN 'email' END,
+          '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}') THEN 'email' END,
         CASE WHEN regexp_matches(t,
           '\\+[0-9]{2}-[0-9]{3}-[0-9]{4}') THEN 'phone' END,
         CASE WHEN regexp_matches(t,
@@ -4087,7 +4087,7 @@ def pii_cooccurrence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     classes = [
-        ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+        ("email", r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
         ("phone", r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"),
         ("ip", r"\b10\.0\.0\.[0-9]{1,3}\b"),
         ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),

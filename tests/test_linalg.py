@@ -53,6 +53,24 @@ class TestGramPartials:
         counts, _, _ = la.moment_sums(withnull, "embedding")
         assert counts.collect()[0]["n"] == 5
 
+    def test_ragged_vectors_are_quarantined_not_fatal(self, spark):
+        """A truncated embedding is dirty data like a NaN one: with
+        the declared dim passed, the ragged row is filtered before
+        the numpy batch — without the filter np.asarray raises on the
+        inhomogeneous batch and aborts the job (r13 operator review,
+        executed counterexample)."""
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(10)
+        d = len(emb.first()["embedding"])
+        ragged = emb.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 5 == 0,
+                F.slice(F.col("embedding"), 1, d - 1),  # truncated
+            ).otherwise(F.col("embedding")),
+        )
+        counts, _, _ = la.moment_sums(ragged, "embedding", dim=d)
+        assert counts.collect()[0]["n"] == 8  # 2 of 10 quarantined
+
 
 class TestCovarianceProbe:
     def test_matches_numpy_population_covariance(self, spark):

@@ -72,6 +72,32 @@ class TestPngCodec:
         with pytest.raises(ValueError):
             mm.png_encode(4, 4, b"\x00" * 5)
 
+    def test_zero_dimension_png_is_quarantined(self):
+        """A CRC-valid PNG declaring w=0,h=0 with an empty-deflate
+        IDAT used to decode to (0, 0, b'') — which then crashed
+        resize_images (shrunken rgb buffer) and image_dhash (empty
+        index) mid-batch instead of quarantining (r13 operator
+        review, executed counterexample). Zero-dimension IHDR is
+        malformed: decode must return None."""
+        import struct as s
+        import zlib as z
+
+        def chunk(tag, body):
+            return (
+                s.pack(">I", len(body)) + tag + body
+                + s.pack(">I", z.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = s.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", z.compress(b""))
+            + chunk(b"IEND", b"")
+        )
+        assert mm.png_decode(payload) is None
+        assert mm.png_decode_pure(payload) is None
+
     def test_native_fast_path_seam(self):
         """The feature-detected native branch (PIL when present) must
         be byte-identical to the stdlib unfilter on the same payloads,
@@ -235,6 +261,31 @@ class TestWavRoundTrip:
         assert len(rows) == 3
         for r in rows.values():
             assert r["sample_rate"] is None and r["n_samples"] is None
+
+    def test_zero_sample_rate_is_quarantined(self, spark):
+        """A structurally valid RIFF/WAVE whose fmt chunk declares
+        sample_rate=0 must yield NULL fields — duration_us divides by
+        the rate, and a zero would turn into Inf → Long.MAX garbage
+        downstream instead of the promised quarantine (r13 operator
+        review)."""
+        import struct as s
+
+        from facebook_ads_bigquery_etl_spark.operators.multimodal import (
+            parse_wav_headers,
+        )
+
+        fmt = s.pack("<HHIIHH", 1, 2, 0, 0, 4, 16)  # rate = 0
+        data = b"\x00" * 8
+        wav = (
+            b"RIFF" + s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+            + b"fmt " + s.pack("<I", len(fmt)) + fmt
+            + b"data" + s.pack("<I", len(data)) + data
+        )
+        rows = parse_wav_headers(
+            spark.createDataFrame([(1, wav)], "media_id long, payload binary")
+        ).collect()
+        assert len(rows) == 1 and rows[0]["sample_rate"] is None
+        assert rows[0]["duration_us"] is None
 
 
 class TestJpegSeam:

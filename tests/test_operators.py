@@ -231,6 +231,29 @@ class TestTextOps:
         fp = {r["id"]: r["fingerprint"] for r in with_fingerprint(df, "text").collect()}
         assert fp[1] == fp[2] != fp[3]
 
+    def test_pii_email_redaction_is_case_insensitive(self, spark):
+        """'John.Doe@Example.COM' must be counted AND stripped — the
+        lowercase-only pattern let any email with an uppercase letter
+        survive the cleaning stage (r13 operator review); the (?i)
+        flag is honored identically by Java regex and DuckDB RE2, so
+        the oracles carry the same prefix."""
+        from facebook_ads_bigquery_etl_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "Contact John.Doe@Example.COM today"),
+                (2, "plain lowercase joe@ex.org here"),
+                (3, "no pii at all"),
+            ],
+            "id long, text string",
+        )
+        out = {r["id"]: r for r in redact_pii(df).collect()}
+        assert out[1]["n_emails"] == 1
+        assert "<EMAIL>" in out[1]["clean_text"]
+        assert "Example.COM" not in out[1]["clean_text"]
+        assert out[2]["n_emails"] == 1 and "<EMAIL>" in out[2]["clean_text"]
+        assert out[3]["n_emails"] == 0
+
     def test_lang_id_picks_stopword_majority(self, spark):
         df = spark.createDataFrame(
             [
@@ -549,6 +572,26 @@ class TestIncrementalAgg:
         ).fetchone()
         assert floor_sql / 100 * 1.0 == -0.52  # oracle convention
         assert trunc_sql / 100 * 1.0 == -0.51  # the divergence pinned away
+
+    def test_state_scale_wider_than_round_to_raises(self, spark):
+        """(sum·10^k).cast(long) TRUNCATES state fraction beyond k
+        digits BEFORE the half-up rounding (0.0299 at k=2 would read
+        0.02, not 0.03) — a decimal state wider than round_to must
+        fail loudly instead of silently mis-rounding (r13 operator
+        review)."""
+        import pytest as _pytest
+
+        from facebook_ads_bigquery_etl_spark.operators.incremental import (
+            finalize,
+            partial_state,
+        )
+
+        df = spark.createDataFrame([(0, 1.0)], "g int, x double").select(
+            "g", F.col("x").cast("decimal(18,4)").alias("x")
+        )
+        state = partial_state(df, ["g"], "x")
+        with _pytest.raises(ValueError, match="scale 4 exceeds"):
+            finalize(state, round_to=2)
 
     def test_reserved_key_name_raises(self, spark):
         """A grouping column named like a state column would be
