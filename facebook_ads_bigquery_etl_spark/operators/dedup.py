@@ -362,10 +362,19 @@ def jaccard_pairs_prefix(
     algorithm must touch every true pair, and counting intersections
     in a codegen'd hash aggregate beats per-pair array intersection.
     Both are exact; pick by expected match density."""
+    # Identity grain via the SAME union algebra as jaccard_pairs /
+    # minhash_dup_pairs (r11 duplicates sweep, extended here r13): a
+    # replayed id contributes the union of its copies' shingle sets —
+    # without it each copy joined back separately and the pair list
+    # carried duplicate (a_id, b_id) rows with conflicting jaccard
+    # values, breaking the documented result-set identity with
+    # jaccard_pairs. On clean input the groupBy collapses nothing.
     base = _barrier(
         _spread(df)
         .select(F.col(id_col), word_shingles(text_col, ngram).alias("sh"))
         .filter(F.size("sh") > 0)
+        .groupBy(id_col)
+        .agg(F.array_distinct(F.flatten(F.collect_list("sh"))).alias("sh"))
         .withColumn("sz", F.size("sh"))
     )
     sh = base.select(F.col(id_col), F.col("sz"), F.explode("sh").alias("shingle"))
@@ -476,6 +485,16 @@ def minhash_dup_pairs(
     O(n·bands); band-hash hot spots (boilerplate docs) are the skew
     surface, handled by AQE skew-join + the exact-verify filter.
     """
+    if bands <= 0 or num_perm % bands != 0:
+        # a non-divisible combination silently IGNORES the trailing
+        # permutations (changing the recall curve the parameters
+        # promise), and bands > num_perm degenerates every band hash
+        # to xxhash64('') so ALL docs collide pairwise — O(n²) with
+        # no warning. Fail loudly instead (r13 operator review).
+        raise ValueError(
+            f"minhash_dup_pairs: bands={bands} must divide"
+            f" num_perm={num_perm} exactly"
+        )
     rows_per_band = num_perm // bands
     # Materialize the hashed-shingle frame once (tracked _barrier —
     # see its registry notes): BOTH downstream branches (banding,
@@ -557,7 +576,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """64-bit SimHash over the token set: bit j of the sketch is the
     sign of Σ_tokens (±1 by bit j of xxhash64(token)). Emitted as 4
     16-bit chunks (array<int>) so hamming-distance bucketing can use
-    the pigeonhole trick: hamming(a,b) ≤ 3 ⇒ some chunk equal."""
+    the pigeonhole trick: hamming(a,b) ≤ 3 ⇒ some chunk equal.
+
+    Zero-token (empty/whitespace/NULL) docs are EXCLUDED: their votes
+    are all ties → all-zero sketch, so every such doc would share one
+    bucket at every position and the candidate self-join goes
+    quadratic in their count — the same hazard minhash_signatures
+    documents and drops, and the same "no sketchable content ≠ a
+    near-dup cluster" semantics (r13 operator review; at a routine
+    ~5% empty-doc rate on a 1e9-doc corpus the collision group alone
+    would emit ~1.25e15 pairs). Both consumers — the bucketed
+    candidates AND the exact-hamming audit baseline — inherit the
+    exclusion from here, so the recall audits stay aligned."""
+    df = df.filter(F.size(tokens(text_col)) > 0)
     # Shuffle-free AND plan-compact: the per-bit votes and the chunk
     # assembly are single nested higher-order expressions. Bit masks
     # come from one array literal (shiftleft needs a Python-int shift,

@@ -272,8 +272,15 @@ def _bucketed_dup_pairs(
                 m &= jj[None, :] > (i0 + np.arange(blk.shape[0]))[:, None]
             ii, jx = np.nonzero(m)
             a_, b_ = ids_a[ii + i0], ids_b[jx]
-            lo_all.append(np.minimum(a_, b_))
-            hi_all.append(np.maximum(a_, b_))
+            lo, hi = np.minimum(a_, b_), np.maximum(a_, b_)
+            # a replayed id (two copies of x in one bucket) passes the
+            # POSITIONAL triangle mask and the cross-chunk branch has
+            # no ordering at all — either would emit the self-pair
+            # (x, x, 1.0), violating the a_id < b_id contract (r13
+            # operator review); a pair is two DISTINCT identities
+            keep = lo != hi
+            lo_all.append(lo[keep])
+            hi_all.append(hi[keep])
         return pd.DataFrame(
             {
                 "a_id": np.concatenate(lo_all) if lo_all else [],
@@ -568,6 +575,16 @@ def ivf_cosine_topk(
     queries = queries.filter(valid_vectors(vec_col))
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, vec_col, n_lists=n_lists)
+    if not centroids:
+        # empty (or fully-quarantined) corpus trains zero centroids:
+        # no posting lists, no neighbors — empty-in/empty-out with the
+        # contract schema, mirroring ivfpq_cosine_topk. Without this
+        # the cell-assign UDF still runs on the QUERY side and
+        # np.linalg.norm(axis=1) crashes on the 0-row centroid matrix
+        # (r13 operator review).
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     eb = embeddings.withColumn("__cell", F.explode(_ivf_cells(vec_col, centroids, assign)))
     qb = queries.withColumn("__cell", F.explode(_ivf_cells(vec_col, centroids, nprobe)))
     q = (

@@ -35,13 +35,16 @@ from pyspark.sql import DataFrame, SparkSession
 def write_day_partitioned(
     df: DataFrame,
     path: str,
-    partition_field: str = "date",
+    partition_field: str | list[str] = "date",
     clustering_fields: list[str] | None = None,
     mode: str = "overwrite",
     fmt: str = "parquet",
     max_records_per_file: int | None = None,
 ) -> None:
     """Exactly-once write of the day partitions present in ``df``.
+    ``partition_field`` may be a list for sub-partitioned layouts
+    (e.g. the streaming sink's ``[date, __sink_batch]``); dynamic
+    overwrite then replaces only the exact combinations present.
 
     mode='overwrite' + the per-write partitionOverwriteMode=dynamic
     option → only the partitions in this batch are replaced. The
@@ -57,7 +60,10 @@ def write_day_partitioned(
     never produces a single unsplittable giant file while cold days
     still coalesce to one.
     """
-    out = df.repartition(partition_field)
+    pfields = (
+        [partition_field] if isinstance(partition_field, str) else list(partition_field)
+    )
+    out = df.repartition(*pfields)
     if clustering_fields:
         out = out.sortWithinPartitions(*clustering_fields)
     writer = out.write.mode(mode).format(fmt).option(
@@ -65,7 +71,7 @@ def write_day_partitioned(
     )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-    writer.partitionBy(partition_field).save(path)
+    writer.partitionBy(*pfields).save(path)
 
 
 def insert_rows(
@@ -83,13 +89,28 @@ def insert_rows(
     out = df.repartition(partition_field) if partition_field else df
     if clustering_fields:
         out = out.sortWithinPartitions(*clustering_fields)
+    full = f"{db}.{table}"
+    if exactly_once and partition_field and spark.catalog.tableExists(full):
+        # dynamic partitionOverwriteMode applies to INSERT OVERWRITE
+        # (insertInto), NOT to saveAsTable — saveAsTable(Overwrite)
+        # drops and recreates the WHOLE managed table, silently
+        # deleting every historical partition on a single-day load
+        # (r13 operator review, executed counterexample: two
+        # consecutive one-day inserts left only the second day).
+        # insertInto is position-based, so columns are reordered to
+        # the table's schema first.
+        cols = spark.table(full).columns
+        out.select(*cols).write.option(
+            "partitionOverwriteMode", "dynamic"
+        ).insertInto(full, overwrite=True)
+        return "ok"
     mode = "overwrite" if exactly_once else "append"
     # per-write option, not a session-conf mutation (see
     # write_day_partitioned)
     writer = out.write.mode(mode).option("partitionOverwriteMode", "dynamic")
     if partition_field:
         writer = writer.partitionBy(partition_field)
-    writer.saveAsTable(f"{db}.{table}")
+    writer.saveAsTable(full)
     return "ok"
 
 
@@ -563,10 +584,6 @@ def _path_ops(path: str) -> "tuple[object, str]":
     return _hadoop_ops(path), path
 
 
-def _compact_root(path: str) -> str:
-    return _path_ops(path)[0].join(_path_ops(path)[1], "_compact")
-
-
 def _lease_path(path: str) -> str:
     ops, p = _path_ops(path)
     return ops.join(ops.join(p, "_compact"), "_lock")
@@ -702,10 +719,6 @@ def _release_compaction_lease(path: str) -> None:
     root = ops.join(p, "_compact")
     ops.unlink(ops.join(root, "_lock"), missing_ok=True)
     ops.rmdir_if_empty(root)  # leave no empty _compact behind a clean run
-
-
-def _atomic_write_json(target: str, payload: dict, ops=_LOCAL_OPS) -> None:
-    ops.write_json_atomic(target, payload)
 
 
 def _partition_dirs(
@@ -1099,15 +1112,38 @@ def _publish_under_leases(
     # commits, resurrecting the pre-publish generation over newer
     # committed data). Single-table first, then multi, so a committed
     # publish generation is what survives when both list a partition.
+    # Multi recovery runs for EVERY target, not just our primary: a
+    # crashed publish with an overlapping-but-different table set is
+    # homed under ITS primary (possibly none of our targets), but its
+    # intent markers under our targets let the recovery find and
+    # finish it BEFORE we stage — without this, a later recovery of
+    # that other primary rolled the stale staged generation forward
+    # over our committed one (r13 operator review, executed repro).
     for p in targets:
         recover_compaction(p, partition_field, stale_after_s=0.0)
-    recover_multi_swap(
-        primary, partition_field, stale_after_s=0.0, held_paths=targets
-    )
+    for p in targets:
+        recover_multi_swap(
+            p, partition_field, stale_after_s=0.0, held_paths=targets
+        )
 
     run_dir = ops.join(
         ops.join(primary, "_compact"), f"multi-{uuid.uuid4().hex[:12]}"
     )
+    run_name = run_dir.rsplit("/", 1)[1]
+    # Intent markers FIRST — before any data is staged, every
+    # non-primary target's _compact root records where the run lives,
+    # so recovery triggered from ANY participating table can resolve
+    # it. A crash before the journal goes 'staged' leaves markers
+    # pointing at a journal-less run → rolled back and the orphan
+    # markers removed on the next recovery that sees them.
+    for p in targets:
+        if p == primary:
+            continue
+        ops.mkdirs(ops.join(p, "_compact"))
+        ops.write_json_atomic(
+            ops.join(ops.join(p, "_compact"), f"multi_intent_{run_name}.json"),
+            {"primary": primary, "run": run_name},
+        )
     tables = []
     for i, (df, p) in enumerate(writes):
         data_dir = ops.join(ops.join(run_dir, f"t{i}"), "data")
@@ -1173,6 +1209,18 @@ def _finish_multi_swap(run_dir: str, tables: list[dict], ops) -> None:
             return
         raise
     ops.rmtree(run_dir)
+    # committed and cleaned: the intent markers under the non-primary
+    # participants have nothing left to point at
+    run_name = run_dir.rsplit("/", 1)[1]
+    for t in tables:
+        ops.unlink(
+            ops.join(
+                ops.join(t["path"], "_compact"),
+                f"multi_intent_{run_name}.json",
+            ),
+            missing_ok=True,
+        )
+        ops.rmdir_if_empty(ops.join(t["path"], "_compact"))
     root = run_dir.rsplit("/", 1)[0]
     ops.rmdir_if_empty(root)
 
@@ -1182,6 +1230,7 @@ def recover_multi_swap(
     partition_field: str = "date",
     stale_after_s: float = COMPACTION_LEASE_STALE_S,
     held_paths: "tuple[str, ...]" = (),
+    _follow_intents: bool = True,
 ) -> dict[str, int]:
     """Resolve interrupted multi-table runs homed under ``primary``.
 
@@ -1208,6 +1257,46 @@ def recover_multi_swap(
     }
     ops, primary = _path_ops(primary)
     held = {_path_ops(p)[1] for p in held_paths}
+    # Follow intent markers FIRST: a crashed multi run that TOUCHES
+    # this table but is homed under a DIFFERENT primary is invisible
+    # to the homed-run scan below — its marker here names that
+    # primary, and resolving it before anything else closes the
+    # resurrection window (r13 operator review: P1{A,B} crashes
+    # journaled, P2{B,C} commits, a later recovery of A rolled P1's
+    # stale B forward over P2's). The remote resolution takes the
+    # full per-table lease protocol, so a live writer anywhere still
+    # blocks exactly as for homed runs; a marker whose run is gone
+    # (committed+cleaned, or rolled back) is an orphan and removed.
+    if _follow_intents:
+        root = ops.join(primary, "_compact")
+        markers = (
+            sorted(
+                n
+                for n in ops.listdir(root)
+                if n.startswith("multi_intent_") and n.endswith(".json")
+            )
+            if ops.isdir(root)
+            else []
+        )
+        for name in markers:
+            mpath = ops.join(root, name)
+            try:
+                info = ops.read_json(mpath)
+                remote, run = info["primary"], info["run"]
+            except Exception:
+                continue  # unreadable marker: leave for inspection
+            recover_multi_swap(
+                remote,
+                partition_field,
+                stale_after_s,
+                held_paths=held_paths,
+                _follow_intents=False,
+            )
+            run_left = ops.isdir(
+                ops.join(ops.join(_path_ops(remote)[1], "_compact"), run)
+            )
+            if not run_left:
+                ops.unlink(mpath, missing_ok=True)
     runs = _multi_run_dirs(primary, ops)
     if not runs:
         return out

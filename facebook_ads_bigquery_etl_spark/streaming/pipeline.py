@@ -282,15 +282,23 @@ def _user_profile_aipws(events: DataFrame, watermark: str) -> DataFrame:
             n, total, maxv, names, counts = state.get
             by_type = dict(zip(list(names), (int(c) for c in counts)))
         else:
-            n, total, maxv, by_type = 0, 0.0, 0.0, {}
+            # maxv seeds from DATA, not 0.0: an artificial zero seed
+            # reported max_value = 0.0 for an all-negative-value user
+            # while the oracle's plain MAX returns the true negative
+            # (r13 operator review; NULL/non-finite still contribute
+            # 0.0 per the pinned r11 convention via fillna)
+            n, total, maxv, by_type = 0, 0.0, None, {}
         for pdf in pdfs:
             vals = pdf["value"].fillna(0.0)
             n += len(pdf)
             total += float(vals.sum())
             if len(vals):
-                maxv = max(maxv, float(vals.max()))
+                m = float(vals.max())
+                maxv = m if maxv is None else max(maxv, m)
             for et, cnt in pdf.groupby("event_type").size().items():
                 by_type[et] = by_type.get(et, 0) + int(cnt)
+        if maxv is None:  # unreachable with NoTimeout (calls carry rows)
+            maxv = 0.0
         names = sorted(by_type)
         state.update((n, total, maxv, names, [by_type[t] for t in names]))
         yield pd.DataFrame(
@@ -327,15 +335,18 @@ def _user_profile_tws(events: DataFrame, watermark: str) -> DataFrame:
             self._types = handle.getMapState("types", "event_type string", "n long")
 
         def handleInputRows(self, key, rows, timer_values):
+            # same data-seeded max as the aipws arm (r13 operator
+            # review): a 0.0 seed misreported all-negative users
             n, total, maxv = (
-                self._agg.get() if self._agg.exists() else (0, 0.0, 0.0)
+                self._agg.get() if self._agg.exists() else (0, 0.0, None)
             )
             for pdf in rows:
                 vals = pdf["value"].fillna(0.0)
                 n += len(pdf)
                 total += float(vals.sum())
                 if len(vals):
-                    maxv = max(maxv, float(vals.max()))
+                    m = float(vals.max())
+                    maxv = m if maxv is None else max(maxv, m)
                 for et, cnt in pdf.groupby("event_type").size().items():
                     prev = (
                         self._types.getValue((et,))[0]
@@ -343,6 +354,8 @@ def _user_profile_tws(events: DataFrame, watermark: str) -> DataFrame:
                         else 0
                     )
                     self._types.updateValue((et,), (prev + int(cnt),))
+            if maxv is None:  # unreachable: handleInputRows carries rows
+                maxv = 0.0
             self._agg.update((n, total, maxv))
             n_types = sum(1 for _ in self._types.keys())
             yield pd.DataFrame(
@@ -394,16 +407,33 @@ def write_stream_to_warehouse(
     partition_field: str = "date",
     clustering_fields: list[str] | None = None,
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
-    """foreachBatch into the SAME exactly-once day-partitioned sink the
-    batch path uses: each micro-batch dynamically overwrites only the
-    day partitions it carries, so checkpoint-replayed batches are
-    idempotent (end-to-end exactly-once without a transactional sink)."""
+    """foreachBatch into the exactly-once day-partitioned sink: each
+    micro-batch dynamically overwrites only the
+    ``(day, __sink_batch=batch_id)`` sub-partitions it carries, so a
+    checkpoint-replayed batch rewrites exactly its own slice
+    (idempotent — end-to-end exactly-once without a transactional
+    sink) while batches that arrive LATER for the same day land in
+    their own sub-partition instead of replacing the earlier batch's
+    rows. Overwriting on the day alone lost cross-batch same-day
+    data: with one-file-per-trigger, file2's 50 events for a day
+    replaced file1's 100 (r13 operator review, executed
+    counterexample). ``__sink_batch`` is part of the sink's physical
+    layout; day-level readers and the compaction path see it as one
+    extra partition level under each day and day-grain operations
+    (partition listing, per-day rename, dynamic overwrite by day) are
+    unaffected.
+
+    For UPDATE-mode aggregate streams this sink is still not a merge:
+    a re-emitted (day, key) group lands in the new batch's
+    sub-partition alongside the old value — route those through the
+    merge/upsert sink instead; this path is for append-shaped
+    (raw/passthrough) streams and single-drain aggregates."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         write_day_partitioned(
-            batch_df,
+            batch_df.withColumn("__sink_batch", F.lit(batch_id)),
             path,
-            partition_field=partition_field,
+            partition_field=[partition_field, "__sink_batch"],
             clustering_fields=clustering_fields,
         )
 

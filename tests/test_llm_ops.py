@@ -88,6 +88,39 @@ class TestSimHashQuality:
             want = sum(bin(x ^ y).count("1") for x, y in zip(sk[r["a_id"]], sk[r["b_id"]]))
             assert r["hamming"] == want
 
+    def test_zero_token_docs_are_excluded_from_sketch_and_pairs(self, spark, docs):
+        """Empty/whitespace/NULL docs have all-tie votes → identical
+        all-zero sketches; unexcluded, every such doc shares one bucket
+        at every chunk position and the candidate join goes quadratic
+        in their count (r13 operator review — the hazard
+        minhash_signatures already guards). They carry no sketchable
+        content, so they are not near-dups of each other."""
+        subset = docs.limit(20)
+        hostile = spark.createDataFrame(
+            [(90001, ""), (90002, "   "), (90003, None), (90004, " \t ")],
+            "doc_id long, text string",
+        )
+        mixed = subset.select("doc_id", "text").unionByName(hostile)
+        sk_ids = {r["doc_id"] for r in dd.simhash(mixed).collect()}
+        assert sk_ids == {r["doc_id"] for r in subset.collect()}
+        pair_ids = set()
+        for r in dd.simhash_candidates(mixed).collect():
+            pair_ids.update((r["a_id"], r["b_id"]))
+        assert pair_ids.isdisjoint({90001, 90002, 90003, 90004})
+
+    def test_minhash_band_parameters_must_divide(self, spark, docs):
+        """bands must divide num_perm exactly: a remainder silently
+        ignored trailing permutations, and bands > num_perm collapsed
+        every doc into one degenerate '' band hash — full O(n²)
+        candidates with no warning (r13 operator review)."""
+        import pytest as _pytest
+
+        subset = docs.limit(5)
+        with _pytest.raises(ValueError, match="must divide"):
+            dd.minhash_dup_pairs(subset, threshold=0.7, num_perm=64, bands=12)
+        with _pytest.raises(ValueError, match="must divide"):
+            dd.minhash_dup_pairs(subset, threshold=0.7, num_perm=64, bands=80)
+
 
 class TestAnnRecall:
     def test_multitable_lsh_recall_at_10(self, spark, emb):
@@ -107,6 +140,18 @@ class TestAnnRecall:
             for r in sim.ivf_cosine_topk(emb, q, k=10, n_lists=16, nprobe=6, assign=2).collect()
         }
         assert len(ivf & bf) / len(bf) >= 0.85  # measured 0.94
+
+    def test_ivf_empty_corpus_with_queries_is_empty_not_fatal(self, spark, emb):
+        """Empty (or fully-quarantined) corpus trains zero centroids;
+        the query side must come back empty with the contract schema —
+        the cell-assign UDF used to run on the query rows and crash on
+        the 0-row centroid matrix (r13 operator review), while
+        ivfpq_cosine_topk already guarded this."""
+        q = emb.filter(F.col("vec_id") < 5)
+        empty = emb.filter(F.lit(False))
+        out = sim.ivf_cosine_topk(empty, q, k=10, n_lists=16)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
 
     def test_ivf_corpus_assignment_is_bounded(self, spark, emb):
         """IVF posting lists: every corpus vector lands in exactly
@@ -663,6 +708,29 @@ class TestPrefixFilterJoin:
                 for r in dd.jaccard_pairs_prefix(docs, t, ngram=n).collect()
             }
             assert naive == prefix, (t, n)
+
+    def test_prefix_join_resolves_replayed_ids_like_posting_join(self, spark):
+        """A replayed id (same key, drifted text) must contribute the
+        UNION of its copies' shingle sets — the r11 identity-grain
+        algebra jaccard_pairs and minhash_dup_pairs already used;
+        without it the prefix variant emitted duplicate (a_id, b_id)
+        rows with conflicting jaccard values (r13 operator review)."""
+        from facebook_ads_bigquery_etl_spark.operators import dedup as dd
+        from tests.conftest import SF_SMOKE
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+        replay = docs.filter(F.col("doc_id") % 20 == 7).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" replay"))
+        )
+        dup = docs.unionByName(replay)
+        naive = {
+            (r.a_id, r.b_id, r.jaccard)
+            for r in dd.jaccard_pairs(dup, 0.7, ngram=3).collect()
+        }
+        rows = dd.jaccard_pairs_prefix(dup, 0.7, ngram=3).collect()
+        prefix = {(r.a_id, r.b_id, r.jaccard) for r in rows}
+        assert len(rows) == len(prefix)  # one row per pair, no dups
+        assert naive == prefix
 
 
 class TestKeepBestScalePath:

@@ -80,6 +80,36 @@ class TestFormatSwap:
         assert via_pq == via_bq == _rows(frame)
 
 
+class TestInsertRowsManagedTable:
+    def test_single_day_load_keeps_other_partitions(self, spark, frame):
+        """insert_rows(exactly_once=True) must replace only the day
+        partitions present in the batch. saveAsTable(Overwrite) does
+        NOT honor dynamic partitionOverwriteMode — it drops and
+        recreates the whole managed table, so a one-day load silently
+        deleted every historical day (r13 operator review, executed
+        counterexample). Existing tables go through insertInto."""
+        from facebook_ads_bigquery_etl_spark import sinks
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS t_insrows")
+        try:
+            d1 = frame.where(F.col("date") == "2025-01-01")
+            d2 = frame.where(F.col("date") == "2025-01-02")
+            sinks.insert_rows(spark, "t_insrows", "t", d1)
+            sinks.insert_rows(spark, "t_insrows", "t", d2)
+            got = _rows(spark.table("t_insrows.t"))
+            assert {g[0] for g in got} == {"2025-01-01", "2025-01-02"}
+            assert len(got) == 3
+            # replaying one day replaces exactly that day
+            d2b = d2.withColumn("spend", F.col("spend") + 1.0)
+            sinks.insert_rows(spark, "t_insrows", "t", d2b)
+            got = _rows(spark.table("t_insrows.t"))
+            assert len(got) == 3
+            assert ("2025-01-02", "c1", 4.0) in got
+            assert ("2025-01-01", "c1", 1.5) in got
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS t_insrows CASCADE")
+
+
 class TestBigQueryLocalSemantics:
     def test_append_is_at_least_once_like_the_reference(self, spark, tmp_path, frame):
         """Re-running an append job duplicates rows — BigQuery
@@ -283,6 +313,91 @@ class TestAtomicCompaction:
         # a second compaction from the recovered state must succeed
         sinks.compact_partitions(spark, table)
         assert _rows(spark.read.parquet(table)) == rows_before
+
+
+class TestOverlappingMultiPublish:
+    def _frame(self, spark, val):
+        return spark.createDataFrame(
+            [(1, val, "2025-07-01")], "id long, v string, date string"
+        )
+
+    def test_crashed_run_cannot_resurrect_over_later_overlapping_publish(
+        self, spark, tmp_path
+    ):
+        """P1{A,B} crashes journal-staged; P2{B,C} (DIFFERENT primary)
+        must finish P1 via the intent markers BEFORE staging, so a
+        later recovery of A finds nothing to roll forward — without
+        the markers P2 never saw P1's debris (homed under A) and the
+        A-recovery rolled P1's stale B forward over P2's committed
+        data (r13 operator review, executed repro)."""
+        from facebook_ads_bigquery_etl_spark import sinks
+
+        A, B, C = (str(tmp_path / t) for t in "ABC")
+
+        class Crash(Exception):
+            pass
+
+        def hook(point):
+            if point == "multi_journaled":
+                raise Crash(point)
+
+        sinks._CRASH_HOOK = hook
+        try:
+            with pytest.raises(Crash):
+                sinks.publish_tables_atomic(
+                    spark, [(self._frame(spark, "P1"), A), (self._frame(spark, "P1"), B)]
+                )
+        finally:
+            sinks._CRASH_HOOK = lambda point: None
+        sinks.publish_tables_atomic(
+            spark, [(self._frame(spark, "P2"), B), (self._frame(spark, "P2"), C)]
+        )
+        # P1 serialized BEFORE P2: A carries P1, B carries P2
+        assert [r["v"] for r in spark.read.parquet(A).collect()] == ["P1"]
+        assert [r["v"] for r in spark.read.parquet(B).collect()] == ["P2"]
+        # the later A-recovery must be a no-op for B
+        sinks.compact_partitions(spark, A)
+        assert [r["v"] for r in spark.read.parquet(B).collect()] == ["P2"]
+        import glob
+
+        assert not glob.glob(str(tmp_path / "*" / "_compact" / "multi_intent_*"))
+        assert not glob.glob(str(tmp_path / "*" / "_compact" / "multi-*"))
+
+    def test_pre_journal_crash_rolls_back_and_cleans_markers(self, spark, tmp_path):
+        """Crash BEFORE the journal goes staged: markers point at a
+        journal-less run → the next recovery rolls it back and removes
+        the orphan markers; the crashed run's data never lands."""
+        from facebook_ads_bigquery_etl_spark import sinks
+
+        A, B, C = (str(tmp_path / t) for t in "ABC")
+        sinks.publish_tables_atomic(
+            spark, [(self._frame(spark, "G0"), A), (self._frame(spark, "G0"), B)]
+        )
+
+        class Crash(Exception):
+            pass
+
+        def hook(point):
+            if point == "multi_staged":
+                raise Crash(point)
+
+        sinks._CRASH_HOOK = hook
+        try:
+            with pytest.raises(Crash):
+                sinks.publish_tables_atomic(
+                    spark, [(self._frame(spark, "P3"), A), (self._frame(spark, "P3"), B)]
+                )
+        finally:
+            sinks._CRASH_HOOK = lambda point: None
+        sinks.publish_tables_atomic(
+            spark, [(self._frame(spark, "P4"), B), (self._frame(spark, "P4"), C)]
+        )
+        assert [r["v"] for r in spark.read.parquet(A).collect()] == ["G0"]
+        assert [r["v"] for r in spark.read.parquet(B).collect()] == ["P4"]
+        import glob
+
+        assert not glob.glob(str(tmp_path / "*" / "_compact" / "multi_intent_*"))
+        assert not glob.glob(str(tmp_path / "*" / "_compact" / "multi-*"))
 
 
 class TestRacingRecoverers:

@@ -183,6 +183,81 @@ class TestExactlyOnceSink:
         assert n1 == n2 > 0
         assert any(d.startswith("date=") for d in os.listdir(out))
 
+    def test_profile_max_is_true_max_for_all_negative_users(self, spark, tmp_path):
+        """The stateful profile seeded its running max with 0.0, so a
+        user whose values are all negative reported max_value = 0.0
+        while the oracle's plain MAX returns the true negative (r13
+        operator review). The max must seed from data."""
+        from facebook_ads_bigquery_etl_spark.streaming import (
+            user_profile_stateful,
+        )
+
+        src = str(tmp_path / "neg_src")
+        spark.createDataFrame(
+            [
+                (1, 7, "a", -3.5, "2024-01-01 00:00:01"),
+                (2, 7, "b", -1.2, "2024-01-01 00:00:02"),
+                (3, 8, "a", 2.0, "2024-01-01 00:00:03"),
+            ],
+            "event_id long, user_id long, event_type string, value double, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+        stream = user_profile_stateful(
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string,"
+                " value double, ts timestamp"
+            ).parquet(src)
+        )
+        _drain_to_memory(stream, "neg_prof_t", "update")
+        got = {
+            r["user_id"]: r["max_value"]
+            for r in spark.sql(
+                "SELECT user_id, max(max_value) AS max_value"
+                " FROM neg_prof_t GROUP BY user_id"
+            ).collect()
+        }
+        assert got[7] == -1.2  # not 0.0
+        assert got[8] == 2.0
+
+    def test_later_batch_does_not_replace_same_day_rows(self, spark, tmp_path):
+        """Two micro-batches carrying the SAME day must both survive:
+        overwriting on the day alone let batch 1's rows be replaced by
+        batch 2's (r13 operator review — 100 then 50 events for one
+        day left only the 50). Each batch owns its (day, __sink_batch)
+        sub-partition, so cross-batch accumulation AND replay
+        idempotence both hold."""
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        a = spark.createDataFrame(
+            [(i, "2025-07-01") for i in range(100)], "id long, date string"
+        )
+        b = spark.createDataFrame(
+            [(i, "2025-07-01") for i in range(100, 150)], "id long, date string"
+        )
+        for name, df in (("0.parquet", a), ("1.parquet", b)):
+            tmp = str(tmp_path / f"w_{name}")
+            df.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            shutil.copy(os.path.join(tmp, part), os.path.join(src, name))
+        out, ckpt = str(tmp_path / "wh2"), str(tmp_path / "ckpt2")
+        stream = (
+            spark.readStream.schema("id long, date string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = write_stream_to_warehouse(stream, out, ckpt)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 150
+        # full redelivery from a fresh checkpoint: still 150, not 300
+        stream2 = (
+            spark.readStream.schema("id long, date string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q2 = write_stream_to_warehouse(stream2, out, str(tmp_path / "ckpt3"))
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 150
+        assert os.path.isdir(os.path.join(out, "date=2025-07-01"))
+
 
 class TestTsSniff:
     """The footer sniff must fail loudly on an unreadable parquet file
