@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..streaming import (
     EVENT_TIME_BOUND_SQL,
     bound_event_time,
+    state_sized_shuffle,
     daily_rollup,
     enrich_with_rates,
     join_event_streams,
@@ -40,13 +41,18 @@ from .registry import load_tables, register
 
 def _drain(df: DataFrame, name: str, mode: str) -> DataFrame:
     spark = df.sparkSession
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # state-sized shuffle partitions for every drained stream (r13
+    # optimization): the stateful-operator commit cost per micro-batch
+    # is ∝ partition count and pinned at stream start — see
+    # streaming/pipeline.state_sized_shuffle for the policy/knob.
+    with state_sized_shuffle(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(300)
     return spark.table(name)
 
@@ -600,27 +606,18 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # State-store sizing: a stream-stream join commits one state store
     # per shuffle partition PER SIDE per micro-batch — at local bench
     # scale that fixed commit overhead dominates (measured 15 s at 32
-    # partitions vs ~5 s at 8 for identical results). Size state
-    # partitions to key cardinality, exactly as a production job would;
-    # the conf is restored after the stream starts from its (fresh)
-    # checkpoint, which is when the partition count is captured.
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = _drain(
-            joined.select(
-                "purchase_id",
-                F.col("p_user").alias("user_id"),
-                F.coalesce("view_id", F.lit(-1)).alias("view_id"),
-            ),
-            _qname("s_ss_louter", sf_dir),
-            "append",
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # partitions vs ~5 s at 8 for identical results). Since r13 the
+    # policy lives in streaming/pipeline.state_sized_shuffle, applied
+    # by _drain for every drained stream.
+    out = _drain(
+        joined.select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            F.coalesce("view_id", F.lit(-1)).alias("view_id"),
+        ),
+        _qname("s_ss_louter", sf_dir),
+        "append",
+    )
     return out.filter(F.col("user_id") >= 0)
 
 
@@ -924,23 +921,16 @@ def stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "fullOuter",
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = _drain(
-            joined.select(
-                F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
-                F.coalesce("view_id", F.lit(-1)).alias("view_id"),
-                F.coalesce("p_user", "v_user").alias("user_id"),
-            ),
-            _qname("s_ss_fouter", sf_dir),
-            "append",
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # state partitions via _drain's state_sized_shuffle policy (r13)
+    out = _drain(
+        joined.select(
+            F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+            F.coalesce("view_id", F.lit(-1)).alias("view_id"),
+            F.coalesce("p_user", "v_user").alias("user_id"),
+        ),
+        _qname("s_ss_fouter", sf_dir),
+        "append",
+    )
     return out.filter(F.col("user_id") >= 0)
 
 
@@ -1048,12 +1038,13 @@ def stream_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["version"] += 1
 
     try:
-        q = (
-            src.writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", f"{work}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with state_sized_shuffle(spark):
+            q = (
+                src.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", f"{work}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(300)
         final = spark.read.parquet(f"{work}/v{state['version']}")
         return spark.createDataFrame(
@@ -1143,13 +1134,14 @@ def watermark_lag_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day"))
         .count()
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_qname("s_wm_obs", sf_dir))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_sized_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_qname("s_wm_obs", sf_dir))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(300)
     import datetime as dt
 
@@ -1283,14 +1275,15 @@ def stream_partial_session_eviction(
         import uuid as _uuid
 
         name = _qname("s_partialsess", sf_dir) + "_" + _uuid.uuid4().hex[:6]
-        q = (
-            partial_session_flush(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with state_sized_shuffle(spark):
+            q = (
+                partial_session_flush(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
         deadline = _time.time() + 300
         saw_data = False
         while _time.time() < deadline and q.isActive:
@@ -1434,17 +1427,23 @@ def stream_two_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
-        torn = pr.exceptAll(derived).count() + derived.exceptAll(pr).count()
+        # one action for the symmetric-difference cardinality instead
+        # of two (r13 optimization): same exceptAll semantics, half the
+        # probe jobs per epoch
+        torn = (
+            pr.exceptAll(derived).unionAll(derived.exceptAll(pr)).count()
+        )
         audit["epochs"] += 1
         audit["consistent"] &= torn == 0
 
     try:
-        q = (
-            src.writeStream.foreachBatch(publish_batch)
-            .option("checkpointLocation", f"{work}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with state_sized_shuffle(spark):
+            q = (
+                src.writeStream.foreachBatch(publish_batch)
+                .option("checkpointLocation", f"{work}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(300)
         fact_like = spark.createDataFrame([], schema).select(
             "event_id", "user_id", "event_type", "value",
@@ -1458,10 +1457,12 @@ def stream_two_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, fact_t, like=fact_like
         ).count()
         roll = sinks.read_published_or_empty(spark, roll_t, like=roll_like)
-        n_roll = roll.count()
-        total = roll.agg(
-            F.round(F.sum("sum_value"), 2).alias("t")
-        ).first()["t"]
+        # count + total in ONE action (r13 optimization)
+        r_tot = roll.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("sum_value"), 2).alias("t"),
+        ).first()
+        n_roll, total = r_tot["n"], r_tot["t"]
         debris = any(
             os.path.isdir(os.path.join(t, "_compact"))
             and os.listdir(os.path.join(t, "_compact"))
@@ -1648,8 +1649,23 @@ def stream_rocksdb_changelog_restart(spark: SparkSession, sf_dir: str) -> DataFr
         state["version"] += 1
 
     def run_phase(files: list[str]) -> list[int]:
-        for f in files:
-            shutil.copy(f, os.path.join(land, os.path.basename(f)))
+        # Strictly-increasing landed mtimes (r13 green-gate fix): the
+        # file source orders unseen files by MILLISECOND mtime with a
+        # path tie-break, and shutil.copy of ~50 KB slices onto tmpfs
+        # lands several files inside one millisecond — the UUID part
+        # names then order RANDOMLY, and a run where the 2099 sentinel
+        # sorts before the last data slice advances the watermark past
+        # the corpus and silently drops that slice's groups as late
+        # (observed: 110/150 rows, flaky by page-cache luck).
+        # stream_partial_session_eviction already spaces its landed
+        # files with utime for exactly this reason.
+        import time as _time
+
+        base = _time.time()
+        for i, f in enumerate(files):
+            dst = os.path.join(land, os.path.basename(f))
+            shutil.copy(f, dst)
+            os.utime(dst, (base + i, base + i))
         src = (
             spark.readStream.schema(_event_schema(T.TimestampType()))
             .option("maxFilesPerTrigger", 1)
@@ -1669,13 +1685,14 @@ def stream_rocksdb_changelog_restart(spark: SparkSession, sf_dir: str) -> DataFr
                 "n_events", "total_value",
             )
         )
-        q = (
-            rollup.writeStream.foreachBatch(apply_batch)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with state_sized_shuffle(spark):
+            q = (
+                rollup.writeStream.foreachBatch(apply_batch)
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(300)
         import json as _json
 
@@ -1868,13 +1885,14 @@ def stream_bloom_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             .option("maxFilesPerTrigger", 1)
             .parquet(staged)
         )
-        q = (
-            src.filter(F.col("user_id") >= 0)
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", f"{work}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with state_sized_shuffle(spark):
+            q = (
+                src.filter(F.col("user_id") >= 0)
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", f"{work}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(300)
         if state["version"] < 0:
             # every batch was empty: no fact dir, no index versions —
@@ -2030,13 +2048,14 @@ def state_store_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .count()
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_qname("s_state_metrics", sf_dir))
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_sized_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_qname("s_state_metrics", sf_dir))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(300)
     import datetime as dt
 

@@ -17,6 +17,8 @@ maps that model onto real Structured Streaming (SURVEY §2.7):
 from .pipeline import (
     EVENT_TIME_BOUND_SQL,
     bound_event_time,
+    state_sized_shuffle,
+    stream_state_partitions,
     daily_rollup,
     dedup_events,
     enrich_with_rates,

@@ -26,6 +26,61 @@ from pyspark.sql import types as T
 
 from ..sinks import write_day_partitioned
 
+# ---------------------------------------------------------------------------
+# Stateful-stream partition sizing (r13 optimization, guide §2).
+#
+# A stateful streaming operator commits ONE state store per shuffle
+# partition per micro-batch (per side, for stream-stream joins) — a
+# fixed per-batch cost that scales with the partition COUNT, not the
+# data, and that AQE can never coalesce (streaming state partitioning
+# is pinned at first start and recorded in the checkpoint). Sizing it
+# to the cluster's core count is therefore wrong in both directions:
+# at bench scale 32 partitions ≈ 4-32× more state-store commits per
+# batch than the state key cardinality warrants (the stream-stream
+# join families measured 15 s at 32 partitions vs ~5 s at 8 for
+# identical results, round-8 BENCH_NOTES), and at 100 TB the right
+# number is keys×rate-derived, not core-derived. The policy lives in
+# one place: state partitions come from $SPARK_GRAFT_STREAM_STATE_
+# PARTITIONS when set (the production knob — size to active keys ×
+# watermark retention; it is sticky per checkpoint), defaulting to 8,
+# which covers the fixture corpus's state grains (day×type ≈ 150
+# keys, users ≈ O(1k)) with partitions to spare. Results are
+# partition-count-independent (hash placement only; the determinism
+# sweep pins engine-vs-engine equality across contrasting shuffle
+# partitioning for every registered query).
+STREAM_STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
+
+
+def stream_state_partitions() -> int:
+    return int(os.environ.get(STREAM_STATE_PARTITIONS_ENV, "8"))
+
+
+class state_sized_shuffle:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` to the
+    stream-state policy value around a stream's START (the partition
+    count is captured when the query starts from a fresh checkpoint;
+    restarts keep the checkpointed value). Restores the previous conf
+    on exit — batch plans outside the ``with`` are untouched."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._prev: str | None = None
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions", None)
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_state_partitions())
+        )
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self._spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
+
 def _event_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -437,12 +492,13 @@ def write_stream_to_warehouse(
             clustering_fields=clustering_fields,
         )
 
-    return (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_sized_shuffle(stream_df.sparkSession):
+        return (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def join_event_streams(

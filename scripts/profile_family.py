@@ -40,6 +40,7 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{EVDIR}",
+            "spark.eventLog.compress": "false",
         },
     )
     spark.read.parquet(f"{SF}/lineitem.parquet").count()
@@ -76,14 +77,43 @@ def main() -> None:
     # parse the event log: job-level timeline
     path = os.path.join(EVDIR, app_id)
     if not os.path.exists(path):
-        cands = [f for f in os.listdir(EVDIR) if f.startswith(app_id)]
-        if not cands:
-            print("no event log found")
-            return
-        path = os.path.join(EVDIR, cands[0])
+        # Spark 4 rolling layout: eventlog_v2_<appId>/events_1_<appId>
+        v2 = os.path.join(EVDIR, f"eventlog_v2_{app_id}")
+        if os.path.isdir(v2):
+            parts = sorted(
+                os.path.join(v2, f)
+                for f in os.listdir(v2)
+                if f.startswith("events_")
+            )
+            if not parts:
+                print("no event log found")
+                return
+            path = parts
+        else:
+            cands = [f for f in os.listdir(EVDIR) if f.startswith(app_id)]
+            if not cands:
+                print("no event log found")
+                return
+            path = os.path.join(EVDIR, cands[0])
+    if isinstance(path, str):
+        path = [path]
     jobs = {}
-    with open(path) as fh:
-        for line in fh:
+
+    def _lines(paths):
+        import subprocess
+
+        for p in paths:
+            if p.endswith(".zstd"):
+                out = subprocess.run(
+                    ["zstd", "-dc", p], capture_output=True, check=True
+                )
+                yield from out.stdout.decode().splitlines()
+            else:
+                with open(p) as fh:
+                    yield from fh
+
+    if True:
+        for line in _lines(path):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
