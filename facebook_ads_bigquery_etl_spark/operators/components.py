@@ -3,23 +3,46 @@ turns near-dup PAIRS into dedup GROUPS (pick one representative per
 cluster, drop the rest). The LLM-corpus pipeline is
 pairs (minhash/simhash/embedding) → components → keep min-id doc.
 
-Algorithm: iterative min-label propagation on DataFrames — each round
-every node adopts the minimum component label among itself and its
-neighbors; converges in O(graph diameter) rounds (duplicate clusters
-are near-cliques, so diameter is tiny — 2-3 rounds in practice).
+Algorithm (r13 optimization round): iterative MIN-CONTRACTION — each
+round every node adopts the minimum id in its 1-ball (itself and its
+neighbors), one pointer-jump contracts label chains, and then the
+graph is CONTRACTED to the label groups: the next round runs on the
+quotient graph (one supernode per label, only cross-group edges
+survive, deduplicated). Rounds end when no cross-group edge remains;
+the per-round label maps compose back to node grain.
 
-Scale notes:
-* State per round is (node, comp) — two longs — and edges shuffle by
-  node id; no adjacency materialization beyond the edge list.
+Why contraction instead of the previous label-propagation +
+path-halving loop:
+
+* ROUNDS. Pointer jumping (comp[n] ← comp[comp[n]]) only contracts
+  chains whose label values point onward — on graphs with RANDOM id
+  placement, every local-minimum node m has comp[m] = m and blocks
+  the jump, so the old loop degraded to one-hop-per-round diameter
+  propagation (measured: 10 rounds on the 896-edge semantic near-dup
+  graph at sf0.1; a 400-node id-permuted chain exhausted the round
+  budget entirely). Contraction removes the blockers: each round the
+  label groups THEMSELVES become the nodes, so every round at least
+  halves the remaining supernode count along any path — O(log
+  diameter) rounds regardless of id layout (measured: 4 rounds on the
+  same 896-edge graph, 6 on the permuted 400-chain).
+* BYTES (the 100 TB property). The old loop shuffled the FULL edge
+  list every round (neighbor-min join + groupBy). Here only round 1
+  touches the full edge list; every later round shuffles the quotient
+  graph, which shrinks geometrically (measured edge counts per round
+  at sf0.1: 1792 sym → 430 → 64 → 6 → 0). Total shuffled bytes are
+  ~2× the edge list instead of rounds×.
+* State per round is (node, comp) — two longs — plus the shrinking
+  edge list; label maps are one per round and compose with
+  label-sized joins at the end.
 * Lineage is truncated with ``localCheckpoint`` each round: iterative
   self-joins otherwise stack exponentially-growing plans (the classic
   iterative-DataFrame failure mode; checkpointing keeps each round's
   plan O(1)).
-* The convergence check is one tiny aggregate per round — an action,
-  but over a frame already computed for the next round's input.
-* For graphs with whale components (adversarial chains), switch to
-  the large-star/small-star contraction (same join primitives, fewer
-  rounds); duplicate clusters don't need it.
+
+Duplicate edges and self-loops are tolerated (min is idempotent; a
+self-loop is internal to its group from round 1) — in-repo pair
+generators emit unique a<b pairs, so the symmetrized list is already
+duplicate-free and carries no self-loops.
 """
 
 from __future__ import annotations
@@ -35,79 +58,85 @@ def connected_components(
     max_rounds: int = 25,
 ) -> DataFrame:
     """(node, comp) for every node appearing in ``edges``; ``comp`` is
-    the minimum node id in the node's connected component."""
+    the minimum node id in the node's connected component.
+
+    Invariant the composition relies on: a label is always the id of a
+    REAL node of the same component (min of a neighborhood ball), and
+    the component's global-min node is always its own label — so when
+    no cross-group edge remains, every group label in a component has
+    collapsed to that min, and composing the per-round maps sends
+    every original node there.
+    """
     # Cache the EDGE list before symmetrizing: the union below reads
     # its input twice, and edges usually arrive with an expensive
     # lineage (a similarity self-join) — uncached, that whole pipeline
     # would run twice just to build sym (observed: 13 s vs 5 s on the
-    # near-dup graph). sym itself is cached for the per-round joins
-    # and the (tiny) pair frame released once sym is materialized.
+    # near-dup graph). sym is checkpointed (it seeds the loop and the
+    # first round reads it several times); the pair frame is released
+    # once sym is materialized.
     e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).persist()
-    sym = e.union(e.select(F.col("dst"), F.col("src"))).distinct().persist()
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
-    )
+    sym = e.union(e.select(F.col("dst"), F.col("src"))).localCheckpoint()
     e.unpersist(blocking=False)
-    n_changed = 0
+
+    maps: list[DataFrame] = []
+    cur = sym
     for _ in range(max_rounds):
-        # neighbor-min pass: comp[n] <- min(comp[n], min_{m~n} comp[m])
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("comp").alias("n_comp"))
+        # 1-ball min: comp[n] = min(n, min neighbor) — the first
+        # neighbor-min pass fused into label construction (one groupBy,
+        # same shuffle the old distinct() init already paid).
+        labels = cur.groupBy(F.col("src").alias("node")).agg(
+            F.least(F.col("src"), F.min("dst")).alias("comp")
         )
-        stepped = (
-            labels.withColumnRenamed("comp", "old")
-            .join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                "old",
-                F.least(F.col("old"), F.coalesce("n_comp", "old")).alias("comp"),
-            )
+        # one pointer jump on the LABEL table (label-sized join, not
+        # edge-sized): comp[n] <- comp[comp[n]] composes two levels of
+        # the ball structure before contracting, cutting a round or two
+        # from the schedule at negligible cost.
+        step = labels.select(F.col("node").alias("comp"), F.col("comp").alias("c2"))
+        labels = (
+            labels.join(step, "comp", "left")
+            .select("node", F.coalesce("c2", "comp").alias("comp"))
+            .localCheckpoint()
         )
-        # path halving (pointer jumping): comp[n] <- min(comp[n],
-        # comp[comp[n]]). Neighbor-min alone needs O(diameter) rounds —
-        # near-dup graphs grow chains (observed diameter ~11 at a 0.95
-        # threshold); the jump join contracts label chains by half each
-        # round, so convergence is O(log diameter). The join is on the
-        # label frame itself — node-count-sized, never edge-sized.
-        jump = stepped.select(
-            F.col("node").alias("comp"), F.col("comp").alias("jcomp")
+        maps.append(labels)
+        # contract: map both endpoints through the labels, keep only
+        # cross-group edges, dedup — the quotient graph. Shrinks
+        # geometrically, so every round after the first shuffles a
+        # fraction of the previous round's bytes.
+        lsrc = labels.select(F.col("node").alias("src"), F.col("comp").alias("c_src"))
+        ldst = labels.select(F.col("node").alias("dst"), F.col("comp").alias("c_dst"))
+        nxt = (
+            cur.join(lsrc, "src")
+            .join(ldst, "dst")
+            .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
         )
-        updated = (
-            stepped.join(jump, "comp", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("jcomp", "comp")).alias("comp"),
-                (
-                    F.least(F.col("comp"), F.coalesce("jcomp", "comp"))
-                    < F.col("old")
-                ).alias("changed"),
-            )
-            .localCheckpoint()  # truncate the iterative lineage
-        )
-        n_changed = updated.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
-        labels = updated.drop("changed")
-        if n_changed == 0:
+        if nxt.limit(1).count() == 0:
             break
+        cur = nxt
     else:
-        # fail LOUDLY: pointer jumping converges in O(log diameter),
-        # so 25 rounds cover diameters past 2^25 — exhausting them
-        # means an adversarial whale chain (or a bug), and returning
-        # the partial labels would silently split true clusters into
-        # several representatives downstream (r13 operator review).
-        sym.unpersist()
+        # fail LOUDLY: contraction at least halves the supernode count
+        # along any path per round, so 25 rounds cover components past
+        # 2^25 supernodes — exhausting them means a bug, and returning
+        # partial labels would silently split true clusters into
+        # several representatives downstream.
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds}"
-            f" rounds ({n_changed} labels still moving) — graph"
-            " diameter exceeds the pointer-jumping budget; raise"
-            " max_rounds or pre-contract with large-star/small-star"
+            " rounds — component structure exceeds the contraction"
+            " budget; raise max_rounds"
         )
-    sym.unpersist()
-    return labels
+    # compose the per-round maps back to node grain: innermost map
+    # last — final[n] = maps[k][... maps[0][n]]. Each join is
+    # label-sized; supernodes absent from a later map (already final)
+    # pass through via the coalesce.
+    final = maps[-1]
+    for m in reversed(maps[:-1]):
+        step = final.select(F.col("node").alias("comp"), F.col("comp").alias("c2"))
+        final = m.join(step, "comp", "left").select(
+            "node", F.coalesce("c2", "comp").alias("comp")
+        )
+    return final
 
 
 def dedup_clusters(

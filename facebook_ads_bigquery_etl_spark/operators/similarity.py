@@ -917,30 +917,46 @@ def ivfpq_cosine_topk(
     d = S.shape[1]
     sub = d // m
 
+    # Both UDFs are batch-vectorized (r13 optimization, guide §4.2):
+    # the previous per-row Python loops paid interpreter overhead per
+    # vector per subspace. Arithmetic is kept BIT-IDENTICAL to the
+    # per-row form: norms go through a batched matmul (np.matmul of
+    # (n,1,d)×(n,d,1) reproduces per-row BLAS np.dot exactly — an
+    # axis-wise (x*x).sum() does NOT, its pairwise reduction differs
+    # in the last ulp), and the per-subspace distance/ADC terms reduce
+    # over the same trailing axis the row form reduced over (verified
+    # np.array_equal on the fixture corpus). A ulp drift here could
+    # flip an ADC near-tie at the rerank boundary and change a
+    # registered query's output, so the equality is load-bearing.
+    def _unit_rows(vecs) -> "np.ndarray":
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        nrm = np.sqrt(np.matmul(X[:, None, :], X[:, :, None]).ravel())
+        return X / np.maximum(nrm, 1e-12)[:, None]
+
     @pandas_udf("array<int>")
     def pq_encode(vecs):
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            x = x / max(np.linalg.norm(x), 1e-12)
-            codes = [
-                int(((x[j * sub : (j + 1) * sub] - cb[j]) ** 2).sum(-1).argmin())
-                for j in range(m)
-            ]
-            out.append(codes)
-        return pd.Series(out)
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = _unit_rows(vecs)
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for j in range(m):
+            xj = X[:, j * sub : (j + 1) * sub]
+            d = ((xj[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d.argmin(1)
+        return pd.Series(codes.tolist())
 
     @pandas_udf("double")
     def adc_score(qvecs, codes):
-        out = []
-        for qv, cs in zip(qvecs, codes):
-            q = np.asarray(qv, dtype=np.float64)
-            q = q / max(np.linalg.norm(q), 1e-12)
-            s = 0.0
-            for j, c in enumerate(cs):
-                s += float(q[j * sub : (j + 1) * sub] @ cb[j][c])
-            out.append(s)
-        return pd.Series(out)
+        if not len(qvecs):
+            return pd.Series([], dtype=float)
+        Q = _unit_rows(qvecs)
+        C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        s = np.zeros(len(Q))
+        for j in range(m):  # accumulate in subspace order, like the row form
+            sel = cb[j][C[:, j]]
+            qj = Q[:, j * sub : (j + 1) * sub]
+            s += np.matmul(qj[:, None, :], sel[:, :, None]).ravel()
+        return pd.Series(s)
 
     # The candidate stream carries ONLY (id, m byte codes): the full
     # vector must not ride the cell-explode (×assign copies) and the

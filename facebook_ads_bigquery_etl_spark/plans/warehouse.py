@@ -1812,13 +1812,17 @@ def bloom_index_merge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     events = load_tables(spark, sf_dir, "events")["events"]
     # replay resolution before the MERGE seam (r11 duplicates sweep):
     # a replayed event_id would trip merge_apply's duplicate-source
-    # guard — resolve by the deterministic content-total order first
+    # guard — resolve by the deterministic content-total order first.
+    # PERSISTED (r13 optimization, guide §5): fact0 feeds the delta,
+    # the stale index, the probe scalar AND the merge source — without
+    # the persist the resolve_replays window shuffle re-ran once per
+    # consumer (4×) inside this one audit.
     fact0 = resolve_replays(
         events.select(
             "event_id", "user_id", "value", F.col("ts").cast("date").alias("d")
         ),
         ["event_id"],
-    )
+    ).persist()
     in_window = F.col("d") < F.lit("2024-01-11").cast("date")
     updates = fact0.filter((F.col("event_id") % 7 == 0) & in_window).select(
         "event_id", "user_id", (F.col("value") * 2).alias("value"), "d"
@@ -1835,12 +1839,15 @@ def bloom_index_merge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         "d",
     )
     delta = updates.unionByName(inserts)
+    # merged feeds the refreshed slice, the from-scratch rebuild, the
+    # probe truth AND the partition census — persist it once instead
+    # of re-running the MERGE join per consumer (r13 optimization)
     merged = merge_apply(
         fact0,
         delta,
         keys=["event_id"],
         update_set={"value": F.col("s.value")},
-    ).drop("op")
+    ).drop("op").persist()
 
     bit = lambda c: knuth_bucket(c, 1024)  # noqa: E731
     index0 = fact0.select("d", bit("user_id").alias("bit")).distinct()
@@ -1852,7 +1859,9 @@ def bloom_index_merge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     incr = kept.unionByName(refreshed)
     rebuild = merged.select("d", bit("user_id").alias("bit")).distinct()
     incr = incr.persist()
-    diff = incr.exceptAll(rebuild).count() + rebuild.exceptAll(incr).count()
+    # one action for the symmetric-difference cardinality instead of
+    # two — same exceptAll semantics, half the jobs (r13 optimization)
+    diff = incr.exceptAll(rebuild).unionAll(rebuild.exceptAll(incr)).count()
 
     probe_u = (
         fact0.filter((F.col("event_id") % 5 == 0) & in_window)
@@ -1865,19 +1874,26 @@ def bloom_index_merge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     else:
         probe_bit = (probe_u * 2654435761 % 1000000007) % 1024
         n_probed = incr.filter(F.col("bit") == probe_bit).count()
-    truth = (
+    # day count + event total over the probe truth in ONE action
+    # (count(lit(1)) ≡ the old truth.count(); coalesced SUM keeps the
+    # empty-probe 0 — r13 optimization)
+    t_row = (
         merged.filter(F.col("user_id") == probe_u)
         .groupBy("d")
         .agg(F.count("*").alias("n"))
-        .persist()
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("found"),
+        )
+        .first()
     )
-    n_true = truth.count()
-    n_found = truth.agg(F.coalesce(F.sum("n"), F.lit(0))).first()[0]
+    n_true, n_found = t_row["n_days"], t_row["found"]
     n_parts_total = merged.select("d").distinct().count()
     n_touched = touched.count()
     n_index_rows = incr.count()
     incr.unpersist(blocking=False)
-    truth.unpersist(blocking=False)
+    merged.unpersist(blocking=False)
+    fact0.unpersist(blocking=False)
     return spark.createDataFrame(
         [
             (
@@ -2599,8 +2615,11 @@ def multi_table_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         report = sinks.recover_multi_swap(fact_t, stale_after_s=0.0)
 
         fact_df = sinks.read_published_or_empty(spark, fact_t, like=f2)
-        n_fact = fact_df.count()
-        total = fact_df.agg(F.round(F.sum("value"), 2)).first()[0] or 0.0
+        # row count + recovered total in ONE action (r13 optimization)
+        f_row = fact_df.agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t")
+        ).first()
+        n_fact, total = f_row["n"], f_row["t"] or 0.0
         refreshed = fact_df.groupBy("date").agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("day_value"),
@@ -2609,9 +2628,12 @@ def multi_table_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, roll_t, like=r2
         ).select("date", "n_events", "day_value")
         n_days = stored.count()
+        # one action for the symmetric-difference cardinality instead
+        # of two — same exceptAll semantics (r13 optimization)
         diff = (
-            refreshed.exceptAll(stored).count()
-            + stored.exceptAll(refreshed).count()
+            refreshed.exceptAll(stored)
+            .unionAll(stored.exceptAll(refreshed))
+            .count()
         )
         import os
 

@@ -485,6 +485,47 @@ class TestConnectedComponents:
         assert out[2]["cluster_size"] == 2 and out[3]["cluster_size"] == 2
         assert out[9]["cluster_rep"] == 9 and out[9]["keep"] is True
 
+    def test_random_id_chain_matches_union_find(self, spark):
+        """A long path graph whose node ids are RANDOMLY PERMUTED —
+        the layout that defeated the pre-r13 label-propagation loop
+        (pointer jumping stalls on every local-minimum id, degrading
+        to one-hop-per-round diameter propagation and blowing the
+        round budget). The r13 min-contraction form must converge in
+        O(log diameter) rounds and still emit component-min labels —
+        checked against a driver-side union-find ground truth."""
+        import random
+
+        from facebook_ads_bigquery_etl_spark.operators.components import (
+            connected_components,
+        )
+
+        rng = random.Random(7)
+        perm = list(range(121))
+        rng.shuffle(perm)
+        pairs = [(perm[i], perm[i + 1]) for i in range(120)]
+        edges = spark.createDataFrame(pairs, "a_id long, b_id long")
+        got = {
+            r["node"]: r["comp"] for r in connected_components(edges).collect()
+        }
+        assert got == {n: 0 for n in range(121)}  # one component, min id 0
+
+    def test_duplicate_edges_and_self_loops_tolerated(self, spark):
+        """min is idempotent: replayed pairs and self-loops must not
+        change the labeling (the contraction drops self-loops as
+        internal edges from round 1)."""
+        from facebook_ads_bigquery_etl_spark.operators.components import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 2), (2, 3), (2, 3), (3, 3), (5, 6), (6, 5)],
+            "a_id long, b_id long",
+        )
+        got = {
+            r["node"]: r["comp"] for r in connected_components(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
     def test_unconverged_budget_raises(self, spark):
         """Exhausting max_rounds without an observed fixed point must
         fail loudly, not return partial labels that would silently
