@@ -1781,17 +1781,36 @@ def dedup_keep_best_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline at this operating point. Readout is bounded (5 scalars);
     both forms stay fully distributed."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    scale = dedup_keep_best_scale(spark, sf_dir)
+    # r13 optimization (guide §5.1/§1.3): both cluster pipelines feed
+    # multiple readouts — persist them once instead of re-running the
+    # LSH pipeline 3x and the quadratic baseline 2x; fuse the
+    # count+sum readout into one action and the two directed exceptAll
+    # counts into one tagged union (same multiset semantics, the tag
+    # records which side each surplus row came from).
+    scale = dedup_keep_best_scale(spark, sf_dir).persist()
     exact_edges = dd.jaccard_pairs(
         docs, text_col="text", threshold=0.7, ngram=3
     ).select("a_id", "b_id")
-    exact = _keep_best_over_edges(docs, exact_edges)
-    n_clusters = scale.count()
+    exact = _keep_best_over_edges(docs, exact_edges).persist()
     # SUM over zero clusters reads back None; the oracle counts 0 over
     # its empty reps frame (r10 empty sweep)
-    docs_covered = scale.agg(F.sum("cluster_size")).first()[0] or 0
-    n_scale_only = scale.exceptAll(exact).count()
-    n_exact_only = exact.exceptAll(scale).count()
+    s_row = scale.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("cov"),
+    ).first()
+    n_clusters, docs_covered = s_row["n"], s_row["cov"]
+    d_row = (
+        scale.exceptAll(exact).select(F.lit(1).alias("s"))
+        .unionAll(exact.exceptAll(scale).select(F.lit(0).alias("s")))
+        .agg(
+            F.coalesce(F.sum("s"), F.lit(0)).alias("scale_only"),
+            F.coalesce(F.sum(1 - F.col("s")), F.lit(0)).alias("exact_only"),
+        )
+        .first()
+    )
+    n_scale_only, n_exact_only = d_row["scale_only"], d_row["exact_only"]
+    scale.unpersist(blocking=False)
+    exact.unpersist(blocking=False)
     return spark.createDataFrame(
         [
             (
@@ -1875,9 +1894,13 @@ def _semantic_keep_best_audit(
     recursive-closure oracle; precision / kept-recall / kept-Jaccard
     booleans with documented floors). Readout is bounded; both forms
     stay fully distributed."""
+    # the exact quadratic edge set feeds the member census, the
+    # kept-set derivation AND the precision diff — persist it once
+    # instead of re-running the all-pairs cosine per consumer (r13
+    # optimization, guide §5.1)
     exact_edges = sim.embedding_dup_pairs(emb, threshold=0.4, exact=True).select(
         "a_id", "b_id"
-    )
+    ).persist()
     n_vecs = emb.count()
     members = (
         exact_edges.select(F.col("a_id").alias("id"))
@@ -1896,6 +1919,7 @@ def _semantic_keep_best_audit(
     union = n_kept_exact + n_kept_scale - inter
     kept_exact.unpersist(blocking=False)
     kept_scale.unpersist(blocking=False)
+    exact_edges.unpersist(blocking=False)
     return spark.createDataFrame(
         [
             (
@@ -4456,20 +4480,26 @@ def minhash_band_sweep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import facebook_ads_bigquery_etl_spark.operators.dedup as dd
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # r13 optimization (guide §5.1/§1.3): the exact posting-join
+    # baseline is identical for all three band configs — persist it
+    # once instead of recomputing it twice per config (6x); persist
+    # each config's verified pair set across its readouts; and since
+    # the declared output only carries (n_missed == 0 AND n_extra ==
+    # 0), read the symmetric-difference cardinality in ONE action —
+    # |A\B| + |B\A| = 0 is the same predicate.
     exact = dd.jaccard_pairs(
         docs, text_col="text", threshold=0.7, ngram=3
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id").persist()
     rows = []
     for bands in (8, 16, 32):
         got = dd.minhash_dup_pairs(
             docs, threshold=0.7, num_perm=64, bands=bands, ngram=3
-        ).select("a_id", "b_id")
+        ).select("a_id", "b_id").persist()
         n_pairs = got.count()
-        n_missed = exact.exceptAll(got).count()
-        n_extra = got.exceptAll(exact).count()
-        rows.append(
-            (bands, 64 // bands, n_pairs, n_missed == 0 and n_extra == 0)
-        )
+        n_diff = exact.exceptAll(got).unionAll(got.exceptAll(exact)).count()
+        got.unpersist(blocking=False)
+        rows.append((bands, 64 // bands, n_pairs, n_diff == 0))
+    exact.unpersist(blocking=False)
     return spark.createDataFrame(
         rows,
         "bands long, rows_per_band long, n_pairs long,"

@@ -1392,6 +1392,11 @@ def stream_two_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             # recovery, so the committed fact it reads is whole (the
             # probe must be has_published_data, not isdir: the lease
             # protocol creates <fact>/_compact before the first epoch)
+            # NOT persisted across the two staged writes: measured
+            # 14.6 -> 19.3 s — caching inserts an InMemoryRelation
+            # (row-format materialization) in front of BOTH staged
+            # writes, which costs more than the second columnar scan
+            # of the committed fact it saves (r13, guide §1: measure).
             if sinks.has_published_data(fact_t):
                 fact = ss.read.parquet(fact_t).unionByName(inc)
             else:
@@ -1429,10 +1434,17 @@ def stream_two_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # one action for the symmetric-difference cardinality instead
         # of two (r13 optimization): same exceptAll semantics, half the
-        # probe jobs per epoch
+        # probe jobs per epoch. Both sides appear twice in the union —
+        # persist the day×type-grain frames so the published-FACT scan
+        # + aggregation behind `derived` runs once per epoch, not twice
+        # (the probe's only table-sized input).
+        pr = pr.persist()
+        derived = derived.persist()
         torn = (
             pr.exceptAll(derived).unionAll(derived.exceptAll(pr)).count()
         )
+        pr.unpersist(blocking=False)
+        derived.unpersist(blocking=False)
         audit["epochs"] += 1
         audit["consistent"] &= torn == 0
 
@@ -1905,28 +1917,45 @@ def stream_bloom_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
                 " n_parts_probed long, n_parts_true long,"
                 " n_events_found long, incr_equals_rebuild boolean",
             )
-        fact = spark.read.parquet(fact_dir)
+        # r13 optimization (guide §5.1/§1.3): fact feeds five readouts
+        # and rebuild/index appear twice in the incremental-vs-rebuild
+        # diff — persist them, read the symmetric-difference
+        # cardinality in ONE action (same exceptAll semantics), and
+        # fuse count-style readouts that share a scan into one agg
+        # (count(lit(1)) ≡ count(); coalesced SUM keeps the
+        # empty-probe 0).
+        fact = spark.read.parquet(fact_dir).persist()
         index = spark.read.parquet(f"{work}/idx_v{state['version']}").persist()
-        rebuild = fact.select("d", bit("user_id").alias("bit")).distinct()
-        diff = index.exceptAll(rebuild).count() + rebuild.exceptAll(
-            index
+        rebuild = fact.select("d", bit("user_id").alias("bit")).distinct().persist()
+        diff = index.exceptAll(rebuild).unionAll(
+            rebuild.exceptAll(index)
         ).count()
-        probe_u = fact.agg(F.min("user_id")).first()[0]
+        f_row = fact.agg(
+            F.min("user_id").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        probe_u, n_fact_rows = f_row["u"], f_row["n"]
+        # kept as its own action: countDistinct skips NULL keys while
+        # distinct().count() keeps the NULL group — not provably the
+        # same readout; the scan behind it is the persisted fact
+        n_parts_total = fact.select("d").distinct().count()
         probe_bit = (probe_u * 2654435761 % 1000000007) % 1024
         n_probed = index.filter(F.col("bit") == probe_bit).count()
-        truth = (
+        t_row = (
             fact.filter(F.col("user_id") == probe_u)
             .groupBy("d")
             .agg(F.count("*").alias("n"))
-            .persist()
+            .agg(
+                F.count(F.lit(1)).alias("n_days"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("found"),
+            )
+            .first()
         )
-        n_true = truth.count()
-        n_found = truth.agg(F.coalesce(F.sum("n"), F.lit(0))).first()[0]
-        n_fact_rows = fact.count()
-        n_parts_total = fact.select("d").distinct().count()
+        n_true, n_found = t_row["n_days"], t_row["found"]
         n_index_rows = index.count()
         index.unpersist(blocking=False)
-        truth.unpersist(blocking=False)
+        rebuild.unpersist(blocking=False)
+        fact.unpersist(blocking=False)
         return spark.createDataFrame(
             [
                 (

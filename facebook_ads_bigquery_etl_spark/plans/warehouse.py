@@ -2627,6 +2627,12 @@ def multi_table_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stored = sinks.read_published_or_empty(
             spark, roll_t, like=r2
         ).select("date", "n_events", "day_value")
+        # both sides appear twice in the symmetric-difference union —
+        # persist the day-grain frames so the published-fact scan
+        # behind `refreshed` (and the rollup read) runs once, and fold
+        # the n_days readout into the persisted `stored` (r13)
+        refreshed = refreshed.persist()
+        stored = stored.persist()
         n_days = stored.count()
         # one action for the symmetric-difference cardinality instead
         # of two — same exceptAll semantics (r13 optimization)
@@ -2635,6 +2641,8 @@ def multi_table_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(stored.exceptAll(refreshed))
             .count()
         )
+        refreshed.unpersist(blocking=False)
+        stored.unpersist(blocking=False)
         import os
 
         return spark.createDataFrame(
@@ -3244,13 +3252,19 @@ def parquet_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_c = os.path.getsize(_glob.glob(f"{tmp}/control/*.parquet")[0])
 
         back = spark.read.parquet(f"{tmp}/bloomed")
-        n_rows = back.count()
-        tv = back.agg(F.round(F.sum("value"), 2)).first()[0]
+        # row count + value sum + point key in ONE action over one
+        # scan of the bloomed file instead of three (r13 optimization;
+        # count(lit(1)) ≡ count())
+        b_row = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+            F.min("event_id").alias("pk"),
+        ).first()
+        n_rows, tv, point_key = b_row["n"], b_row["tv"], b_row["pk"]
         # empty source: SUM stays NULL like the oracle's, the point
         # probe finds nothing, and the footer claims hold vacuously
         # (r10 empty sweep)
         total_value = None if tv is None else round(float(tv), 2)
-        point_key = back.agg(F.min("event_id")).first()[0]
         n_point = back.filter(F.col("event_id") == point_key).count()
         src = ev.agg(
             F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
