@@ -1236,6 +1236,14 @@ def stream_partial_session_eviction(
         "ts",
     )
     ev = ev.withColumn("b", (F.col("event_id") % 4).cast("int"))
+    # the four per-batch staging writes below each re-ran the full
+    # events scan + finite-cast pipeline (4 sequential actions);
+    # materialize it once — localCheckpoint keeps partition order, so
+    # each coalesce(1) concatenates the SAME partitions in the SAME
+    # order and the staged batch files stay byte-identical (r13
+    # optimization, guide §5.1; the writes were already sequential, so
+    # unlike a parallel-subtree query nothing loses concurrency here)
+    ev = ev.localCheckpoint()
 
     src = tempfile.mkdtemp(prefix="partial_sess_src_")
     try:
@@ -1294,7 +1302,9 @@ def stream_partial_session_eviction(
                 elif saw_data:
                     q.stop()
                     break
-            _time.sleep(0.2)
+            _time.sleep(0.05)  # r13: finer poll — the loop only waits
+            # for the flush batch's progress row; 0.2 s granularity
+            # added up to ~0.4 s of pure detection latency per run
         q.awaitTermination(60)
         out = spark.table(name)
         # materialize before the source dir is deleted: memory sink
