@@ -38,14 +38,57 @@ from pyspark.sql import functions as F
 
 
 def _bucket_of(value_col: str, cuts: list[float]) -> Column:
-    # index = #cuts strictly below the value → rows tied on a cut value
-    # share a bucket; ≤ n_buckets comparisons per row, JVM-side HOF
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    return F.aggregate(
-        arr,
-        F.lit(0),
-        lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0),
-    )
+    # index = #cuts strictly below the value (bisect_left over the
+    # sorted, deduplicated cuts) → rows tied on a cut value share a
+    # bucket. Balanced CASE tree = binary search: ≤ ⌈log2(n)⌉ codegen
+    # comparisons per row. (The original F.aggregate HOF walked all n
+    # cuts per row through an INTERPRETED lambda — CodegenFallback —
+    # which at the old n_buckets=256 dominated the whole operator's
+    # job time; r13 optimization, guide §1.2/§4.1 "prefer built-ins
+    # with codegen". The tree is rendered as ONE SQL string and parsed
+    # JVM-side: building it node-by-node through py4j cost ~1.4 s per
+    # construction at 255 cuts, measured.) Semantics identical to the
+    # HOF: NULL value → every `>` is NULL → every WHEN takes the ELSE
+    # branch → bucket 0, exactly like the old sum of 0s; NaN > any
+    # non-NaN in Spark's ordering → top bucket, like the old per-cut
+    # comparisons.
+    import math
+
+    v = f"`{value_col}`"
+
+    def lit(c: float) -> str:
+        c = float(c)
+        if math.isnan(c):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(c):
+            return f"CAST('{'-' if c < 0 else ''}Infinity' AS DOUBLE)"
+        return repr(c) + "D"  # shortest repr round-trips exactly
+
+    def tree(lo: int, hi: int) -> str:
+        # returns #cuts < value, given cuts[:lo] all < value and
+        # cuts[hi:] all >= value
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (
+            f"CASE WHEN {v} > {lit(cuts[mid])} "
+            f"THEN {tree(mid + 1, hi)} ELSE {tree(lo, mid)} END"
+        )
+
+    return F.expr(tree(0, len(cuts)))
+
+
+def _default_buckets(df: DataFrame) -> int:
+    """Scale-adaptive bucket count: 2× the cluster's default
+    parallelism (floor 64, cap 4096) instead of a constant — buckets
+    only set the window parallelism and the quantile-probe/CASE-tree
+    size, never correctness (any deterministic cuts are exact). More
+    cores → more buckets → smaller per-bucket sorts; the cap bounds
+    plan size and the probe, and callers ranking truly huge frames can
+    pass ``n_buckets`` explicitly (r13 optimization, guide §2:
+    derive scale-dependent settings, don't pin them to one machine)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(64, min(4096, 2 * int(par)))
 
 
 def with_global_rank(
@@ -53,7 +96,7 @@ def with_global_rank(
     value_col: str,
     tiebreak_cols: list[str],
     out_col: str = "global_rank",
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
     ascending: bool = True,
     persist: bool = False,
 ) -> DataFrame:
@@ -74,7 +117,27 @@ def with_global_rank(
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    n = max(2, int(n_buckets))
+    return _rank_with_total(
+        df, value_col, tiebreak_cols, out_col, n_buckets, ascending
+    )[0]
+
+
+def _rank_with_total(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    out_col: str,
+    n_buckets: int | None,
+    ascending: bool,
+) -> tuple[DataFrame, int]:
+    """Body of :func:`with_global_rank`, additionally returning the
+    total row count (= sum of the per-bucket counts it collects
+    anyway) so callers that need N — the ntile formula — don't pay a
+    separate ``df.count()`` pass (r13 optimization, guide §1.2: one
+    fewer full action per ntile; the count and the offsets now also
+    come from the SAME action, so they can never disagree on a
+    non-re-read-stable source)."""
+    n = max(2, int(n_buckets)) if n_buckets is not None else _default_buckets(df)
     probes = [i / n for i in range(1, n)]
     cuts = sorted(set(df.approxQuantile(value_col, probes, 0.001)))
     bucket = (
@@ -124,11 +187,12 @@ def with_global_rank(
             )
         ).cast("long"),
     ).otherwise(offset)
-    return (
+    ranked = (
         b.withColumn("__local", F.row_number().over(w))
         .withColumn(out_col, (offset + F.col("__local")).cast("long"))
         .drop("__bucket", "__local")
     )
+    return ranked, sum(counts.values())
 
 
 def ntile_from_rank(rank_col: str, total: int, k: int) -> Column:
@@ -154,7 +218,7 @@ def with_global_cumsum(
     value_col: str,
     tiebreak_cols: list[str],
     out_col: str = "global_cumsum",
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
     ascending: bool = True,
     persist: bool = False,
 ) -> DataFrame:
@@ -174,7 +238,7 @@ def with_global_cumsum(
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    n = max(2, int(n_buckets))
+    n = max(2, int(n_buckets)) if n_buckets is not None else _default_buckets(df)
     probes = [i / n for i in range(1, n)]
     cuts = sorted(set(df.approxQuantile(value_col, probes, 0.001)))
     bucket = _bucket_of(value_col, cuts) if cuts else F.lit(0)
@@ -241,7 +305,7 @@ def with_global_ntile(
     tiebreak_cols: list[str],
     k: int,
     out_col: str = "tile",
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
     ascending: bool = True,
     small_input_rows: int = GLOBAL_RANK_SMALL_INPUT_ROWS,
     persist: bool = False,
@@ -259,18 +323,26 @@ def with_global_ntile(
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    total = df.count()
+    if small_input_rows > 0:
+        total = df.count()
+        if total == 0:
+            return df.withColumn(out_col, F.lit(None).cast("int"))
+        if total <= small_input_rows:
+            direction = F.asc if ascending else F.desc
+            w = Window.orderBy(
+                direction(value_col), *[direction(c) for c in tiebreak_cols]
+            )
+            return df.withColumn(out_col, F.ntile(int(k)).over(w))
+    # forced-parallel path (small_input_rows=0, every registered
+    # corpus-grain ntile): the total comes out of the bucket-counts
+    # action the rank operator runs anyway — no separate count() pass
+    # (r13 optimization; df already persisted above when requested —
+    # don't double-pin)
+    ranked, total = _rank_with_total(
+        df, value_col, tiebreak_cols, "__grank", n_buckets, ascending
+    )
     if total == 0:
         return df.withColumn(out_col, F.lit(None).cast("int"))
-    if total <= small_input_rows:
-        direction = F.asc if ascending else F.desc
-        w = Window.orderBy(
-            direction(value_col), *[direction(c) for c in tiebreak_cols]
-        )
-        return df.withColumn(out_col, F.ntile(int(k)).over(w))
-    ranked = with_global_rank(
-        df, value_col, tiebreak_cols, "__grank", n_buckets, ascending
-    )  # df already persisted above when requested — don't double-pin
     return ranked.withColumn(
         out_col, ntile_from_rank("__grank", total, k)
     ).drop("__grank")
