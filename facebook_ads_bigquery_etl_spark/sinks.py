@@ -63,7 +63,22 @@ def write_day_partitioned(
     pfields = (
         [partition_field] if isinstance(partition_field, str) else list(partition_field)
     )
-    out = df.repartition(*pfields)
+    if max_records_per_file is not None:
+        # Bin-packing multiplies files-per-task by ceil(rows/N) per
+        # partition value, so write parallelism — not output layout —
+        # is the binding cost: AQE's byte-based coalescing is blind to
+        # the record cap and can shrink the shuffle to a couple of
+        # tasks that each create hundreds of parquet files
+        # sequentially. An EXPLICIT partition count is exempt from AQE
+        # coalescing; hashing on the partition fields alone keeps each
+        # partition value whole within one task, so per-partition file
+        # counts stay exactly ceil(rows/N) (r13 optimization, guide
+        # §2/§6.2 — the count tracks the session's cluster-sized
+        # shuffle.partitions, not a local constant).
+        n_tasks = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        out = df.repartition(max(1, n_tasks), *pfields)
+    else:
+        out = df.repartition(*pfields)
     if clustering_fields:
         out = out.sortWithinPartitions(*clustering_fields)
     writer = out.write.mode(mode).format(fmt).option(
