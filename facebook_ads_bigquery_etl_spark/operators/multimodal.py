@@ -58,36 +58,48 @@ def _png_codec():
     def encode(width: int, height: int, rgb: bytes) -> bytes:
         if len(rgb) != width * height * 3:
             raise ValueError("rgb buffer does not match width*height*3")
+        import numpy as _np
+
         bpp, stride = 3, width * 3
-        prev = bytes(stride)
-        out = bytearray()
-        for y in range(height):
-            row = rgb[y * stride : (y + 1) * stride]
-            ft = y % 5  # exercise every filter type
-            filt = bytearray(stride)
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                if ft == 0:
-                    v = row[i]
-                elif ft == 1:
-                    v = (row[i] - a) % 256
-                elif ft == 2:
-                    v = (row[i] - b) % 256
-                elif ft == 3:
-                    v = (row[i] - (a + b) // 2) % 256
-                else:
-                    v = (row[i] - _paeth(a, b, c)) % 256
-                filt[i] = v
-            out.append(ft)
-            out += filt
-            prev = row
+        # Vectorized filtering (r13 optimization, guide §4.2): the
+        # encoder's filter predictors reference the ORIGINAL scanline
+        # bytes (unlike the decoder's, which need the reconstructed
+        # ones), so every row filters in one whole-image numpy pass —
+        # the former per-byte Python loop was O(w·h) interpreter work
+        # per image. Arithmetic is exact int16/%256, so the filtered
+        # stream (and therefore the zlib payload and the sha256
+        # digests built over it downstream) is BYTE-IDENTICAL to the
+        # scalar form — pinned by tests against a reference loop.
+        arr = _np.frombuffer(rgb, dtype=_np.uint8).reshape(height, stride)
+        row16 = arr.astype(_np.int16)
+        b16 = _np.zeros_like(row16)
+        b16[1:] = row16[:-1]  # Up predictor: prior ORIGINAL row
+        a16 = _np.zeros_like(row16)
+        a16[:, bpp:] = row16[:, :-bpp]  # Sub predictor: left neighbor
+        c16 = _np.zeros_like(row16)
+        c16[1:, bpp:] = row16[:-1, :-bpp]  # upper-left
+        p = a16 + b16 - c16
+        pa = _np.abs(p - a16)
+        pb = _np.abs(p - b16)
+        pc = _np.abs(p - c16)
+        paeth16 = _np.where(
+            (pa <= pb) & (pa <= pc), a16, _np.where(pb <= pc, b16, c16)
+        )
+        fts = (_np.arange(height) % 5).astype(_np.uint8)
+        pred = _np.zeros_like(row16)
+        for ft, sel in (
+            (1, a16), (2, b16), (3, (a16 + b16) // 2), (4, paeth16),
+        ):
+            m = fts == ft
+            pred[m] = sel[m]
+        lines = _np.empty((height, stride + 1), dtype=_np.uint8)
+        lines[:, 0] = fts
+        lines[:, 1:] = ((row16 - pred) % 256).astype(_np.uint8)
         ihdr = _s.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
         return (
             b"\x89PNG\r\n\x1a\n"
             + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", _z.compress(bytes(out), 6))
+            + _chunk(b"IDAT", _z.compress(lines.tobytes(), 6))
             + _chunk(b"IEND", b"")
         )
 
@@ -354,16 +366,17 @@ def _synth_image_tools():
         return 8 + d % 9, 8 + d % 7
 
     def rgb(d: int, w: int, h: int) -> bytes:
-        buf = bytearray(w * h * 3)
-        i = 0
-        for y in range(h):
-            for x in range(w):
-                base = 3 * x + 5 * y
-                buf[i] = (d * 7 + base) % 256
-                buf[i + 1] = (d * 8 + base) % 256
-                buf[i + 2] = (d * 9 + base) % 256
-                i += 3
-        return bytes(buf)
+        # one numpy broadcast instead of a per-pixel Python loop (r13,
+        # guide §4.2); int64 arithmetic then %256 — exact, d ≥ 0
+        import numpy as _np
+
+        base = 3 * _np.arange(w, dtype=_np.int64)[None, :] + (
+            5 * _np.arange(h, dtype=_np.int64)[:, None]
+        )  # (h, w)
+        out = _np.empty((h, w, 3), dtype=_np.uint8)
+        for ci, m in enumerate((7, 8, 9)):
+            out[:, :, ci] = (d * m + base) % 256
+        return out.tobytes()
 
     return dims, rgb
 
@@ -551,6 +564,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     dec = png_decode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b")}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
@@ -563,9 +578,16 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                 w, h, rgb = decoded
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["sum_r"].append(sum(rgb[0::3]))
-                rows["sum_g"].append(sum(rgb[1::3]))
-                rows["sum_b"].append(sum(rgb[2::3]))
+                # integer channel sums in one numpy pass (r13, guide
+                # §4.2) — exact, replacing three strided Python sums
+                s = (
+                    _np.frombuffer(rgb, dtype=_np.uint8)
+                    .reshape(-1, 3)
+                    .sum(axis=0, dtype=_np.int64)
+                )
+                rows["sum_r"].append(int(s[0]))
+                rows["sum_g"].append(int(s[1]))
+                rows["sum_b"].append(int(s[2]))
             yield pd.DataFrame(
                 {
                     "media_id": rows["media_id"],
@@ -608,6 +630,8 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     enc, dec = png_encode, png_decode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
         for pdf in batches:
             out = {k: [] for k in ("media_id", "payload", "src_width",
                                    "src_height", "pixel_sum")}
@@ -621,19 +645,18 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     out["pixel_sum"].append(None)
                     continue
                 sw, sh, rgb = decoded
-                buf = bytearray(width * height * 3)
-                i = 0
-                for y in range(height):
-                    sy = y * sh // height
-                    row_off = sy * sw * 3
-                    for x in range(width):
-                        src = row_off + (x * sw // width) * 3
-                        buf[i : i + 3] = rgb[src : src + 3]
-                        i += 3
-                out["payload"].append(enc(width, height, bytes(buf)))
+                # nearest-neighbor gather as one numpy fancy-index
+                # (r13, guide §4.2): same floor rule
+                # src = (out·src_dim) // out_dim, byte-identical to the
+                # former per-pixel Python loop (pinned by tests)
+                src = _np.frombuffer(rgb, dtype=_np.uint8).reshape(sh, sw, 3)
+                sy = _np.arange(height, dtype=_np.int64) * sh // height
+                sx = _np.arange(width, dtype=_np.int64) * sw // width
+                buf = src[sy][:, sx, :]
+                out["payload"].append(enc(width, height, buf.tobytes()))
                 out["src_width"].append(sw)
                 out["src_height"].append(sh)
-                out["pixel_sum"].append(sum(buf))
+                out["pixel_sum"].append(int(buf.sum(dtype=_np.int64)))
             yield pd.DataFrame(
                 {
                     "media_id": out["media_id"],

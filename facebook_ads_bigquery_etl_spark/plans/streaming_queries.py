@@ -1248,7 +1248,14 @@ def stream_partial_session_eviction(
     src = tempfile.mkdtemp(prefix="partial_sess_src_")
     try:
         now = 1_000_000_000.0
-        for i in range(4):
+
+        # The four batch files are independent single-task slices of
+        # the checkpointed frame — write them CONCURRENTLY (r13, guide
+        # §2.6: four coalesce(1) jobs in sequence leave 31 cores idle
+        # per job). File-source ordering is pinned by the EXPLICIT
+        # utime ladder, not by write completion order, so parallel
+        # staging cannot reorder the replay.
+        def _stage_batch(i: int) -> None:
             stage = os.path.join(src, f"_stage{i}")
             ev.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(
                 stage
@@ -1260,6 +1267,15 @@ def stream_partial_session_eviction(
             os.replace(os.path.join(stage, part), dst)
             shutil.rmtree(stage)
             os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [pool.submit(_stage_batch, i) for i in range(4)]
+            errs = [f.exception() for f in futs]
+        for e in errs:
+            if e is not None:
+                raise e
 
         stream = (
             spark.readStream.schema(

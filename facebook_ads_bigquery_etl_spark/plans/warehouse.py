@@ -2904,11 +2904,25 @@ def zstd_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="zstd_audit_")
     try:
         a_dir, b_dir = f"{tmp}/dict", f"{tmp}/nodict"
-        w = li.coalesce(1).write.option("compression", "zstd")
-        w.parquet(a_dir)
-        li.coalesce(1).write.option("compression", "zstd").option(
-            "parquet.enable.dictionary", "false"
-        ).parquet(b_dir)
+
+        # The two probe files are independent single-task coalesce(1)
+        # writes of the same projection — run them concurrently (r13,
+        # guide §2.6): sequentially each leaves the cluster idle while
+        # one task zstd-compresses.
+        def _write(forced_plain: bool) -> None:
+            w = li.coalesce(1).write.option("compression", "zstd")
+            if forced_plain:
+                w = w.option("parquet.enable.dictionary", "false")
+            w.parquet(b_dir if forced_plain else a_dir)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_write, fp) for fp in (False, True)]
+            errs = [f.exception() for f in futs]
+        for e in errs:
+            if e is not None:
+                raise e
 
         def footer(d: str):
             f = next(
@@ -2953,7 +2967,10 @@ def zstd_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_returnflag").alias("n_flags"),
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         ).first()
-        va, vb = agg(ra), agg(rb)
+        # the two round-trip readouts are likewise independent actions
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa_, fb_ = pool.submit(agg, ra), pool.submit(agg, rb)
+            va, vb = fa_.result(), fb_.result()
 
         # NaN-safe: a NaN total (non-finite price in the source) still
         # round-trips identically, but NaN != NaN would read as a

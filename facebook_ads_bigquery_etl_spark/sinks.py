@@ -1159,8 +1159,23 @@ def _publish_under_leases(
             ops.join(ops.join(p, "_compact"), f"multi_intent_{run_name}.json"),
             {"primary": primary, "run": run_name},
         )
-    tables = []
-    for i, (df, p) in enumerate(writes):
+    # Stage the N tables CONCURRENTLY (r13 optimization, guide §2.6):
+    # each staged write is an independent Spark job into its own
+    # run-private slot dir, and none of them alone saturates the
+    # cluster — submitting them from a small thread pool lets the
+    # smaller tables' jobs back-fill the big table's task tail instead
+    # of waiting for it. Protocol-neutral: the journal is written only
+    # after EVERY write returns (a crash mid-staging still leaves a
+    # journal-less run that recovery rolls back), and the crash hooks
+    # fire between phases exactly as before. The parent's job
+    # description is re-pinned per worker thread (it is thread-local)
+    # so UI/profiler attribution survives.
+    sc = spark.sparkContext
+    parent_desc = sc.getLocalProperty("spark.job.description")
+
+    def _stage(i: int, df: DataFrame) -> None:
+        if parent_desc is not None:
+            sc.setJobDescription(parent_desc)
         data_dir = ops.join(ops.join(run_dir, f"t{i}"), "data")
         write_day_partitioned(
             df,
@@ -1169,7 +1184,22 @@ def _publish_under_leases(
             mode="overwrite",
             fmt=fmt,
         )
-        tables.append({"slot": f"t{i}", "path": p})
+
+    if len(writes) == 1:
+        _stage(0, writes[0][0])
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(3, len(writes))) as pool:
+            futs = [
+                pool.submit(_stage, i, df)
+                for i, (df, _) in enumerate(writes)
+            ]
+            errs = [f.exception() for f in futs]
+        for e in errs:
+            if e is not None:
+                raise e
+    tables = [{"slot": f"t{i}", "path": p} for i, (_, p) in enumerate(writes)]
     _CRASH_HOOK("multi_staged")
     for t in tables:
         t["partitions"] = _partition_dirs(

@@ -539,3 +539,108 @@ class TestGifAndExifSeams:
             for gy in range(8) for gx in range(8)
         )
         assert expect == analytic and len(expect) == 64
+
+
+class TestVectorizedCodecEquivalence:
+    """r13 optimization: the numpy-vectorized encode / synth-pixel /
+    resample paths must be BYTE-IDENTICAL to the scalar forms they
+    replaced — downstream queries sha256 the encoded payloads, so even
+    a one-bit drift in the filtered stream would flip digests."""
+
+    @staticmethod
+    def _encode_ref(width, height, rgb):
+        """The pre-r13 per-byte scalar encoder, kept as the reference."""
+        import struct as _s
+        import zlib as _z
+
+        def _chunk(tag, body):
+            return (_s.pack(">I", len(body)) + tag + body
+                    + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
+
+        def _paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        bpp, stride = 3, width * 3
+        prev = bytes(stride)
+        out = bytearray()
+        for y in range(height):
+            row = rgb[y * stride:(y + 1) * stride]
+            ft = y % 5
+            filt = bytearray(stride)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    v = row[i]
+                elif ft == 1:
+                    v = (row[i] - a) % 256
+                elif ft == 2:
+                    v = (row[i] - b) % 256
+                elif ft == 3:
+                    v = (row[i] - (a + b) // 2) % 256
+                else:
+                    v = (row[i] - _paeth(a, b, c)) % 256
+                filt[i] = v
+            out.append(ft)
+            out += filt
+            prev = row
+        ihdr = _s.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _z.compress(bytes(out), 6))
+                + _chunk(b"IEND", b""))
+
+    def test_encode_bytes_identical_to_scalar_reference(self):
+        rnd = np.random.RandomState(7)
+        cases = []
+        for d in (0, 3, 9, 12, 255, 1024):
+            w, h = mm.image_dims(d)
+            cases.append((w, h, mm.image_rgb(d, w, h)))
+        # plus adversarial random pixels (exercises every Paeth branch)
+        for w, h in ((1, 1), (2, 7), (16, 14), (31, 6)):
+            cases.append((w, h, bytes(rnd.randint(0, 256, w * h * 3,
+                                                  dtype=np.uint8))))
+        for w, h, rgb in cases:
+            assert mm.png_encode(w, h, rgb) == self._encode_ref(w, h, rgb)
+
+    def test_synth_rgb_identical_to_scalar_rule(self):
+        for d in (0, 1, 9, 255, 123456):
+            w, h = mm.image_dims(d)
+            buf = bytearray(w * h * 3)
+            i = 0
+            for y in range(h):
+                for x in range(w):
+                    base = 3 * x + 5 * y
+                    buf[i] = (d * 7 + base) % 256
+                    buf[i + 1] = (d * 8 + base) % 256
+                    buf[i + 2] = (d * 9 + base) % 256
+                    i += 3
+            assert mm.image_rgb(d, w, h) == bytes(buf)
+
+    def test_resample_identical_to_scalar_floor_rule(self, spark):
+        docs = spark.createDataFrame(
+            [(d, "t") for d in (0, 3, 9, 12)], "doc_id long, text string"
+        )
+        media = mm.synth_media_from_documents(docs)
+        srcs = {r["media_id"]: bytes(r["payload"])
+                for r in media.filter("modality = 'image'").collect()}
+        for width, height in ((16, 16), (5, 3)):
+            got = {r["media_id"]: (bytes(r["payload"]), r["pixel_sum"])
+                   for r in mm.resize_images(media, width, height).collect()}
+            for mid, src_payload in srcs.items():
+                sw, sh, rgb = mm.png_decode(src_payload)
+                buf = bytearray(width * height * 3)
+                i = 0
+                for y in range(height):
+                    sy = y * sh // height
+                    row_off = sy * sw * 3
+                    for x in range(width):
+                        s = row_off + (x * sw // width) * 3
+                        buf[i:i + 3] = rgb[s:s + 3]
+                        i += 3
+                assert got[mid][0] == self._encode_ref(width, height, bytes(buf))
+                assert got[mid][1] == sum(buf)
