@@ -2905,24 +2905,24 @@ def zstd_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         a_dir, b_dir = f"{tmp}/dict", f"{tmp}/nodict"
 
-        # The two probe files are independent single-task coalesce(1)
-        # writes of the same projection — run them concurrently (r13,
-        # guide §2.6): sequentially each leaves the cluster idle while
-        # one task zstd-compresses.
+        # The two probe writes MUST run sequentially: they carry
+        # CONFLICTING per-writer hadoop options, and concurrent parquet
+        # write jobs in one session leak such options between each
+        # other (measured on vanilla Spark 4.1 — 2-4 of 10 concurrent
+        # dict/nodict write pairs came out with BOTH files encoded the
+        # same way, in either direction, even with the option set
+        # explicitly on both writers; r13 optimization round, reverted
+        # concurrency). Concurrent writes with IDENTICAL options (the
+        # staged-publish pools in sinks.py) are unaffected — a leaked
+        # value equals the job's own.
         def _write(forced_plain: bool) -> None:
             w = li.coalesce(1).write.option("compression", "zstd")
             if forced_plain:
                 w = w.option("parquet.enable.dictionary", "false")
             w.parquet(b_dir if forced_plain else a_dir)
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [pool.submit(_write, fp) for fp in (False, True)]
-            errs = [f.exception() for f in futs]
-        for e in errs:
-            if e is not None:
-                raise e
+        _write(False)
+        _write(True)
 
         def footer(d: str):
             f = next(
@@ -2967,7 +2967,11 @@ def zstd_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_returnflag").alias("n_flags"),
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         ).first()
-        # the two round-trip readouts are likewise independent actions
+        # the two round-trip readouts are independent actions (and
+        # carry no writer options, so the write-option leak above
+        # cannot touch them)
+        from concurrent.futures import ThreadPoolExecutor
+
         with ThreadPoolExecutor(max_workers=2) as pool:
             fa_, fb_ = pool.submit(agg, ra), pool.submit(agg, rb)
             va, vb = fa_.result(), fb_.result()
