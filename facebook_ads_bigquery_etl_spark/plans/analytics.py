@@ -3229,12 +3229,23 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= 2)
         .select("u", "v")
     )
+    # The edge list feeds EVERY downstream branch (degrees, orientation,
+    # wedge sides, closing edges, the n_edges readout): left lazy, each
+    # branch replayed the full basket-pair generation from the base
+    # scan — 44 parquet scans of lineitem and 68 exchanges in one plan
+    # (r13 optimization, guide §5: reuse ≫ recompute). Materialize it
+    # once; every consumer then reads the materialized edge partitions.
+    # Same for the degree table, which is consumed four times (two
+    # orientation sides, the rank map, the wedge-count readout). At
+    # scale the edge list is the dominant intermediate — recomputing it
+    # per branch is the textbook reuse failure, not a local quirk.
+    e = e.localCheckpoint()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select("v"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
-    )
+    ).localCheckpoint()
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     # orient: lower (degree, id) -> higher (degree, id)
