@@ -626,9 +626,13 @@ def rate_limit_token_bucket(
         tokens, last_r, n, n_allowed, seen = (
             state.get if state.exists else (0, 0, 0, 0, 0)
         )
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
-        )
+        # single-chunk fast path (guide §4.2): same rationale as
+        # partial_session_flush — the sort below already copies, so the
+        # extra concat copy is pure per-key overhead
+        chunks = list(pdfs)
+        pdf = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ).sort_values(["ts", "event_id"])
         ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         for t in ts_us:
             refill = (int(t) - last_r) // period_us
@@ -735,9 +739,20 @@ def partial_session_flush(
             )
             return
         n, v = state.get if state.exists else (0, 0.0)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # per-key cost discipline (guide §4.2): this body runs once per
+        # (key, batch) — ~1500 keys/batch here — so a needless concat
+        # copy per key is a per-batch tax. Keys almost always arrive as
+        # ONE Arrow chunk (chunking starts beyond maxRecordsPerBatch);
+        # concat only when there really are several, so the float
+        # summation tree stays bit-identical to the old concat form.
+        # Series.sum() masks NaN/NULL to 0 over the same-length array —
+        # the exact fillna(0.0).sum() reduction, minus the copy.
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
         n += len(pdf)
-        v += float(pdf["value"].fillna(0.0).sum())
+        v += float(pdf["value"].sum())
         state.update((n, v))
         state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
