@@ -3127,7 +3127,12 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     at all). Item counts are a parts-sized frame joined back
     broadcast; the total-order count is a 1-row broadcast scalar."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket table feeds four consumers (order count, the
+    # two item-support sides, the pair stream) — materialize it once
+    # instead of replaying the lineitem scan + distinct shuffle per
+    # consumer (r13 optimization, guide §5; same reuse shape as the
+    # triangle family)
+    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     n_ord = b.agg(F.countDistinct("l_orderkey").alias("n"))
     item = b.groupBy("l_partkey").agg(F.count("*").alias("c"))
     baskets = b.groupBy("l_orderkey").agg(

@@ -3690,7 +3690,11 @@ def trigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("t.a", "t.b", "t.c")
     )
-    tc = tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3"))
+    # the trigram-count table feeds both the bigram-prefix aggregate
+    # and the probability join — materialize it once instead of
+    # replaying the full token explode + trigram shuffle twice (r13
+    # optimization, guide §5)
+    tc = tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3")).localCheckpoint()
     bc = tc.groupBy("a", "b").agg(F.sum("c3").alias("c2"))
     docs_ws = docs.select(
         F.explode(F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')"))
@@ -5308,9 +5312,13 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # the gram stream feeds three consumers (reference doc count, the
+    # reference df table, the scored side) — materialize it once
+    # instead of replaying tokenize + shingle + explode per consumer
+    # (r13 optimization, guide §5)
     grams = docs.select(
         "doc_id", F.explode(let(tokens("text"), _shingle)).alias("g")
-    )
+    ).localCheckpoint()
     ref_grams = grams.filter(F.col("doc_id") % 7 < 2)
     n_ref = ref_grams.select("doc_id").distinct().count()
     ref = ref_grams.groupBy("g").agg(
@@ -5437,7 +5445,16 @@ def doc_kl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "t.a", "t.b", "t.c")
     )
     ref_tri = tri.filter(F.col("doc_id") % 7 < 2)
-    tc = ref_tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3"))
+    # the reference trigram-count table feeds both the bigram-prefix
+    # aggregate and the scoring join — materialize the aggregated
+    # (small) frame once instead of replaying the reference-side token
+    # explode + trigram shuffle per consumer (r13 optimization,
+    # guide §5; same shape as trigram_lm_train)
+    tc = (
+        ref_tri.groupBy("a", "b", "c")
+        .agg(F.count("*").alias("c3"))
+        .localCheckpoint()
+    )
     bc = tc.groupBy("a", "b").agg(F.sum("c3").alias("c2"))
     vocab = (
         docs.filter(F.col("doc_id") % 7 < 2)
