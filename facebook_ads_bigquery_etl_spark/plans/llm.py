@@ -2193,7 +2193,13 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     north-star LLM-pipeline operator per the build charter."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    wc = tok.groupBy("w").agg(F.count("*").alias("c"))
+    # the vocab counts feed the total and the log-prob table, and the
+    # per-doc entropies feed the threshold and the output — left lazy,
+    # each consumer replayed the token explode (≈5 corpus passes in
+    # one plan). Materialize the two SMALL aggregated frames once
+    # (vocab-sized and doc-sized); the token stream then runs exactly
+    # twice — once to count, once to score (r13 optimization, guide §5)
+    wc = tok.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
     tot = wc.agg(F.sum("c").alias("t"))
     lp = wc.join(F.broadcast(tot)).select(
         "w", F.log(F.col("c") / F.col("t")).alias("logp")
@@ -2205,7 +2211,7 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.round(-F.avg("logp"), 4).alias("cross_entropy"),
         )
-    )
+    ).localCheckpoint()
     thr = per_doc.agg(F.round(F.avg("cross_entropy"), 4).alias("mean_ce"))
     return per_doc.join(F.broadcast(thr)).select(
         "doc_id",
@@ -4362,6 +4368,11 @@ def embedding_outlier_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("mdist")
         )
+        # consumed by the threshold aggregate AND the output join —
+        # materialize the vec-grain frame once instead of replaying
+        # the two exploded-vector passes per consumer (r13
+        # optimization, guide §5)
+        .localCheckpoint()
     )
     thr = dist.groupBy("label").agg(
         F.round(F.avg("mdist") + 2 * F.stddev_pop("mdist"), 4).alias("cut")
