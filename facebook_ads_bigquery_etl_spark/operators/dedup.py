@@ -55,10 +55,25 @@ def _barrier(df: DataFrame) -> DataFrame:
     # (observed as a vanished InMemoryTableScan in the plan audit when
     # the same query ran twice in one session). Same plan → same
     # registry slot, refreshed to most-recently-used.
+    #
+    # The key must ALSO carry the output column names: semanticHash
+    # canonicalizes aliases away, so two queries computing the same
+    # frame under different names (doc_perplexity_filter's
+    # `cross_entropy` vs perplexity_curriculum_mix's `ce`, r13) hash
+    # identically — returning the cached twin would silently rename
+    # the caller's columns and every downstream reference breaks
+    # (observed as UNRESOLVED_COLUMN in the plan audit). Alias twins
+    # get separate registry slots; the CacheManager still shares one
+    # underlying InMemoryRelation via sameResult, and an eviction of
+    # one twin merely re-arms (or recomputes) the other — slower,
+    # never wrong, per this registry's contract.
     try:
-        key = df._jdf.queryExecution().analyzed().semanticHash()
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            tuple(df.columns),
+        )
     except Exception:
-        key = id(df)
+        key = (id(df), tuple(df.columns))
     if key in _BARRIERS:
         cached = _BARRIERS[key]
         # Re-arm if someone unpersisted it behind our back (e.g.

@@ -1974,24 +1974,27 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the whole stream, no per-user event arrays: state per
     user is ONE timestamp per stage, which is what lets the same plan
     run at 100 TB where collect_list-per-user would not."""
+    from ..operators.dedup import tracked_persist
+
     ev = load_tables(spark, sf_dir, "events")["events"]
     # each stage frame is consumed twice (the next stage's join + its
-    # own count) — materialize the user-grain stage frames once so the
-    # events scan runs once per stage instead of once per consumer
-    # chain (r13 optimization, guide §5; the frames are one timestamp
-    # per surviving user, tiny at any scale)
-    v = (
+    # own count) — barrier the user-grain stage frames once (tracked
+    # persist: keeps lineage visible to the plan audit) so the events
+    # scan runs once per stage instead of once per consumer chain (r13
+    # optimization, guide §5; the frames are one timestamp per
+    # surviving user, tiny at any scale)
+    v = tracked_persist(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-    ).localCheckpoint()
-    c = (
+    )
+    c = tracked_persist(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-    ).localCheckpoint()
+    )
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")

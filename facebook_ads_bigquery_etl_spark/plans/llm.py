@@ -2196,22 +2196,24 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the vocab counts feed the total and the log-prob table, and the
     # per-doc entropies feed the threshold and the output — left lazy,
     # each consumer replayed the token explode (≈5 corpus passes in
-    # one plan). Materialize the two SMALL aggregated frames once
-    # (vocab-sized and doc-sized); the token stream then runs exactly
+    # one plan). Barrier the two SMALL aggregated frames once
+    # (vocab-sized and doc-sized) through the tracked-persist registry
+    # — an InMemoryRelation keeps the full lineage visible to the plan
+    # audit, unlike a checkpoint; the token stream then runs exactly
     # twice — once to count, once to score (r13 optimization, guide §5)
-    wc = tok.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
+    wc = dd.tracked_persist(tok.groupBy("w").agg(F.count("*").alias("c")))
     tot = wc.agg(F.sum("c").alias("t"))
     lp = wc.join(F.broadcast(tot)).select(
         "w", F.log(F.col("c") / F.col("t")).alias("logp")
     )
-    per_doc = (
+    per_doc = dd.tracked_persist(
         tok.join(F.broadcast(lp), "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(-F.avg("logp"), 4).alias("cross_entropy"),
         )
-    ).localCheckpoint()
+    )
     thr = per_doc.agg(F.round(F.avg("cross_entropy"), 4).alias("mean_ce"))
     return per_doc.join(F.broadcast(thr)).select(
         "doc_id",
@@ -3149,10 +3151,18 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subexpression, so a zero-word (empty/whitespace-only) doc would
     # still hit the ANSI divide-by-zero even below a size(ws) > 0
     # filter (round-11 extremes sweep)
+    # the metric frame feeds three consumers (the quality filter, the
+    # dedup window, the raw-count side of the report join), and q
+    # feeds two more — left lazy, each replayed the full tokenize +
+    # regex map stage over the corpus (~4 scans in one plan). The
+    # dedup key is computed HERE as a digest so the materialized frame
+    # carries 32 bytes instead of the document body (guide §2.3/§8:
+    # decide with digests, never payloads), then checkpointed once
+    # (r13 optimization, guide §5).
     m = docs.where(F.size(ws) > 0).select(
         "doc_id",
         "source",
-        "text",
+        F.sha2("text", 256).alias("__digest"),
         F.size(ws).cast("bigint").alias("n_words"),
         F.when(F.size(ws) > 0, F.round(F.length("text") / F.size(ws), 4)).alias("mwl"),
         F.when(
@@ -3168,7 +3178,7 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         ).alias("digit_ratio"),
-    )
+    ).localCheckpoint()
     q = m.where(
         F.col("n_words").between(50, 100000)
         & F.col("mwl").between(2.0, 10.0)
@@ -3177,7 +3187,7 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = q.withColumn(
         "rn",
         F.row_number().over(
-            W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+            W.partitionBy("__digest").orderBy("doc_id")
         ),
     )
     stage = (
@@ -4368,12 +4378,12 @@ def embedding_outlier_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("mdist")
         )
-        # consumed by the threshold aggregate AND the output join —
-        # materialize the vec-grain frame once instead of replaying
-        # the two exploded-vector passes per consumer (r13
-        # optimization, guide §5)
-        .localCheckpoint()
     )
+    # consumed by the threshold aggregate AND the output join — barrier
+    # the vec-grain frame once (tracked persist: keeps lineage visible
+    # to the plan audit) instead of replaying the two exploded-vector
+    # passes per consumer (r13 optimization, guide §5)
+    dist = dd.tracked_persist(dist)
     thr = dist.groupBy("label").agg(
         F.round(F.avg("mdist") + 2 * F.stddev_pop("mdist"), 4).alias("cut")
     )
@@ -5324,12 +5334,15 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # the gram stream feeds three consumers (reference doc count, the
-    # reference df table, the scored side) — materialize it once
-    # instead of replaying tokenize + shingle + explode per consumer
-    # (r13 optimization, guide §5)
-    grams = docs.select(
-        "doc_id", F.explode(let(tokens("text"), _shingle)).alias("g")
-    ).localCheckpoint()
+    # reference df table, the scored side) — barrier it once (tracked
+    # persist: keeps lineage visible to the plan audit) instead of
+    # replaying tokenize + shingle + explode per consumer (r13
+    # optimization, guide §5)
+    grams = dd.tracked_persist(
+        docs.select(
+            "doc_id", F.explode(let(tokens("text"), _shingle)).alias("g")
+        )
+    )
     ref_grams = grams.filter(F.col("doc_id") % 7 < 2)
     n_ref = ref_grams.select("doc_id").distinct().count()
     ref = ref_grams.groupBy("g").agg(

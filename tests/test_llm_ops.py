@@ -729,6 +729,28 @@ class TestBarrierCacheHygiene:
         got = {(r["a_id"], r["b_id"]) for r in mh.collect()}
         assert got == expect and got
 
+    def test_alias_twin_barriers_keep_their_own_column_names(self, spark, docs):
+        """semanticHash canonicalizes aliases away, so two queries
+        computing the same frame under DIFFERENT output names hash
+        identically; the registry must not hand the first twin's frame
+        (and column names) to the second (r13: doc_perplexity_filter's
+        `cross_entropy` vs perplexity_curriculum_mix's `ce` collided
+        and every downstream reference to `ce` failed analysis)."""
+        from pyspark.sql import functions as F
+
+        dd.release_caches()
+        a = dd._barrier(
+            docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+        )
+        b = dd._barrier(
+            docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+        )
+        assert a.columns == ["lang", "n_docs"]
+        assert b.columns == ["lang", "cnt"]
+        # both stay consumable under their own names
+        assert a.select("n_docs").count() == b.select("cnt").count()
+        dd.release_caches()
+
 
 class TestPrefixFilterJoin:
     def test_prefix_join_equals_posting_join(self, spark):
