@@ -1986,14 +1986,16 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tracked_persist(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(F.min("ts").alias("t1")),
+        eager=True,
     )
     c = tracked_persist(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+        .agg(F.min("ts").alias("t2")),
+        eager=True,
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -3136,13 +3138,22 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the total-order count is a 1-row broadcast scalar."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     # the distinct basket table feeds four consumers (order count, the
-    # two item-support sides, the pair stream) — materialize it once
-    # instead of replaying the lineitem scan + distinct shuffle per
-    # consumer (r13 optimization, guide §5; same reuse shape as the
-    # triangle family)
-    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    # two item-support sides, the pair stream) — barrier it once
+    # (tracked persist) instead of replaying the lineitem scan +
+    # distinct shuffle per consumer (r13 optimization, guide §5; same
+    # reuse shape as the triangle family)
+    from ..operators.dedup import tracked_persist
+
+    b = tracked_persist(
+        li.select("l_orderkey", "l_partkey").distinct(), eager=True
+    )
     n_ord = b.agg(F.countDistinct("l_orderkey").alias("n"))
-    item = b.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    # the item-support table is consumed as BOTH broadcast sides of the
+    # rule join (ia and ib) — barrier it so the support aggregate runs
+    # once, not once per broadcast build
+    item = tracked_persist(
+        b.groupBy("l_partkey").agg(F.count("*").alias("c")), eager=True
+    )
     baskets = b.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -3246,19 +3257,25 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wedge sides, closing edges, the n_edges readout): left lazy, each
     # branch replayed the full basket-pair generation from the base
     # scan — 44 parquet scans of lineitem and 68 exchanges in one plan
-    # (r13 optimization, guide §5: reuse ≫ recompute). Materialize it
-    # once; every consumer then reads the materialized edge partitions.
-    # Same for the degree table, which is consumed four times (two
-    # orientation sides, the rank map, the wedge-count readout). At
-    # scale the edge list is the dominant intermediate — recomputing it
-    # per branch is the textbook reuse failure, not a local quirk.
-    e = e.localCheckpoint()
-    deg = (
+    # (r13 optimization, guide §5: reuse ≫ recompute). Barrier it once
+    # through the tracked-persist registry (recomputable on executor
+    # loss, unlike a local checkpoint, and the cached stats keep the
+    # wedge joins broadcastable); every consumer then reads the
+    # materialized edge partitions. Same for the degree table, which is
+    # consumed four times (two orientation sides, the rank map, the
+    # wedge-count readout). At scale the edge list is the dominant
+    # intermediate — recomputing it per branch is the textbook reuse
+    # failure, not a local quirk.
+    from ..operators.dedup import tracked_persist
+
+    e = tracked_persist(e, eager=True)
+    deg = tracked_persist(
         e.select(F.col("u").alias("node"))
         .unionAll(e.select("v"))
         .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    ).localCheckpoint()
+        .agg(F.count("*").alias("d")),
+        eager=True,
+    )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     # orient: lower (degree, id) -> higher (degree, id)

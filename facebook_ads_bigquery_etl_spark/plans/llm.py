@@ -2201,7 +2201,9 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — an InMemoryRelation keeps the full lineage visible to the plan
     # audit, unlike a checkpoint; the token stream then runs exactly
     # twice — once to count, once to score (r13 optimization, guide §5)
-    wc = dd.tracked_persist(tok.groupBy("w").agg(F.count("*").alias("c")))
+    wc = dd.tracked_persist(
+        tok.groupBy("w").agg(F.count("*").alias("c")), eager=True
+    )
     tot = wc.agg(F.sum("c").alias("t"))
     lp = wc.join(F.broadcast(tot)).select(
         "w", F.log(F.col("c") / F.col("t")).alias("logp")
@@ -2212,7 +2214,8 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(-F.avg("logp"), 4).alias("cross_entropy"),
-        )
+        ),
+        eager=True,
     )
     thr = per_doc.agg(F.round(F.avg("cross_entropy"), 4).alias("mean_ce"))
     return per_doc.join(F.broadcast(thr)).select(
@@ -3157,8 +3160,8 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex map stage over the corpus (~4 scans in one plan). The
     # dedup key is computed HERE as a digest so the materialized frame
     # carries 32 bytes instead of the document body (guide §2.3/§8:
-    # decide with digests, never payloads), then checkpointed once
-    # (r13 optimization, guide §5).
+    # decide with digests, never payloads), then barriered once via the
+    # tracked-persist registry (r13 optimization, guide §5).
     m = docs.where(F.size(ws) > 0).select(
         "doc_id",
         "source",
@@ -3178,7 +3181,8 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         ).alias("digit_ratio"),
-    ).localCheckpoint()
+    )
+    m = dd.tracked_persist(m, eager=True)
     q = m.where(
         F.col("n_words").between(50, 100000)
         & F.col("mwl").between(2.0, 10.0)
@@ -3428,10 +3432,12 @@ def bloom_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram set, corpus probe side); left lazy, each replayed the full
     # tokenize → 13-gram explode → distinct → interpreted poly-hash
     # pipeline — measured 1.6 s per replay of a 5.2 s/iter family
-    # (r13 optimization, guide §5: reuse ≫ recompute). Materialize it
-    # once; the 100× stress already showed the hash stage is the
-    # dominant term, so at scale the 3× replay is 3 full corpus passes.
-    hashed = hashed.localCheckpoint()
+    # (r13 optimization, guide §5: reuse ≫ recompute). Barrier it once
+    # (tracked persist — recomputable on executor loss, lineage stays
+    # in the audited plan); the 100× stress already showed the hash
+    # stage is the dominant term, so at scale the 3× replay is 3 full
+    # corpus passes.
+    hashed = dd.tracked_persist(hashed, eager=True)
     bench = hashed.filter(F.col("doc_id") < 20)
     bench_bits = (
         bench.select(F.explode(F.array("b1", "b2", "b3")).alias("bit"))
@@ -3707,10 +3713,13 @@ def trigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t.a", "t.b", "t.c")
     )
     # the trigram-count table feeds both the bigram-prefix aggregate
-    # and the probability join — materialize it once instead of
-    # replaying the full token explode + trigram shuffle twice (r13
-    # optimization, guide §5)
-    tc = tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3")).localCheckpoint()
+    # and the probability join — barrier it once (tracked persist)
+    # instead of replaying the full token explode + trigram shuffle
+    # twice (r13 optimization, guide §5)
+    tc = dd.tracked_persist(
+        tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3")),
+        eager=True,
+    )
     bc = tc.groupBy("a", "b").agg(F.sum("c3").alias("c2"))
     docs_ws = docs.select(
         F.explode(F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')"))
@@ -4383,7 +4392,7 @@ def embedding_outlier_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the vec-grain frame once (tracked persist: keeps lineage visible
     # to the plan audit) instead of replaying the two exploded-vector
     # passes per consumer (r13 optimization, guide §5)
-    dist = dd.tracked_persist(dist)
+    dist = dd.tracked_persist(dist, eager=True)
     thr = dist.groupBy("label").agg(
         F.round(F.avg("mdist") + 2 * F.stddev_pop("mdist"), 4).alias("cut")
     )
@@ -5090,9 +5099,9 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("base") * 40503 + 17) % 1000000007 % 8192).alias("b2"),
         ((F.col("base") * 1009 + 97) % 1000000007 % 8192).alias("b3"),
     )
-    # materialize once — same 3-consumer replay as
+    # barrier once (tracked persist) — same 3-consumer replay as
     # bloom_decontaminate_13gram (r13 optimization, guide §5)
-    hashed = hashed.localCheckpoint()
+    hashed = dd.tracked_persist(hashed, eager=True)
     bench = hashed.filter(F.col("doc_id") < 20)
     bench_bits = (
         bench.select(F.explode(F.array("b1", "b2", "b3")).alias("bit"))
@@ -5470,14 +5479,13 @@ def doc_kl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref_tri = tri.filter(F.col("doc_id") % 7 < 2)
     # the reference trigram-count table feeds both the bigram-prefix
-    # aggregate and the scoring join — materialize the aggregated
-    # (small) frame once instead of replaying the reference-side token
-    # explode + trigram shuffle per consumer (r13 optimization,
-    # guide §5; same shape as trigram_lm_train)
-    tc = (
-        ref_tri.groupBy("a", "b", "c")
-        .agg(F.count("*").alias("c3"))
-        .localCheckpoint()
+    # aggregate and the scoring join — barrier the aggregated (small)
+    # frame once (tracked persist) instead of replaying the
+    # reference-side token explode + trigram shuffle per consumer (r13
+    # optimization, guide §5; same shape as trigram_lm_train)
+    tc = dd.tracked_persist(
+        ref_tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3")),
+        eager=True,
     )
     bc = tc.groupBy("a", "b").agg(F.sum("c3").alias("c2"))
     vocab = (
