@@ -57,13 +57,14 @@ def _barrier(df: DataFrame, eager: bool = False) -> DataFrame:
     # N× the cluster work; measured on copurchase_association_rules as
     # summed job time 8.4 → 19.2 s with lazy persist, r13). Lazy stays
     # the default for callers whose actions run serially.
-    # Dedupe by the analyzed plan's semantic hash: persist() on a plan
+    # Keyed by the analyzed plan's semantic hash: persist() on a plan
     # that is already in the CacheManager is a no-op (one shared cache
-    # entry), so registering it twice would let an LRU eviction of the
-    # OLD registration unpersist the NEW one's cache out from under it
-    # (observed as a vanished InMemoryTableScan in the plan audit when
-    # the same query ran twice in one session). Same plan → same
-    # registry slot, refreshed to most-recently-used.
+    # entry), so holding TWO live registrations of the same plan would
+    # let an LRU eviction of the old one unpersist the new one's cache
+    # out from under it (observed as a vanished InMemoryTableScan in
+    # the plan audit when the same query ran twice in one session).
+    # Same plan → same registry slot; the hit path below retires the
+    # old registration before installing the new one.
     #
     # The key must ALSO carry the output column names: semanticHash
     # canonicalizes aliases away, so two queries computing the same
@@ -84,21 +85,22 @@ def _barrier(df: DataFrame, eager: bool = False) -> DataFrame:
     except Exception:
         key = (id(df), tuple(df.columns))
     if key in _BARRIERS:
-        cached = _BARRIERS[key]
-        # Re-arm if someone unpersisted it behind our back (e.g.
-        # spark.catalog.clearCache() between a warmup sweep and the
-        # measured runs): returning a stale entry without re-persisting
-        # silently drops the InMemoryRelation barrier, Catalyst pushes
-        # the expensive projections back through the bare repartition,
-        # and the stage re-serializes — observed as decontaminate_docs
-        # regressing 0.56→0.90 s in the round-3 bench.
-        lvl = cached.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            cached.persist()
-            if eager:
-                cached.count()
-        _BARRIERS.move_to_end(key)
-        return cached
+        # A key hit means the SAME canonical plan was registered by an
+        # earlier query invocation (the bench's best-of-N loop, or a
+        # different query sharing a sub-plan). Serving that entry's
+        # ARMED cache would hand invocation N the data invocation N-1
+        # computed — cross-invocation result memoization, which the
+        # bench contract forbids (every invocation must compute from
+        # the parquet inputs; measured r13: a barrier family read
+        # ~1.0 s with the stale cache vs ~2.2 s honestly recomputed).
+        # Drop the old entry and register the caller's frame fresh:
+        # the single-registration invariant still holds (no two live
+        # registrations share one CacheManager entry, so LRU eviction
+        # can never unpersist a newer twin's cache), and within one
+        # invocation consumers reuse the ONE returned frame, which is
+        # where the legitimate reuse lives.
+        old = _BARRIERS.pop(key)
+        old.unpersist(blocking=False)
     out = df.persist()
     _BARRIERS[key] = out
     while len(_BARRIERS) > _BARRIER_CAP:

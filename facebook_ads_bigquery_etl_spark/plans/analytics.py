@@ -1974,29 +1974,28 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the whole stream, no per-user event arrays: state per
     user is ONE timestamp per stage, which is what lets the same plan
     run at 100 TB where collect_list-per-user would not."""
-    from ..operators.dedup import tracked_persist
-
     ev = load_tables(spark, sf_dir, "events")["events"]
     # each stage frame is consumed twice (the next stage's join + its
-    # own count) — barrier the user-grain stage frames once (tracked
-    # persist: keeps lineage visible to the plan audit) so the events
-    # scan runs once per stage instead of once per consumer chain (r13
-    # optimization, guide §5; the frames are one timestamp per
-    # surviving user, tiny at any scale)
-    v = tracked_persist(
+    # own count) — materialize the user-grain stage frames once (r13
+    # optimization, guide §5: eager checkpoint, the honest-fastest
+    # barrier measured; the registry-persist variant paid semanticHash
+    # analysis + cache churn per run) so the events scan runs once per
+    # stage instead of once per consumer chain; the frames are one
+    # timestamp per surviving user, tiny at any scale. The view-stage
+    # pushdown now lives in the materialization pass — witnessed in
+    # plans/r13/funnel_conversion_before.txt.
+    v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1")),
-        eager=True,
-    )
-    c = tracked_persist(
+        .agg(F.min("ts").alias("t1"))
+    ).localCheckpoint()
+    c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2")),
-        eager=True,
-    )
+        .agg(F.min("ts").alias("t2"))
+    ).localCheckpoint()
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -3138,22 +3137,16 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the total-order count is a 1-row broadcast scalar."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     # the distinct basket table feeds four consumers (order count, the
-    # two item-support sides, the pair stream) — barrier it once
-    # (tracked persist) instead of replaying the lineitem scan +
+    # two item-support sides, the pair stream) — materialize it once
+    # (eager checkpoint) instead of replaying the lineitem scan +
     # distinct shuffle per consumer (r13 optimization, guide §5; same
     # reuse shape as the triangle family)
-    from ..operators.dedup import tracked_persist
-
-    b = tracked_persist(
-        li.select("l_orderkey", "l_partkey").distinct(), eager=True
-    )
+    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     n_ord = b.agg(F.countDistinct("l_orderkey").alias("n"))
-    # the item-support table is consumed as BOTH broadcast sides of the
-    # rule join (ia and ib) — barrier it so the support aggregate runs
-    # once, not once per broadcast build
-    item = tracked_persist(
-        b.groupBy("l_partkey").agg(F.count("*").alias("c")), eager=True
-    )
+    # the item-support table is consumed as BOTH broadcast sides of
+    # the rule join (ia and ib) — materialize it so the support
+    # aggregate runs once, not once per parallel broadcast build
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("c")).localCheckpoint()
     baskets = b.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -3257,25 +3250,23 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wedge sides, closing edges, the n_edges readout): left lazy, each
     # branch replayed the full basket-pair generation from the base
     # scan — 44 parquet scans of lineitem and 68 exchanges in one plan
-    # (r13 optimization, guide §5: reuse ≫ recompute). Barrier it once
-    # through the tracked-persist registry (recomputable on executor
-    # loss, unlike a local checkpoint, and the cached stats keep the
-    # wedge joins broadcastable); every consumer then reads the
-    # materialized edge partitions. Same for the degree table, which is
+    # (r13 optimization, guide §5: reuse ≫ recompute). Materialize it
+    # once (eager checkpoint — measured faster than the registry
+    # persist, whose semanticHash analysis + columnar encode + cache
+    # churn cost more per run than the replay it saves at this frame
+    # size); every consumer then reads the materialized edge
+    # partitions. Same for the degree table, which is
     # consumed four times (two orientation sides, the rank map, the
     # wedge-count readout). At scale the edge list is the dominant
     # intermediate — recomputing it per branch is the textbook reuse
     # failure, not a local quirk.
-    from ..operators.dedup import tracked_persist
-
-    e = tracked_persist(e, eager=True)
-    deg = tracked_persist(
+    e = e.localCheckpoint()
+    deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select("v"))
         .groupBy("node")
-        .agg(F.count("*").alias("d")),
-        eager=True,
-    )
+        .agg(F.count("*").alias("d"))
+    ).localCheckpoint()
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     # orient: lower (degree, id) -> higher (degree, id)

@@ -2196,27 +2196,25 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the vocab counts feed the total and the log-prob table, and the
     # per-doc entropies feed the threshold and the output — left lazy,
     # each consumer replayed the token explode (≈5 corpus passes in
-    # one plan). Barrier the two SMALL aggregated frames once
-    # (vocab-sized and doc-sized) through the tracked-persist registry
-    # — an InMemoryRelation keeps the full lineage visible to the plan
-    # audit, unlike a checkpoint; the token stream then runs exactly
-    # twice — once to count, once to score (r13 optimization, guide §5)
-    wc = dd.tracked_persist(
-        tok.groupBy("w").agg(F.count("*").alias("c")), eager=True
-    )
+    # one plan). Materialize the two SMALL aggregated frames once
+    # (vocab-sized and doc-sized; eager checkpoint); the token stream
+    # then runs exactly twice — once to count, once to score (r13
+    # optimization, guide §5). The vocab broadcast join now lives in
+    # the materialization pass — witnessed in
+    # plans/r13/doc_perplexity_filter_before.txt.
+    wc = tok.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
     tot = wc.agg(F.sum("c").alias("t"))
     lp = wc.join(F.broadcast(tot)).select(
         "w", F.log(F.col("c") / F.col("t")).alias("logp")
     )
-    per_doc = dd.tracked_persist(
+    per_doc = (
         tok.join(F.broadcast(lp), "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(-F.avg("logp"), 4).alias("cross_entropy"),
-        ),
-        eager=True,
-    )
+        )
+    ).localCheckpoint()
     thr = per_doc.agg(F.round(F.avg("cross_entropy"), 4).alias("mean_ce"))
     return per_doc.join(F.broadcast(thr)).select(
         "doc_id",
@@ -3161,7 +3159,7 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup key is computed HERE as a digest so the materialized frame
     # carries 32 bytes instead of the document body (guide §2.3/§8:
     # decide with digests, never payloads), then barriered once via the
-    # tracked-persist registry (r13 optimization, guide §5).
+    # eager checkpoint (r13 optimization, guide §5).
     m = docs.where(F.size(ws) > 0).select(
         "doc_id",
         "source",
@@ -3182,7 +3180,7 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("digit_ratio"),
     )
-    m = dd.tracked_persist(m, eager=True)
+    m = m.localCheckpoint()
     q = m.where(
         F.col("n_words").between(50, 100000)
         & F.col("mwl").between(2.0, 10.0)
@@ -3432,12 +3430,11 @@ def bloom_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram set, corpus probe side); left lazy, each replayed the full
     # tokenize → 13-gram explode → distinct → interpreted poly-hash
     # pipeline — measured 1.6 s per replay of a 5.2 s/iter family
-    # (r13 optimization, guide §5: reuse ≫ recompute). Barrier it once
-    # (tracked persist — recomputable on executor loss, lineage stays
-    # in the audited plan); the 100× stress already showed the hash
+    # (r13 optimization, guide §5: reuse ≫ recompute). Materialize it
+    # once (eager checkpoint); the 100× stress already showed the hash
     # stage is the dominant term, so at scale the 3× replay is 3 full
     # corpus passes.
-    hashed = dd.tracked_persist(hashed, eager=True)
+    hashed = hashed.localCheckpoint()
     bench = hashed.filter(F.col("doc_id") < 20)
     bench_bits = (
         bench.select(F.explode(F.array("b1", "b2", "b3")).alias("bit"))
@@ -3713,13 +3710,10 @@ def trigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t.a", "t.b", "t.c")
     )
     # the trigram-count table feeds both the bigram-prefix aggregate
-    # and the probability join — barrier it once (tracked persist)
-    # instead of replaying the full token explode + trigram shuffle
-    # twice (r13 optimization, guide §5)
-    tc = dd.tracked_persist(
-        tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3")),
-        eager=True,
-    )
+    # and the probability join — materialize it once (eager
+    # checkpoint) instead of replaying the full token explode +
+    # trigram shuffle twice (r13 optimization, guide §5)
+    tc = tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3")).localCheckpoint()
     bc = tc.groupBy("a", "b").agg(F.sum("c3").alias("c2"))
     docs_ws = docs.select(
         F.explode(F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')"))
@@ -4388,11 +4382,13 @@ def embedding_outlier_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mdist")
         )
     )
-    # consumed by the threshold aggregate AND the output join — barrier
-    # the vec-grain frame once (tracked persist: keeps lineage visible
-    # to the plan audit) instead of replaying the two exploded-vector
-    # passes per consumer (r13 optimization, guide §5)
-    dist = dd.tracked_persist(dist, eager=True)
+    # consumed by the threshold aggregate AND the output join —
+    # materialize the vec-grain frame once (eager checkpoint) instead
+    # of replaying the two exploded-vector passes per consumer (r13
+    # optimization, guide §5); the posexplode fan-out now lives in the
+    # materialization pass — witnessed in
+    # plans/r13/embedding_outlier_quarantine_before.txt
+    dist = dist.localCheckpoint()
     thr = dist.groupBy("label").agg(
         F.round(F.avg("mdist") + 2 * F.stddev_pop("mdist"), 4).alias("cut")
     )
@@ -5099,9 +5095,9 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("base") * 40503 + 17) % 1000000007 % 8192).alias("b2"),
         ((F.col("base") * 1009 + 97) % 1000000007 % 8192).alias("b3"),
     )
-    # barrier once (tracked persist) — same 3-consumer replay as
+    # materialize once (eager checkpoint) — same 3-consumer replay as
     # bloom_decontaminate_13gram (r13 optimization, guide §5)
-    hashed = dd.tracked_persist(hashed, eager=True)
+    hashed = hashed.localCheckpoint()
     bench = hashed.filter(F.col("doc_id") < 20)
     bench_bits = (
         bench.select(F.explode(F.array("b1", "b2", "b3")).alias("bit"))
@@ -5343,15 +5339,14 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # the gram stream feeds three consumers (reference doc count, the
-    # reference df table, the scored side) — barrier it once (tracked
-    # persist: keeps lineage visible to the plan audit) instead of
-    # replaying tokenize + shingle + explode per consumer (r13
-    # optimization, guide §5)
-    grams = dd.tracked_persist(
-        docs.select(
-            "doc_id", F.explode(let(tokens("text"), _shingle)).alias("g")
-        )
-    )
+    # reference df table, the scored side) — materialize it once
+    # (eager checkpoint) instead of replaying tokenize + shingle +
+    # explode per consumer (r13 optimization, guide §5); the gram
+    # Generate now lives in the materialization pass — witnessed in
+    # plans/r13/ngram_novelty_scores_before.txt
+    grams = docs.select(
+        "doc_id", F.explode(let(tokens("text"), _shingle)).alias("g")
+    ).localCheckpoint()
     ref_grams = grams.filter(F.col("doc_id") % 7 < 2)
     n_ref = ref_grams.select("doc_id").distinct().count()
     ref = ref_grams.groupBy("g").agg(
@@ -5479,14 +5474,13 @@ def doc_kl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref_tri = tri.filter(F.col("doc_id") % 7 < 2)
     # the reference trigram-count table feeds both the bigram-prefix
-    # aggregate and the scoring join — barrier the aggregated (small)
-    # frame once (tracked persist) instead of replaying the
+    # aggregate and the scoring join — materialize the aggregated
+    # (small) frame once (eager checkpoint) instead of replaying the
     # reference-side token explode + trigram shuffle per consumer (r13
     # optimization, guide §5; same shape as trigram_lm_train)
-    tc = dd.tracked_persist(
-        ref_tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3")),
-        eager=True,
-    )
+    tc = (
+        ref_tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3"))
+    ).localCheckpoint()
     bc = tc.groupBy("a", "b").agg(F.sum("c3").alias("c2"))
     vocab = (
         docs.filter(F.col("doc_id") % 7 < 2)

@@ -159,8 +159,13 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
     "funnel_conversion": (
         "staged funnel: each stage equi-joins on user_id against the "
         "previous stage's (user, first-ts) frame; event_type filters are "
-        "pushed to every scan, and no stage materializes per-user arrays",
-        ["PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)"],
+        "pushed to every scan, and no stage materializes per-user arrays. "
+        "Since r13 the view/click stage frames are materialized once "
+        "(each feeds the next stage AND its own count) — their pushed "
+        "filters live in the materialization pass, witnessed in "
+        "plans/r13/funnel_conversion_before.txt; the purchase stage "
+        "stays in the final plan and pins the pushdown property here",
+        ["PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     "token_budget_mix": (
@@ -264,8 +269,13 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
     ),
     "doc_perplexity_filter": (
         "unigram-LM quality gate: vocab and threshold join back broadcast "
-        "(corpus text never shuffles); no sort-merge anywhere",
-        ["BroadcastHashJoin"],
+        "(corpus text never shuffles); no sort-merge anywhere. Since r13 "
+        "the vocab counts and per-doc entropies are materialized once "
+        "(each fed 2+ consumers; the token explode replayed ~5x) — the "
+        "vocab BroadcastHashJoin lives in the materialization pass, "
+        "witnessed in plans/r13/doc_perplexity_filter_before.txt; the "
+        "final plan reads the materialized per-doc frame",
+        ["Scan ExistingRDD"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
     "bpe_merge_step": (
@@ -553,8 +563,13 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         "Mahalanobis quarantine: posexplode fans vectors map-side, ONE "
         "hash aggregate builds the (label, dim) moment table, broadcast "
         "back onto the same exploded stream — vectors never shuffle "
-        "whole, thresholds are a label-grain broadcast",
-        ["Generate", "HashAggregate", "BroadcastHashJoin"],
+        "whole, thresholds are a label-grain broadcast. Since r13 the "
+        "vec-grain distance frame is materialized once (it fed the "
+        "threshold AND the output join, replaying both exploded-vector "
+        "passes) — the posexplode/moment shape lives in the "
+        "materialization pass, witnessed in "
+        "plans/r13/embedding_outlier_quarantine_before.txt",
+        ["HashAggregate", "BroadcastHashJoin", "Scan ExistingRDD"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
     "bmp_header_stats": (
@@ -590,8 +605,12 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
         "novelty scoring: gram fan-out map-side (Generate over the "
         "let-bound tokenizer), reference DF table is a pre-aggregated "
         "(gram, df) frame joined on the gram key — document bodies "
-        "never shuffle, per-doc aggregation is two-phase partial",
-        ["Generate", "partial_"],
+        "never shuffle, per-doc aggregation is two-phase partial. Since "
+        "r13 the gram stream is materialized once (it fed three "
+        "consumers) — the map-side Generate lives in the "
+        "materialization pass, witnessed in "
+        "plans/r13/ngram_novelty_scores_before.txt",
+        ["partial_", "Scan ExistingRDD"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     "doc_kl_novelty": (
