@@ -276,18 +276,31 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Tail-proofing (r14, VERDICT r13 item 2): the driver's artifact
+    # keeps only a 2000-char TAIL of stdout, and the 83-family queries
+    # map alone is >2300 chars compact-encoded, so the full line CANNOT
+    # fit any 2000-char tail without renaming or dropping registered
+    # families (both forbidden). Mitigation, tested in
+    # tests/test_properties.py::test_bench_line_tail_recoverable:
+    #   * compact separators + a short metric token (same schema keys,
+    #     same value semantics — wall-clock seconds over the same
+    #     queries, unchanged methodology);
+    #   * the queries map ordered CHEAPEST-FIRST, so a truncated head
+    #     loses only the cheapest families;
+    #   * the scalar fields (value / sf) LAST, so any 2000-char tail
+    #     always carries the headline total, the SF, and the ~70 most
+    #     expensive families, regex-recoverable exactly as the r12
+    #     reconstruction did.
+    # bench_full_latest.json (snapshotted per round as
+    # bench_full_r{N}.json) remains the full-fidelity channel.
     out = {
-        "metric": (
-            f"headline query wall-clock ({len(times)} queries, one per "
-            "cost family; full list = bench.py HEADLINE, per-family "
-            "history = bench_full_latest.json)"
-        ),
-        "value": round(sum(times.values()), 3),
+        "metric": f"headline_wall_clock_{len(times)}_queries",
         "unit": "sec",
-        "queries": times,
+        "queries": dict(sorted(times.items(), key=lambda kv: kv[1])),
+        "value": round(sum(times.values()), 3),
         "sf": sf_val,
     }
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
     # The driver's BENCH artifact keeps only a 2000-char tail, which
     # truncated the per-family map and made cross-round comparison
     # possible on a subset only (round-7 verdict). Persist the full

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..operators import casting as cst
+from ..operators.dedup import materialize_once
 from ..operators.asof import asof_join
 from ..operators.exprs import knuth_bucket
 from ..operators.rank import with_global_ntile
@@ -1988,14 +1989,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-    ).localCheckpoint()
+    ).transform(materialize_once)
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-    ).localCheckpoint()
+    ).transform(materialize_once)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -3141,12 +3142,12 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (eager checkpoint) instead of replaying the lineitem scan +
     # distinct shuffle per consumer (r13 optimization, guide §5; same
     # reuse shape as the triangle family)
-    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    b = li.select("l_orderkey", "l_partkey").distinct().transform(materialize_once)
     n_ord = b.agg(F.countDistinct("l_orderkey").alias("n"))
     # the item-support table is consumed as BOTH broadcast sides of
     # the rule join (ia and ib) — materialize it so the support
     # aggregate runs once, not once per parallel broadcast build
-    item = b.groupBy("l_partkey").agg(F.count("*").alias("c")).localCheckpoint()
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("c")).transform(materialize_once)
     baskets = b.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -3260,13 +3261,13 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wedge-count readout). At scale the edge list is the dominant
     # intermediate — recomputing it per branch is the textbook reuse
     # failure, not a local quirk.
-    e = e.localCheckpoint()
+    e = e.transform(materialize_once)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select("v"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
-    ).localCheckpoint()
+    ).transform(materialize_once)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     # orient: lower (degree, id) -> higher (degree, id)

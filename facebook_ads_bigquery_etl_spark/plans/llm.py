@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..operators import components as cc
 from ..operators import dedup as dd
+from ..operators.dedup import materialize_once
 from ..operators import mixing as mx
 from ..operators import multimodal as mm
 from ..operators import packing as pk
@@ -568,7 +569,15 @@ def _ann_recall_audit(
     seeded (operators/similarity.py). Integer-percent comparison (see
     :func:`_pair_set_audit`)."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    exact = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=k)
+    # the exact brute-force top-k feeds BOTH the hit join and the
+    # per-query exact counts — materialize it once instead of replaying
+    # the full corpus×queries cosine pass per consumer (r14, the same
+    # reuse shape as the r13 materialize-once sites; the frame is
+    # queries×k rows, tiny at any scale, while the replay it removes is
+    # corpus-sized)
+    exact = materialize_once(
+        sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=k)
+    )
     hits = (
         exact.select("query_id", "neighbor_id")
         .join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
@@ -2202,7 +2211,7 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimization, guide §5). The vocab broadcast join now lives in
     # the materialization pass — witnessed in
     # plans/r13/doc_perplexity_filter_before.txt.
-    wc = tok.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
+    wc = tok.groupBy("w").agg(F.count("*").alias("c")).transform(materialize_once)
     tot = wc.agg(F.sum("c").alias("t"))
     lp = wc.join(F.broadcast(tot)).select(
         "w", F.log(F.col("c") / F.col("t")).alias("logp")
@@ -2214,7 +2223,7 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.round(-F.avg("logp"), 4).alias("cross_entropy"),
         )
-    ).localCheckpoint()
+    ).transform(materialize_once)
     thr = per_doc.agg(F.round(F.avg("cross_entropy"), 4).alias("mean_ce"))
     return per_doc.join(F.broadcast(thr)).select(
         "doc_id",
@@ -3180,7 +3189,7 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("digit_ratio"),
     )
-    m = m.localCheckpoint()
+    m = m.transform(materialize_once)
     q = m.where(
         F.col("n_words").between(50, 100000)
         & F.col("mwl").between(2.0, 10.0)
@@ -3434,7 +3443,7 @@ def bloom_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once (eager checkpoint); the 100× stress already showed the hash
     # stage is the dominant term, so at scale the 3× replay is 3 full
     # corpus passes.
-    hashed = hashed.localCheckpoint()
+    hashed = hashed.transform(materialize_once)
     bench = hashed.filter(F.col("doc_id") < 20)
     bench_bits = (
         bench.select(F.explode(F.array("b1", "b2", "b3")).alias("bit"))
@@ -3713,7 +3722,7 @@ def trigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the probability join — materialize it once (eager
     # checkpoint) instead of replaying the full token explode +
     # trigram shuffle twice (r13 optimization, guide §5)
-    tc = tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3")).localCheckpoint()
+    tc = tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3")).transform(materialize_once)
     bc = tc.groupBy("a", "b").agg(F.sum("c3").alias("c2"))
     docs_ws = docs.select(
         F.explode(F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')"))
@@ -4388,7 +4397,7 @@ def embedding_outlier_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimization, guide §5); the posexplode fan-out now lives in the
     # materialization pass — witnessed in
     # plans/r13/embedding_outlier_quarantine_before.txt
-    dist = dist.localCheckpoint()
+    dist = dist.transform(materialize_once)
     thr = dist.groupBy("label").agg(
         F.round(F.avg("mdist") + 2 * F.stddev_pop("mdist"), 4).alias("cut")
     )
@@ -5097,7 +5106,7 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize once (eager checkpoint) — same 3-consumer replay as
     # bloom_decontaminate_13gram (r13 optimization, guide §5)
-    hashed = hashed.localCheckpoint()
+    hashed = hashed.transform(materialize_once)
     bench = hashed.filter(F.col("doc_id") < 20)
     bench_bits = (
         bench.select(F.explode(F.array("b1", "b2", "b3")).alias("bit"))
@@ -5346,7 +5355,7 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans/r13/ngram_novelty_scores_before.txt
     grams = docs.select(
         "doc_id", F.explode(let(tokens("text"), _shingle)).alias("g")
-    ).localCheckpoint()
+    ).transform(materialize_once)
     ref_grams = grams.filter(F.col("doc_id") % 7 < 2)
     n_ref = ref_grams.select("doc_id").distinct().count()
     ref = ref_grams.groupBy("g").agg(
@@ -5480,7 +5489,7 @@ def doc_kl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimization, guide §5; same shape as trigram_lm_train)
     tc = (
         ref_tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3"))
-    ).localCheckpoint()
+    ).transform(materialize_once)
     bc = tc.groupBy("a", "b").agg(F.sum("c3").alias("c2"))
     vocab = (
         docs.filter(F.col("doc_id") % 7 < 2)

@@ -34,6 +34,7 @@ from ..streaming import (
     user_profile_stateful,
     user_running_totals,
 )
+from ..operators.dedup import materialize_once
 from ..operators.exprs import knuth_bucket
 from ..operators.integrity import round_double_sql
 from .registry import load_tables, register
@@ -571,10 +572,20 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = _event_schema(T.TimestampType())
     # watermark-poisoning guard on the read-back — stage-content-proof
-    # (r11 dates sweep); the 2099 sentinels stay inside the bound
+    # (r11 dates sweep); the 2099 sentinels stay inside the bound.
+    # maxFilesPerTrigger=2 (r14, VERDICT r13 item 3): each micro-batch
+    # pays a Spark-fixed ~0.5 s planning/offset-commit gap plus a
+    # per-side state-store commit; two time slices per trigger halve
+    # the batch count (4 slices + sentinel: 6 batches → 4 incl. the
+    # no-data flush) while the watermark still progresses across
+    # MULTIPLE batches — state from batch 1 is evicted by batch 2/3's
+    # watermark, which is the eviction property this family exists to
+    # prove. The final table is batch-slicing-invariant (append-mode
+    # matches emit when found, non-matches on eviction; the sentinel
+    # flushes everything), re-proven against the DuckDB oracle.
     src = bound_event_time(
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(tmp)
     )
     p = (
@@ -889,10 +900,14 @@ def stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _staged_louter_src(spark, sf_dir)
     schema = _event_schema(T.TimestampType())
     # watermark-poisoning guard on the read-back — stage-content-proof
-    # (r11 dates sweep); the 2099 sentinels stay inside the bound
+    # (r11 dates sweep); the 2099 sentinels stay inside the bound.
+    # maxFilesPerTrigger=2: same per-batch-overhead halving as
+    # stream_stream_left_outer (r14, VERDICT r13 item 3) — see the
+    # rationale there; the full-outer result is equally
+    # batch-slicing-invariant, re-proven against the DuckDB oracle.
     src = bound_event_time(
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(tmp)
     )
     p = (
@@ -1243,7 +1258,7 @@ def stream_partial_session_eviction(
     # order and the staged batch files stay byte-identical (r13
     # optimization, guide §5.1; the writes were already sequential, so
     # unlike a parallel-subtree query nothing loses concurrency here)
-    ev = ev.localCheckpoint()
+    ev = ev.transform(materialize_once)
 
     src = tempfile.mkdtemp(prefix="partial_sess_src_")
     try:

@@ -665,6 +665,53 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
 }
 
 
+# PRE-MATERIALIZATION audits (r14, ADVICE r13): the materialize-once
+# barriers (operators/dedup.materialize_once) move a subtree's plan
+# text out of the final EXPLAIN, so the properties below — which the
+# r13 audit deferred to static plans/r13/*_before.txt snapshots CI
+# never regenerates — are asserted on the query built with
+# SPARK_GRAFT_NO_MATERIALIZE=1 (the barrier becomes a pass-through; the
+# full lineage stays visible). A regression INSIDE the materialization
+# pass (a lost pushdown, a broadcast degrading) now fails the audit
+# again. query → (why, [plan substrings that MUST be present]).
+PRE_AUDITS: dict[str, tuple[str, list[str]]] = {
+    "funnel_conversion": (
+        "the view/click stage frames are materialized once; their "
+        "event_type pushdowns must still reach the parquet scans in the "
+        "pre-materialization lineage",
+        ["EqualTo(event_type,view)", "EqualTo(event_type,click)"],
+    ),
+    "doc_perplexity_filter": (
+        "vocab counts + per-doc entropies are materialized once; the "
+        "vocab/threshold joins must still be broadcast (corpus text "
+        "never shuffles) in the pre-materialization lineage",
+        ["BroadcastHashJoin"],
+    ),
+    "embedding_outlier_quarantine": (
+        "the vec-grain distance frame is materialized once; the "
+        "map-side posexplode vector fan-out must still be a Generate "
+        "in the pre-materialization lineage",
+        ["posexplode", "Generate"],
+    ),
+    "ngram_novelty_scores": (
+        "the gram stream is materialized once; the gram fan-out must "
+        "still be a map-side Generate over the let-bound tokenizer in "
+        "the pre-materialization lineage",
+        ["Generate"],
+    ),
+}
+
+
+def pre_materialization_plan(queries, name, spark, sf):
+    """Build ``name`` with the reuse barriers disabled and return its
+    formatted plan (see PRE_AUDITS)."""
+    os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = "1"
+    try:
+        return plan_of(queries[name](spark, sf))
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_MATERIALIZE", None)
+
+
 def plan_of(df) -> str:
     s = df._sc._jvm.PythonSQLUtils.explainString(  # same as .explain("formatted")
         df._jdf.queryExecution(), "formatted"
@@ -716,6 +763,26 @@ def main() -> int:
         # keep the artifact reviewable: plan body without the codegen ids
         body = re.sub(r"\(\d+\)", "(·)", plan)
         out.append("```\n" + body.strip() + "\n```")
+        out.append("")
+    out.append("## Pre-materialization audits")
+    out.append("")
+    out.append(
+        "Properties the materialize-once barriers move out of the final "
+        "plan, asserted on the query built with "
+        "`SPARK_GRAFT_NO_MATERIALIZE=1` (full lineage visible)."
+    )
+    out.append("")
+    for name, (why, must) in PRE_AUDITS.items():
+        plan = pre_materialization_plan(QUERIES, name, spark, SF)
+        out.append(f"### {name} (pre-materialization)")
+        out.append("")
+        out.append(why + ".")
+        out.append("")
+        for frag in must:
+            ok = frag in plan
+            out.append(f"- {'✅' if ok else '❌'} contains `{frag}`")
+            if not ok:
+                failures.append((name, f"pre-materialization missing {frag}"))
         out.append("")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:

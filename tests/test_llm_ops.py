@@ -751,6 +751,73 @@ class TestBarrierCacheHygiene:
         assert a.select("n_docs").count() == b.select("cnt").count()
         dd.release_caches()
 
+    def test_alias_twin_registration_retires_the_armed_twin(self, spark, docs):
+        """Registering an alias twin (same semanticHash, different
+        column names) must RETIRE the earlier twin's registry entry —
+        an armed InMemoryRelation the new persist() would no-op
+        against via sameResult, serving invocation N the data
+        invocation N-1 materialized (r14, ADVICE r13)."""
+        from pyspark.sql import functions as F
+
+        dd.release_caches()
+        a = dd._barrier(docs.groupBy("lang").agg(F.count("*").alias("n_docs")))
+        a.count()  # arm the first twin's cache
+        assert len(dd._BARRIERS) == 1
+        b = dd._barrier(docs.groupBy("lang").agg(F.count("*").alias("cnt")))
+        # one live registration: the armed twin was popped + unpersisted
+        assert len(dd._BARRIERS) == 1
+        assert next(iter(dd._BARRIERS.values())) is b
+        # the retired twin still computes (recompute path, never wrong)
+        assert a.count() == b.count()
+        dd.release_caches()
+
+    def test_tracked_checkpoint_frees_previous_invocation_blocks(
+        self, spark, docs
+    ):
+        """Re-checkpointing the same plan (the same query invoked
+        again) must free the PREVIOUS invocation's localCheckpoint
+        blocks instead of leaking them for the session lifetime (r14,
+        ADVICE r13: each bench iteration abandoned its predecessor's
+        MEMORY_AND_DISK blocks)."""
+        from pyspark.sql import functions as F
+
+        dd.release_caches()
+        sc = spark.sparkContext
+
+        def n_stored():
+            return len(sc._jsc.sc().getRDDStorageInfo())
+
+        baseline = n_stored()
+        frame = docs.groupBy("lang").agg(F.count("*").alias("n"))
+        c1 = dd.tracked_local_checkpoint(frame)
+        assert n_stored() == baseline + 1
+        rows1 = c1.collect()
+        # invocation 2 of the same plan: blocks stay bounded at one
+        c2 = dd.tracked_local_checkpoint(
+            docs.groupBy("lang").agg(F.count("*").alias("n"))
+        )
+        assert n_stored() == baseline + 1
+        assert sorted(map(tuple, c2.collect())) == sorted(map(tuple, rows1))
+        released = dd.release_caches()
+        assert released >= 1 and n_stored() == baseline
+
+    def test_materialize_once_is_a_passthrough_under_audit_switch(
+        self, spark, docs, monkeypatch
+    ):
+        """SPARK_GRAFT_NO_MATERIALIZE (plan audits / A/B measurement)
+        must make the plan-level reuse barrier a no-op so the
+        pre-materialization physical shape stays assertable."""
+        from pyspark.sql import functions as F
+
+        frame = docs.groupBy("lang").agg(F.count("*").alias("n"))
+        monkeypatch.setenv(dd._NO_MATERIALIZE_ENV, "1")
+        assert dd.materialize_once(frame) is frame
+        monkeypatch.delenv(dd._NO_MATERIALIZE_ENV)
+        out = dd.materialize_once(frame)
+        assert out is not frame  # checkpointed
+        assert out.count() == frame.count()
+        dd.release_caches()
+
 
 class TestPrefixFilterJoin:
     def test_prefix_join_equals_posting_join(self, spark):

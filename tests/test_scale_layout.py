@@ -250,6 +250,17 @@ class TestPlanAudit:
             for frag in must_not:
                 if frag in plan:
                     problems.append(f"{name}: unexpected {frag!r}")
+        # pre-materialization shapes (r14, ADVICE r13): properties the
+        # reuse barriers move out of the final plan, asserted with the
+        # barriers disabled so a regression inside the materialization
+        # pass still fails here
+        for name, (_, must) in gp.PRE_AUDITS.items():
+            plan = gp.pre_materialization_plan(QUERIES, name, spark, SF_ORACLE)
+            for frag in must:
+                if frag not in plan:
+                    problems.append(
+                        f"{name}: pre-materialization missing {frag!r}"
+                    )
         assert not problems, "\n".join(problems)
 
 
