@@ -3137,19 +3137,30 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     at all). Item counts are a parts-sized frame joined back
     broadcast; the total-order count is a 1-row broadcast scalar."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    # the distinct basket table feeds four consumers (order count, the
-    # two item-support sides, the pair stream) — materialize it once
-    # (eager checkpoint) instead of replaying the lineitem scan +
-    # distinct shuffle per consumer (r13 optimization, guide §5; same
-    # reuse shape as the triangle family)
-    b = li.select("l_orderkey", "l_partkey").distinct().transform(materialize_once)
-    n_ord = b.agg(F.countDistinct("l_orderkey").alias("n"))
-    # the item-support table is consumed as BOTH broadcast sides of
-    # the rule join (ia and ib) — materialize it so the support
-    # aggregate runs once, not once per parallel broadcast build
-    item = b.groupBy("l_partkey").agg(F.count("*").alias("c")).transform(materialize_once)
+    # r14 restructure (guide §2.4, VERDICT r13 item 1): the r13 form
+    # materialized TWO frames eagerly (the distinct basket table AND
+    # the item-support table) because the basket table fed four
+    # consumers — but the double eager checkpoint was a measured
+    # wall-clock tax at bench SF (interleaved A/B: 3.01 s vs 2.04 s
+    # with no materialization). Every consumer is in fact derivable
+    # from the ORDER-GRAIN basket-array frame the pair stream needs
+    # anyway: n_ord = countDistinct(l_orderkey) over b ≡ the basket
+    # row count, and item support = per-part row count of b ≡ the
+    # per-part count of exploded basket arrays (each order's sorted
+    # set holds each part exactly once, because b is distinct). So the
+    # wide distinct table now has exactly ONE consumer (no barrier
+    # needed), the corpus scan + distinct shuffle run once, and the
+    # single materialize-once sits on the compact order-grain frame
+    # that all three readouts share. Oracle-verified identical.
+    b = li.select("l_orderkey", "l_partkey").distinct()
     baskets = b.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    ).transform(materialize_once)
+    n_ord = baskets.agg(F.count(F.lit(1)).alias("n"))
+    item = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
     )
     pair = (
         baskets.select(

@@ -3718,20 +3718,28 @@ def trigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("t.a", "t.b", "t.c")
     )
-    # the trigram-count table feeds both the bigram-prefix aggregate
-    # and the probability join — materialize it once (eager
-    # checkpoint) instead of replaying the full token explode +
-    # trigram shuffle twice (r13 optimization, guide §5)
-    tc = tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3")).transform(materialize_once)
-    bc = tc.groupBy("a", "b").agg(F.sum("c3").alias("c2"))
+    # r14 restructure (guide §2.4, VERDICT r13 item 1): the r13 form
+    # materialized the trigram-count table because it fed BOTH the
+    # bigram-prefix aggregate and the probability join — an eager
+    # checkpoint that read as a wall tax at bench SF. But that join is
+    # INNER on the prefix and every trigram row's (a, b) prefix exists
+    # in the prefix aggregate by construction, so the prefix total is
+    # exactly a window SUM over the trigram counts: one pass over tc,
+    # no second aggregate, no join, no multi-consumer frame — the
+    # materialization becomes unnecessary and is removed. Long
+    # addition is associative, so c2 is bit-identical to the join
+    # form's; oracle-verified identical.
+    from pyspark.sql.window import Window as _W
+
+    tc = tri.groupBy("a", "b", "c").agg(F.count("*").alias("c3"))
+    tcw = tc.withColumn("c2", F.sum("c3").over(_W.partitionBy("a", "b")))
     docs_ws = docs.select(
         F.explode(F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')"))
         .alias("x")
     )
     v = docs_ws.agg(F.countDistinct("x").alias("vocab"))
     probs = (
-        tc.join(bc, ["a", "b"])
-        .crossJoin(F.broadcast(v))
+        tcw.crossJoin(F.broadcast(v))
         .select(
             "a", "b", "c", F.col("c3").alias("n"),
             F.round(
