@@ -84,16 +84,30 @@ def moment_sums(
     without it each of the three aggregates — plus pca_audit's
     reconstruction pass — re-executes the full corpus scan (ADVICE
     r3); with it the vectors are read exactly once per moment set."""
-    from .dedup import _barrier
+    from .dedup import _barrier, materialize_once
 
+    # r14 fix for a measured 5× work amplification: covariance_probe
+    # fans the moment frames into FIVE BroadcastExchange subtrees
+    # (s_i, s_j, g_ii, g_ij, counts). Spark builds broadcasts on a
+    # parallel thread pool, and N builders racing on the lazy persist
+    # below each recomputed the whole corpus mapInPandas pass
+    # (first-writer-wins cache puts — correct but N× the cluster work;
+    # measured 6.5 s summed job time per ~1.3 s of needed work per
+    # run). The fix materializes the three SMALL moment frames (1, d
+    # and d² rows) eagerly: the first checkpoint's job computes the
+    # partials once and arms their cache, the other two read it, and
+    # every downstream broadcast builds from a materialized frame —
+    # corpus pass exactly once. Measured best-wall across the three
+    # forms (lazy / eager partials / this): this one wins while
+    # cutting summed job time ~5×.
     p = _barrier(gram_partials(df, col, dim))
-    counts = p.agg(F.sum("n").alias("n"))
-    sums = (
+    counts = materialize_once(p.agg(F.sum("n").alias("n")))
+    sums = materialize_once(
         p.select(F.posexplode("s").alias("i", "v"))
         .groupBy("i")
         .agg(F.sum("v").alias("s"))
     )
-    grams = (
+    grams = materialize_once(
         p.select(F.posexplode("g").alias("k", "v"))
         .groupBy("k")
         .agg(F.sum("v").alias("g"))

@@ -2733,15 +2733,25 @@ def kmv_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_a string, group_b string, jaccard_est double,"
             " union_est double, intersection_est double",
         )
-    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    n_intersect = a.join(b, "user_id").count()
-    n_union = (
+    # exact intersect/union in ONE events pass + ONE action (r14,
+    # guide §1/§2.3 — was two distinct-shuffle passes and two driver
+    # actions): per-user membership flags reduce map-side, the union
+    # is the per-user row count and the intersection counts users
+    # carrying both flags. Exact integers, identical values.
+    per_user = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
-        .select("user_id")
-        .distinct()
-        .count()
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("a"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("b"),
+        )
     )
+    iu = per_user.agg(
+        F.sum((F.col("a") * F.col("b"))).alias("i"),
+        F.count(F.lit(1)).alias("u"),
+    ).first()
+    n_intersect = int(iu["i"] or 0)
+    n_union = int(iu["u"])
     return est.select(
         "group_a",
         "group_b",

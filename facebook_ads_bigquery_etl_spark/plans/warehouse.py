@@ -1212,7 +1212,13 @@ def schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "notnull_new"
             ),
         ).collect()[0]
-        n1, n2 = v1.count(), v2.count()
+        # one action for both batch counts (r14, guide §1 — was two
+        # separate full scans of orders)
+        cnts = orders.agg(
+            F.sum((F.col("o_orderkey") % 2 == 0).cast("long")).alias("n1"),
+            F.sum((F.col("o_orderkey") % 2 == 1).cast("long")).alias("n2"),
+        ).first()
+        n1, n2 = int(cnts["n1"] or 0), int(cnts["n2"] or 0)
         # SUM over an empty read-back is NULL, not 0 (r10 empty sweep)
         nulls_new = int(row["nulls_new"] or 0)
         notnull_new = int(row["notnull_new"] or 0)

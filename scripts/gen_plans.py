@@ -297,8 +297,13 @@ AUDITS: dict[str, tuple[str, list[str], list[str]]] = {
     # pins above, and the iteration is driver-side by design.
     "embedding_covariance_probe": (
         "mergeable Gram partials: one MapInPandas pass over the vectors; "
-        "all moment joins broadcast (batch-count-sized frames)",
-        ["MapInPandas", "BroadcastHashJoin"],
+        "all moment joins broadcast (batch-count-sized frames). Since r14 "
+        "the three moment frames are materialized once (five parallel "
+        "broadcast builders raced on the lazy partials cache and each "
+        "recomputed the corpus pass) — the MapInPandas pass lives in the "
+        "materialization lineage, asserted under PRE_AUDITS; the final "
+        "plan witnesses the broadcast joins over the materialized frames",
+        ["BroadcastHashJoin", "Scan ExistingRDD"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
     "copurchase_association_rules": (
@@ -698,6 +703,12 @@ PRE_AUDITS: dict[str, tuple[str, list[str]]] = {
         "still be a map-side Generate over the let-bound tokenizer in "
         "the pre-materialization lineage",
         ["Generate"],
+    ),
+    "embedding_covariance_probe": (
+        "the moment frames are materialized once (r14); the corpus pass "
+        "must still be ONE MapInPandas over the vectors in the "
+        "pre-materialization lineage",
+        ["MapInPandas"],
     ),
 }
 
