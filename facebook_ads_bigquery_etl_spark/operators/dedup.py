@@ -48,16 +48,20 @@ _BARRIER_CAP = 8
 _BARRIERS: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
 
-def _barrier(df: DataFrame, eager: bool = False) -> DataFrame:
-    # ``eager=True`` materializes the cache with one count() action
-    # before returning. Required when the consumers include SEVERAL
-    # BroadcastExchange subtrees of one query: Spark builds broadcasts
-    # on a parallel thread pool, and N broadcast branches racing on a
-    # not-yet-materialized cache each recompute the whole subtree
-    # (cache writes are per-partition, first-writer-wins — correct but
-    # N× the cluster work; measured on copurchase_association_rules as
-    # summed job time 8.4 → 19.2 s with lazy persist, r13). Lazy stays
-    # the default for callers whose actions run serially.
+def _barrier(df: DataFrame) -> DataFrame:
+    # Lazy persist only. When a barrier's consumers include SEVERAL
+    # BroadcastExchange subtrees of one query, Spark's parallel
+    # broadcast builder threads race on the not-yet-materialized cache
+    # and each recompute the whole subtree (first-writer-wins cache
+    # puts — correct but N× the cluster work). The fix for that shape
+    # is NOT an eager persist here — measured as a wall-clock LOSS at
+    # both multi-broadcast sites (minhash 1.27→1.58 s, covariance
+    # variants, r14) because the serial arming pass costs more than
+    # the parallel duplicate work hides — but materializing the SMALL
+    # derived frames the broadcasts actually consume (see
+    # linalg.moment_sums), which arms this cache as a side effect of
+    # the first small materialization and keeps every later consumer
+    # on materialized data.
     # Keyed by the analyzed plan's semantic hash: persist() on a plan
     # that is already in the CacheManager is a no-op (one shared cache
     # entry), so holding TWO live registrations of the same plan would
@@ -112,8 +116,6 @@ def _barrier(df: DataFrame, eager: bool = False) -> DataFrame:
     while len(_BARRIERS) > _BARRIER_CAP:
         _, old = _BARRIERS.popitem(last=False)
         old.unpersist(blocking=False)
-    if eager:
-        out.count()
     return out
 
 
